@@ -1,13 +1,127 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a named operator chain from SURVEY.md §2
+  * (reference-derived) or the north-star extension set (joins, dedup,
+  * similarity, text analysis). Each has a DuckDB-equivalent in [[oracleSql]]
+  * unless the operation is not SQL-expressible (noted inline).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A star join with broadcast dimensions + aggregation — exercises scan,
+    * join, shuffle, agg in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.ordersByRegion(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def q(f: (SparkSession, String) => DataFrame): Q = f
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, Q] = Map(
+    // --- reference-derived (ksqlDB surface, batch analog over events) ---
+    "ref_projection" -> q((s, d) => ReferenceQueries.eventsProjection(Tables.load(s, d, "events"))),
+    "ref_jovens_filter" -> q((s, d) => ReferenceQueries.eventsJovens(Tables.load(s, d, "events"))),
+    "ref_case_class" -> q((s, d) =>
+      ReferenceQueries.eventsClass(Tables.load(s, d, "events"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("idadecat"))),
+    "ref_window_count" -> q((s, d) => ReferenceQueries.eventsWindowCount(Tables.load(s, d, "events"))),
+    // --- relational extensions ---
+    "q1_pricing_summary" -> q((s, d) => Relational.pricingSummary(Tables.load(s, d, "lineitem"))),
+    "join_orders_by_region" -> q((s, d) => Relational.ordersByRegion(s, d)),
+    "join_revenue_by_status" -> q((s, d) => Relational.revenueByStatus(s, d)),
+    "topk_orders" -> q((s, d) => Relational.topOrders(Tables.load(s, d, "orders"))),
+    "distinct_user_types" -> q((s, d) => Relational.distinctUserTypes(Tables.load(s, d, "events"))),
+    "window_fn_user_rank" -> q((s, d) => Relational.userEventRank(Tables.load(s, d, "events"))),
+    "rollup_orders" -> q((s, d) => Relational.ordersRollup(Tables.load(s, d, "orders"))),
+    "semi_join_open_orders" -> q((s, d) => Relational.customersWithOpenOrders(s, d)),
+    "anti_join_no_orders" -> q((s, d) => Relational.customersWithoutOrders(s, d)),
+    "union_acctbal" -> q((s, d) => Relational.acctbalUnion(s, d)),
+  )
+
+  /** DuckDB-equivalent SQL per query (same parquet tables, same column
+    * names — the driver sorts columns by name before hashing).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "ref_projection" ->
+      """SELECT event_id, user_id, event_type,
+         strftime(ts, '%Y-%m-%d') AS dt,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS dt_full
+         FROM events""",
+    "ref_jovens_filter" ->
+      """SELECT event_id, user_id, event_type,
+         strftime(ts, '%Y-%m-%d') AS dt,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS dt_full
+         FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'""",
+    "ref_case_class" ->
+      """SELECT event_id, user_id, event_type,
+         CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-15' THEN 'JOVEM' ELSE 'ADULTO' END AS idadecat
+         FROM events""",
+    "ref_window_count" ->
+      """SELECT strftime(time_bucket(INTERVAL 30 SECONDS, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+         CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-15' THEN 'JOVEM' ELSE 'ADULTO' END AS idadecat,
+         count(*) AS contagem
+         FROM events GROUP BY 1, 2""",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "join_orders_by_region" ->
+      """SELECT r_name, count(*) AS order_cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "join_revenue_by_status" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+         count(*) AS line_cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "distinct_user_types" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "window_fn_user_rank" ->
+      """SELECT * FROM (
+           SELECT event_id, user_id, event_type,
+             row_number() OVER w AS rn,
+             lag(event_type, 1) OVER w AS prev_type,
+             CAST(sum(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS running_value
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         ) WHERE rn <= 5""",
+    "rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "semi_join_open_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""",
+    "anti_join_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "union_acctbal" ->
+      """SELECT kind, count(*) AS cnt, CAST(sum(CAST(acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_bal
+         FROM (
+           SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+           UNION ALL
+           SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+         ) GROUP BY kind""",
+  )
 }

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface of the engine.
+  *
+  * Reference parity (see SURVEY.md §2.5): ksqlDB's `DATETOSTRING` /
+  * `TIMESTAMPTOSTRING` (reference `README.md:211-212`) re-expressed as thin
+  * wrappers over Spark's codegen'd `date_format` — no UDFs anywhere, so
+  * every expression stays inside whole-stage codegen.
+  *
+  * All functions are pure `Column` combinators: they compose into Catalyst
+  * plans, get constant-folded / subexpression-eliminated for free, and are
+  * identical in batch and Structured Streaming plans.
+  */
+object GraftFunctions {
+
+  // ---------------------------------------------------------------------
+  // Reference-derived (ksqlDB scalar functions)
+  // ---------------------------------------------------------------------
+
+  /** ksqlDB `DATETOSTRING(dateCol, fmt)` — reference README.md:211.
+    * Accepts a DATE column (or epoch-days int via [[epochDaysToDate]]).
+    */
+  def dateToString(c: Column, fmt: String): Column = date_format(c, fmt)
+
+  /** ksqlDB `TIMESTAMPTOSTRING(tsCol, fmt, 'UTC')` — reference
+    * README.md:212. Session timezone is pinned UTC (build.sbt).
+    */
+  def timestampToString(c: Column, fmt: String): Column = date_format(c, fmt)
+
+  /** Epoch-days int (Kafka Connect `Date` logical type, reference
+    * README.md:207) → DateType. Handles negative (pre-1970) days.
+    */
+  def epochDaysToDate(c: Column): Column = date_from_unix_date(c)
+
+  /** Epoch-millis long (Kafka Connect `Timestamp` logical type) →
+    * TimestampType.
+    */
+  def epochMillisToTimestamp(c: Column): Column = timestamp_millis(c)
+
+  // ---------------------------------------------------------------------
+  // Vector math (extension: similarity search over Array[Float] columns)
+  // ---------------------------------------------------------------------
+  // Implemented with higher-order functions (zip_with / aggregate), which
+  // are codegen'd Catalyst expressions — no UDF, no serialization cliff.
+  // Floats are widened to double BEFORE any arithmetic so results are
+  // bit-deterministic and oracle-comparable.
+
+  /** Sequential-order dot product of two array<float|double> columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity = dot(a,b) / (|a| * |b|). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // ---------------------------------------------------------------------
+  // Text analysis (extension: LLM-training-data pipeline surface)
+  // ---------------------------------------------------------------------
+
+  /** Whitespace tokenization; empty string → empty array (split of "" yields
+    * [""], which we filter out).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word count: words + digits + punctuation runs, the usual
+    * pre-tokenizer regex shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(total === 0, lit(0.0)).otherwise(punct.cast("double") / total.cast("double"))
+  }
+
+  /** Ratio of alphabetic characters to total characters. */
+  def alphaRatio(text: Column): Column = {
+    val total = length(text)
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+    when(total === 0, lit(0.0)).otherwise(alpha.cast("double") / total.cast("double"))
+  }
+
+  /** English-ish stopword ratio over whitespace tokens. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = filter(toks, t => t.isin(stopwords: _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Normalized text: lowercase, strip non-alphanumerics to spaces,
+    * collapse whitespace, trim. The canonical form for exact dedup and
+    * fingerprinting.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Document fingerprint: md5 of the normalized text. md5 exists in both
+    * Spark and DuckDB, so this is oracle-checkable (unlike Murmur3 `hash`).
+    */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Character n-gram shingles (distinct) of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = normalizeText(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+          i => substring(norm, i, lit(n))),
+        t => length(t) === n))
+  }
+
+  /** Word n-gram shingles (distinct), joined with a single space. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(normalizeText(text))
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0)) ),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Jaccard similarity of two array columns (treated as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator surface beyond the reference's literal queries
+  * (the reference has no joins/sorts/distinct — SURVEY.md §2.8; these are
+  * the north-star extensions, flagged as such).
+  *
+  * Scale notes, per operator:
+  *  - Dimension joins (region/nation/supplier/part ≤ a few million rows even
+  *    at 100 TB TPC-H scale) are explicitly `broadcast()` — no shuffle of
+  *    the fact table, plan survives 1000 executors.
+  *  - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
+  *    handles skew splitting at runtime. At warehouse scale these tables
+  *    would be bucketed on the key to eliminate the exchange entirely —
+  *    with ad-hoc parquet inputs the shuffle is the correct plan.
+  *  - Aggregations rely on HashAggregateExec partial+final (map-side
+  *    combine), so shuffled bytes are per-group, not per-row.
+  *  - Top-k = `ORDER BY ... LIMIT k` → Catalyst plans TakeOrderedAndProject:
+  *    per-partition k-heap + single k-row merge on the driver. No global
+  *    sort at any scale.
+  *
+  * Decimal discipline: double aggregates are computed as exact
+  * decimal sums then cast back to double, making results bit-deterministic
+  * regardless of partition count / summation order — both for the DuckDB
+  * oracle and for reproducibility across cluster sizes.
+  */
+object Relational {
+
+  private def dec(colName: String) = col(colName).cast("decimal(20,4)")
+  private def sumd(colName: String) = sum(dec(colName)).cast("double")
+
+  /** TPC-H Q1-shaped pricing summary: scan + filter + hash agg. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumd("l_quantity").as("sum_qty"),
+        sumd("l_extendedprice").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(20,4)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        (sumd("l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Star join: orders ⋈ customer ⋈ nation ⋈ region, dims broadcast. */
+  def ordersByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"))
+  }
+
+  /** Fact-fact shuffle join: lineitem ⋈ orders, revenue per order status. */
+  def revenueByStatus(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val orders = Tables.load(spark, dir, "orders")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(20,4)") - dec("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_cnt"))
+  }
+
+  /** Top-k with deterministic tie-break → TakeOrderedAndProject. */
+  def topOrders(orders: DataFrame, k: Int = 10): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** DISTINCT (hash-dedup shuffle). */
+  def distinctUserTypes(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type")).distinct()
+
+  /** SQL window functions: per-user event ranking + running value sum. */
+  def userEventRank(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      row_number().over(w).as("rn"),
+      lag(col("event_type"), 1).over(w).as("prev_type"),
+      sum(dec("value")).over(w).cast("double").as("running_value"))
+      .filter(col("rn") <= 5)
+  }
+
+  /** ROLLUP grouping sets over orders. */
+  def ordersRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("total"))
+
+  /** Left semi join: customers with at least one open order. */
+  def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    customer.join(
+      orders.filter(col("o_orderstatus") === lit("O")),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Left anti join: customers with no orders at all. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** UNION ALL + aggregate: account balances from two entity kinds. */
+  def acctbalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+      .select(lit("customer").as("kind"), col("c_acctbal").as("acctbal"))
+    val supplier = Tables.load(spark, dir, "supplier")
+      .select(lit("supplier").as("kind"), col("s_acctbal").as("acctbal"))
+    customer.unionAll(supplier)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec("acctbal")).cast("double").as("total_bal"))
+  }
+}
