@@ -1,0 +1,227 @@
+package graft
+
+import graft.functions.DetHash
+import graft.operators.{Dedup, TextAnalysis}
+
+/** DuckDB oracle-SQL builders for the dedup / similarity / text-analysis
+  * operators.
+  *
+  * These SQL strings are generated from the SAME constants the Spark plans
+  * use ([[DetHash]] minhash coefficients, SRP hyperplanes,
+  * [[TextAnalysis.langMarkers]], …), so plan and oracle can never drift.
+  * Everything is RE2-safe (no lookarounds) and uses only integer / IEEE
+  * double math evaluated in the same order as the Spark expressions, so
+  * results are bit-identical across engines.
+  */
+object OracleSqlGen {
+
+  // ---------------------------------------------------------------- text
+
+  /** normalizeText: lowercase, non-alnum runs → space, collapse, trim. */
+  def norm(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Whitespace tokens (empty strings filtered), matching
+    * GraftFunctions.tokens.
+    */
+  def toks(c: String): String =
+    s"""list_filter(string_split_regex($c, '\\s+'), t -> len(t) > 0)"""
+
+  /** Word n-gram shingles (distinct) of the normalized text, matching
+    * GraftFunctions.wordShingles: i in 0..max(len-n,0), n-token slices.
+    */
+  def shingles(textCol: String, n: Int): String =
+    s"""list_distinct(list_transform(
+       generate_series(0, greatest(len(tk) - $n, 0)),
+       i -> array_to_string(list_slice(tk, i + 1, i + $n), ' ')))"""
+      .replaceAll("\n\\s*", " ")
+
+  private def toksCte(table: String = "documents"): String =
+    s"WITH t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM $table)"
+
+  def fingerprintsSql: String =
+    s"SELECT doc_id, md5(${norm("text")}) AS fp FROM documents"
+
+  def exactGroupsSql: String =
+    s"""SELECT md5(${norm("text")}) AS fp, min(doc_id) AS keep_doc_id,
+        count(*) AS dup_cnt FROM documents GROUP BY 1"""
+
+  def exactDedupSql: String =
+    s"""SELECT d.doc_id, d.lang, d.source FROM documents d
+        JOIN (SELECT min(doc_id) AS doc_id
+              FROM (SELECT doc_id, md5(${norm("text")}) AS fp FROM documents)
+              GROUP BY fp) k USING (doc_id)"""
+
+  def languageIdSql: String = {
+    val markers = TextAnalysis.langMarkers
+    val scores = markers.map { case (l, m) =>
+      val lst = m.map(w => s"'${w}'").mkString(", ")
+      s"len(list_filter(tk, x -> x IN ($lst))) AS score_$l"
+    }.mkString(",\n          ")
+    // argmax fold with declaration-order tie precedence — same fold shape
+    // as TextAnalysis.languageId.
+    val (lang, score) = markers.tail.foldLeft(
+      (s"'${markers.head._1}'", s"score_${markers.head._1}")) {
+      case ((bl, bs), (l, _)) =>
+        (s"CASE WHEN score_$l > ($bs) THEN '$l' ELSE ($bl) END",
+         s"CASE WHEN score_$l > ($bs) THEN score_$l ELSE ($bs) END")
+    }
+    s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+        s AS (SELECT doc_id, $scores FROM t)
+        SELECT doc_id, $lang AS pred_lang, CAST($score AS BIGINT) AS best_score FROM s"""
+  }
+
+  def qualitySql: String = {
+    import graft.functions.GraftFunctions.stopwords
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH r AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS len_chars,
+          CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens,
+          round(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)::DOUBLE END, 6) AS punct_ratio,
+          round(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END, 6) AS alpha_ratio,
+          round(CASE WHEN len(${toks("lower(text)")}) = 0 THEN 0.0
+            ELSE len(list_filter(${toks("lower(text)")}, x -> x IN ($stops)))::DOUBLE
+                 / len(${toks("lower(text)")})::DOUBLE END, 6) AS stopword_ratio
+        FROM documents)
+        SELECT *, round(least(1.0, n_tokens::DOUBLE / 100.0) * 0.4
+          + alpha_ratio * 0.4
+          + (1.0 - least(1.0, punct_ratio * 5.0)) * 0.2, 6) AS quality FROM r"""
+  }
+
+  def tokenHistogramSql: String =
+    s"""SELECT CAST(floor(len(${toks("text")})::DOUBLE / 32) AS BIGINT) * 32 AS bucket,
+        count(*) AS cnt FROM documents GROUP BY 1"""
+
+  // --------------------------------------------------------------- dedup
+
+  /** DetHash.base60 in DuckDB: 15 md5 hex chars → 60-bit BIGINT. */
+  def base60(c: String): String =
+    s"('0x' || substr(md5($c), 1, 15))::BIGINT"
+
+  private val P = DetHash.P
+
+  /** The 16 minhash slot expressions over a `hs` BIGINT-list column. */
+  private def sigExprs: Seq[String] =
+    (0 until Dedup.NumHashes).map { i =>
+      val (a, b) = (DetHash.minhashA(i), DetHash.minhashB(i))
+      s"coalesce(list_min(list_transform(hs, h -> (h * $a + $b) % $P)), $P)"
+    }
+
+  private def sigCte(n: Int): String =
+    s"""${toksCte()},
+        sh AS (SELECT doc_id, ${shingles("text", n)} AS shingles FROM t),
+        hsx AS (SELECT doc_id, shingles,
+          list_transform(shingles, s -> ${base60("s")} % $P) AS hs FROM sh),
+        sig AS (SELECT doc_id, shingles,
+          ${sigExprs.zipWithIndex.map { case (e, i) => s"$e AS s$i" }.mkString(",\n          ")}
+        FROM hsx)"""
+
+  def minhashSigSql(n: Int): String =
+    s"""${sigCte(n)}
+        SELECT doc_id, concat_ws(',', ${(0 until Dedup.NumHashes).map("s" + _).mkString(", ")}) AS sig
+        FROM sig"""
+
+  private def jaccardExpr(a: String, b: String): String =
+    s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
+        ELSE len(list_intersect($a, $b))::DOUBLE
+             / len(list_distinct(list_concat($a, $b)))::DOUBLE END"""
+
+  def lshPairsSql(n: Int, threshold: Double): String = {
+    val bandKeys = (0 until Dedup.Bands).map { b =>
+      val rows = (0 until Dedup.RowsPerBand)
+        .map(r => s"s${b * Dedup.RowsPerBand + r}").mkString(", ")
+      s"concat_ws(':', $b, $rows)"
+    }.mkString(", ")
+    s"""${sigCte(n)},
+        bands AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+        j AS (SELECT a, b,
+          round(${jaccardExpr("sa.shingles", "sb.shingles")}, 4) AS jaccard_sim
+          FROM cand JOIN sh sa ON cand.a = sa.doc_id
+                    JOIN sh sb ON cand.b = sb.doc_id)
+        SELECT a, b, jaccard_sim FROM j WHERE jaccard_sim >= $threshold"""
+  }
+
+  def jaccardPairsSql(n: Int, threshold: Double): String =
+    s"""${toksCte()},
+        sh AS (SELECT doc_id, ${shingles("text", n)} AS shingles FROM t),
+        posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM posting x JOIN posting y ON x.s = y.s AND x.doc_id < y.doc_id),
+        j AS (SELECT a, b,
+          round(${jaccardExpr("sa.shingles", "sb.shingles")}, 4) AS jaccard_sim
+          FROM cand JOIN sh sa ON cand.a = sa.doc_id
+                    JOIN sh sb ON cand.b = sb.doc_id)
+        SELECT a, b, jaccard_sim FROM j WHERE jaccard_sim >= $threshold"""
+
+  def simhashSql: String = {
+    val bits = (0 until Dedup.SimHashBits).map { j =>
+      s"CASE WHEN 2 * coalesce(list_sum(list_transform(hs, h -> (h >> $j) & 1)), 0) > len(hs) THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n          + ")
+    s"""WITH t AS (SELECT doc_id,
+          list_transform(${toks(norm("text"))}, tok -> ${base60("tok")}) AS hs
+        FROM documents)
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t"""
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  /** Sequential left-fold sum of a DOUBLE-list expression — the same
+    * association order as Spark's `aggregate(…, 0.0, _+_)`.
+    */
+  private def lsum(listExpr: String): String =
+    s"list_reduce(list_concat([0.0], $listExpr), (acc, x) -> acc + x)"
+
+  def dot(a: String, b: String, dims: Int): String =
+    lsum(s"list_transform(generate_series(1, $dims), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)")
+
+  def l2(a: String): String =
+    s"sqrt(${lsum(s"list_transform($a, x -> x::DOUBLE * x::DOUBLE)")})"
+
+  def cosine(a: String, b: String, dims: Int): String =
+    s"${dot(a, b, dims)} / (${l2(a)} * ${l2(b)})"
+
+  /** SRP bucket over `planes` DetHash hyperplanes, matching
+    * Similarity.srpBucket bit for bit.
+    */
+  def srpBucket(v: String, planes: Int, dims: Int): String = {
+    val bits = (0 until planes).map { p =>
+      val w = DetHash.hyperplane(p, dims)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+      val d = lsum(s"list_transform(generate_series(1, $dims), i -> $v[i]::DOUBLE * ([$w])[i])")
+      s"CASE WHEN $d > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"CAST($bits AS BIGINT)"
+  }
+
+  def bruteForceTopKSql(qid: Long, k: Int, dims: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid)
+        SELECT vec_id, label, round(${cosine("embedding", "qe", dims)}, 4) AS cos_sim
+        FROM embeddings, q WHERE vec_id <> $qid
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT $k"""
+
+  def annTopKSql(qid: Long, k: Int, planes: Int, dims: Int): String =
+    s"""WITH wb AS (SELECT vec_id, label, embedding,
+          ${srpBucket("embedding", planes, dims)} AS bucket FROM embeddings),
+        q AS (SELECT embedding AS qe, bucket AS qb FROM wb WHERE vec_id = $qid)
+        SELECT vec_id, label, round(${cosine("embedding", "qe", dims)}, 4) AS cos_sim
+        FROM wb, q WHERE vec_id <> $qid AND bucket = qb
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT $k"""
+
+  def bucketHistogramSql(planes: Int, dims: Int): String =
+    s"""SELECT ${srpBucket("embedding", planes, dims)} AS bucket, count(*) AS cnt
+        FROM embeddings GROUP BY 1"""
+
+  def embeddingNearDupSql(planes: Int, dims: Int, threshold: Double): String =
+    s"""WITH wb AS (SELECT vec_id, embedding,
+          ${srpBucket("embedding", planes, dims)} AS bucket FROM embeddings)
+        SELECT * FROM (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            round(${cosine("x.embedding", "y.embedding", 64)}, 4) AS cos_sim
+          FROM wb x JOIN wb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        WHERE cos_sim >= $threshold"""
+}

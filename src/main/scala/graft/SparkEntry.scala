@@ -44,6 +44,26 @@ object SparkEntry {
     "semi_join_open_orders" -> q((s, d) => Relational.customersWithOpenOrders(s, d)),
     "anti_join_no_orders" -> q((s, d) => Relational.customersWithoutOrders(s, d)),
     "union_acctbal" -> q((s, d) => Relational.acctbalUnion(s, d)),
+    // --- text analysis (documents) ---
+    "text_language_id" -> q((s, d) => TextAnalysis.languageId(Tables.load(s, d, "documents"))),
+    "text_quality" -> q((s, d) => TextAnalysis.qualityScores(Tables.load(s, d, "documents"))),
+    "text_token_histogram" -> q((s, d) => TextAnalysis.tokenHistogram(Tables.load(s, d, "documents"))),
+    "text_fingerprints" -> q((s, d) => TextAnalysis.fingerprints(Tables.load(s, d, "documents"))),
+    // --- deduplication (documents / embeddings) ---
+    "dedup_exact_groups" -> q((s, d) => Dedup.exactGroups(Tables.load(s, d, "documents"))),
+    "dedup_exact" -> q((s, d) => Dedup.exactDedup(Tables.load(s, d, "documents"))),
+    "dedup_minhash_sigs" -> q((s, d) => Dedup.minhashSignaturesStr(Tables.load(s, d, "documents"))),
+    "dedup_lsh_pairs" -> q((s, d) => Dedup.minhashLshPairs(Tables.load(s, d, "documents"), 3, 0.8)),
+    "dedup_jaccard_pairs" -> q((s, d) => Dedup.jaccardPairs(Tables.load(s, d, "documents"), 3, 0.8)),
+    "dedup_simhash" -> q((s, d) => Dedup.simhashSignatures(Tables.load(s, d, "documents"))),
+    // planes=4 / threshold=0.35 sized to the testdata's cosine distribution
+    // (max pairwise cos ≈ 0.51): 16 SRP buckets keep the bucket-join sparse
+    // while still emitting a non-trivial pair set.
+    "dedup_embedding_pairs" -> q((s, d) => Dedup.embeddingNearDupPairs(Tables.load(s, d, "embeddings"), 4, 64, 0.35)),
+    // --- similarity search (embeddings) ---
+    "sim_topk_bruteforce" -> q((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"), 0L, 20)),
+    "sim_ann_topk" -> q((s, d) => Similarity.annTopK(Tables.load(s, d, "embeddings"), 0L, 20, 4, 64)),
+    "sim_bucket_histogram" -> q((s, d) => Similarity.bucketHistogram(Tables.load(s, d, "embeddings"))),
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
@@ -123,5 +143,21 @@ object SparkEntry {
            UNION ALL
            SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
          ) GROUP BY kind""",
+    // text analysis + dedup + similarity oracles are generated from the
+    // same constants the Spark plans use — see OracleSqlGen.
+    "text_language_id" -> OracleSqlGen.languageIdSql,
+    "text_quality" -> OracleSqlGen.qualitySql,
+    "text_token_histogram" -> OracleSqlGen.tokenHistogramSql,
+    "text_fingerprints" -> OracleSqlGen.fingerprintsSql,
+    "dedup_exact_groups" -> OracleSqlGen.exactGroupsSql,
+    "dedup_exact" -> OracleSqlGen.exactDedupSql,
+    "dedup_minhash_sigs" -> OracleSqlGen.minhashSigSql(3),
+    "dedup_lsh_pairs" -> OracleSqlGen.lshPairsSql(3, 0.8),
+    "dedup_jaccard_pairs" -> OracleSqlGen.jaccardPairsSql(3, 0.8),
+    "dedup_simhash" -> OracleSqlGen.simhashSql,
+    "dedup_embedding_pairs" -> OracleSqlGen.embeddingNearDupSql(4, 64, 0.35),
+    "sim_topk_bruteforce" -> OracleSqlGen.bruteForceTopKSql(0L, 20, 64),
+    "sim_ann_topk" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
+    "sim_bucket_histogram" -> OracleSqlGen.bucketHistogramSql(8, 64),
   )
 }

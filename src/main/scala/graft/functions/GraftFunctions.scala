@@ -76,13 +76,12 @@ object GraftFunctions {
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish sub-word count: words + digits + punctuation runs, the usual
-    * pre-tokenizer regex shape.
+  /** BPE-ish sub-word count: alphanumeric runs + individual non-alnum
+    * non-space chars — the usual pre-tokenizer shape. RE2-safe pattern (no
+    * lookarounds), so the DuckDB oracle can evaluate the identical regex.
     */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(
-      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0))
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.functions.DetHash
+
+/** Deduplication operators over a document corpus — the LLM-training-data
+  * pipeline surface (north-star extension; the reference has no dedup,
+  * SURVEY.md §2.8).
+  *
+  * Scale design:
+  *  - Exact dedup: one hash-shuffle on the fingerprint. The md5 fingerprint
+  *    (not the raw text) is what shuffles — 32 bytes/row regardless of
+  *    document size.
+  *  - MinHash-LSH: the 100 TB path. Per-doc cost is one md5 per shingle +
+  *    integer math for all permutations (see [[DetHash]]); the only wide
+  *    exchanges are (band-key → candidates) and the signature re-join for
+  *    verification. Candidate volume is controlled by (bands × rows), not
+  *    corpus size².
+  *  - Inverted-index jaccard: exact semantics; candidate generation via
+  *    explode(shingle) self-join. Correct but super-linear in shared-shingle
+  *    frequency — documented as the small/medium-corpus exact baseline;
+  *    at 100 TB use the LSH variant.
+  *  - SimHash: 60-bit signature per doc, one md5 per token; near-dup =
+  *    low Hamming distance. Emitted per-doc (signature is the deliverable).
+  *  - Embedding near-dup: cosine over Array[Float]; candidate pruning via
+  *    sign-random-projection buckets ([[Similarity]] shares the machinery).
+  *
+  * All outputs are deterministic and oracle-checkable (md5-derived hashing,
+  * double-widened float math — no Murmur3, no rand()).
+  */
+object Dedup {
+
+  /** Word n-gram shingle set of the normalized text. */
+  def shingled(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), wordShingles(col("text"), n).as("shingles"))
+
+  // -------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------
+
+  /** Exact dedup groups: fingerprint → (representative = min doc_id, count).
+    * Only the 32-byte fingerprint shuffles.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exact dedup: keep one row per fingerprint (the min doc_id one). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keep = exactGroups(docs).select(col("keep_doc_id").as("doc_id"))
+    docs.join(keep, "doc_id").select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH (the at-scale near-dup path)
+  // -------------------------------------------------------------------
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** MinHash signature: array of NumHashes min-permuted shingle hashes.
+    * Empty shingle set → all-P sentinel (never collides with real docs
+    * because real minhash < P).
+    */
+  def minhashSignature(shingles: Column): Column = {
+    val hs = transform(shingles, s => pmod(DetHash.base60(s), lit(DetHash.P)))
+    val mins = (0 until NumHashes).map { i =>
+      val (a, b) = (DetHash.minhashA(i), DetHash.minhashB(i))
+      coalesce(
+        array_min(transform(hs, h => pmod(h * a + b, lit(DetHash.P)))),
+        lit(DetHash.P))
+    }
+    array(mins: _*)
+  }
+
+  /** Per-doc signatures (oracle-checkable deliverable on its own). */
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
+    shingled(docs, n).select(col("doc_id"), minhashSignature(col("shingles")).as("sig"))
+
+  /** Signature as a comma-joined string — array columns don't hash-compare
+    * reliably across engines; a canonical string does.
+    */
+  def minhashSignaturesStr(docs: DataFrame, n: Int = 3): DataFrame =
+    minhashSignatures(docs, n).select(col("doc_id"),
+      concat_ws(",", transform(col("sig"), _.cast("string"))).as("sig"))
+
+  /** Band keys: Bands strings "bandIdx:mh_i:mh_j:..." — docs sharing any
+    * band key are LSH candidates.
+    */
+  private def bandKeys(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      val parts = lit(b) +: (0 until RowsPerBand).map(r => sig.getItem(b * RowsPerBand + r))
+      concat_ws(":", parts.map(_.cast("string")): _*)
+    }: _*)
+
+  /** LSH candidate pairs (a < b), verified with exact jaccard on the
+    * shingle sets; emits pairs with jaccard >= threshold.
+    *
+    * Plan shape: shingle+sign once (cached subplan appears twice — Spark
+    * reuses the exchange), explode 4 band keys/doc, self-join on band key,
+    * distinct pairs, re-join signatures for the verify.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sigs = shingled(docs, n)
+      .select(col("doc_id"), col("shingles"), minhashSignature(col("shingles")).as("sig"))
+    val bands = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+    val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+    val sb = sigs.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+  }
+
+  // -------------------------------------------------------------------
+  // Exact n-gram jaccard via inverted index (small/medium-corpus baseline)
+  // -------------------------------------------------------------------
+
+  /** Exact near-dup pairs: candidates = docs sharing >= 1 shingle
+    * (inverted-index self-join), then exact jaccard filter. Since
+    * threshold > 0 implies >= 1 shared shingle, output is exactly the
+    * all-pairs result without the quadratic cross join.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(docs, n)
+    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val cand = posting.as("x").join(posting.as("y"), col("x.s") === col("y.s"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  val SimHashBits = 60 // base60 hash width
+
+  /** 60-bit SimHash over whitespace tokens of the normalized text:
+    * bit j set iff more tokens have bit j set than not (ties → 0).
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(tokens(normalizeText(text)), t => DetHash.base60(t))
+    val n = size(hs)
+    val bits = (0 until SimHashBits).map { j =>
+      val cnt = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)))
+      when(cnt * 2 > n.cast("long"), lit(BigDecimal(2).pow(j).toLong)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Per-doc simhash signatures. */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // -------------------------------------------------------------------
+
+  /** Near-dup embedding pairs by exact cosine >= threshold; candidates
+    * pruned by sign-random-projection bucket equality (see [[Similarity]]):
+    * only vectors in the same LSH bucket are compared. At 100 TB the bucket
+    * join replaces the quadratic cross join.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, planes: Int = 8, dims: Int = 64,
+                            threshold: Double = 0.9): DataFrame = {
+    val withBucket = emb.select(col("vec_id"), col("embedding"),
+      Similarity.srpBucket(col("embedding"), planes, dims).as("bucket"))
+    val a = withBucket.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
+    val b = withBucket.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

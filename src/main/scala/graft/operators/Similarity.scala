@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.functions.DetHash
+
+/** Similarity search over an embedding column (`array<float>`), north-star
+  * extension.
+  *
+  * Scale design:
+  *  - Brute-force top-k: query vector broadcast (1-row dimension side),
+  *    cosine evaluated per row by codegen'd higher-order functions, then
+  *    `ORDER BY ... LIMIT k` → TakeOrderedAndProject (per-partition k-heap,
+  *    driver merges k rows per partition — no global sort, no collect of
+  *    the corpus). This is the exact baseline and scales linearly.
+  *  - SRP-LSH (sign random projection): each vector gets a `planes`-bit
+  *    bucket from the signs of dot products with deterministic ±1
+  *    hyperplanes ([[DetHash.hyperplane]]). ANN = brute force *within the
+  *    query's bucket* — the 100 TB path, where the bucket column is also
+  *    the natural partition/cluster key for the corpus (write-time
+  *    bucketing turns ANN into a single-partition scan).
+  *
+  * Float discipline: all arithmetic widens float→double before any add
+  * (see [[graft.functions.GraftFunctions.dotProduct]]), so scores are
+  * bit-deterministic and oracle-comparable.
+  */
+object Similarity {
+
+  /** Sign-random-projection bucket id: bit i = 1 iff dot(v, hyperplane_i) > 0.
+    * Hyperplane weights are JVM-generated constants inlined as array
+    * literals — identical in the Spark plan and the oracle SQL.
+    */
+  def srpBucket(v: Column, planes: Int = 8, dims: Int = 64): Column = {
+    val bits = (0 until planes).map { p =>
+      val w = DetHash.hyperplane(p, dims).map(lit)
+      val dot = aggregate(
+        zip_with(v, array(w: _*), (x, wi) => x.cast("double") * wi),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** The 1-row query-vector frame for `vec_id = qid`. */
+  private def queryVec(emb: DataFrame, qid: Long): DataFrame =
+    emb.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_embedding"))
+
+  /** Exact top-k nearest neighbours of `qid` by cosine similarity.
+    * Broadcast 1-row query ⨯ corpus → score → TakeOrderedAndProject.
+    */
+  def bruteForceTopK(emb: DataFrame, qid: Long = 0L, k: Int = 20): DataFrame =
+    emb.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(queryVec(emb, qid)))
+      .select(col("vec_id"), col("label"),
+        round(cosineSimilarity(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** ANN top-k: brute force restricted to the query's SRP bucket.
+    * Deterministic (bucket function is deterministic), so oracle-checkable;
+    * recall < 1 by construction — that's the documented trade.
+    */
+  def annTopK(emb: DataFrame, qid: Long = 0L, k: Int = 20,
+              planes: Int = 8, dims: Int = 64): DataFrame = {
+    val withBucket = emb.select(col("vec_id"), col("label"), col("embedding"),
+      srpBucket(col("embedding"), planes, dims).as("bucket"))
+    val q = withBucket.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_embedding"), col("bucket").as("q_bucket"))
+    withBucket.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("q_bucket"))
+      .select(col("vec_id"), col("label"),
+        round(cosineSimilarity(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** All-vector bucket histogram — the operational view of LSH selectivity
+    * (how much work ANN saves vs brute force).
+    */
+  def bucketHistogram(emb: DataFrame, planes: Int = 8, dims: Int = 64): DataFrame =
+    emb.select(srpBucket(col("embedding"), planes, dims).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * extension: language-ID, quality scoring, token counting, document
+  * fingerprinting).
+  *
+  * Every function here is a narrow per-row projection built from codegen'd
+  * expressions — no UDFs, no shuffles, embarrassingly parallel at any
+  * scale. The only shuffle in this file is the fingerprint-group count.
+  */
+object TextAnalysis {
+
+  /** Per-language marker lexicons for the n-gram/stopword-heuristic
+    * language ID. Deliberately tiny and deterministic: score = number of
+    * tokens found in the lexicon; prediction = argmax with a fixed
+    * precedence order on ties.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it", "that", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "un", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  private def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  /** Language-ID: (doc_id, pred_lang, best_score). Ties resolved by the
+    * declaration order of [[langMarkers]] (en first).
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scored = docs.select(
+      col("doc_id") +:
+        langMarkers.map { case (l, m) => markerScore(toks, m).as(s"score_$l") }: _*)
+    // argmax with declaration-order precedence: strictly-greater beats
+    // earlier languages, ties keep the earlier one.
+    val best = langMarkers.tail.foldLeft(
+      (lit(langMarkers.head._1), col(s"score_${langMarkers.head._1}"))) {
+      case ((bl, bs), (l, _)) =>
+        val s = col(s"score_$l")
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    scored.select(col("doc_id"), best._1.as("pred_lang"),
+      best._2.cast("long").as("best_score"))
+  }
+
+  /** Quality scoring: length, token counts, punctuation/alpha/stopword
+    * ratios, and a composite 0..1 quality score with fixed weights.
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(
+      col("doc_id"),
+      length(t).cast("long").as("len_chars"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      bpeishTokenCount(t).as("n_bpeish_tokens"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(alphaRatio(t), 6).as("alpha_ratio"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"))
+      .withColumn("quality",
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
+            + col("alpha_ratio") * 0.4
+            + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0)) * 0.2, 6))
+  }
+
+  /** Token-count histogram: corpus-level length distribution in buckets of
+    * 32 tokens (one narrow shuffle on the bucket id).
+    */
+  def tokenHistogram(docs: DataFrame): DataFrame =
+    docs.select((floor(tokenCount(col("text")) / 32) * 32).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Fingerprint + duplicate-group size per document. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+}
