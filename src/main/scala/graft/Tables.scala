@@ -15,17 +15,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Fact-sized tables that deserve compute parallelism even when the
+    * testdata ships as a single unsplittable row group. Dimension tables
+    * (region/nation/supplier) stay as-is — they broadcast anyway.
+    */
+  private val factTables = Set(
+    "lineitem", "orders", "events", "documents", "embeddings", "customer", "part")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet stores ts as TIMESTAMP(NANOS), which Spark has no
     // native type for — read it as long nanos and truncate to µs
     // TimestampType. Integer `div` (not `/`, which is double and loses
     // precision above 2^53 — epoch-nanos are ~1.7e18) keeps this exact.
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val raw =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    fanOut(spark, name, raw)
+  }
+
+  /** The testdata parquet files are one row group each, so a scan yields a
+    * single partition and all downstream per-row compute serializes on one
+    * core. Round-robin the scan across the cluster when (and only when) the
+    * scan has fewer partitions than the configured parallelism — at
+    * production scale a fact table has thousands of splits and this is a
+    * no-op, so no shuffle is ever added where the scan already parallelizes.
+    */
+  private def fanOut(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (factTables(name) && df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /** Register every table as a temp view so spark.sql(...) works. */

@@ -131,14 +131,25 @@ object GraftFunctions {
         t => length(t) === n))
   }
 
-  /** Word n-gram shingles (distinct), joined with a single space. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(normalizeText(text))
+  /** Word n-gram shingles (distinct) from an ALREADY-MATERIALIZED token
+    * array column. Callers must project the token array into a real column
+    * first (two-step select): `toks` is referenced once per shingle inside
+    * the transform lambda, and Catalyst inlines — never de-duplicates —
+    * expression trees inside lambdas, so handing it the full
+    * tokenize-from-text expression re-runs regex tokenization per shingle
+    * instead of per row (measured 10× slowdown).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0)) ),
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+
+  /** Word n-gram shingles straight from text — single-expression form, only
+    * for contexts that evaluate it once per row (see [[shinglesFromTokens]]).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(normalizeText(text)), n)
 
   /** Jaccard similarity of two array columns (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {

@@ -32,9 +32,14 @@ import graft.functions.DetHash
   */
 object Dedup {
 
-  /** Word n-gram shingle set of the normalized text. */
+  /** Word n-gram shingle set of the normalized text. Two projections so the
+    * token array materializes once per row before the per-shingle lambda
+    * (see [[graft.functions.GraftFunctions.shinglesFromTokens]]); the double
+    * reference to `tk` stops CollapseProject from re-inlining it.
+    */
   def shingled(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), wordShingles(col("text"), n).as("shingles"))
+    docs.select(col("doc_id"), tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("doc_id"), shinglesFromTokens(col("tk"), n).as("shingles"))
 
   // -------------------------------------------------------------------
   // Exact dedup
@@ -63,24 +68,41 @@ object Dedup {
   val Bands = 4
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** Min-permuted hash for permutation i over a materialized base-hash
+    * array column. Empty shingle set → P sentinel (never collides with
+    * real docs because real minhash < P).
+    */
+  private def minSlot(hs: Column, i: Int): Column = {
+    val (a, b) = (DetHash.minhashA(i), DetHash.minhashB(i))
+    coalesce(array_min(transform(hs, h => pmod(h * a + b, lit(DetHash.P)))),
+      lit(DetHash.P))
+  }
+
   /** MinHash signature: array of NumHashes min-permuted shingle hashes.
-    * Empty shingle set → all-P sentinel (never collides with real docs
-    * because real minhash < P).
+    *
+    * NOTE: the md5-derived base hash is inlined per permutation here — only
+    * use this form when the signature is computed once per row. Plans that
+    * fan out (LSH) must materialize `hs` first so md5 runs once per shingle,
+    * not NumHashes times (see [[minhashLshPairs]]).
     */
   def minhashSignature(shingles: Column): Column = {
     val hs = transform(shingles, s => pmod(DetHash.base60(s), lit(DetHash.P)))
-    val mins = (0 until NumHashes).map { i =>
-      val (a, b) = (DetHash.minhashA(i), DetHash.minhashB(i))
-      coalesce(
-        array_min(transform(hs, h => pmod(h * a + b, lit(DetHash.P)))),
-        lit(DetHash.P))
-    }
-    array(mins: _*)
+    array((0 until NumHashes).map(minSlot(hs, _)): _*)
   }
+
+  /** (doc_id, shingles, sig) with the base-hash array materialized as a real
+    * column between the md5 pass and the NumHashes permutation scans.
+    */
+  private def signatures(docs: DataFrame, n: Int): DataFrame =
+    shingled(docs, n)
+      .withColumn("hs", transform(col("shingles"),
+        s => pmod(DetHash.base60(s), lit(DetHash.P))))
+      .select(col("doc_id"), col("shingles"),
+        array((0 until NumHashes).map(minSlot(col("hs"), _)): _*).as("sig"))
 
   /** Per-doc signatures (oracle-checkable deliverable on its own). */
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
-    shingled(docs, n).select(col("doc_id"), minhashSignature(col("shingles")).as("sig"))
+    signatures(docs, n).select(col("doc_id"), col("sig"))
 
   /** Signature as a comma-joined string — array columns don't hash-compare
     * reliably across engines; a canonical string does.
@@ -106,34 +128,12 @@ object Dedup {
     * distinct pairs, re-join signatures for the verify.
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sigs = shingled(docs, n)
-      .select(col("doc_id"), col("shingles"), minhashSignature(col("shingles")).as("sig"))
-    val bands = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
-    val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val sa = sigs.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
-    val sb = sigs.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
-    cand.join(sa, "a").join(sb, "b")
-      .select(col("a"), col("b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard_sim"))
-      .filter(col("jaccard_sim") >= threshold)
-  }
-
-  // -------------------------------------------------------------------
-  // Exact n-gram jaccard via inverted index (small/medium-corpus baseline)
-  // -------------------------------------------------------------------
-
-  /** Exact near-dup pairs: candidates = docs sharing >= 1 shingle
-    * (inverted-index self-join), then exact jaccard filter. Since
-    * threshold > 0 implies >= 1 shared shingle, output is exactly the
-    * all-pairs result without the quadratic cross join.
-    */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = shingled(docs, n)
-    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val cand = posting.as("x").join(posting.as("y"), col("x.s") === col("y.s"))
+    // explode_outer for the same InferFiltersFromGenerate reason as in
+    // jaccardPairs — band-key arrays are always exactly Bands elements
+    val bands = signatures(docs, n)
+      .select(col("doc_id"), explode_outer(bandKeys(col("sig"))).as("bk"))
+    val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
@@ -146,16 +146,53 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Exact n-gram jaccard via inverted index (small/medium-corpus baseline)
+  // -------------------------------------------------------------------
+
+  /** Exact near-dup pairs: candidates = docs sharing >= 1 shingle
+    * (inverted-index self-join). Since threshold > 0 implies >= 1 shared
+    * shingle, output is exactly the all-pairs result without the quadratic
+    * cross join.
+    *
+    * Jaccard is computed COUNT-based: the posting self-join is group-counted
+    * per pair (|A∩B|), and |A∪B| = |A|+|B|−|A∩B| from the per-doc set sizes
+    * carried through the join. Nothing wider than (doc ids, two ints)
+    * shuffles — no shingle arrays move, no distinct pass, no per-pair
+    * array_intersect. Shingle sets are distinct by construction, so the
+    * pair count is exactly the intersection size.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // explode_outer, not explode: InferFiltersFromGenerate would bolt a
+    // `size(shingles) > 0` filter onto a plain explode, and predicate
+    // pushdown substitutes the whole shingle expression into it below the
+    // scan fan-out — re-tokenizing every doc per shingle on one core
+    // (measured 10×). The shingle array is never empty (sequence(0, ≥0) has
+    // ≥1 element), so outer ≡ inner here and no filter is inferred.
+    val posting = shingled(docs, n)
+      .select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode_outer(col("shingles")).as("s"))
+    posting.as("x").join(posting.as("y"), col("x.s") === col("y.s"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double")
+          / (col("sza") + col("szb") - col("inter")).cast("double"), 4)
+          .as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+  }
+
+  // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------
 
   val SimHashBits = 60 // base60 hash width
 
-  /** 60-bit SimHash over whitespace tokens of the normalized text:
-    * bit j set iff more tokens have bit j set than not (ties → 0).
+  /** 60-bit SimHash from a MATERIALIZED token-hash array column: bit j set
+    * iff more token hashes have bit j set than not (ties → 0).
     */
-  def simhash(text: Column): Column = {
-    val hs = transform(tokens(normalizeText(text)), t => DetHash.base60(t))
+  def simhashFromHashes(hs: Column): Column = {
     val n = size(hs)
     val bits = (0 until SimHashBits).map { j =>
       val cnt = aggregate(hs, lit(0L),
@@ -165,9 +202,15 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** Per-doc simhash signatures. */
+  /** Per-doc simhash signatures. Token hashing (one md5 per token)
+    * materializes in its own projection; the 60 per-bit scans then run over
+    * the integer array — handing the from-text expression to the bit loop
+    * would re-tokenize + re-md5 the document 60×.
+    */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+    docs.select(col("doc_id"),
+      transform(tokens(normalizeText(col("text"))), t => DetHash.base60(t)).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
 
   // -------------------------------------------------------------------
   // Embedding-cosine near-dup

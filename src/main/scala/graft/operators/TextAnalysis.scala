@@ -33,10 +33,13 @@ object TextAnalysis {
     * declaration order of [[langMarkers]] (en first).
     */
   def languageId(docs: DataFrame): DataFrame = {
-    val toks = tokens(lower(col("text")))
-    val scored = docs.select(
-      col("doc_id") +:
-        langMarkers.map { case (l, m) => markerScore(toks, m).as(s"score_$l") }: _*)
+    // tokenize once per row, then score the materialized array per language
+    val toks = col("tk")
+    val scored = docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .select(
+        col("doc_id") +:
+          langMarkers.map { case (l, m) => markerScore(toks, m).as(s"score_$l") }: _*)
     // argmax with declaration-order precedence: strictly-greater beats
     // earlier languages, ties keep the earlier one.
     val best = langMarkers.tail.foldLeft(
@@ -54,14 +57,22 @@ object TextAnalysis {
     */
   def qualityScores(docs: DataFrame): DataFrame = {
     val t = col("text")
-    docs.select(
+    // lower-cased token array materializes once per row; stopword scoring
+    // references it twice so it is not re-inlined into the lambdas
+    val low = col("tk_low")
+    val stopRatio =
+      when(size(low) === 0, lit(0.0))
+        .otherwise(size(filter(low, x => x.isin(stopwords: _*))).cast("double")
+          / size(low).cast("double"))
+    docs.select(col("doc_id"), t, tokens(lower(t)).as("tk_low"))
+      .select(
       col("doc_id"),
       length(t).cast("long").as("len_chars"),
       tokenCount(t).cast("long").as("n_tokens"),
       bpeishTokenCount(t).as("n_bpeish_tokens"),
       round(punctRatio(t), 6).as("punct_ratio"),
       round(alphaRatio(t), 6).as("alpha_ratio"),
-      round(stopwordRatio(t), 6).as("stopword_ratio"))
+      round(stopRatio, 6).as("stopword_ratio"))
       .withColumn("quality",
         round(
           least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
