@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.util.Properties
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental "timestamp-mode" table polling — the engine's analog of the
+  * reference's Kafka Connect JDBC source (`connect_postgres.config:4-14`:
+  * `mode=timestamp`, `timestamp.column.name=dt_update`,
+  * `poll.interval.ms=500`).
+  *
+  * Semantics copied from the reference (README.md:136): every poll emits
+  * rows whose timestamp column is strictly greater than the last seen
+  * maximum — new inserts only, updates to old rows are not re-captured.
+  * The offset is the max timestamp of emitted rows, exactly the Connect
+  * task's stored offset.
+  *
+  * Design: the snapshot provider is pluggable so the polling/offset logic
+  * is testable offline (no Postgres in the sandbox, SURVEY.md §7.5.1) —
+  * production wires [[jdbcProvider]], tests wire any DataFrame factory.
+  * The incremental filter is applied INSIDE the provider's frame, so with
+  * the JDBC provider it becomes a pushed-down WHERE in the remote query
+  * (dt_update > offset), not a full-table scan per poll — the property
+  * that keeps 500 ms polling viable on a large table.
+  */
+class IncrementalJdbc(
+    provider: () => DataFrame,
+    timestampCol: String = "dt_update") {
+
+  /** Last emitted watermark (epoch micros); None before the first poll. */
+  @volatile private var offset: Option[java.sql.Timestamp] = None
+  private val stopped = new AtomicBoolean(false)
+
+  def currentOffset: Option[java.sql.Timestamp] = offset
+
+  /** One poll: rows with ts > offset, and the offset advance. Returns the
+    * incremental batch (possibly empty).
+    */
+  def poll(): DataFrame = {
+    val snap = provider()
+    val batch = offset match {
+      case Some(ts) => snap.filter(col(timestampCol) > lit(ts))
+      case None => snap
+    }
+    val newMax = batch.agg(max(col(timestampCol))).collect()(0)
+    if (!newMax.isNullAt(0))
+      offset = Some(newMax.getTimestamp(0))
+    batch
+  }
+
+  /** Poll loop at `intervalMs` (reference default 500 ms), invoking `sink`
+    * per non-empty batch, until [[stop]] — the pragmatic micro-batch loop
+    * of SURVEY.md §7.4. Runs on the calling thread; callers wrap in a
+    * Future/Thread for background use.
+    */
+  def run(intervalMs: Long = 500L, maxPolls: Long = Long.MaxValue)
+         (sink: DataFrame => Unit): Unit = {
+    var polls = 0L
+    while (!stopped.get() && polls < maxPolls) {
+      val batch = poll()
+      if (!batch.isEmpty) sink(batch)
+      polls += 1
+      if (!stopped.get() && polls < maxPolls) Thread.sleep(intervalMs)
+    }
+  }
+
+  def stop(): Unit = stopped.set(true)
+}
+
+object IncrementalJdbc {
+
+  /** Production provider: a JDBC relation (reference
+    * `connect_postgres.config:6-8,11` — url/user/password + table
+    * whitelist). Filters composed on this frame push down into the remote
+    * SQL via Spark's JDBC predicate pushdown.
+    */
+  def jdbcProvider(spark: SparkSession, url: String, table: String,
+                   props: Properties): () => DataFrame =
+    () => spark.read.jdbc(url, table, props)
+
+  /** K5: the generator's append write (reference `make_fake_data.py:76`). */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+                 props: Properties): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+}

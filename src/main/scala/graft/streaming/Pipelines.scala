@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.operators.ReferenceQueries
+
+/** Streaming topologies of the reference pipeline, Spark-native.
+  *
+  * The reference runs four ksqlDB persistent queries over Kafka topics and
+  * lands results in S3 via Connect sinks (SURVEY.md §3.3). Here the same
+  * dataflow is Structured Streaming: any streaming DataFrame with the
+  * customer schema (rate-source generator, MemoryStream in tests, Kafka in
+  * production) → the [[ReferenceQueries]] transforms (identical plans in
+  * batch and streaming) → file/kafka/console sinks.
+  *
+  * Semantics parity notes (SURVEY.md §7.5):
+  *  - ksqlDB emits per-record (cache=0; reference `docker-compose.yml:100`);
+  *    Spark emits per micro-batch. Same changelog, coarser cadence.
+  *  - The windowed count table (`idadecont`, reference README.md:271-277)
+  *    uses update output mode — Spark's file sinks are append-only, so the
+  *    changelog lands via foreachBatch, keys (idadecat, window bounds)
+  *    kept as columns exactly like the S3 JSON sink stored Kafka keys
+  *    (reference `connect_s3_sink_count.config:18`).
+  *  - flush.size=10 (reference `connect_s3_sink_jovens.config:6`) ≈
+  *    `maxRecordsPerFile` 10 per micro-batch file.
+  */
+object Pipelines {
+
+  // ------------------------------------------------------------ derive
+
+  /** `jovens` stream (reference README.md:233-239), append semantics. */
+  def jovens(customers: DataFrame): DataFrame = ReferenceQueries.jovens(customers)
+
+  /** `idadeclass` stream (reference README.md:258-265), append semantics. */
+  def idadeclass(customers: DataFrame): DataFrame = ReferenceQueries.idadeclass(customers)
+
+  /** `idadecont` windowed count table (reference README.md:271-277).
+    * The watermark bounds aggregation state exactly like ksqlDB's default
+    * 24 h grace (SURVEY.md §2.3 A5) — without it, update-mode window state
+    * grows forever.
+    */
+  def idadecont(customers: DataFrame, grace: String = "24 hours"): DataFrame =
+    ReferenceQueries.idadecont(
+      idadeclass(customers).withWatermark("dt_update", grace))
+
+  // ------------------------------------------------------------- sinks
+
+  /** K3: append-mode parquet sink (`jovens` → data lake), 10-record files
+    * like the reference's flush.size.
+    */
+  def startParquetSink(df: DataFrame, path: String, checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .option("maxRecordsPerFile", 10)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+
+  /** K4: update-mode windowed-count changelog → JSON-lines files.
+    * File sinks are append-only, so each micro-batch's updated rows are
+    * appended as a changelog (per-batch, vs the reference's per-record).
+    */
+  def startJsonChangelogSink(agg: DataFrame, path: String, checkpoint: String,
+                             trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").json(path)
+      }
+      .start()
+
+  /** S4/P3: console push-query (`select * ... emit changes` /
+    * `print <topic>`, reference README.md:180,204).
+    */
+  def startConsole(df: DataFrame, numRows: Int = 20): StreamingQuery =
+    df.writeStream.format("console")
+      .option("numRows", numRows)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** In-memory sink for tests / interactive push queries: materializes the
+    * stream into a queryable temp view.
+    */
+  def startMemorySink(df: DataFrame, name: String,
+                      mode: OutputMode = OutputMode.Append): StreamingQuery =
+    df.writeStream.format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+
+  // ------------------------------------------------- kafka (K1/K2 shape)
+
+  /** K1/K2: CSAS/CTAS-shaped Kafka sink writer — value is the JSON-encoded
+    * row, key the concatenated key columns (the reference's changelog key:
+    * group key + window start, `connect_s3_sink_count.config:18`). Built
+    * but not started: no broker exists in the build sandbox (SURVEY.md
+    * §7.5.1); callers `.start()` against a real cluster.
+    */
+  def kafkaSinkWriter(df: DataFrame, topic: String, bootstrapServers: String,
+                      keyCols: Seq[String], checkpoint: String,
+                      mode: OutputMode = OutputMode.Append): DataStreamWriter[Row] = {
+    val keyed = df.select(
+      concat_ws("|", keyCols.map(col): _*).cast("binary").as("key"),
+      to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+    keyed.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(mode)
+  }
+
+  /** S2: Kafka source with an explicit schema applied to JSON values —
+    * the offline stand-in for registry-resolved Avro (SURVEY.md §1.3).
+    * Built but not bound to a broker in the sandbox.
+    */
+  def kafkaJsonSource(spark: SparkSession, topic: String,
+                      bootstrapServers: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .select(col("r.*"))
+}

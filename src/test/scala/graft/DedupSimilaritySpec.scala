@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+    (1L, "The quick brown fox jumps over the lazy dog!", "en", "s1"), // exact dup of 0 after normalize
+    (2L, "the quick brown fox jumps over the lazy cat today", "en", "s2"), // near dup
+    (3L, "completely different content about spark engines", "en", "s3"),
+    (4L, "", "en", "s4")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup groups case/punct variants; keeps min doc_id") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 4) // {0,1} merge; 2,3,4 singletons
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("jaccard pairs finds the near-dup pair and nothing else at 0.5") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical shingle sets, jaccard 1.0
+    assert(pairs.contains((0L, 2L)) == pairs.contains((1L, 2L))) // symmetry via normalization
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("lsh pairs is a subset of exact jaccard pairs and catches identicals") {
+    val exact = Dedup.jaccardPairs(docs, 3, 0.8).select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 0.8).select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 1L))) // jaccard 1.0 → identical sigs → always caught
+  }
+
+  test("minhash signature: identical shingle sets → identical sigs; empty text → sentinel") {
+    val sigs = Dedup.minhashSignaturesStr(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs.values.toSet.size == 4)
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val sh = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) == 0)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+  }
+
+  private lazy val vecs = {
+    // 3 clusters along axes + near-parallel pair (0,1)
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    Seq(
+      (0L, v(1, 0, 0, 0), 0), (1L, v(0.99, 0.1, 0, 0), 0),
+      (2L, v(0, 1, 0, 0), 1), (3L, v(0.1, 0.99, 0, 0), 1),
+      (4L, v(0, 0, 1, 0), 2), (5L, v(0, 0, 0.99, 0.1), 2)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k ranks the near-parallel vector first") {
+    val top = Similarity.bruteForceTopK(vecs, qid = 0L, k = 3).collect()
+    assert(top(0).getLong(0) == 1L)
+    assert(top(0).getDouble(2) > 0.99)
+  }
+
+  test("ann top-k returns same-bucket neighbours ranked like brute force") {
+    val ann = Similarity.annTopK(vecs, qid = 0L, k = 3, planes = 2, dims = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(vecs, qid = 0L, k = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    // ANN result order must respect brute-force order (it's a filtered subset)
+    assert(ann == brute.filter(ann.contains))
+  }
+
+  test("embedding near-dup pairs: pruned join finds the parallel pair") {
+    val pairs = Dedup.embeddingNearDupPairs(vecs, planes = 2, dims = 4,
+      threshold = 0.95).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("srp bucket histogram partitions all vectors") {
+    val total = Similarity.bucketHistogram(vecs, planes = 2, dims = 4)
+      .agg(sum("cnt")).as[Long].collect()(0)
+    assert(total == 6L)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{GraftFunctions => F}
+import graft.operators.ReferenceQueries
+
+/** Property-based invariants from SURVEY.md §5.2. ScalaCheck generators
+  * drive small driver-side samples through real Spark plans; fixed seeds
+  * keep runs deterministic (no scalatestplus bridge in the offline cache,
+  * so sampling is explicit).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], trials: Int = 8)(body: A => Unit): Unit =
+    (1 to trials).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => body(t._1, t._2))
+
+  private val dayGen = Gen.choose(-20000, 40000) // ±epoch, covers 1915..2079
+
+  test("formatted-string date filter ≡ native date comparison") {
+    forAll2(Gen.listOfN(30, dayGen), dayGen) { (days, threshDay) =>
+      val df = days.toDF("d").select(F.epochDaysToDate(col("d")).as("dt"))
+      val threshold = java.time.LocalDate.ofEpochDay(threshDay).toString
+      val viaString = df.filter(
+        F.dateToString(col("dt"), "yyyy-MM-dd") >= lit(threshold)).count()
+      val viaDate = df.filter(col("dt") >= to_date(lit(threshold))).count()
+      assert(viaString == viaDate)
+    }
+  }
+
+  test("CASE classification partitions the input (JOVEM ∪ ADULTO, disjoint)") {
+    forAll(Gen.listOfN(25, dayGen)) { days =>
+      val cust = days.zipWithIndex.map { case (d, i) =>
+        (s"n$i", s"t$i", s"e$i", Date.valueOf(java.time.LocalDate.ofEpochDay(d)),
+          new Timestamp(i * 1000L))
+      }.toDF("nome", "telefone", "email", "nascimento", "dt_update")
+      val classed = ReferenceQueries.idadeclass(cust)
+      val cats = classed.groupBy("idadecat").count()
+        .as[(String, Long)].collect().toMap
+      assert(cats.keySet.subsetOf(Set("JOVEM", "ADULTO")))
+      assert(cats.values.sum == days.size)
+    }
+  }
+
+  test("windowed counts sum to total row count for any timestamps") {
+    forAll(Gen.listOfN(30, Gen.choose(0L, 600_000L))) { millis =>
+      val cust = millis.zipWithIndex.map { case (ms, i) =>
+        (s"n$i", s"e$i", if (i % 2 == 0) "JOVEM" else "ADULTO", new Timestamp(ms))
+      }.toDF("nome", "email", "idadecat", "dt_update")
+      val total = ReferenceQueries.idadecont(cust)
+        .agg(sum("contagem")).as[Long].collect()(0)
+      assert(total == millis.size)
+    }
+  }
+
+  test("jaccard symmetric and bounded in [0,1]") {
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
+    forAll2(tokGen, tokGen) { (xs, ys) =>
+      val df = Seq((xs, ys), (ys, xs)).toDF("x", "y")
+      val got = df.select(F.jaccard(col("x"), col("y"))).as[Double].collect()
+      assert(got(0) == got(1))
+      assert(got(0) >= 0.0 && got(0) <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.ReferenceQueries
+import graft.sources.FakeData
+import graft.streaming.Pipelines
+
+/** Customer row as it appears on the decoded stream (SURVEY.md §1.2). */
+case class Cust(nome: String, telefone: String, email: String,
+                nascimento: Date, idade_extra: String, dt_update: Timestamp)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def mkCust(nome: String, nasc: String, tsMillis: Long) =
+    Cust(nome, "(11) 91234-5678", s"$nome@example.org",
+      Date.valueOf(nasc), "x", new Timestamp(tsMillis))
+
+  private val rows = Seq(
+    mkCust("ana", "2001-05-05", 10_000L),   // JOVEM, window [0,30)
+    mkCust("bia", "1969-12-31", 12_000L),   // ADULTO (pre-epoch), window [0,30)
+    mkCust("caio", "2000-01-01", 31_000L),  // JOVEM boundary, window [30,60)
+    mkCust("davi", "1999-12-31", 59_000L))  // ADULTO boundary, window [30,60)
+
+  test("jovens stream: append mode filters by formatted birthdate") {
+    val mem = MemoryStream[Cust]
+    val q = Pipelines.startMemorySink(Pipelines.jovens(mem.toDF()), "jovens_t")
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("jovens_t").select("nome").as[String].collect().toSet
+      assert(got == Set("ana", "caio")) // >= 2000-01-01 inclusive
+    } finally q.stop()
+  }
+
+  test("idadecont stream: update-mode windowed counts match batch plan") {
+    val mem = MemoryStream[Cust]
+    val q = Pipelines.startMemorySink(
+      Pipelines.idadecont(mem.toDF()), "idadecont_t", OutputMode.Update)
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      // update mode re-emits refined rows; latest state per key must match
+      // the batch computation over the same input
+      val streamed = spark.table("idadecont_t")
+        .groupBy("window_start", "idadecat")
+        .agg(org.apache.spark.sql.functions.max("contagem").as("contagem"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = ReferenceQueries.idadecont(
+        ReferenceQueries.idadeclass(rows.toDF()))
+        .select($"window_start", $"idadecat", $"contagem")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch == Set(
+        (new Timestamp(0L), "JOVEM", 1L),
+        (new Timestamp(0L), "ADULTO", 1L),
+        (new Timestamp(30_000L), "JOVEM", 1L),
+        (new Timestamp(30_000L), "ADULTO", 1L)))
+    } finally q.stop()
+  }
+
+  test("K3 parquet sink: appends files readable as the jovens schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_k3_").toString
+    val mem = MemoryStream[Cust]
+    val q = Pipelines.startParquetSink(Pipelines.jovens(mem.toDF()),
+      s"$dir/data", s"$dir/ckpt")
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/data")
+      assert(got.columns.toSeq ==
+        Seq("nome", "telefone", "email", "dt_nascimento", "dt_updt_conv"))
+      assert(got.count() == 2)
+    } finally q.stop()
+  }
+
+  test("K4 json changelog sink: update rows + batch id land as json lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_k4_").toString
+    val mem = MemoryStream[Cust]
+    val q = Pipelines.startJsonChangelogSink(Pipelines.idadecont(mem.toDF()),
+      s"$dir/data", s"$dir/ckpt")
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.read.json(s"$dir/data")
+      assert(got.columns.contains("idadecat") && got.columns.contains("batch_id"))
+      assert(got.count() >= 4)
+    } finally q.stop()
+  }
+
+  test("generator stream: rate-source rows carry the 9-column schema") {
+    val df = FakeData.customerStream(spark, rowsPerSecond = 100)
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("nome", "sexo", "endereco", "telefone",
+      "email", "foto", "nascimento", "profissao", "dt_update"))
+  }
+
+  test("batch generator: deterministic, epoch round-trip exact, pre-1970 covered") {
+    val a = FakeData.customers(spark, 500)
+    val b = FakeData.customers(spark, 500)
+    assert(a.collect().toSet == b.collect().toSet)
+    val rt = FakeData.fromEpochRecords(FakeData.toEpochRecords(a))
+    assert(rt.collect().toSet == a.collect().toSet)
+    val negDays = FakeData.toEpochRecords(a)
+      .filter($"nascimento" < 0).count()
+    assert(negDays > 0) // pre-1970 births exist → F1 negative-day edge live
+  }
+}
