@@ -216,6 +216,60 @@ object OracleSqlGen {
     s"""SELECT ${srpBucket("embedding", planes, dims)} AS bucket, count(*) AS cnt
         FROM embeddings GROUP BY 1"""
 
+  // ---------------------------------------------------------- multimodal
+
+  /** The md5-salted id hash used by Multimodal.assetsFromDocuments. */
+  private def mh(salt: String): String = base60(s"'$salt:' || doc_id")
+
+  /** The deterministic asset corpus (kind + meta fields inline). */
+  private def assetsCte: String =
+    s"""WITH a AS (SELECT doc_id AS asset_id, text,
+        (['image','audio','video'])[(${mh("kind")} % 3) + 1] AS kind,
+        CAST(${mh("w")} % 1280 + 16 AS INTEGER) AS width,
+        CAST(${mh("h")} % 720 + 16 AS INTEGER) AS height,
+        (${mh("dur")} % 120000 + 1000) AS duration_ms
+        FROM documents)"""
+
+  def assetStatsSql: String =
+    s"""$assetsCte
+        SELECT kind, count(*) AS n_assets,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        avg(width::DOUBLE) AS avg_width,
+        avg(duration_ms::DOUBLE) AS avg_duration_ms
+        FROM a GROUP BY kind"""
+
+  def frameSampleSql(strideMs: Long): String =
+    s"""$assetsCte
+        SELECT asset_id, unnest(generate_series(0, duration_ms - 1, $strideMs)) AS frame_ms
+        FROM a WHERE kind = 'video'"""
+
+  def resizeSql(maxW: Int, maxH: Int): String =
+    s"""$assetsCte
+        SELECT asset_id, kind,
+        CAST(floor(width::DOUBLE * least($maxW.0 / width::DOUBLE, $maxH.0 / height::DOUBLE, 1.0)) AS INTEGER) AS width,
+        CAST(floor(height::DOUBLE * least($maxW.0 / width::DOUBLE, $maxH.0 / height::DOUBLE, 1.0)) AS INTEGER) AS height
+        FROM a"""
+
+  /** Mirrors Multimodal.decodeOneStub: md5 digest of the UTF-8 payload,
+    * float-rounded md5-affine pseudo-embedding, sequential-order norm.
+    */
+  def decodeFeaturesSql(dims: Int): String = {
+    val embs = (0 until dims).map { i =>
+      s"CAST((${base60(s"digest || ':' || $i")} % 2001 - 1000) / 1000.0 AS FLOAT) AS e$i"
+    }.mkString(",\n          ")
+    val norm = (0 until dims).map(i => s"(e$i::DOUBLE * e$i::DOUBLE)")
+      .foldLeft("0.0")((acc, t) => s"($acc + $t)")
+    s"""$assetsCte,
+        d AS (SELECT asset_id, kind,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          md5(text) AS digest FROM a),
+        e AS (SELECT asset_id, kind, n_bytes, digest,
+          $embs
+        FROM d)
+        SELECT asset_id, kind, n_bytes, digest, e0::DOUBLE AS emb_0,
+          sqrt($norm) AS emb_norm FROM e"""
+  }
+
   def embeddingNearDupSql(planes: Int, dims: Int, threshold: Double): String =
     s"""WITH wb AS (SELECT vec_id, embedding,
           ${srpBucket("embedding", planes, dims)} AS bucket FROM embeddings)

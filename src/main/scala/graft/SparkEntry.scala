@@ -60,6 +60,15 @@ object SparkEntry {
     // (max pairwise cos ≈ 0.51): 16 SRP buckets keep the bucket-join sparse
     // while still emitting a non-trivial pair set.
     "dedup_embedding_pairs" -> q((s, d) => Dedup.embeddingNearDupPairs(Tables.load(s, d, "embeddings"), 4, 64, 0.35)),
+    // --- multimodal (binary payloads + typed metadata over documents) ---
+    "mm_asset_stats" -> q((s, d) =>
+      Multimodal.assetStats(Multimodal.assetsFromDocuments(Tables.load(s, d, "documents")))),
+    "mm_frame_sample" -> q((s, d) =>
+      Multimodal.frameSample(Multimodal.assetsFromDocuments(Tables.load(s, d, "documents")), 10000L)),
+    "mm_resize" -> q((s, d) =>
+      Multimodal.resize(Multimodal.assetsFromDocuments(Tables.load(s, d, "documents")), 640, 360)
+        .select(col("asset_id"), col("kind"), col("meta.width").as("width"), col("meta.height").as("height"))),
+    "mm_decode_features" -> q((s, d) => Multimodal.decodedFeatures(Tables.load(s, d, "documents"))),
     // --- similarity search (embeddings) ---
     "sim_topk_bruteforce" -> q((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"), 0L, 20)),
     "sim_ann_topk" -> q((s, d) => Similarity.annTopK(Tables.load(s, d, "embeddings"), 0L, 20, 4, 64)),
@@ -156,6 +165,10 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> OracleSqlGen.jaccardPairsSql(3, 0.8),
     "dedup_simhash" -> OracleSqlGen.simhashSql,
     "dedup_embedding_pairs" -> OracleSqlGen.embeddingNearDupSql(4, 64, 0.35),
+    "mm_asset_stats" -> OracleSqlGen.assetStatsSql,
+    "mm_frame_sample" -> OracleSqlGen.frameSampleSql(10000L),
+    "mm_resize" -> OracleSqlGen.resizeSql(640, 360),
+    "mm_decode_features" -> OracleSqlGen.decodeFeaturesSql(operators.Multimodal.EmbDims),
     "sim_topk_bruteforce" -> OracleSqlGen.bruteForceTopKSql(0L, 20, 64),
     "sim_ann_topk" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
     "sim_bucket_histogram" -> OracleSqlGen.bucketHistogramSql(8, 64),
