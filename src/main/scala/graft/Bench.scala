@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up JVM/codegen/scheduler so the first timed query isn't charged
+    // 3-5 s of session startup
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      Tables.load(spark, sfDir, "lineitem").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

