@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, GraftShim}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+import graft.functions.VectorDot
+
+/** SQL-name surface of the engine.
+  *
+  * The reference's queries are ksqlDB SQL using `DATETOSTRING` /
+  * `TIMESTAMPTOSTRING` over the Avro wire types (epoch-days INT,
+  * epoch-millis BIGINT — reference `README.md:207,211-212`). Registering
+  * those names (plus the engine's vector primitives) lets a ksqlDB user
+  * run their query text against `spark.sql` unchanged up to
+  * stream/table DDL.
+  *
+  * Two installation paths:
+  *  - config: `spark.sql.extensions=graft.GraftExtensions`
+  *  - runtime: `GraftSqlFunctions.install(spark)`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSqlFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftSqlFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** ksqlDB DATETOSTRING: epoch-days INT → formatted string (handles
+    * negative pre-1970 days; reference README.md:221-224).
+    */
+  private def dateToString(args: Seq[Expression]): Expression =
+    DateFormatClass(
+      Cast(DateFromUnixDate(Cast(args.head, IntegerType)), TimestampType),
+      args(1))
+
+  /** ksqlDB TIMESTAMPTOSTRING: epoch-millis BIGINT → formatted string
+    * (zone pinned by spark.sql.session.timeZone, the reference passes
+    * 'UTC' explicitly).
+    */
+  private def timestampToString(args: Seq[Expression]): Expression =
+    DateFormatClass(MillisToTimestamp(Cast(args.head, LongType)), args(1))
+
+  private def cosine(args: Seq[Expression]): Expression = {
+    val (a, b) = (args.head, args(1))
+    Divide(VectorDot(a, b),
+      Multiply(Sqrt(VectorDot(a, a)), Sqrt(VectorDot(b, b))))
+  }
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("datetostring",
+      info("datetostring", "datetostring(epochDays, fmt) - format epoch-days int as date string"),
+      dateToString _),
+    ("timestamptostring",
+      info("timestamptostring", "timestamptostring(epochMillis, fmt) - format epoch-millis long as timestamp string"),
+      timestampToString _),
+    ("vector_dot",
+      info("vector_dot", "vector_dot(a, b) - sequential dot product of two float/double arrays"),
+      (args: Seq[Expression]) => VectorDot(args.head, args(1))),
+    ("cosine_similarity",
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two float/double arrays"),
+      cosine _))
+
+  /** Register all engine functions on a live session. */
+  def install(spark: SparkSession): Unit =
+    all.foreach { case (name, i, b) =>
+      GraftShim.registerFunction(spark, name, i, b)
+    }
+}

@@ -1,0 +1,37 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ksqlDB function names run through spark.sql after install") {
+    GraftSqlFunctions.install(spark)
+    val got = spark.sql(
+      """SELECT datetostring(-1, 'yyyy-MM-dd') AS d,
+                timestamptostring(0, 'yyyy-MM-dd HH:mm:ss.SSS') AS t,
+                vector_dot(array(1.0F, 2.0F), array(3.0D, 4.0D)) AS dp,
+                cosine_similarity(array(1.0F, 0.0F), array(2.0F, 0.0F)) AS cs
+      """).as[(String, String, Double, Double)].collect()(0)
+    assert(got._1 == "1969-12-31")
+    assert(got._2 == "1970-01-01 00:00:00.000")
+    assert(got._3 == 11.0)
+    assert(math.abs(got._4 - 1.0) < 1e-12)
+  }
+
+  test("the reference jovens query text runs as spark.sql over a view") {
+    GraftSqlFunctions.install(spark)
+    // custstream in wire format: nascimento epoch-days INT, dt_update millis
+    sources.FakeData.toEpochRecords(sources.FakeData.customers(spark, 200))
+      .createOrReplaceTempView("custstream")
+    // reference README.md:233-239 body (CSAS wrapper dropped; same text)
+    val jovens = spark.sql(
+      """SELECT nome, telefone, email,
+                datetostring(nascimento, 'yyyy-MM-dd') AS dt_nascimento,
+                timestamptostring(dt_update, 'yyyy-MM-dd HH:mm:ss.SSS') AS dt_updt_conv
+         FROM custstream
+         WHERE datetostring(nascimento, 'yyyy-MM-dd') >= '2000-01-01'""")
+    val viaApi = operators.ReferenceQueries.jovens(
+      sources.FakeData.customers(spark, 200))
+    assert(jovens.collect().toSet == viaApi.collect().toSet)
+    assert(jovens.count() > 0)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Regression guards on PHYSICAL PLAN SHAPE — the properties that keep
+  * these operators viable at 100 TB (SURVEY.md §4, build-prompt scale
+  * rules). A refactor that silently turns a broadcast join into a
+  * sort-merge (or a pruned scan into a full scan) passes value tests but
+  * fails here.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("star join broadcasts every dimension; no sort-merge join") {
+    val p = plan(Relational.ordersByRegion(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = plan(Relational.pricingSummary(Tables.load(spark, sf, "lineitem")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("pricing summary prunes to the 5 referenced columns") {
+    val q = Relational.pricingSummary(Tables.load(spark, sf, "lineitem"))
+    val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("l_quantity") && !s.contains("l_comment")))
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.topOrders(Tables.load(spark, sf, "orders")))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("brute-force similarity broadcasts the 1-row query side and heap-selects top-k") {
+    val p = plan(Similarity.bruteForceTopK(Tables.load(spark, sf, "embeddings")))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("similarity scoring stays inside whole-stage codegen (native VectorDot)") {
+    val q = Similarity.bruteForceTopK(Tables.load(spark, sf, "embeddings"))
+    assert(plan(q).contains("vector_dot"))
+    // codegen view: the scoring projection must live in a codegen'd subtree
+    // (run first — AQE only finalizes codegen stages on execution)
+    q.collect()
+    val cg = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"))
+    assert(cg.contains("vector_dot") || cg.contains("VectorDot"))
+  }
+
+  test("jaccard pairs never degrades to a cartesian product") {
+    val p = plan(Dedup.jaccardPairs(Tables.load(spark, sf, "documents")))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("exact dedup is a single-exchange aggregation") {
+    val q = Dedup.exactDedup(Tables.load(spark, sf, "documents"))
+    val exchanges = q.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1)
+  }
+}
