@@ -65,6 +65,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late rows within the grace period still update their window") {
+    val mem = MemoryStream[Cust]
+    // tight 1-minute grace so the watermark semantics are observable
+    val q = Pipelines.startMemorySink(
+      Pipelines.idadecont(mem.toDF(), grace = "1 minute"), "late_t",
+      OutputMode.Update)
+    try {
+      // advance event time to 95s → watermark 95-60 = 35s
+      mem.addData(mkCust("eva", "2001-01-01", 95_000L))
+      q.processAllAvailable()
+      // late row at 40s: within grace (>= 35s watermark) → its [30,60)
+      // window must still be updated (ksqlDB 24h-grace analog, A5)
+      mem.addData(mkCust("gil", "2001-01-01", 40_000L))
+      q.processAllAvailable()
+      val lateWindow = spark.table("late_t")
+        .filter($"window_start" === new Timestamp(30_000L))
+        .as[(Timestamp, Timestamp, String, Long)].collect()
+      assert(lateWindow.map(_._4).max == 1L)
+    } finally q.stop()
+  }
+
   test("K3 parquet sink: appends files readable as the jovens schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_k3_").toString
     val mem = MemoryStream[Cust]
