@@ -216,6 +216,66 @@ object OracleSqlGen {
     s"""SELECT ${srpBucket("embedding", planes, dims)} AS bucket, count(*) AS cnt
         FROM embeddings GROUP BY 1"""
 
+  // ------------------------------------------------------------ temporal
+
+  private val tsFmt = "%Y-%m-%d %H:%M:%S.%f"
+
+  /** Mirrors Temporal.purchaseAttribution: union + running last_value
+    * window with the same (ts, side, tie) total order.
+    */
+  def asofAttributionSql: String =
+    s"""WITH u AS (
+          SELECT user_id, ts, event_id, 1 AS m,
+                 NULL::VARCHAR AS p_type, NULL::TIMESTAMP AS p_ts
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, event_id, 0, event_type, ts
+          FROM events WHERE event_type <> 'purchase'),
+        w AS (SELECT *,
+          last_value(p_type IGNORE NULLS) OVER win AS a_type,
+          last_value(p_ts IGNORE NULLS) OVER win AS a_ts
+          FROM u
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, m, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, a_type AS prev_type,
+               strftime(a_ts, '$tsFmt') AS prev_ts
+        FROM w WHERE m = 1"""
+
+  /** Mirrors Temporal.sessionCounts: gaps-and-islands with a strict
+    * >= gap break (Spark session_window merges only on strict overlap).
+    */
+  def sessionCountsSql(gapMinutes: Int): String =
+    s"""WITH x AS (SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    >= INTERVAL $gapMinutes MINUTE
+               THEN 1 ELSE 0 END AS brk
+          FROM events),
+        s AS (SELECT user_id, ts,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM x)
+        SELECT user_id,
+          strftime(min(ts), '$tsFmt') AS session_start,
+          strftime(max(ts) + INTERVAL $gapMinutes MINUTE, '$tsFmt') AS session_end,
+          count(*) AS n_events
+        FROM s GROUP BY user_id, sid"""
+
+  /** Mirrors Temporal.hoppingCounts: each event expands to length/slide
+    * slide-aligned windows.
+    */
+  def hoppingCountsSql(lengthSec: Int, slideSec: Int): String = {
+    val slideUs = slideSec * 1000000L
+    val hops = lengthSec / slideSec
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        w AS (SELECT event_type,
+          (us // $slideUs) * $slideUs - j * $slideUs AS ws
+          FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${hops - 1})) AS j) t)
+        SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS cnt
+        FROM w GROUP BY 1, 2"""
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** The md5-salted id hash used by Multimodal.assetsFromDocuments. */

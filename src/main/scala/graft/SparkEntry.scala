@@ -44,6 +44,10 @@ object SparkEntry {
     "semi_join_open_orders" -> q((s, d) => Relational.customersWithOpenOrders(s, d)),
     "anti_join_no_orders" -> q((s, d) => Relational.customersWithoutOrders(s, d)),
     "union_acctbal" -> q((s, d) => Relational.acctbalUnion(s, d)),
+    // --- temporal: as-of join, session windows, hopping windows ---
+    "asof_attribution" -> q((s, d) => Temporal.purchaseAttribution(Tables.load(s, d, "events"))),
+    "session_counts" -> q((s, d) => Temporal.sessionCounts(Tables.load(s, d, "events"))),
+    "hopping_counts" -> q((s, d) => Temporal.hoppingCounts(Tables.load(s, d, "events"))),
     // --- text analysis (documents) ---
     "text_language_id" -> q((s, d) => TextAnalysis.languageId(Tables.load(s, d, "documents"))),
     "text_quality" -> q((s, d) => TextAnalysis.qualityScores(Tables.load(s, d, "documents"))),
@@ -152,6 +156,9 @@ object SparkEntry {
            UNION ALL
            SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
          ) GROUP BY kind""",
+    "asof_attribution" -> OracleSqlGen.asofAttributionSql,
+    "session_counts" -> OracleSqlGen.sessionCountsSql(5),
+    "hopping_counts" -> OracleSqlGen.hoppingCountsSql(60, 30),
     // text analysis + dedup + similarity oracles are generated from the
     // same constants the Spark plans use — see OracleSqlGen.
     "text_language_id" -> OracleSqlGen.languageIdSql,
