@@ -158,6 +158,23 @@ object OracleSqlGen {
                     JOIN sh sb ON cand.b = sb.doc_id)
         SELECT a, b, jaccard_sim FROM j WHERE jaccard_sim >= $threshold"""
 
+  /** Char n-gram jaccard pairs, mirroring Dedup.charJaccardPairs. */
+  def charJaccardPairsSql(n: Int, threshold: Double): String =
+    s"""WITH sh AS (SELECT doc_id,
+          list_distinct(list_filter(
+            list_transform(
+              generate_series(1, greatest(len(nrm) - ${n - 1}, 1)),
+              i -> substr(nrm, i, $n)),
+            s -> len(s) = $n)) AS shingles
+          FROM (SELECT doc_id, ${norm("text")} AS nrm FROM documents)),
+        posting AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sza, y.sz AS szb,
+            count(*) AS inter
+          FROM posting x JOIN posting y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT a, b, round(inter::DOUBLE / (sza + szb - inter)::DOUBLE, 4) AS jaccard_sim
+        FROM pairs WHERE round(inter::DOUBLE / (sza + szb - inter)::DOUBLE, 4) >= $threshold"""
+
   def simhashSql: String = {
     val bits = (0 until Dedup.SimHashBits).map { j =>
       s"CASE WHEN 2 * coalesce(list_sum(list_transform(hs, h -> (h >> $j) & 1)), 0) > len(hs) THEN ${1L << j} ELSE 0 END"

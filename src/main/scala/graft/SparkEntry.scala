@@ -44,6 +44,9 @@ object SparkEntry {
     "semi_join_open_orders" -> q((s, d) => Relational.customersWithOpenOrders(s, d)),
     "anti_join_no_orders" -> q((s, d) => Relational.customersWithoutOrders(s, d)),
     "union_acctbal" -> q((s, d) => Relational.acctbalUnion(s, d)),
+    "stats_quantiles" -> q((s, d) => Relational.orderValueQuantiles(Tables.load(s, d, "orders"))),
+    "pivot_user_events" -> q((s, d) => Relational.userEventPivot(Tables.load(s, d, "events"))),
+    "dedup_char_jaccard" -> q((s, d) => Dedup.charJaccardPairs(Tables.load(s, d, "documents"), 5, 0.8)),
     // --- temporal: as-of join, session windows, hopping windows ---
     "asof_attribution" -> q((s, d) => Temporal.purchaseAttribution(Tables.load(s, d, "events"))),
     "session_counts" -> q((s, d) => Temporal.sessionCounts(Tables.load(s, d, "events"))),
@@ -156,6 +159,21 @@ object SparkEntry {
            UNION ALL
            SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
          ) GROUP BY kind""",
+    "stats_quantiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+         count(*) AS cnt
+         FROM orders GROUP BY o_orderstatus""",
+    "pivot_user_events" ->
+      """SELECT user_id,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'view') AS view,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY user_id""",
+    "dedup_char_jaccard" -> OracleSqlGen.charJaccardPairsSql(5, 0.8),
     "asof_attribution" -> OracleSqlGen.asofAttributionSql,
     "session_counts" -> OracleSqlGen.sessionCountsSql(5),
     "hopping_counts" -> OracleSqlGen.hoppingCountsSql(60, 30),

@@ -120,15 +120,22 @@ object GraftFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
-  /** Character n-gram shingles (distinct) of the normalized text. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = normalizeText(text)
+  /** Character n-gram shingles (distinct) from an ALREADY-MATERIALIZED
+    * normalized-text column (same per-element-lambda inlining hazard as
+    * [[shinglesFromTokens]]).
+    */
+  def charShinglesFromNorm(norm: Column, n: Int): Column =
     array_distinct(
       filter(
         transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
           i => substring(norm, i, lit(n))),
         t => length(t) === n))
-  }
+
+  /** Character n-gram shingles (distinct) of the normalized text —
+    * single-expression form for once-per-row contexts.
+    */
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesFromNorm(normalizeText(text), n)
 
   /** Word n-gram shingles (distinct) from an ALREADY-MATERIALIZED token
     * array column. Callers must project the token array into a real column

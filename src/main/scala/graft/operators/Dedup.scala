@@ -168,14 +168,26 @@ object Dedup {
     * array_intersect. Shingle sets are distinct by construction, so the
     * pair count is exactly the intersection size.
     */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame =
+    jaccardPairsOver(shingled(docs, n), threshold)
+
+  /** Character n-gram variant — robust to tokenization differences
+    * (CJK text, concatenated words), same count-based engine.
+    */
+  def charJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8): DataFrame =
+    jaccardPairsOver(
+      docs.select(col("doc_id"), normalizeText(col("text")).as("norm"))
+        .select(col("doc_id"), charShinglesFromNorm(col("norm"), n).as("shingles")),
+      threshold)
+
+  private def jaccardPairsOver(sh: DataFrame, threshold: Double): DataFrame = {
     // explode_outer, not explode: InferFiltersFromGenerate would bolt a
     // `size(shingles) > 0` filter onto a plain explode, and predicate
     // pushdown substitutes the whole shingle expression into it below the
     // scan fan-out — re-tokenizing every doc per shingle on one core
-    // (measured 10×). The shingle array is never empty (sequence(0, ≥0) has
-    // ≥1 element), so outer ≡ inner here and no filter is inferred.
-    val posting = shingled(docs, n)
+    // (measured 10×). Word-shingle arrays are never empty, and empty char
+    // shingle sets just emit a null element that the equi-join drops.
+    val posting = sh
       .select(col("doc_id"), size(col("shingles")).as("sz"),
         explode_outer(col("shingles")).as("s"))
     posting.as("x").join(posting.as("y"), col("x.s") === col("y.s"))

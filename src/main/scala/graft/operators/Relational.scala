@@ -122,6 +122,27 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Exact interpolated quantiles per group (single hash-agg shuffle;
+    * the exact percentile buffer holds one group's values — at 100 TB
+    * scale swap for approx_percentile, trading the oracle for bounded
+    * memory).
+    */
+  def orderValueQuantiles(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderstatus"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
+        count(lit(1)).as("cnt"))
+
+  /** Pivot: per-user event-type counts as columns (explicit value list —
+    * no driver-side distinct scan; absent combos 0).
+    */
+  def userEventPivot(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+
   /** UNION ALL + aggregate: account balances from two entity kinds. */
   def acctbalUnion(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")

@@ -17,6 +17,12 @@ import graft.functions.GraftFunctions.{epochDaysToDate, epochMillisToTimestamp}
   * rate source), never on the driver, so the generator scales to any row
   * count.
   */
+/** Typed view of the generated customer row (SURVEY.md §1.2 schema). */
+case class Customer(nome: String, sexo: String, endereco: String,
+                    telefone: String, email: String, foto: String,
+                    nascimento: java.sql.Date, profissao: String,
+                    dt_update: java.sql.Timestamp)
+
 object FakeData {
 
   // small public-domain-ish lookup pools (G1/G3/G8 analogs)
@@ -80,6 +86,14 @@ object FakeData {
   /** Batch generator: n deterministic customers (G1-G9 + K5-shape). */
   def customers(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(customerColumns(col("id")): _*)
+
+  /** Typed Dataset variant — compile-time schema via the [[Customer]]
+    * Encoder.
+    */
+  def typedCustomers(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[Customer] = {
+    import spark.implicits._
+    customers(spark, n).as[Customer]
+  }
 
   /** Streaming generator: rate source → same columns (G10; the reference's
     * `--interval`/`-n` loop ≈ rowsPerSecond).

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Relational}
+import graft.sources.FakeData
+
+class CatalogAndRelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typed Dataset API: Customer encoder round-trips the generator") {
+    val ds = FakeData.typedCustomers(spark, 50)
+    val rows = ds.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(c => c.email.endsWith("@example.org")))
+    // typed transforms work (filter on a field, map to a field)
+    assert(ds.filter(_.sexo == "M").count() + ds.filter(_.sexo == "F").count() == 50)
+  }
+
+  test("catalog lists registered relations and active streams") {
+    EngineCatalog.registerAll(spark, "/root/testdata/sf0.001")
+    val names = EngineCatalog.listTables(spark).select("name").as[String].collect().toSet
+    assert(Tables.all.toSet.subsetOf(names))
+    assert(EngineCatalog.listStreams(spark).columns.toSeq == Seq("name", "id", "is_active"))
+  }
+
+  test("pivot counts partition the event count per user") {
+    val df = Seq(
+      (1L, new Timestamp(0), 10L, "click", 1.0, "{}"),
+      (2L, new Timestamp(1), 10L, "click", 1.0, "{}"),
+      (3L, new Timestamp(2), 10L, "error", 1.0, "{}"),
+      (4L, new Timestamp(3), 20L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val p = Relational.userEventPivot(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(10L).getAs[Long]("click") == 2L)
+    assert(p(10L).getAs[Long]("error") == 1L)
+    assert(p(10L).getAs[Long]("view") == 0L) // absent combo filled with 0
+    assert(p(20L).getAs[Long]("view") == 1L)
+  }
+
+  test("quantiles: interpolated median over a known set") {
+    val df = Seq((1L, 1L, "O", 10.0, new Timestamp(0), "p"),
+      (2L, 1L, "O", 20.0, new Timestamp(0), "p"),
+      (3L, 1L, "O", 40.0, new Timestamp(0), "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = Relational.orderValueQuantiles(df).collect()(0)
+    assert(r.getAs[Double]("p50") == 20.0)
+    assert(math.abs(r.getAs[Double]("p90") - 36.0) < 1e-9) // 20 + 0.8*(40-20)
+  }
+
+  test("char-shingle jaccard finds near-dups that word shingles also find") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "s"),
+      (1L, "the quick brown fox jumps over the lazy dog!", "en", "s"),
+      (2L, "entirely unrelated text with other words", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val pairs = Dedup.charJaccardPairs(docs, 5, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
