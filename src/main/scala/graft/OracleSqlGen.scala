@@ -229,6 +229,25 @@ object OracleSqlGen {
         FROM wb, q WHERE vec_id <> $qid AND bucket = qb
         ORDER BY cos_sim DESC, vec_id ASC LIMIT $k"""
 
+  /** Mirrors Similarity.ivfTopK: rank-1 centroid assignment + top-nprobe
+    * list probe, all tie-broken by centroid id.
+    */
+  def ivfTopKSql(qid: Long, k: Int, numCentroids: Int, nprobe: Int, dims: Int): String =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+          FROM embeddings WHERE vec_id < $numCentroids),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),
+        asg AS (SELECT vec_id, label, embedding, c_id FROM (
+            SELECT e.vec_id, e.label, e.embedding, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosine("e.embedding", "c.c_emb", dims)} DESC, c.c_id ASC) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+        qtop AS (SELECT c_id FROM c, q
+          ORDER BY ${cosine("qe", "c_emb", dims)} DESC, c_id ASC LIMIT $nprobe)
+        SELECT vec_id, label, round(${cosine("embedding", "qe", dims)}, 4) AS cos_sim
+        FROM asg, q
+        WHERE vec_id <> $qid AND c_id IN (SELECT c_id FROM qtop)
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT $k"""
+
   def bucketHistogramSql(planes: Int, dims: Int): String =
     s"""SELECT ${srpBucket("embedding", planes, dims)} AS bucket, count(*) AS cnt
         FROM embeddings GROUP BY 1"""

@@ -44,6 +44,17 @@ object SparkEntry {
     "semi_join_open_orders" -> q((s, d) => Relational.customersWithOpenOrders(s, d)),
     "anti_join_no_orders" -> q((s, d) => Relational.customersWithoutOrders(s, d)),
     "union_acctbal" -> q((s, d) => Relational.acctbalUnion(s, d)),
+    // salted variant of the fact-fact join — same rows, hot keys spread
+    // over 8 shuffle partitions (the oracle is the same SQL as the plain
+    // join: salting must be invisible in the result)
+    "join_salted_revenue" -> q((s, d) =>
+      Skew.saltedJoin(Tables.load(s, d, "lineitem"), Tables.load(s, d, "orders"),
+        "l_orderkey", "o_orderkey", "l_partkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)")
+            * (lit(1).cast("decimal(20,4)") - col("l_discount").cast("decimal(20,4)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("line_cnt"))),
     "stats_quantiles" -> q((s, d) => Relational.orderValueQuantiles(Tables.load(s, d, "orders"))),
     "pivot_user_events" -> q((s, d) => Relational.userEventPivot(Tables.load(s, d, "events"))),
     "dedup_char_jaccard" -> q((s, d) => Dedup.charJaccardPairs(Tables.load(s, d, "documents"), 5, 0.8)),
@@ -80,6 +91,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> q((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"), 0L, 20)),
     "sim_ann_topk" -> q((s, d) => Similarity.annTopK(Tables.load(s, d, "embeddings"), 0L, 20, 4, 64)),
     "sim_bucket_histogram" -> q((s, d) => Similarity.bucketHistogram(Tables.load(s, d, "embeddings"))),
+    "sim_ivf_topk" -> q((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"), 0L, 20, 16, 4)),
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
@@ -159,6 +171,12 @@ object SparkEntry {
            UNION ALL
            SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
          ) GROUP BY kind""",
+    "join_salted_revenue" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+         count(*) AS line_cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
     "stats_quantiles" ->
       """SELECT o_orderstatus,
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -197,5 +215,6 @@ object SparkEntry {
     "sim_topk_bruteforce" -> OracleSqlGen.bruteForceTopKSql(0L, 20, 64),
     "sim_ann_topk" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
     "sim_bucket_histogram" -> OracleSqlGen.bucketHistogramSql(8, 64),
+    "sim_ivf_topk" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
   )
 }

@@ -81,4 +81,66 @@ object Similarity {
   def bucketHistogram(emb: DataFrame, planes: Int = 8, dims: Int = 64): DataFrame =
     emb.select(srpBucket(col("embedding"), planes, dims).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  // -------------------------------------------------------------- IVF
+
+  /** Deterministic coarse quantizer: the embeddings of vec_id < K serve as
+    * centroids (a training-free stand-in — production swaps in offline
+    * k-means centroids; every downstream plan is unchanged). Returned as a
+    * ONE-ROW frame holding the sorted centroid array, so it broadcasts and
+    * assignment needs no shuffle at any corpus size.
+    */
+  def ivfCentroids(emb: DataFrame, numCentroids: Int = 16): DataFrame =
+    emb.filter(col("vec_id") < numCentroids)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").as("c_id"), col("embedding").as("c_emb")))).as("cents"))
+
+  /** IVF assignment: each vector → centroid with max cosine (ties → lowest
+    * centroid id). Pure per-row fold over the broadcast centroid array —
+    * zero shuffles; the assigned list id is the natural write-time
+    * partition key for the corpus.
+    */
+  def ivfAssign(emb: DataFrame, numCentroids: Int = 16): DataFrame = {
+    val best = aggregate(
+      col("cents"),
+      struct(lit(-1L).as("c_id"), lit(-2.0).as("sim")),
+      (acc, c) => {
+        val s = cosineSimilarity(col("embedding"), c.getField("c_emb"))
+        when(s > acc.getField("sim"),
+          struct(c.getField("c_id").as("c_id"), s.as("sim"))).otherwise(acc)
+      },
+      acc => acc.getField("c_id"))
+    emb.crossJoin(broadcast(ivfCentroids(emb, numCentroids)))
+      .select(col("vec_id"), col("label"), col("embedding"), best.as("c_id"))
+  }
+
+  /** IVF ANN top-k: rank centroids by cosine to the query, scan only the
+    * vectors assigned to the top `nprobe` lists, exact top-k within them.
+    * Recall grows with nprobe (nprobe = numCentroids ⇒ exact search).
+    */
+  def ivfTopK(emb: DataFrame, qid: Long = 0L, k: Int = 20,
+              numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cmp = (l: Column, r: Column) => {
+      val sl = cosineSimilarity(col("q_embedding"), l.getField("c_emb"))
+      val sr = cosineSimilarity(col("q_embedding"), r.getField("c_emb"))
+      when(sl > sr, -1).when(sl < sr, 1)
+        .when(l.getField("c_id") < r.getField("c_id"), -1)
+        .when(l.getField("c_id") > r.getField("c_id"), 1)
+        .otherwise(0)
+    }
+    val q = emb.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_embedding"))
+      .crossJoin(broadcast(ivfCentroids(emb, numCentroids)))
+      .select(col("q_embedding"),
+        transform(slice(array_sort(col("cents"), cmp), 1, nprobe),
+          _.getField("c_id")).as("q_lists"))
+    ivfAssign(emb, numCentroids)
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .filter(array_contains(col("q_lists"), col("c_id")))
+      .select(col("vec_id"), col("label"),
+        round(cosineSimilarity(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

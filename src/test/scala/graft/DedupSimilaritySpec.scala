@@ -84,6 +84,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("ivf: assignment covers corpus with <= K lists; full probe == brute force") {
+    val assigned = Similarity.ivfAssign(vecs, numCentroids = 2)
+    assert(assigned.count() == 6)
+    assert(assigned.select("c_id").distinct().count() <= 2)
+    // probing every list is exhaustive search → identical to brute force
+    val full = Similarity.ivfTopK(vecs, qid = 0L, k = 5, numCentroids = 2, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(vecs, qid = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+  }
+
+  test("ivf ann: restricted probe returns a rank-preserving subset") {
+    val ann = Similarity.ivfTopK(vecs, qid = 0L, k = 5, numCentroids = 2, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(vecs, qid = 0L, k = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ann.nonEmpty && ann == brute.filter(ann.contains))
+    // centroids 0/1 are near-parallel: vec 1 sits in its own list, the
+    // orthogonal tie-broken vectors 4,5 land in q's list — IVF recall loss
+    // by construction, rank order preserved
+    assert(ann == Seq(4L, 5L))
+    // a query whose nearest list holds its neighbour finds it
+    val ann2 = Similarity.ivfTopK(vecs, qid = 2L, k = 5, numCentroids = 2, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ann2.contains(3L))
+  }
+
   test("srp bucket histogram partitions all vectors") {
     val total = Similarity.bucketHistogram(vecs, planes = 2, dims = 4)
       .agg(sum("cnt")).as[Long].collect()(0)

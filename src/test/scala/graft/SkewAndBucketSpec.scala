@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class SkewAndBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join is row-identical to the plain join") {
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    val orders = Tables.load(spark, sf, "orders")
+    val plain = lineitem.join(orders, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber", $"o_orderstatus")
+    val salted = Skew.saltedJoin(lineitem, orders,
+      "l_orderkey", "o_orderkey", "l_partkey")
+      .select($"l_orderkey", $"l_linenumber", $"o_orderstatus")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salt spreads a hot key over multiple buckets deterministically") {
+    val hot = Seq.tabulate(1000)(i => (1L, i.toLong)).toDF("k", "id")
+    val spread = hot.select(Skew.salt($"id", 8).as("s"))
+      .distinct().count()
+    assert(spread == 8) // all 8 buckets hit
+    // deterministic: same inputs → same salts
+    val a = hot.select(Skew.salt($"id", 8)).as[Int].collect().toSeq
+    val b = hot.select(Skew.salt($"id", 8)).as[Int].collect().toSeq
+    assert(a == b)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.load(spark, sf, "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").saveAsTable("li_b")
+    Tables.load(spark, sf, "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/ord_b").saveAsTable("ord_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus").count()
+    joined.collect() // finalize AQE
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucketing provides the hash distribution: the join itself needs no
+    // exchange (only the final 1-group aggregation may)
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"))
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+  }
+}
