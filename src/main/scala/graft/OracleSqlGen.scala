@@ -110,14 +110,30 @@ object OracleSqlGen {
       s"coalesce(list_min(list_transform(hs, h -> (h * $a + $b) % $P)), $P)"
     }
 
-  private def sigCte(n: Int): String =
+  /** Word-shingle `sh` CTE chain (defines sh(doc_id, shingles)). */
+  private def wordShCte(n: Int): String =
     s"""${toksCte()},
-        sh AS (SELECT doc_id, ${shingles("text", n)} AS shingles FROM t),
+        sh AS (SELECT doc_id, ${shingles("text", n)} AS shingles FROM t)"""
+
+  /** Char-shingle `sh` CTE chain, mirroring Dedup.charShingled. */
+  private def charShCte(n: Int): String =
+    s"""WITH sh AS (SELECT doc_id,
+        list_distinct(list_filter(
+          list_transform(
+            generate_series(1, greatest(len(nrm) - ${n - 1}, 1)),
+            i -> substr(nrm, i, $n)),
+          s -> len(s) = $n)) AS shingles
+        FROM (SELECT doc_id, ${norm("text")} AS nrm FROM documents))"""
+
+  private def sigCteOver(shCte: String): String =
+    s"""$shCte,
         hsx AS (SELECT doc_id, shingles,
           list_transform(shingles, s -> ${base60("s")} % $P) AS hs FROM sh),
         sig AS (SELECT doc_id, shingles,
           ${sigExprs.zipWithIndex.map { case (e, i) => s"$e AS s$i" }.mkString(",\n          ")}
         FROM hsx)"""
+
+  private def sigCte(n: Int): String = sigCteOver(wordShCte(n))
 
   def minhashSigSql(n: Int): String =
     s"""${sigCte(n)}
@@ -129,13 +145,39 @@ object OracleSqlGen {
         ELSE len(list_intersect($a, $b))::DOUBLE
              / len(list_distinct(list_concat($a, $b)))::DOUBLE END"""
 
-  def lshPairsSql(n: Int, threshold: Double): String = {
+  def lshPairsSql(n: Int, threshold: Double): String =
+    lshPairsSqlOver(wordShCte(n), threshold)
+
+  /** Mirrors Dedup.charLshPairs: banded candidates + signature-slot
+    * estimate.
+    */
+  def charLshPairsSql(n: Int, threshold: Double): String = {
     val bandKeys = (0 until Dedup.Bands).map { b =>
       val rows = (0 until Dedup.RowsPerBand)
         .map(r => s"s${b * Dedup.RowsPerBand + r}").mkString(", ")
       s"concat_ws(':', $b, $rows)"
     }.mkString(", ")
-    s"""${sigCte(n)},
+    val matches = (0 until Dedup.NumHashes)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""${sigCteOver(charShCte(n))},
+        bands AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+        est AS (SELECT a, b,
+          round(($matches)::DOUBLE / ${Dedup.NumHashes}, 4) AS est_sim
+          FROM cand JOIN sig sa ON cand.a = sa.doc_id
+                    JOIN sig sb ON cand.b = sb.doc_id)
+        SELECT a, b, est_sim FROM est WHERE est_sim >= $threshold"""
+  }
+
+  private def lshPairsSqlOver(shCte: String, threshold: Double): String = {
+    val bandKeys = (0 until Dedup.Bands).map { b =>
+      val rows = (0 until Dedup.RowsPerBand)
+        .map(r => s"s${b * Dedup.RowsPerBand + r}").mkString(", ")
+      s"concat_ws(':', $b, $rows)"
+    }.mkString(", ")
+    s"""${sigCteOver(shCte)},
         bands AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
           FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),

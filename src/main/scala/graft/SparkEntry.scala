@@ -57,7 +57,7 @@ object SparkEntry {
           count(lit(1)).as("line_cnt"))),
     "stats_quantiles" -> q((s, d) => Relational.orderValueQuantiles(Tables.load(s, d, "orders"))),
     "pivot_user_events" -> q((s, d) => Relational.userEventPivot(Tables.load(s, d, "events"))),
-    "dedup_char_jaccard" -> q((s, d) => Dedup.charJaccardPairs(Tables.load(s, d, "documents"), 5, 0.8)),
+    "dedup_char_lsh" -> q((s, d) => Dedup.charLshPairs(Tables.load(s, d, "documents"), 5, 0.8)),
     // --- temporal: as-of join, session windows, hopping windows ---
     "asof_attribution" -> q((s, d) => Temporal.purchaseAttribution(Tables.load(s, d, "events"))),
     "session_counts" -> q((s, d) => Temporal.sessionCounts(Tables.load(s, d, "events"))),
@@ -191,7 +191,7 @@ object SparkEntry {
          count(*) FILTER (event_type = 'signup') AS signup,
          count(*) FILTER (event_type = 'error') AS error
          FROM events GROUP BY user_id""",
-    "dedup_char_jaccard" -> OracleSqlGen.charJaccardPairsSql(5, 0.8),
+    "dedup_char_lsh" -> OracleSqlGen.charLshPairsSql(5, 0.8),
     "asof_attribution" -> OracleSqlGen.asofAttributionSql,
     "session_counts" -> OracleSqlGen.sessionCountsSql(5),
     "hopping_counts" -> OracleSqlGen.hoppingCountsSql(60, 30),

@@ -100,12 +100,15 @@ object Dedup {
   /** (doc_id, shingles, sig) with the base-hash array materialized as a real
     * column between the md5 pass and the NumHashes permutation scans.
     */
-  private def signatures(docs: DataFrame, n: Int): DataFrame =
-    shingled(docs, n)
+  private def signaturesOver(sh: DataFrame): DataFrame =
+    sh
       .withColumn("hs", transform(col("shingles"),
         s => pmod(DetHash.base60(s), lit(DetHash.P))))
       .select(col("doc_id"), col("shingles"),
         array((0 until NumHashes).map(minSlot(col("hs"), _)): _*).as("sig"))
+
+  private def signatures(docs: DataFrame, n: Int): DataFrame =
+    signaturesOver(shingled(docs, n))
 
   /** Per-doc signatures (oracle-checkable deliverable on its own). */
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
@@ -134,11 +137,47 @@ object Dedup {
     * reuses the exchange), explode 4 band keys/doc, self-join on band key,
     * distinct pairs, re-join signatures for the verify.
     */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingled(docs, n)
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame =
+    lshPairsOver(shingled(docs, n), threshold)
+
+  /** Char-shingle LSH near-dup pairs with SIGNATURE-ESTIMATED similarity
+    * (matching minhash slots / NumHashes). Char grams on low-entropy text
+    * are all-pairs-dense — exact verification of the banded candidates
+    * still touches millions of gram arrays (measured 18 s at sf0.1, and
+    * unboundedly worse at scale) — so the verify stage compares the 16
+    * integer signature slots instead: constant work per candidate, the
+    * standard signature-only LSH trade (estimate, not exact jaccard).
+    */
+  def charLshPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val sigs = signaturesOver(charShingled(docs, n))
+      .select(col("doc_id"), col("sig"))
+    val bands = sigs
+      .select(col("doc_id"), explode_outer(bandKeys(col("sig"))).as("bk"))
+    val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m)
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        round(matches.cast("double") / NumHashes, 4).as("est_sim"))
+      .filter(col("est_sim") >= threshold)
+  }
+
+  /** (doc_id, shingles) for char n-grams of the normalized text. */
+  def charShingled(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), normalizeText(col("text")).as("norm"))
+      .select(col("doc_id"), charShinglesFromNorm(col("norm"), n).as("shingles"))
+
+  private def lshPairsOver(sh: DataFrame, threshold: Double): DataFrame = {
     // explode_outer for the same InferFiltersFromGenerate reason as in
     // jaccardPairs — band-key arrays are always exactly Bands elements
-    val bands = signatures(docs, n)
+    val bands = signaturesOver(sh)
       .select(col("doc_id"), explode_outer(bandKeys(col("sig"))).as("bk"))
     val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -172,29 +211,53 @@ object Dedup {
     jaccardPairsOver(shingled(docs, n), threshold)
 
   /** Character n-gram variant — robust to tokenization differences
-    * (CJK text, concatenated words), same count-based engine.
+    * (CJK text, concatenated words), same prefix-filtered engine. Exact,
+    * but candidate volume degrades on low-entropy corpora where every
+    * gram is hot — prefer [[charLshPairs]] there.
     */
   def charJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8): DataFrame =
-    jaccardPairsOver(
-      docs.select(col("doc_id"), normalizeText(col("text")).as("norm"))
-        .select(col("doc_id"), charShinglesFromNorm(col("norm"), n).as("shingles")),
-      threshold)
+    jaccardPairsOver(charShingled(docs, n), threshold)
 
+  /** Exact jaccard-threshold pairs with PREFIX FILTERING (AllPairs /
+    * PPJoin): under any global total order of grams, two sets with
+    * jaccard >= t must share a gram inside both sets' first
+    * `sz - ceil(t*sz) + 1` grams. Ordering by ascending document
+    * frequency puts the RAREST grams in the prefixes, so hot grams (the
+    * quadratic blowup of a naive inverted-index join — measured 1.5e9
+    * join rows on char grams at sf0.1) never generate candidates. A
+    * least/greatest length filter prunes size-incompatible pairs before
+    * verification. Output is provably identical to the all-pairs result.
+    *
+    * explode_outer, not explode, everywhere: InferFiltersFromGenerate
+    * would bolt a `size(arr) > 0` filter onto plain explode and predicate
+    * pushdown re-inlines the whole array expression into it below the scan
+    * fan-out (measured 10×).
+    */
   private def jaccardPairsOver(sh: DataFrame, threshold: Double): DataFrame = {
-    // explode_outer, not explode: InferFiltersFromGenerate would bolt a
-    // `size(shingles) > 0` filter onto a plain explode, and predicate
-    // pushdown substitutes the whole shingle expression into it below the
-    // scan fan-out — re-tokenizing every doc per shingle on one core
-    // (measured 10×). Word-shingle arrays are never empty, and empty char
-    // shingle sets just emit a null element that the equi-join drops.
-    val posting = sh
-      .select(col("doc_id"), size(col("shingles")).as("sz"),
-        explode_outer(col("shingles")).as("s"))
-    posting.as("x").join(posting.as("y"), col("x.s") === col("y.s"))
+    val grams = sh.select(col("doc_id"), explode_outer(col("shingles")).as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // per-doc gram list in global (df, gram) order + set size
+    val ordered = grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("gs"))
+      .select(col("doc_id"),
+        transform(col("gs"), _.getField("g")).as("grams"),
+        size(col("gs")).as("sz"))
+    val prefix = ordered.select(col("doc_id"),
+      explode_outer(slice(col("grams"), lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("g"))
+    val cand = prefix.as("x").join(prefix.as("y"), col("x.g") === col("y.g"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.sz").as("sza"), col("y.sz").as("szb"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val ga = ordered.select(col("doc_id").as("a"), col("grams").as("grams_a"),
+      col("sz").as("sza"))
+    val gb = ordered.select(col("doc_id").as("b"), col("grams").as("grams_b"),
+      col("sz").as("szb"))
+    cand.join(ga, "a").join(gb, "b")
+      .filter(least(col("sza"), col("szb")).cast("double")
+        >= lit(threshold) * greatest(col("sza"), col("szb")).cast("double"))
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
       .select(col("a"), col("b"),
         round(col("inter").cast("double")
           / (col("sza") + col("szb") - col("inter")).cast("double"), 4)

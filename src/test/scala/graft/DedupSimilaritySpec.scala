@@ -38,6 +38,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.contains((0L, 1L))) // jaccard 1.0 → identical sigs → always caught
   }
 
+  test("char LSH estimate: identical normalized docs estimate 1.0") {
+    val pairs = Dedup.charLshPairs(docs, n = 5, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0) // same normalized text → same signature
+  }
+
   test("minhash signature: identical shingle sets → identical sigs; empty text → sentinel") {
     val sigs = Dedup.minhashSignaturesStr(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
