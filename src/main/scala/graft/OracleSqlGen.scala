@@ -91,6 +91,25 @@ object OracleSqlGen {
           + (1.0 - least(1.0, punct_ratio * 5.0)) * 0.2, 6) AS quality FROM r"""
   }
 
+  /** Mirrors TextAnalysis.winnowingFingerprints. */
+  def winnowingSql(k: Int, w: Int): String =
+    s"""WITH g AS (SELECT doc_id,
+          list_filter(
+            list_transform(
+              generate_series(1, greatest(len(nrm) - ${k - 1}, 1)),
+              i -> substr(nrm, i, $k)),
+            s -> len(s) = $k) AS grams
+          FROM (SELECT doc_id, ${norm("text")} AS nrm FROM documents)),
+        h AS (SELECT doc_id,
+          list_transform(grams, s -> ${base60("s")} % $P) AS hs FROM g)
+        SELECT doc_id, array_to_string(
+          list_sort(list_distinct(list_filter(
+            list_transform(
+              generate_series(0, greatest(len(hs) - $w, 0)),
+              i -> list_min(list_slice(hs, i + 1, i + $w))),
+            x -> x IS NOT NULL))), ',') AS fp_sig
+        FROM h"""
+
   def tokenHistogramSql: String =
     s"""SELECT CAST(floor(len(${toks("text")})::DOUBLE / 32) AS BIGINT) * 32 AS bucket,
         count(*) AS cnt FROM documents GROUP BY 1"""

@@ -67,6 +67,7 @@ object SparkEntry {
     "text_quality" -> q((s, d) => TextAnalysis.qualityScores(Tables.load(s, d, "documents"))),
     "text_token_histogram" -> q((s, d) => TextAnalysis.tokenHistogram(Tables.load(s, d, "documents"))),
     "text_fingerprints" -> q((s, d) => TextAnalysis.fingerprints(Tables.load(s, d, "documents"))),
+    "text_winnow_fp" -> q((s, d) => TextAnalysis.winnowingFingerprints(Tables.load(s, d, "documents"))),
     // --- deduplication (documents / embeddings) ---
     "dedup_exact_groups" -> q((s, d) => Dedup.exactGroups(Tables.load(s, d, "documents"))),
     "dedup_exact" -> q((s, d) => Dedup.exactDedup(Tables.load(s, d, "documents"))),
@@ -201,6 +202,7 @@ object SparkEntry {
     "text_quality" -> OracleSqlGen.qualitySql,
     "text_token_histogram" -> OracleSqlGen.tokenHistogramSql,
     "text_fingerprints" -> OracleSqlGen.fingerprintsSql,
+    "text_winnow_fp" -> OracleSqlGen.winnowingSql(5, 4),
     "dedup_exact_groups" -> OracleSqlGen.exactGroupsSql,
     "dedup_exact" -> OracleSqlGen.exactDedupSql,
     "dedup_minhash_sigs" -> OracleSqlGen.minhashSigSql(3),

@@ -90,4 +90,35 @@ object TextAnalysis {
   /** Fingerprint + duplicate-group size per document. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Winnowing document fingerprint (rolling-hash selection, Schleimer
+    * et al.): hash every POSITIONAL char k-gram of the normalized text,
+    * slide a window of w hashes, keep each window's minimum, emit the
+    * distinct selected hashes sorted as a canonical comma-joined string.
+    * Guarantees any shared substring of length >= k + w - 1 contributes a
+    * shared selected hash — the partial-overlap detector that whole-text
+    * md5 cannot provide. Three chained projections keep each array
+    * materialized once per row (lambda-inlining hazard).
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    import graft.functions.DetHash
+    docs
+      .select(col("doc_id"), normalizeText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        filter(
+          transform(sequence(lit(1), greatest(length(col("norm")) - (k - 1), lit(1))),
+            i => substring(col("norm"), i, lit(k))),
+          g => length(g) === k).as("grams"))
+      .select(col("doc_id"),
+        transform(col("grams"),
+          g => pmod(DetHash.base60(g), lit(DetHash.P))).as("hs"))
+      .select(col("doc_id"),
+        concat_ws(",",
+          transform(
+            sort_array(array_distinct(filter(
+              transform(sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
+                i => array_min(slice(col("hs"), i + 1, lit(w)))),
+              x => x.isNotNull))),
+            _.cast("string"))).as("fp_sig"))
+  }
 }

@@ -6,6 +6,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQu
 import org.apache.spark.sql.Row
 import graft.operators.ReferenceQueries
 
+/** Minimal event row for the custom-state operator. */
+case class UserEvent(user_id: Long, ts_ms: Long)
+
+/** Running per-user state emitted by [[Pipelines.userRunningState]]. */
+case class UserRunning(user_id: Long, n_events: Long, last_ms: Long)
+
 /** Streaming topologies of the reference pipeline, Spark-native.
   *
   * The reference runs four ksqlDB persistent queries over Kafka topics and
@@ -95,6 +101,40 @@ object Pipelines {
       .queryName(name)
       .outputMode(mode)
       .start()
+
+  // ------------------------------------------- stateful extensions
+
+  /** Streaming exact dedup: drop rows whose key columns repeat within the
+    * watermark horizon — the streaming face of Dedup.exactDedup. State per
+    * distinct key is evicted once the watermark passes, so memory is
+    * bounded by the dedup horizon, not the stream length.
+    */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String],
+                     eventTimeCol: String, delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Per-user running aggregate via mapGroupsWithState — the custom-state
+    * escape hatch for logic windowed aggregations can't express (here:
+    * lifetime event count + last-seen timestamp, emitted per micro-batch
+    * in update mode). State lives in the state store (RocksDB/HDFS-backed),
+    * partitioned by key — same shuffle geometry as any keyed aggregation.
+    */
+  def userRunningState(events: org.apache.spark.sql.Dataset[UserEvent]): org.apache.spark.sql.Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0L))
+          val batch = rows.toSeq
+          val next = UserRunning(user,
+            prev.n_events + batch.size,
+            math.max(prev.last_ms, batch.map(_.ts_ms).max))
+          state.update(next)
+          next
+      }
+  }
 
   // ------------------------------------------------- kafka (K1/K2 shape)
 

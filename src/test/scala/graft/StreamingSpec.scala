@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.ReferenceQueries
 import graft.sources.FakeData
-import graft.streaming.Pipelines
+import graft.streaming.{Pipelines, UserEvent}
 
 /** Customer row as it appears on the decoded stream (SURVEY.md §1.2). */
 case class Cust(nome: String, telefone: String, email: String,
@@ -112,6 +112,41 @@ class StreamingSpec extends SparkSpec {
       val got = spark.read.json(s"$dir/data")
       assert(got.columns.contains("idadecat") && got.columns.contains("batch_id"))
       assert(got.count() >= 4)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops within-watermark repeats across batches") {
+    val mem = MemoryStream[Cust]
+    val deduped = Pipelines.streamingDedup(
+      mem.toDF(), Seq("email"), "dt_update", "1 hour")
+    val q = Pipelines.startMemorySink(deduped, "dedup_t")
+    try {
+      mem.addData(rows(0), rows(0)) // in-batch duplicate
+      q.processAllAvailable()
+      mem.addData(rows(0), rows(1)) // cross-batch duplicate + new row
+      q.processAllAvailable()
+      val emails = spark.table("dedup_t").select("email").as[String].collect()
+      assert(emails.length == 2) // ana once, bia once
+      assert(emails.toSet == Set("ana@example.org", "bia@example.org"))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    val mem = MemoryStream[UserEvent]
+    val q = Pipelines.startMemorySink(
+      Pipelines.userRunningState(mem.toDS()).toDF(), "state_t",
+      OutputMode.Update)
+    try {
+      mem.addData(UserEvent(1, 100), UserEvent(1, 200), UserEvent(2, 50))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, 300))
+      q.processAllAvailable()
+      val latest = spark.table("state_t")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("last_ms").as("last"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(latest == Set((1L, 3L, 300L), (2L, 1L, 50L))) // state survived batch 1→2
     } finally q.stop()
   }
 
