@@ -68,6 +68,25 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(got - 0.5) < 1e-12)
   }
 
+  test("vectorDot edges: length mismatch uses common prefix; null array → null") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f, 3.0f)), Some(Seq(10.0f, 10.0f))),
+      (None: Option[Seq[Float]], Some(Seq(1.0f)))).toDF("a", "b")
+    val got = df.select(graft.functions.VectorMath.vectorDot(col("a"), col("b")))
+      .collect()
+    assert(got(0).getDouble(0) == 30.0) // min-length semantics
+    assert(got(1).isNullAt(0))          // null-intolerant
+  }
+
+  test("vectorDot interpreted eval matches codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val e = graft.functions.VectorDot(
+      Literal.create(Seq(0.5f, -1.5f), ArrayType(FloatType)),
+      Literal.create(Seq(2.0, 4.0), ArrayType(DoubleType)))
+    assert(e.eval(null) == (0.5 * 2.0 + -1.5 * 4.0))
+  }
+
   test("cosineSimilarity: unit parallel = 1, orthogonal = 0") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(2.0f, 0.0f)),

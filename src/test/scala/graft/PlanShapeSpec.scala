@@ -62,6 +62,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("as-of join costs exactly one hash exchange (the window sort)") {
+    val q = graft.operators.Temporal.purchaseAttribution(
+      Tables.load(spark, sf, "events"))
+    val exchanges = q.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1)
+  }
+
+  test("ivf assignment is shuffle-free (broadcast centroids only)") {
+    val q = graft.operators.Similarity.ivfAssign(
+      Tables.load(spark, sf, "embeddings"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("exact dedup is a single-exchange aggregation") {
     val q = Dedup.exactDedup(Tables.load(spark, sf, "documents"))
     val exchanges = q.queryExecution.executedPlan.toString
