@@ -24,7 +24,8 @@ object Bench {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(6)
+    val pool = Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_POOL", "6").toInt)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

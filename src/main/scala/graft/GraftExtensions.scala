@@ -29,7 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftSqlFunctions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   /** ksqlDB DATETOSTRING: epoch-days INT → formatted string (handles
     * negative pre-1970 days; reference README.md:221-224).

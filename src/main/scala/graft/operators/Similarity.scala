@@ -33,7 +33,7 @@ object Similarity {
     */
   def srpBucket(v: Column, planes: Int = 8, dims: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
-      val w = DetHash.hyperplane(p, dims).map(lit)
+      val w = DetHash.hyperplane(p, dims).toIndexedSeq.map(lit)
       val dot = dotProduct(v, array(w: _*))
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }

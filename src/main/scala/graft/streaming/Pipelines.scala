@@ -149,7 +149,7 @@ object Pipelines {
                       mode: OutputMode = OutputMode.Append): DataStreamWriter[Row] = {
     val keyed = df.select(
       concat_ws("|", keyCols.map(col): _*).cast("binary").as("key"),
-      to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).cast("binary").as("value"))
     keyed.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
