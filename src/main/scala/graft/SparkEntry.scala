@@ -51,8 +51,7 @@ object SparkEntry {
       Skew.saltedJoin(Tables.load(s, d, "lineitem"), Tables.load(s, d, "orders"),
         "l_orderkey", "o_orderkey", "l_partkey")
         .groupBy(col("o_orderstatus"))
-        .agg(sum(col("l_extendedprice").cast("decimal(20,4)")
-            * (lit(1).cast("decimal(20,4)") - col("l_discount").cast("decimal(20,4)")))
+        .agg(sum(Relational.revenueTerm("l_extendedprice", "l_discount"))
           .cast("double").as("revenue"),
           count(lit(1)).as("line_cnt"))),
     "stats_quantiles" -> q((s, d) => Relational.orderValueQuantiles(Tables.load(s, d, "orders"))),
@@ -122,7 +121,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
          CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -137,7 +136,7 @@ object SparkEntry {
          GROUP BY r_name""",
     "join_revenue_by_status" ->
       """SELECT o_orderstatus,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
          count(*) AS line_cnt
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
@@ -174,7 +173,7 @@ object SparkEntry {
          ) GROUP BY kind""",
     "join_salted_revenue" ->
       """SELECT o_orderstatus,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
          count(*) AS line_cnt
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",

@@ -29,8 +29,25 @@ import graft.Tables
   */
 object Relational {
 
-  private def dec(colName: String) = col(colName).cast("decimal(20,4)")
+  // decimal(12,4), NOT wider: a (20,4)×(20,4) product needs precision 41,
+  // exceeds Spark's 38 cap, and gets its scale silently reduced to 6 —
+  // while the DuckDB oracle's (12,4)×(12,4) product keeps scale 8, which
+  // drifted sum_disc_price by 4e-7 at sf0.1. (12,4) products are exact at
+  // scale 8 in both engines.
+  private def dec(colName: String) = col(colName).cast("decimal(12,4)")
   private def sumd(colName: String) = sum(dec(colName)).cast("double")
+
+  /** price × (1 − discount) revenue term, renormalized to scale 4 BEFORE
+    * summation. The renormalization is lossless (prices/discounts carry two
+    * decimal digits, so products are exactly scale-4) and keeps the sum's
+    * unscaled value under 2^53 — above that, DuckDB's decimal→double cast
+    * (hugeint → double → ÷10^scale, two roundings) can differ from the
+    * JVM's single correctly-rounded conversion by one ulp, which a
+    * hash-exact oracle notices.
+    */
+  private[graft] def revenueTerm(price: String, discount: String) =
+    (dec(price) * (lit(1).cast("decimal(12,4)") - dec(discount)))
+      .cast("decimal(18,4)")
 
   /** TPC-H Q1-shaped pricing summary: scan + filter + hash agg. */
   def pricingSummary(lineitem: DataFrame): DataFrame =
@@ -40,7 +57,7 @@ object Relational {
       .agg(
         sumd("l_quantity").as("sum_qty"),
         sumd("l_extendedprice").as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(20,4)") - dec("l_discount")))
+        sum(revenueTerm("l_extendedprice", "l_discount"))
           .cast("double").as("sum_disc_price"),
         (sumd("l_quantity") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -58,7 +75,7 @@ object Relational {
       .groupBy(col("r_name"))
       .agg(
         count(lit(1)).as("order_cnt"),
-        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"))
+        sum(col("o_totalprice").cast("decimal(12,4)")).cast("double").as("revenue"))
   }
 
   /** Fact-fact shuffle join: lineitem ⋈ orders, revenue per order status. */
@@ -69,7 +86,7 @@ object Relational {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(20,4)") - dec("l_discount")))
+        sum(revenueTerm("l_extendedprice", "l_discount"))
           .cast("double").as("revenue"),
         count(lit(1)).as("line_cnt"))
   }
@@ -102,7 +119,7 @@ object Relational {
     orders
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("total"))
+        sum(col("o_totalprice").cast("decimal(12,4)")).cast("double").as("total"))
 
   /** Left semi join: customers with at least one open order. */
   def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame = {

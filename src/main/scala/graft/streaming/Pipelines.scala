@@ -136,6 +136,30 @@ object Pipelines {
       }
   }
 
+  /** Watermarked stream-stream inner join: events from `left` matched to
+    * events from `right` for the same key within `withinMs` AFTER the left
+    * event. Both sides carry watermarks so the join state for rows outside
+    * the time bound is evicted — bounded state at any stream length (the
+    * unbounded-state trap of un-watermarked stream joins).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       withinMs: Long, delay: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key")
+        && col(s"r.$rightTs") >= col(s"l.$leftTs")
+        && col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $withinMs MILLISECONDS"))
+  }
+
+  /** Stream-static join: a streaming frame enriched from a batch dimension
+    * (broadcast per micro-batch — no streaming state at all).
+    */
+  def streamStaticJoin(stream: DataFrame, dim: DataFrame, streamKey: String,
+                       dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   // ------------------------------------------------- kafka (K1/K2 shape)
 
   /** K1/K2: CSAS/CTAS-shaped Kafka sink writer — value is the JSON-encoded

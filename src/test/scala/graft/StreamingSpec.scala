@@ -150,6 +150,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches pairs within the time bound only") {
+    val purchases = MemoryStream[UserEvent]
+    val views = MemoryStream[UserEvent]
+    val p = purchases.toDF()
+      .select($"user_id", org.apache.spark.sql.functions.timestamp_millis($"ts_ms").as("p_ts"))
+    val v = views.toDF()
+      .select($"user_id", org.apache.spark.sql.functions.timestamp_millis($"ts_ms").as("v_ts"))
+    val joined = Pipelines.streamStreamJoin(p, v, "user_id", "p_ts", "v_ts",
+      withinMs = 10_000L)
+      .selectExpr("l.user_id AS user_id", "v_ts")
+    val q = Pipelines.startMemorySink(joined, "ss_t")
+    try {
+      purchases.addData(UserEvent(1, 10_000))
+      views.addData(UserEvent(1, 12_000))  // +2s → in window
+      views.addData(UserEvent(1, 25_000))  // +15s → out of window
+      views.addData(UserEvent(2, 12_000))  // other user
+      q.processAllAvailable()
+      val got = spark.table("ss_t").as[(Long, Timestamp)].collect().toSeq
+      assert(got == Seq((1L, new Timestamp(12_000L))))
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches from a broadcast dimension, stateless") {
+    val mem = MemoryStream[UserEvent]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("d_user", "tier")
+    val joined = Pipelines.streamStaticJoin(mem.toDF(), dim, "user_id", "d_user")
+      .select($"user_id", $"tier")
+    val q = Pipelines.startMemorySink(joined, "sd_t")
+    try {
+      mem.addData(UserEvent(1, 1), UserEvent(3, 2))
+      q.processAllAvailable()
+      val got = spark.table("sd_t").as[(Long, Option[String])].collect().toSet
+      assert(got == Set((1L, Some("gold")), (3L, None))) // left join keeps unmatched
+    } finally q.stop()
+  }
+
   test("generator stream: rate-source rows carry the 9-column schema") {
     val df = FakeData.customerStream(spark, rowsPerSecond = 100)
     assert(df.isStreaming)
