@@ -55,6 +55,16 @@ object SparkEntry {
           .cast("double").as("revenue"),
           count(lit(1)).as("line_cnt"))),
     "stats_quantiles" -> q((s, d) => Relational.orderValueQuantiles(Tables.load(s, d, "orders"))),
+    "cube_orders" -> q((s, d) => Relational.ordersCube(Tables.load(s, d, "orders"))),
+    "intersect_users" -> q((s, d) => Relational.usersInBothTypes(Tables.load(s, d, "events"), "purchase", "error")),
+    // subtracted side time-restricted: with 150 users x 10k events every
+    // user has every type, so an unrestricted EXCEPT is always empty
+    "except_users" -> q((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .except(ev.filter(col("event_type") === "error"
+          && col("ts") >= lit("2024-01-29").cast("timestamp")).select(col("user_id")))
+    }),
     "pivot_user_events" -> q((s, d) => Relational.userEventPivot(Tables.load(s, d, "events"))),
     "dedup_char_lsh" -> q((s, d) => Dedup.charLshPairs(Tables.load(s, d, "documents"), 5, 0.8)),
     // --- temporal: as-of join, session windows, hopping windows ---
@@ -171,6 +181,18 @@ object SparkEntry {
            UNION ALL
            SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
          ) GROUP BY kind""",
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "intersect_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'error'""",
+    "except_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT user_id FROM events
+         WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-29'""",
     "join_salted_revenue" ->
       """SELECT o_orderstatus,
          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -160,6 +160,31 @@ object Relational {
       .count()
       .na.fill(0L)
 
+  /** CUBE over two dimensions (all 4 grouping sets in one pass). */
+  def ordersCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** INTERSECT: users seen in both event types (set semantics). */
+  def usersInBothTypes(events: DataFrame, t1: String, t2: String): DataFrame =
+    events.filter(col("event_type") === t1).select(col("user_id"))
+      .intersect(events.filter(col("event_type") === t2).select(col("user_id")))
+
+  /** EXCEPT: users with events of t1 but never t2. */
+  def usersOnlyInType(events: DataFrame, t1: String, t2: String): DataFrame =
+    events.filter(col("event_type") === t1).select(col("user_id"))
+      .except(events.filter(col("event_type") === t2).select(col("user_id")))
+
+  /** HyperLogLog++ approximate distinct — the sketch path for cardinality
+    * at 100 TB (exact distinct shuffles every key; HLL ships a fixed-size
+    * sketch per partition). Engine-specific sketch ⇒ unit-tested against
+    * the exact count, not oracle-hashed.
+    */
+  def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+
   /** UNION ALL + aggregate: account balances from two entity kinds. */
   def acctbalUnion(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")

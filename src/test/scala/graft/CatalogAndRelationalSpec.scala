@@ -51,6 +51,19 @@ class CatalogAndRelationalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("p90") - 36.0) < 1e-9) // 20 + 0.8*(40-20)
   }
 
+  test("approx distinct is within rsd bounds of exact distinct") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val approx = Relational.approxDistinctUsers(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(approx(t) - n).toDouble / n < 0.1,
+        s"$t: approx=${approx(t)} exact=$n")
+    }
+  }
+
   test("char-shingle jaccard finds near-dups that word shingles also find") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog", "en", "s"),
