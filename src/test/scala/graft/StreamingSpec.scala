@@ -150,6 +150,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two topologies run concurrently off one source (multi-sink parity)") {
+    val mem = MemoryStream[Cust]
+    val src = mem.toDF()
+    val q1 = Pipelines.startMemorySink(Pipelines.jovens(src), "multi_jovens")
+    val q2 = Pipelines.startMemorySink(Pipelines.idadecont(src), "multi_cont",
+      OutputMode.Update)
+    try {
+      mem.addData(rows: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("multi_jovens").count() == 2)
+      assert(spark.table("multi_cont")
+        .agg(org.apache.spark.sql.functions.sum("contagem"))
+        .as[Long].collect()(0) >= 4)
+      assert(spark.streams.active.length >= 2) // I3 introspection live
+    } finally { q1.stop(); q2.stop() }
+  }
+
+  test("streaming session windows merge within gap and split past it") {
+    val mem = MemoryStream[UserEvent]
+    val sessions = mem.toDF()
+      .select($"user_id", org.apache.spark.sql.functions.timestamp_millis($"ts_ms").as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.session_window($"ts", "5 minutes"), $"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select($"user_id", $"session_window.start".as("s"), $"n")
+    // session aggregations only support append mode: sessions emit once
+    // the watermark passes their end
+    val q = Pipelines.startMemorySink(sessions, "sess_t", OutputMode.Append)
+    try {
+      mem.addData(UserEvent(1, 0), UserEvent(1, 200_000), UserEvent(1, 600_000))
+      q.processAllAvailable()
+      // watermark-advancing flush events finalize user 1's sessions
+      mem.addData(UserEvent(2, 2_000_000))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, 2_100_000))
+      q.processAllAvailable()
+      val got = spark.table("sess_t").where($"user_id" === 1)
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(got == Set(
+        (1L, new Timestamp(0L), 2L),        // 0s + 200s merge (gap < 5 min)
+        (1L, new Timestamp(600_000L), 1L))) // 400s silence > gap → new session
+    } finally q.stop()
+  }
+
   test("stream-stream join matches pairs within the time bound only") {
     val purchases = MemoryStream[UserEvent]
     val views = MemoryStream[UserEvent]
