@@ -9,6 +9,10 @@ import graft.sources.FakeData
 class CatalogAndRelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("every declared query has exactly one oracle entry (driver contract)") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
   test("typed Dataset API: Customer encoder round-trips the generator") {
     val ds = FakeData.typedCustomers(spark, 50)
     val rows = ds.collect()
