@@ -31,8 +31,11 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       Future {
         val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - q0) / 1e9
+        // failed queries report -1, not a healthy-looking fast duration
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
       }
     }
     val results = Await.result(Future.sequence(futures), Duration.Inf)

@@ -27,10 +27,11 @@ object OracleSqlGen {
   def toks(c: String): String =
     s"""list_filter(string_split_regex($c, '\\s+'), t -> len(t) > 0)"""
 
-  /** Word n-gram shingles (distinct) of the normalized text, matching
-    * GraftFunctions.wordShingles: i in 0..max(len-n,0), n-token slices.
+  /** Word n-gram shingles (distinct) over the CTE's `tk` token column,
+    * matching GraftFunctions.wordShingles: i in 0..max(len-n,0), n-token
+    * slices.
     */
-  def shingles(textCol: String, n: Int): String =
+  def shingles(n: Int): String =
     s"""list_distinct(list_transform(
        generate_series(0, greatest(len(tk) - $n, 0)),
        i -> array_to_string(list_slice(tk, i + 1, i + $n), ' ')))"""
@@ -132,7 +133,7 @@ object OracleSqlGen {
   /** Word-shingle `sh` CTE chain (defines sh(doc_id, shingles)). */
   private def wordShCte(n: Int): String =
     s"""${toksCte()},
-        sh AS (SELECT doc_id, ${shingles("text", n)} AS shingles FROM t)"""
+        sh AS (SELECT doc_id, ${shingles(n)} AS shingles FROM t)"""
 
   /** Char-shingle `sh` CTE chain, mirroring Dedup.charShingled. */
   private def charShCte(n: Int): String =
@@ -164,6 +165,14 @@ object OracleSqlGen {
         ELSE len(list_intersect($a, $b))::DOUBLE
              / len(list_distinct(list_concat($a, $b)))::DOUBLE END"""
 
+  /** The Bands per-row band-key expressions, shared by every LSH oracle. */
+  private def bandKeysSql: String =
+    (0 until Dedup.Bands).map { b =>
+      val rows = (0 until Dedup.RowsPerBand)
+        .map(r => s"s${b * Dedup.RowsPerBand + r}").mkString(", ")
+      s"concat_ws(':', $b, $rows)"
+    }.mkString(", ")
+
   def lshPairsSql(n: Int, threshold: Double): String =
     lshPairsSqlOver(wordShCte(n), threshold)
 
@@ -171,11 +180,7 @@ object OracleSqlGen {
     * estimate.
     */
   def charLshPairsSql(n: Int, threshold: Double): String = {
-    val bandKeys = (0 until Dedup.Bands).map { b =>
-      val rows = (0 until Dedup.RowsPerBand)
-        .map(r => s"s${b * Dedup.RowsPerBand + r}").mkString(", ")
-      s"concat_ws(':', $b, $rows)"
-    }.mkString(", ")
+    val bandKeys = bandKeysSql
     val matches = (0 until Dedup.NumHashes)
       .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
       .mkString(" + ")
@@ -191,33 +196,29 @@ object OracleSqlGen {
   }
 
   private def lshPairsSqlOver(shCte: String, threshold: Double): String = {
-    val bandKeys = (0 until Dedup.Bands).map { b =>
-      val rows = (0 until Dedup.RowsPerBand)
-        .map(r => s"s${b * Dedup.RowsPerBand + r}").mkString(", ")
-      s"concat_ws(':', $b, $rows)"
-    }.mkString(", ")
+    val bandKeys = bandKeysSql
     s"""${sigCteOver(shCte)},
         bands AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
           FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
         j AS (SELECT a, b,
-          round(${jaccardExpr("sa.shingles", "sb.shingles")}, 4) AS jaccard_sim
+          ${jaccardExpr("sa.shingles", "sb.shingles")} AS jac
           FROM cand JOIN sh sa ON cand.a = sa.doc_id
                     JOIN sh sb ON cand.b = sb.doc_id)
-        SELECT a, b, jaccard_sim FROM j WHERE jaccard_sim >= $threshold"""
+        SELECT a, b, round(jac, 4) AS jaccard_sim FROM j WHERE jac >= $threshold"""
   }
 
   def jaccardPairsSql(n: Int, threshold: Double): String =
     s"""${toksCte()},
-        sh AS (SELECT doc_id, ${shingles("text", n)} AS shingles FROM t),
+        sh AS (SELECT doc_id, ${shingles(n)} AS shingles FROM t),
         posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
           FROM posting x JOIN posting y ON x.s = y.s AND x.doc_id < y.doc_id),
         j AS (SELECT a, b,
-          round(${jaccardExpr("sa.shingles", "sb.shingles")}, 4) AS jaccard_sim
+          ${jaccardExpr("sa.shingles", "sb.shingles")} AS jac
           FROM cand JOIN sh sa ON cand.a = sa.doc_id
                     JOIN sh sb ON cand.b = sb.doc_id)
-        SELECT a, b, jaccard_sim FROM j WHERE jaccard_sim >= $threshold"""
+        SELECT a, b, round(jac, 4) AS jaccard_sim FROM j WHERE jac >= $threshold"""
 
   /** Char n-gram jaccard pairs, mirroring Dedup.charJaccardPairs. */
   def charJaccardPairsSql(n: Int, threshold: Double): String =
@@ -234,7 +235,7 @@ object OracleSqlGen {
           FROM posting x JOIN posting y ON x.s = y.s AND x.doc_id < y.doc_id
           GROUP BY 1, 2, 3, 4)
         SELECT a, b, round(inter::DOUBLE / (sza + szb - inter)::DOUBLE, 4) AS jaccard_sim
-        FROM pairs WHERE round(inter::DOUBLE / (sza + szb - inter)::DOUBLE, 4) >= $threshold"""
+        FROM pairs WHERE inter::DOUBLE / (sza + szb - inter)::DOUBLE >= $threshold"""
 
   def simhashSql: String = {
     val bits = (0 until Dedup.SimHashBits).map { j =>
@@ -322,11 +323,11 @@ object OracleSqlGen {
     */
   def asofAttributionSql: String =
     s"""WITH u AS (
-          SELECT user_id, ts, event_id, 1 AS m,
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS m,
                  NULL::VARCHAR AS p_type, NULL::TIMESTAMP AS p_ts
           FROM events WHERE event_type = 'purchase'
           UNION ALL
-          SELECT user_id, ts, event_id, 0, event_type, ts
+          SELECT user_id, CAST(ts AS TIMESTAMP), event_id, 0, event_type, CAST(ts AS TIMESTAMP)
           FROM events WHERE event_type <> 'purchase'),
         w AS (SELECT *,
           last_value(p_type IGNORE NULLS) OVER win AS a_type,
@@ -342,14 +343,14 @@ object OracleSqlGen {
     * >= gap break (Spark session_window merges only on strict overlap).
     */
   def sessionCountsSql(gapMinutes: Int): String =
-    s"""WITH x AS (SELECT user_id, ts,
+    s"""WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     >= INTERVAL $gapMinutes MINUTE
                THEN 1 ELSE 0 END AS brk
           FROM events),
         s AS (SELECT user_id, ts,
-          sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM x)
         SELECT user_id,

@@ -46,6 +46,11 @@ case class VectorDot(left: Expression, right: Expression)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  // mismatched lengths → null, not a silent partial dot product: a ragged
+  // vector is bad data, and the SQL formulation (indexing past the short
+  // array) yields NULL — silent truncation would diverge from it
+  override def nullable: Boolean = true
+
   private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => a.getFloat(i).toDouble
     case _ => a.getDouble(i)
@@ -53,8 +58,9 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (la, ra) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (la.numElements() != ra.numElements()) return null
     val (lt, rt) = (elemType(left), elemType(right))
-    val n = math.min(la.numElements(), ra.numElements())
+    val n = la.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -74,12 +80,16 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($la.numElements(), $ra.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(elemType(left), la, i)} * ${getter(elemType(right), ra, i)};
+         |if ($la.numElements() != $ra.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $la.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${getter(elemType(left), la, i)} * ${getter(elemType(right), ra, i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

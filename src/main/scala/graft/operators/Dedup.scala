@@ -186,9 +186,9 @@ object Dedup {
     val sa = sh.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
     val sb = sh.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
     cand.join(sa, "a").join(sb, "b")
-      .select(col("a"), col("b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard_sim"))
-      .filter(col("jaccard_sim") >= threshold)
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold) // unrounded, see jaccardPairsOver
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard_sim"))
   }
 
   // -------------------------------------------------------------------
@@ -258,11 +258,13 @@ object Dedup {
       .filter(least(col("sza"), col("szb")).cast("double")
         >= lit(threshold) * greatest(col("sza"), col("szb")).cast("double"))
       .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
-      .select(col("a"), col("b"),
-        round(col("inter").cast("double")
-          / (col("sza") + col("szb") - col("inter")).cast("double"), 4)
-          .as("jaccard_sim"))
-      .filter(col("jaccard_sim") >= threshold)
+      .withColumn("jac", col("inter").cast("double")
+        / (col("sza") + col("szb") - col("inter")).cast("double"))
+      // threshold on the UNROUNDED value: the size/prefix filters prune by
+      // true jaccard, so a rounded filter would keep boundary pairs
+      // (true j in [t-0.00005, t)) inconsistently with the pruning
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard_sim"))
   }
 
   // -------------------------------------------------------------------

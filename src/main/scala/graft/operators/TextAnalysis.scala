@@ -68,7 +68,9 @@ object TextAnalysis {
       .select(
       col("doc_id"),
       length(t).cast("long").as("len_chars"),
-      tokenCount(t).cast("long").as("n_tokens"),
+      // lower() never alters whitespace, so the materialized lowered token
+      // array has the same count — no second tokenization pass
+      size(low).cast("long").as("n_tokens"),
       bpeishTokenCount(t).as("n_bpeish_tokens"),
       round(punctRatio(t), 6).as("punct_ratio"),
       round(alphaRatio(t), 6).as("alpha_ratio"),

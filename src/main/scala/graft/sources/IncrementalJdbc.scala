@@ -37,17 +37,33 @@ class IncrementalJdbc(
 
   /** One poll: rows with ts > offset, and the offset advance. Returns the
     * incremental batch (possibly empty).
+    *
+    * The batch is MATERIALIZED before the offset advances: a lazy frame
+    * would re-run the remote query at every downstream action, so rows
+    * inserted between the offset computation and the sink's evaluation
+    * would be delivered twice (this poll re-reads them, the next poll's
+    * filter matches them again). Incremental batches are bounded by
+    * ingest-rate × poll-interval, so the local materialization is small
+    * by construction.
     */
   def poll(): DataFrame = {
     val snap = provider()
+    val spark = snap.sparkSession
     val batch = offset match {
       case Some(ts) => snap.filter(col(timestampCol) > lit(ts))
       case None => snap
     }
-    val newMax = batch.agg(max(col(timestampCol))).collect()(0)
-    if (!newMax.isNullAt(0))
-      offset = Some(newMax.getTimestamp(0))
-    batch
+    val rows = batch.collect()
+    val stable = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), batch.schema)
+    val tsIdx = batch.schema.fieldIndex(timestampCol)
+    val newMax = rows.iterator
+      .filterNot(_.isNullAt(tsIdx)).map(_.getTimestamp(tsIdx))
+      .foldLeft(Option.empty[java.sql.Timestamp]) {
+        case (acc, t) => Some(acc.filter(_.after(t)).getOrElse(t))
+      }
+    newMax.foreach(m => offset = Some(m))
+    stable
   }
 
   /** Poll loop at `intervalMs` (reference default 500 ms), invoking `sink`

@@ -68,14 +68,16 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(got - 0.5) < 1e-12)
   }
 
-  test("vectorDot edges: length mismatch uses common prefix; null array → null") {
+  test("vectorDot edges: length mismatch → null (ragged data), null array → null") {
     val df = Seq(
       (Some(Seq(1.0f, 2.0f, 3.0f)), Some(Seq(10.0f, 10.0f))),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(10.0f, 10.0f))),
       (None: Option[Seq[Float]], Some(Seq(1.0f)))).toDF("a", "b")
     val got = df.select(graft.functions.VectorMath.vectorDot(col("a"), col("b")))
       .collect()
-    assert(got(0).getDouble(0) == 30.0) // min-length semantics
-    assert(got(1).isNullAt(0))          // null-intolerant
+    assert(got(0).isNullAt(0))          // ragged → null, not a partial dot
+    assert(got(1).getDouble(0) == 30.0)
+    assert(got(2).isNullAt(0))          // null-intolerant
   }
 
   test("vectorDot interpreted eval matches codegen path") {
