@@ -17,9 +17,11 @@ object OracleSqlGen {
 
   // ---------------------------------------------------------------- text
 
-  /** normalizeText: lowercase, non-alnum runs → space, collapse, trim. */
+  /** normalizeText: lowercase, non-alnum runs → one space, trim (lockstep
+    * with GraftFunctions.normalizeText).
+    */
   def norm(c: String): String =
-    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+    s"trim(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g'))"
 
   /** Whitespace tokens (empty strings filtered), matching
     * GraftFunctions.tokens.
@@ -32,9 +34,9 @@ object OracleSqlGen {
     * slices.
     */
   def shingles(n: Int): String =
-    s"""list_distinct(list_transform(
+    s"""list_filter(list_distinct(list_transform(
        generate_series(0, greatest(len(tk) - $n, 0)),
-       i -> array_to_string(list_slice(tk, i + 1, i + $n), ' ')))"""
+       i -> array_to_string(list_slice(tk, i + 1, i + $n), ' '))), s -> len(s) > 0)"""
       .replaceAll("\n\\s*", " ")
 
   private def toksCte(table: String = "documents"): String =

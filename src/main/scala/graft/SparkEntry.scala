@@ -56,6 +56,7 @@ object SparkEntry {
           count(lit(1)).as("line_cnt"))),
     "stats_quantiles" -> q((s, d) => Relational.orderValueQuantiles(Tables.load(s, d, "orders"))),
     "cube_orders" -> q((s, d) => Relational.ordersCube(Tables.load(s, d, "orders"))),
+    "json_props_stats" -> q((s, d) => Relational.jsonPropsStats(Tables.load(s, d, "events"))),
     "intersect_users" -> q((s, d) => Relational.usersInBothTypes(Tables.load(s, d, "events"), "purchase", "error")),
     // subtracted side time-restricted: with 150 users x 10k events every
     // user has every type, so an unrestricted EXCEPT is always empty
@@ -184,6 +185,12 @@ object SparkEntry {
     "cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "json_props_stats" ->
+      """SELECT event_type,
+         CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+         count(*) AS cnt,
+         CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+         FROM events GROUP BY event_type""",
     "intersect_users" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
          INTERSECT

@@ -108,12 +108,14 @@ object GraftFunctions {
       .otherwise(size(stops).cast("double") / size(toks).cast("double"))
   }
 
-  /** Normalized text: lowercase, strip non-alphanumerics to spaces,
-    * collapse whitespace, trim. The canonical form for exact dedup and
-    * fingerprinting.
+  /** Normalized text: lowercase, non-alphanumeric RUNS → one space, trim.
+    * The single `+`-quantified replacement already collapses whitespace
+    * (adjacent spaces cannot survive it), so no second pass is needed —
+    * this is the hottest expression in the dedup/fingerprint paths.
+    * Must stay in lockstep with OracleSqlGen.norm.
     */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   /** Document fingerprint: md5 of the normalized text. md5 exists in both
     * Spark and DuckDB, so this is oracle-checkable (unlike Murmur3 `hash`).
@@ -146,10 +148,15 @@ object GraftFunctions {
     * instead of per row (measured 10× slowdown).
     */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    // the empty-token case would otherwise yield [""]; filtering keeps the
+    // word path consistent with charShinglesFromNorm (empty set for empty
+    // docs) so empty documents never pair as jaccard-1.0 near-dups
+    filter(
+      array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      s => length(s) > 0)
 
   /** Word n-gram shingles straight from text — single-expression form, only
     * for contexts that evaluate it once per row (see [[shinglesFromTokens]]).

@@ -56,6 +56,9 @@ case class VectorDot(left: Expression, right: Expression)
     case _ => a.getDouble(i)
   }
 
+  private def containsNull(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (la, ra) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     if (la.numElements() != ra.numElements()) return null
@@ -64,6 +67,9 @@ case class VectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result, matching SQL multiplication semantics
+      // (the HOF/oracle formulations both yield NULL)
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
       acc += get(la, lt, i) * get(ra, rt, i)
       i += 1
     }
@@ -79,6 +85,11 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // per-element null checks only when the array type can hold nulls
+      val nullCheck =
+        if (containsNull(left) || containsNull(right))
+          s"if ($la.isNullAt($i) || $ra.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |if ($la.numElements() != $ra.numElements()) {
          |  ${ev.isNull} = true;
@@ -86,9 +97,10 @@ case class VectorDot(left: Expression, right: Expression)
          |  int $n = $la.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += ${getter(elemType(left), la, i)} * ${getter(elemType(right), ra, i)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -160,6 +160,22 @@ object Relational {
       .count()
       .na.fill(0L)
 
+  /** JSON processing: schema-applied extraction from the events `props`
+    * JSON column (from_json, not get_json_object — one parse per row with
+    * a typed struct). Average derived as exact-int sum / count so both
+    * engines divide the same two numbers.
+    */
+  def jsonPropsStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    events
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+      .withColumn("avg_k", col("sum_k").cast("double") / col("cnt"))
+  }
+
   /** CUBE over two dimensions (all 4 grouping sets in one pass). */
   def ordersCube(orders: DataFrame): DataFrame =
     orders

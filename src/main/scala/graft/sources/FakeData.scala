@@ -111,9 +111,7 @@ object FakeData {
     customers
       .withColumn("nascimento", datediff(col("nascimento"),
         lit(java.sql.Date.valueOf("1970-01-01"))))
-      .withColumn("dt_update",
-        (unix_timestamp(col("dt_update")) * 1000
-          + date_format(col("dt_update"), "SSS").cast("long")).as("dt_update"))
+      .withColumn("dt_update", unix_millis(col("dt_update")))
 
   /** Decode the wire format back to typed DATE/TIMESTAMP columns (F1/F2
     * ingestion path).

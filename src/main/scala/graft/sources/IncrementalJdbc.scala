@@ -25,9 +25,16 @@ import org.apache.spark.sql.functions._
   * (dt_update > offset), not a full-table scan per poll — the property
   * that keeps 500 ms polling viable on a large table.
   */
+/** @param delayIntervalMs rows newer than `now - delay` are left for a
+  *   later poll — Kafka Connect's `timestamp.delay.interval.ms`. Without
+  *   it, a transaction that commits AFTER a poll but with a dt_update
+  *   at or below the already-advanced offset is lost forever (the classic
+  *   timestamp-mode race). 0 keeps polling deterministic for tests.
+  */
 class IncrementalJdbc(
     provider: () => DataFrame,
-    timestampCol: String = "dt_update") {
+    timestampCol: String = "dt_update",
+    delayIntervalMs: Long = 0L) {
 
   /** Last emitted watermark (epoch micros); None before the first poll. */
   @volatile private var offset: Option[java.sql.Timestamp] = None
@@ -49,10 +56,15 @@ class IncrementalJdbc(
   def poll(): DataFrame = {
     val snap = provider()
     val spark = snap.sparkSession
-    val batch = offset match {
+    val lower = offset match {
       case Some(ts) => snap.filter(col(timestampCol) > lit(ts))
       case None => snap
     }
+    val batch =
+      if (delayIntervalMs > 0)
+        lower.filter(col(timestampCol) <= lit(
+          new java.sql.Timestamp(System.currentTimeMillis() - delayIntervalMs)))
+      else lower
     val rows = batch.collect()
     val stable = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), batch.schema)

@@ -68,8 +68,12 @@ object Pipelines {
       .start()
 
   /** K4: update-mode windowed-count changelog → JSON-lines files.
-    * File sinks are append-only, so each micro-batch's updated rows are
-    * appended as a changelog (per-batch, vs the reference's per-record).
+    * File sinks are append-only, so each micro-batch's updated rows land
+    * as a changelog (per-batch, vs the reference's per-record). Each batch
+    * OVERWRITES its own `batch_id=N` partition directory, so a replayed
+    * micro-batch after a failure rewrites identical files instead of
+    * double-appending — the sink is idempotent per batch (exactly-once
+    * directory contents, not merely at-least-once appends).
     */
   def startJsonChangelogSink(agg: DataFrame, path: String, checkpoint: String,
                              trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
@@ -78,8 +82,7 @@ object Pipelines {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").json(path)
+        batch.write.mode("overwrite").json(s"$path/batch_id=$batchId")
       }
       .start()
 
@@ -127,10 +130,12 @@ object Pipelines {
       .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
           val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0L))
-          val batch = rows.toSeq
-          val next = UserRunning(user,
-            prev.n_events + batch.size,
-            math.max(prev.last_ms, batch.map(_.ts_ms).max))
+          // single O(1)-memory pass: never materialize the group (a hot key
+          // can carry millions of rows per trigger)
+          val (n, last) = rows.foldLeft((prev.n_events, prev.last_ms)) {
+            case ((c, m), e) => (c + 1, math.max(m, e.ts_ms))
+          }
+          val next = UserRunning(user, n, last)
           state.update(next)
           next
       }

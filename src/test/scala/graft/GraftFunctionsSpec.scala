@@ -59,7 +59,7 @@ class GraftFunctionsSpec extends SparkSpec {
       .as[Seq[String]].collect().toSeq
     assert(got(0) == Seq("a b c", "b c d", "c d e"))
     assert(got(1) == Seq("a b"))
-    assert(got(2) == Seq(""))
+    assert(got(2) == Seq()) // empty doc → empty set, same as char shingles
   }
 
   test("jaccard of array columns") {
