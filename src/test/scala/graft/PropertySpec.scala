@@ -62,6 +62,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard at threshold ~0 equals the naive shared-shingle pairs") {
+    val wordGen = Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd"))
+    forAll(Gen.listOfN(6, wordGen), trials = 4) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+      // tiny positive threshold ⇒ keep every pair sharing >= 1 shingle
+      val pairs = graft.operators.Dedup.jaccardPairs(docs, 2, 1e-9)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      // naive reference: pairs with non-empty shingle intersection
+      val sh = texts.map(ws =>
+        ws.sliding(2).map(_.mkString(" ")).toSet)
+      val expected = (for {
+        i <- sh.indices; j <- sh.indices if i < j
+        if (sh(i) & sh(j)).nonEmpty
+      } yield (i.toLong, j.toLong)).toSet
+      assert(pairs == expected)
+    }
+  }
+
   test("jaccard symmetric and bounded in [0,1]") {
     val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
     forAll2(tokGen, tokGen) { (xs, ys) =>

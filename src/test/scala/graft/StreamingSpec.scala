@@ -98,6 +98,11 @@ class StreamingSpec extends SparkSpec {
       assert(got.columns.toSeq ==
         Seq("nome", "telefone", "email", "dt_nascimento", "dt_updt_conv"))
       assert(got.count() == 2)
+      // flush.size parity: no file may hold more than 10 records
+      val perFile = got
+        .groupBy(org.apache.spark.sql.functions.input_file_name())
+        .count().select("count").as[Long].collect()
+      assert(perFile.forall(_ <= 10))
     } finally q.stop()
   }
 
