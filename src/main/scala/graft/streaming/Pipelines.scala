@@ -187,6 +187,23 @@ object Pipelines {
       .outputMode(mode)
   }
 
+  /** K5 streaming face: append each micro-batch to a JDBC table (the
+    * generator's `to_sql(if_exists='append')` as a continuous sink).
+    * foreachBatch because Spark ships no streaming JDBC sink; gated like
+    * the Kafka paths — no database exists in the build sandbox.
+    */
+  def startJdbcAppendSink(df: DataFrame, url: String, table: String,
+                          props: java.util.Properties, checkpoint: String,
+                          trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.IncrementalJdbc.appendJdbc(batch, url, table, props)
+      }
+      .start()
+
   /** S2: Kafka source with an explicit schema applied to JSON values —
     * the offline stand-in for registry-resolved Avro (SURVEY.md §1.3).
     * Built but not bound to a broker in the sandbox.
