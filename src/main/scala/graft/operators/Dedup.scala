@@ -149,24 +149,25 @@ object Dedup {
     * standard signature-only LSH trade (estimate, not exact jaccard).
     */
   def charLshPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val sigs = signaturesOver(charShingled(docs, n))
-      .select(col("doc_id"), col("sig"))
-    val bands = sigs
-      .select(col("doc_id"), explode_outer(bandKeys(col("sig"))).as("bk"))
-    val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val sa = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    // the signature rides along with each band key (16 longs/row), so the
+    // band self-join yields BOTH signatures directly — no signature
+    // re-joins, and the estimate filter runs BEFORE the pair distinct,
+    // shrinking that shuffle from every band collision (millions on dense
+    // corpora) to just the passing pairs
+    val bands = signaturesOver(charShingled(docs, n))
+      .select(col("doc_id"), col("sig"), explode_outer(bandKeys(col("sig"))).as("bk"))
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, m) => acc + m)
-    cand.join(sa, "a").join(sb, "b")
+    bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
       .select(col("a"), col("b"),
         round(matches.cast("double") / NumHashes, 4).as("est_sim"))
       .filter(col("est_sim") >= threshold)
+      .distinct()
   }
 
   /** (doc_id, shingles) for char n-grams of the normalized text. */
