@@ -37,6 +37,8 @@ object SparkEntry {
     "q1_pricing_summary" -> q((s, d) => Relational.pricingSummary(Tables.load(s, d, "lineitem"))),
     "join_orders_by_region" -> q((s, d) => Relational.ordersByRegion(s, d)),
     "join_revenue_by_status" -> q((s, d) => Relational.revenueByStatus(s, d)),
+    "q3_shipping" -> q((s, d) => Relational.q3Shipping(s, d)),
+    "q5_local_supplier" -> q((s, d) => Relational.q5LocalSupplier(s, d)),
     "topk_orders" -> q((s, d) => Relational.topOrders(Tables.load(s, d, "orders"))),
     "distinct_user_types" -> q((s, d) => Relational.distinctUserTypes(Tables.load(s, d, "events"))),
     "window_fn_user_rank" -> q((s, d) => Relational.userEventRank(Tables.load(s, d, "events"))),
@@ -151,6 +153,31 @@ object SparkEntry {
          count(*) AS line_cnt
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

@@ -91,6 +91,57 @@ object Relational {
         count(lit(1)).as("line_cnt"))
   }
 
+  /** TPC-H Q3 shape: segment customers ⋈ orders ⋈ lineitem, unshipped
+    * revenue per order, top-k. Customer is NOT force-broadcast — at real
+    * TPC-H scale the segment-filtered customer side is far beyond
+    * broadcast range and belongs in a shuffle join (AQE still broadcasts
+    * it when small enough).
+    */
+  def q3Shipping(spark: SparkSession, dir: String, segment: String = "BUILDING",
+                 date: String = "1998-01-01", k: Int = 10): DataFrame = {
+    val cutoff = lit(date).cast("timestamp")
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === segment)
+      .join(Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenueTerm("l_extendedprice", "l_discount"))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+  }
+
+  /** TPC-H Q5 shape: 6-way join (region→nation→customer→orders→lineitem
+    * →supplier with the local-supplier constraint), revenue per nation.
+    * region/nation broadcast; fact joins shuffle on their keys.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String, region: String = "ASIA",
+                      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp")
+          && col("o_orderdate") < lit(until).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region"))
+        .filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueTerm("l_extendedprice", "l_discount"))
+        .cast("double").as("revenue"))
+
   /** Top-k with deterministic tie-break → TakeOrderedAndProject. */
   def topOrders(orders: DataFrame, k: Int = 10): DataFrame =
     orders
