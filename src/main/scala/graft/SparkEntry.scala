@@ -38,6 +38,7 @@ object SparkEntry {
     "join_orders_by_region" -> q((s, d) => Relational.ordersByRegion(s, d)),
     "join_revenue_by_status" -> q((s, d) => Relational.revenueByStatus(s, d)),
     "q3_shipping" -> q((s, d) => Relational.q3Shipping(s, d)),
+    "q6_forecast" -> q((s, d) => Relational.q6Forecast(Tables.load(s, d, "lineitem"))),
     "q5_local_supplier" -> q((s, d) => Relational.q5LocalSupplier(s, d)),
     "topk_orders" -> q((s, d) => Relational.topOrders(Tables.load(s, d, "orders"))),
     "distinct_user_types" -> q((s, d) => Relational.distinctUserTypes(Tables.load(s, d, "events"))),
@@ -135,10 +136,18 @@ object SparkEntry {
          CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4))) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
          CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "join_orders_by_region" ->
       """SELECT r_name, count(*) AS order_cnt,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue

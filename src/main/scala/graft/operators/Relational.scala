@@ -49,8 +49,14 @@ object Relational {
     (dec(price) * (lit(1).cast("decimal(12,4)") - dec(discount)))
       .cast("decimal(18,4)")
 
-  /** TPC-H Q1-shaped pricing summary: scan + filter + hash agg. */
-  def pricingSummary(lineitem: DataFrame): DataFrame =
+  /** TPC-H Q1 pricing summary (full column set): scan + filter + hash agg.
+    * sum_charge multiplies three 2-decimal factors, so its true scale is
+    * 6 — renormalized to decimal(20,6) (lossless; unscaled sums stay under
+    * 2^53 for the cross-engine double cast, see [[revenueTerm]]).
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val charge = (revenueTerm("l_extendedprice", "l_discount")
+      * (lit(1).cast("decimal(12,4)") + dec("l_tax"))).cast("decimal(20,6)")
     lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -59,8 +65,23 @@ object Relational {
         sumd("l_extendedprice").as("sum_base_price"),
         sum(revenueTerm("l_extendedprice", "l_discount"))
           .cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
         (sumd("l_quantity") / count(lit(1))).as("avg_qty"),
+        (sumd("l_extendedprice") / count(lit(1))).as("avg_price"),
+        (sumd("l_discount") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q6 forecast-revenue change: tight range filters + one sum. */
+  def q6Forecast(lineitem: DataFrame, from: String = "1996-01-01",
+                 until: String = "1997-01-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp")
+        && col("l_shipdate") < lit(until).cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
 
   /** Star join: orders ⋈ customer ⋈ nation ⋈ region, dims broadcast. */
   def ordersByRegion(spark: SparkSession, dir: String): DataFrame = {
