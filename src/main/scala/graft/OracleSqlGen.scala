@@ -187,7 +187,8 @@ object OracleSqlGen {
       .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""${sigCteOver(charShCte(n))},
-        bands AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig),
+        bands AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig
+                  WHERE len(shingles) > 0),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
           FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
         est AS (SELECT a, b,

@@ -154,7 +154,13 @@ object Dedup {
     // re-joins, and the estimate filter runs BEFORE the pair distinct,
     // shrinking that shuffle from every band collision (millions on dense
     // corpora) to just the passing pairs
-    val bands = signaturesOver(charShingled(docs, n))
+    // docs with EMPTY shingle sets must not band: their signatures are all
+    // P-sentinels, so two empty docs would share every band key and emit a
+    // bogus est_sim=1.0 pair (there is no exact-verify stage here to catch
+    // it — the word-LSH path survives the same collision because its
+    // jaccard verify returns 0.0 for empty sets)
+    val bands = signaturesOver(charShingled(docs, n)
+        .filter(size(col("shingles")) > 0))
       .select(col("doc_id"), col("sig"), explode_outer(bandKeys(col("sig"))).as("bk"))
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),

@@ -24,17 +24,23 @@ import org.apache.spark.sql.functions._
   * the JDBC provider it becomes a pushed-down WHERE in the remote query
   * (dt_update > offset), not a full-table scan per poll — the property
   * that keeps 500 ms polling viable on a large table.
-  */
-/** @param delayIntervalMs rows newer than `now - delay` are left for a
+  *
+  * @param delayIntervalMs rows newer than `now - delay` are left for a
   *   later poll — Kafka Connect's `timestamp.delay.interval.ms`. Without
   *   it, a transaction that commits AFTER a poll but with a dt_update
   *   at or below the already-advanced offset is lost forever (the classic
   *   timestamp-mode race). 0 keeps polling deterministic for tests.
+  * @param nowMillis clock the delay is measured against. MUST be the
+  *   DATABASE's clock in production (e.g. `SELECT current_timestamp` over
+  *   the same connection) — measuring against the driver's wall clock
+  *   silently erodes the delay by any driver-ahead skew, which is exactly
+  *   the window the parameter exists to protect.
   */
 class IncrementalJdbc(
     provider: () => DataFrame,
     timestampCol: String = "dt_update",
-    delayIntervalMs: Long = 0L) {
+    delayIntervalMs: Long = 0L,
+    nowMillis: () => Long = () => System.currentTimeMillis()) {
 
   /** Last emitted watermark (epoch micros); None before the first poll. */
   @volatile private var offset: Option[java.sql.Timestamp] = None
@@ -63,7 +69,7 @@ class IncrementalJdbc(
     val batch =
       if (delayIntervalMs > 0)
         lower.filter(col(timestampCol) <= lit(
-          new java.sql.Timestamp(System.currentTimeMillis() - delayIntervalMs)))
+          new java.sql.Timestamp(nowMillis() - delayIntervalMs)))
       else lower
     val rows = batch.collect()
     val stable = spark.createDataFrame(

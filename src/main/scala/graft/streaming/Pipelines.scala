@@ -191,6 +191,13 @@ object Pipelines {
     * generator's `to_sql(if_exists='append')` as a continuous sink).
     * foreachBatch because Spark ships no streaming JDBC sink; gated like
     * the Kafka paths — no database exists in the build sandbox.
+    *
+    * Delivery is AT-LEAST-ONCE: a micro-batch replayed after a failure
+    * appends again. Plain INSERT cannot be made idempotent without
+    * database-side cooperation, so every row carries its `batch_id` —
+    * downstream either MERGEs on (batch_id, natural key) or dedupes on it;
+    * exactly-once requires swapping this writer for a transactional
+    * upsert.
     */
   def startJdbcAppendSink(df: DataFrame, url: String, table: String,
                           props: java.util.Properties, checkpoint: String,
@@ -199,8 +206,9 @@ object Pipelines {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.IncrementalJdbc.appendJdbc(batch, url, table, props)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.IncrementalJdbc.appendJdbc(
+          batch.withColumn("batch_id", lit(batchId)), url, table, props)
       }
       .start()
 
