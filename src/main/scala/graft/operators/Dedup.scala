@@ -158,10 +158,16 @@ object Dedup {
     // P-sentinels, so two empty docs would share every band key and emit a
     // bogus est_sim=1.0 pair (there is no exact-verify stage here to catch
     // it — the word-LSH path survives the same collision because its
-    // jaccard verify returns 0.0 for empty sets)
-    val bands = signaturesOver(charShingled(docs, n)
-        .filter(size(col("shingles")) > 0))
-      .select(col("doc_id"), col("sig"), explode_outer(bandKeys(col("sig"))).as("bk"))
+    // jaccard verify returns 0.0 for empty sets). The guard lives INSIDE
+    // the generator expression (null array → one null band key → dropped
+    // by the equi-join), NOT as a Filter node: predicate pushdown
+    // substitutes a filter's column references through every projection
+    // unconditionally, which would re-inline the whole shingling pipeline
+    // below the scan fan-out (measured 13× on this query).
+    val bands = signaturesOver(charShingled(docs, n))
+      .select(col("doc_id"), col("sig"),
+        explode_outer(when(size(col("shingles")) > 0, bandKeys(col("sig"))))
+          .as("bk"))
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
