@@ -27,14 +27,30 @@ object Tables {
     // native type for — read it as long nanos and truncate to µs
     // TimestampType. Integer `div` (not `/`, which is double and loses
     // precision above 2^53 — epoch-nanos are ~1.7e18) keeps this exact.
+    //
+    // nanosAsLong is a SESSION-WIDE flag, so it is restored to its prior
+    // value once the relation is resolved: leaving it set would silently
+    // change how any later TIMESTAMP(NANOS) parquet column is read
+    // elsewhere in the session. Scan execution is unaffected by the
+    // restore — the scan captures its Hadoop conf (including this flag)
+    // when the relation is created, not when the query later runs.
     val raw =
       if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prior = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try {
+          spark.read.parquet(s"$dir/$name.parquet")
+            .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        } finally {
+          prior match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
-    fanOut(spark, name, raw)
+    fanOut(spark, dir, name, raw)
   }
 
   /** The testdata parquet files are one row group each, so a scan yields a
@@ -43,10 +59,20 @@ object Tables {
     * scan has fewer partitions than the configured parallelism — at
     * production scale a fact table has thousands of splits and this is a
     * no-op, so no shuffle is ever added where the scan already parallelizes.
+    *
+    * The partition probe (`df.rdd.getNumPartitions` — it builds a physical
+    * plan) runs once per (dir, table): the verdict is memoized, so repeated
+    * loads of the same table don't re-pay the RDD conversion.
     */
-  private def fanOut(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+  private val fanOutNeeded =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
+
+  private def fanOut(spark: SparkSession, dir: String, name: String,
+                     df: DataFrame): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    if (factTables(name) && df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val needed = factTables(name) && fanOutNeeded.computeIfAbsent(
+      (dir, name), _ => df.rdd.getNumPartitions < p)
+    if (needed) df.repartition(p) else df
   }
 
   /** Register every table as a temp view so spark.sql(...) works. */

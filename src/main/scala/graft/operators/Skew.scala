@@ -22,13 +22,17 @@ object Skew {
   /** Inner equi-join with the fact side salted and the (smaller) build side
     * replicated `buckets`× — the hot fact key spreads over `buckets`
     * shuffle partitions instead of one. Row-identical to
-    * `fact.join(build, fact(key) === build(key))`.
+    * `fact.join(build, fact(key) === build(key))`, including rows whose
+    * `factId` is NULL: the salt coalesces to bucket 0 (md5 of NULL is NULL,
+    * and a NULL salt would never equi-match the replicated build side,
+    * silently dropping the row).
     *
     * @param factId unique fact column that seeds the deterministic salt
     */
   def saltedJoin(fact: DataFrame, build: DataFrame, factKey: String,
                  buildKey: String, factId: String, buckets: Int = 8): DataFrame = {
-    val salted = fact.withColumn("__salt", salt(col(factId), buckets))
+    val salted = fact.withColumn("__salt",
+      coalesce(salt(col(factId), buckets), lit(0)))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1)).cast("array<int>")))
     salted

@@ -20,6 +20,17 @@ class SkewAndBucketSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted join keeps fact rows whose salt-seed id is NULL") {
+    val fact = Seq((Some(1L), 10L), (None, 20L), (None, 30L))
+      .toDF("fid", "k")
+    val build = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("bk", "v")
+    val joined = Skew.saltedJoin(fact, build, "k", "bk", "fid", 4)
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    // a NULL fid must not drop the row — md5(NULL) is NULL and an
+    // un-coalesced NULL salt never equi-matches the replicated side
+    assert(joined == Set((10L, "a"), (20L, "b"), (30L, "c")))
+  }
+
   test("salt spreads a hot key over multiple buckets deterministically") {
     val hot = Seq.tabulate(1000)(i => (1L, i.toLong)).toDF("k", "id")
     val spread = hot.select(Skew.salt($"id", 8).as("s"))

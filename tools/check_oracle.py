@@ -4,17 +4,13 @@ NOT part of the shipped library). Usage:
     python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Compares each <outDir>/<name>/ parquet dump against DuckDB running
 oracle_sql.json on the same tables: column names (sorted), row counts,
-and values (rows sorted; exact for non-floats, reports max abs diff for
-floats)."""
-import duckdb, sys, os, json, math
+and values (rows sorted, stringified, EXACT equality — floats included;
+the engine rounds floats before emitting them, so bit-exactness is the
+contract, same as the driver's hash compare)."""
+import duckdb, sys, os, json
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
-
-def norm_cell(v):
-    if isinstance(v, float):
-        return v
-    return v
 
 def main(sfdir, outdir):
     con = duckdb.connect()
