@@ -213,12 +213,13 @@ object Dedup {
     * shingle, output is exactly the all-pairs result without the quadratic
     * cross join.
     *
-    * Jaccard is computed COUNT-based: the posting self-join is group-counted
-    * per pair (|A∩B|), and |A∪B| = |A|+|B|−|A∩B| from the per-doc set sizes
-    * carried through the join. Nothing wider than (doc ids, two ints)
-    * shuffles — no shingle arrays move, no distinct pass, no per-pair
+    * Jaccard is computed COUNT-based: each surviving candidate pair is
+    * expanded by one side's posting list and group-counted against the
+    * other side's postings (|A∩B|), with |A∪B| = |A|+|B|−|A∩B| from the
+    * per-doc set sizes. Nothing wider than (doc id, doc id, one gram)
+    * shuffles in the verify — no shingle arrays move, no per-pair
     * array_intersect. Shingle sets are distinct by construction, so the
-    * pair count is exactly the intersection size.
+    * match count is exactly the intersection size.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame =
     jaccardPairsOver(shingled(docs, n), threshold)
@@ -240,6 +241,16 @@ object Dedup {
     * join rows on char grams at sf0.1) never generate candidates. A
     * least/greatest length filter prunes size-incompatible pairs before
     * verification. Output is provably identical to the all-pairs result.
+    *
+    * VERIFY is count-based, not array-based: a surviving candidate (a, b)
+    * is expanded by a's posting list and inner-joined against b's postings
+    * on (b, gram) — the group-count of matches is exactly |A∩B| (shingle
+    * sets are distinct by construction), and |A∪B| = |A|+|B|−|A∩B| from
+    * the per-doc sizes attached at the length filter. The widest verify
+    * shuffle row is (doc id, doc id, one gram); no gram ARRAYS move, and
+    * there is no per-pair array_intersect. At 100 TB the verify payload is
+    * candidates × avg-set-size narrow triples, not candidates × full
+    * documents.
     *
     * explode_outer, not explode, everywhere: InferFiltersFromGenerate
     * would bolt a `size(arr) > 0` filter onto plain explode and predicate
@@ -263,14 +274,20 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val ga = ordered.select(col("doc_id").as("a"), col("grams").as("grams_a"),
-      col("sz").as("sza"))
-    val gb = ordered.select(col("doc_id").as("b"), col("grams").as("grams_b"),
-      col("sz").as("szb"))
-    cand.join(ga, "a").join(gb, "b")
+    val sa = ordered.select(col("doc_id").as("a"), col("sz").as("sza"))
+    val sb = ordered.select(col("doc_id").as("b"), col("sz").as("szb"))
+    val candSized = cand.join(sa, "a").join(sb, "b")
       .filter(least(col("sza"), col("szb")).cast("double")
         >= lit(threshold) * greatest(col("sza"), col("szb")).cast("double"))
-      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+    // count-based |A∩B|: expand by a's postings, match b's on (b, gram).
+    // Candidates share >= 1 prefix gram, so no pair vanishes from the
+    // inner join's group-count.
+    val pa = grams.select(col("doc_id").as("a"), col("g"))
+    val pb = grams.select(col("doc_id").as("b"), col("g"))
+    candSized.join(pa, "a")
+      .join(pb, Seq("b", "g"))
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jac", col("inter").cast("double")
         / (col("sza") + col("szb") - col("inter")).cast("double"))
       // threshold on the UNROUNDED value: the size/prefix filters prune by

@@ -62,6 +62,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("jaccard verify is count-based: no per-pair array intersection ships arrays") {
+    val p = plan(Dedup.jaccardPairs(Tables.load(spark, sf, "documents")))
+    // the verify stage group-counts narrow (a, b, gram) triples — a plan
+    // that re-grows array_intersect would ship full gram arrays through
+    // the verify joins (the 100 TB shuffle-width regression this guards)
+    assert(!p.contains("array_intersect"))
+  }
+
   test("as-of join costs exactly one hash exchange (the window sort)") {
     val q = graft.operators.Temporal.purchaseAttribution(
       Tables.load(spark, sf, "events"))
