@@ -270,9 +270,15 @@ object OracleSqlGen {
   /** SRP bucket over `planes` DetHash hyperplanes, matching
     * Similarity.srpBucket bit for bit.
     */
-  def srpBucket(v: String, planes: Int, dims: Int): String = {
+  def srpBucket(v: String, planes: Int, dims: Int): String =
+    srpBucketFrom(v, 0, planes, dims)
+
+  /** SRP bucket over the plane range [planeOffset, planeOffset + planes) —
+    * the per-band bucket, matching Similarity.srpBucketFrom.
+    */
+  def srpBucketFrom(v: String, planeOffset: Int, planes: Int, dims: Int): String = {
     val bits = (0 until planes).map { p =>
-      val w = DetHash.hyperplane(p, dims)
+      val w = DetHash.hyperplane(planeOffset + p, dims)
         .map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
       val d = lsum(s"list_transform(generate_series(1, $dims), i -> $v[i]::DOUBLE * ([$w])[i])")
       s"CASE WHEN $d > 0 THEN ${1L << p} ELSE 0 END"
@@ -431,12 +437,22 @@ object OracleSqlGen {
           sqrt($norm) AS emb_norm FROM e"""
   }
 
-  def embeddingNearDupSql(planes: Int, dims: Int, threshold: Double): String =
-    s"""WITH wb AS (SELECT vec_id, embedding,
-          ${srpBucket("embedding", planes, dims)} AS bucket FROM embeddings)
-        SELECT * FROM (
-          SELECT x.vec_id AS a, y.vec_id AS b,
-            round(${cosine("x.embedding", "y.embedding", 64)}, 4) AS cos_sim
-          FROM wb x JOIN wb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-        WHERE cos_sim >= $threshold"""
+  /** Mirrors Dedup.embeddingNearDupPairs: banded SRP candidates (union of
+    * per-band bucket collisions) + exact-cosine verify.
+    */
+  def embeddingNearDupSql(bands: Int, planesPerBand: Int, dims: Int,
+                          threshold: Double): String = {
+    val keys = (0 until bands).map { b =>
+      s"(${b.toLong * (1L << planesPerBand)} + ${
+        srpBucketFrom("embedding", b * planesPerBand, planesPerBand, dims)})"
+    }.mkString(",\n          ")
+    s"""WITH e AS (SELECT vec_id, unnest([$keys]) AS bk FROM embeddings),
+        cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM e x JOIN e y ON x.bk = y.bk AND x.vec_id < y.vec_id),
+        v AS (SELECT cand.a, cand.b,
+          round(${cosine("ea.embedding", "eb.embedding", dims)}, 4) AS cos_sim
+          FROM cand JOIN embeddings ea ON cand.a = ea.vec_id
+                    JOIN embeddings eb ON cand.b = eb.vec_id)
+        SELECT a, b, cos_sim FROM v WHERE cos_sim >= $threshold"""
+  }
 }

@@ -88,10 +88,12 @@ object SparkEntry {
     "dedup_lsh_pairs" -> q((s, d) => Dedup.minhashLshPairs(Tables.load(s, d, "documents"), 3, 0.8)),
     "dedup_jaccard_pairs" -> q((s, d) => Dedup.jaccardPairs(Tables.load(s, d, "documents"), 3, 0.8)),
     "dedup_simhash" -> q((s, d) => Dedup.simhashSignatures(Tables.load(s, d, "documents"))),
-    // planes=4 / threshold=0.35 sized to the testdata's cosine distribution
-    // (max pairwise cos ≈ 0.51): 16 SRP buckets keep the bucket-join sparse
-    // while still emitting a non-trivial pair set.
-    "dedup_embedding_pairs" -> q((s, d) => Dedup.embeddingNearDupPairs(Tables.load(s, d, "embeddings"), 4, 64, 0.35)),
+    // 16 bands x 16 planes/band: each band's buckets stay tiny (population
+    // ∝ n/65536 — near-linear self-join at any scale) and the union over
+    // bands recovers recall. threshold=0.35 sized to the testdata's cosine
+    // distribution (max pairwise cos ≈ 0.51 at sf0.01): the banding emits a
+    // small but non-empty verified pair set at both sf0.01 and sf0.1.
+    "dedup_embedding_pairs" -> q((s, d) => Dedup.embeddingNearDupPairs(Tables.load(s, d, "embeddings"), 16, 16, 64, 0.35)),
     // --- multimodal (binary payloads + typed metadata over documents) ---
     "mm_asset_stats" -> q((s, d) =>
       Multimodal.assetStats(Multimodal.assetsFromDocuments(Tables.load(s, d, "documents")))),
@@ -273,7 +275,7 @@ object SparkEntry {
     "dedup_lsh_pairs" -> OracleSqlGen.lshPairsSql(3, 0.8),
     "dedup_jaccard_pairs" -> OracleSqlGen.jaccardPairsSql(3, 0.8),
     "dedup_simhash" -> OracleSqlGen.simhashSql,
-    "dedup_embedding_pairs" -> OracleSqlGen.embeddingNearDupSql(4, 64, 0.35),
+    "dedup_embedding_pairs" -> OracleSqlGen.embeddingNearDupSql(16, 16, 64, 0.35),
     "mm_asset_stats" -> OracleSqlGen.assetStatsSql,
     "mm_frame_sample" -> OracleSqlGen.frameSampleSql(10000L),
     "mm_resize" -> OracleSqlGen.resizeSql(640, 360),

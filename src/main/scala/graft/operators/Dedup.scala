@@ -331,18 +331,39 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Near-dup embedding pairs by exact cosine >= threshold; candidates
-    * pruned by sign-random-projection bucket equality (see [[Similarity]]):
-    * only vectors in the same LSH bucket are compared. At 100 TB the bucket
-    * join replaces the quadratic cross join.
+    * from BANDED sign-random-projection, minhash-band style: `bands`
+    * INDEPENDENT sets of `planesPerBand` hyperplanes, one bucket per band
+    * per vector, and any shared band bucket makes a candidate (union
+    * across bands, deduped, then exact-cosine verified).
+    *
+    * Scale shape: a single coarse bucketing (the naive formulation) is
+    * quadratic WITHIN each bucket — with p planes the expected bucket
+    * population is n/2^p, and p cannot grow without collapsing recall
+    * (every plane halves the collision probability of every pair). Banding
+    * decouples the two: planesPerBand=16 keeps each band's buckets tiny
+    * (population ∝ n/65536, so the per-band self-join stays near-linear at
+    * any corpus size), while recall is recovered by the union over bands —
+    * 1-(1-p_sim^16)^bands, tunable by adding bands, each of which is
+    * embarrassingly parallel. The verify stage re-joins embeddings by id:
+    * only (a, b) id pairs and (id, vector) rows shuffle, never vector
+    * pairs per band.
     */
-  def embeddingNearDupPairs(emb: DataFrame, planes: Int = 8, dims: Int = 64,
-                            threshold: Double = 0.9): DataFrame = {
-    val withBucket = emb.select(col("vec_id"), col("embedding"),
-      Similarity.srpBucket(col("embedding"), planes, dims).as("bucket"))
-    val a = withBucket.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
-    val b = withBucket.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket"))
-    a.join(b, "bucket")
-      .filter(col("a") < col("b"))
+  def embeddingNearDupPairs(emb: DataFrame, bands: Int = 16,
+                            planesPerBand: Int = 16, dims: Int = 64,
+                            threshold: Double = 0.35): DataFrame = {
+    require(planesPerBand < 48, "band bucket must fit the long band-key encoding")
+    val bandKeys = array((0 until bands).map { b =>
+      lit(b.toLong * (1L << planesPerBand)) + Similarity.srpBucketFrom(
+        col("embedding"), b * planesPerBand, planesPerBand, dims)
+    }: _*)
+    val banded = emb.select(col("vec_id"), explode_outer(bandKeys).as("bk"))
+    val cand = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val vb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    cand.join(va, "a").join(vb, "b")
       .select(col("a"), col("b"),
         round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

@@ -31,9 +31,16 @@ object Similarity {
     * Hyperplane weights are JVM-generated constants inlined as array
     * literals — identical in the Spark plan and the oracle SQL.
     */
-  def srpBucket(v: Column, planes: Int = 8, dims: Int = 64): Column = {
+  def srpBucket(v: Column, planes: Int = 8, dims: Int = 64): Column =
+    srpBucketFrom(v, 0, planes, dims)
+
+  /** SRP bucket over the plane range [planeOffset, planeOffset + planes):
+    * the per-band bucket of banded SRP ([[Dedup.embeddingNearDupPairs]]),
+    * where band b draws its own independent set of hyperplanes.
+    */
+  def srpBucketFrom(v: Column, planeOffset: Int, planes: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val w = DetHash.hyperplane(p, dims).toIndexedSeq.map(lit)
+      val w = DetHash.hyperplane(planeOffset + p, dims).toIndexedSeq.map(lit)
       val dot = dotProduct(v, array(w: _*))
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -84,9 +84,11 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann == brute.filter(ann.contains))
   }
 
-  test("embedding near-dup pairs: pruned join finds the parallel pair") {
-    val pairs = Dedup.embeddingNearDupPairs(vecs, planes = 2, dims = 4,
-      threshold = 0.95).select("a", "b").as[(Long, Long)].collect().toSet
+  test("embedding near-dup pairs: banded SRP finds the parallel pair") {
+    // parallel vectors agree with EVERY hyperplane's sign, so they share
+    // all band buckets regardless of the plane draw — guaranteed recall
+    val pairs = Dedup.embeddingNearDupPairs(vecs, bands = 2, planesPerBand = 4,
+      dims = 4, threshold = 0.95).select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
   }
 

@@ -70,6 +70,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("array_intersect"))
   }
 
+  test("banded SRP near-dup never degrades to a cross join") {
+    val p = plan(Dedup.embeddingNearDupPairs(
+      Tables.load(spark, sf, "embeddings"), 16, 16, 64, 0.35))
+    // candidates must come from the band-key equi-join; a cross join here
+    // is the quadratic all-pairs regression banding exists to prevent
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("as-of join costs exactly one hash exchange (the window sort)") {
     val q = graft.operators.Temporal.purchaseAttribution(
       Tables.load(spark, sf, "events"))
