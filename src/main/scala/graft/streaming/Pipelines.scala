@@ -213,8 +213,8 @@ object Pipelines {
       .start()
 
   /** S2: Kafka source with an explicit schema applied to JSON values —
-    * the offline stand-in for registry-resolved Avro (SURVEY.md §1.3).
-    * Built but not bound to a broker in the sandbox.
+    * for topics carrying JSON. Built but not bound to a broker in the
+    * sandbox.
     */
   def kafkaJsonSource(spark: SparkSession, topic: String,
                       bootstrapServers: String,
@@ -225,5 +225,29 @@ object Pipelines {
       .option("subscribe", topic)
       .load()
       .select(from_json(col("value").cast("string"), schema).as("r"))
+      .select(col("r.*"))
+
+  /** S2, the reference's actual wire format: Avro binary values
+    * (`README.md:186` `value_format='AVRO'`) in Confluent Schema-Registry
+    * framing (AvroConverter + schema-registry URL,
+    * `docker-compose.yml:78-79`). Decoding is the native
+    * [[graft.functions.AvroDecode]] expression — no registry round-trip
+    * (the wire schema is pinned, like ksqlDB's CREATE STREAM ... WITH
+    * (value_format='AVRO') against a known subject); malformed records
+    * decode to a NULL row instead of failing the stream. Built but not
+    * bound to a broker in the sandbox; the codec round-trips in
+    * AvroCodecSpec.
+    */
+  def kafkaAvroSource(spark: SparkSession, topic: String,
+                      bootstrapServers: String,
+                      wireSchema: org.apache.spark.sql.types.StructType,
+                      confluentFraming: Boolean = true): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load()
+      .select(graft.functions.AvroCodec.avroDecode(
+        col("value"), wireSchema, confluentFraming).as("r"))
       .select(col("r.*"))
 }

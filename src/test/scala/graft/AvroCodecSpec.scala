@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{AvroBinary, AvroCodec}
+import graft.sources.FakeData
+
+class AvroCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- wire bytes
+
+  private def enc(f: java.io.ByteArrayOutputStream => Unit): Seq[Int] = {
+    val out = new java.io.ByteArrayOutputStream()
+    f(out)
+    out.toByteArray.toSeq.map(_ & 0xff)
+  }
+
+  test("zigzag varint encoding matches the Avro spec examples") {
+    // spec table: 0→00, -1→01, 1→02, -2→03, 2→04, -64→7f, 64→80 01
+    assert(enc(AvroBinary.writeLong(_, 0L)) == Seq(0x00))
+    assert(enc(AvroBinary.writeLong(_, -1L)) == Seq(0x01))
+    assert(enc(AvroBinary.writeLong(_, 1L)) == Seq(0x02))
+    assert(enc(AvroBinary.writeLong(_, -2L)) == Seq(0x03))
+    assert(enc(AvroBinary.writeLong(_, -64L)) == Seq(0x7f))
+    assert(enc(AvroBinary.writeLong(_, 64L)) == Seq(0x80, 0x01))
+    assert(enc(AvroBinary.writeInt(_, -1)) == Seq(0x01))
+    assert(enc(AvroBinary.writeInt(_, Int.MinValue)) ==
+      Seq(0xff, 0xff, 0xff, 0xff, 0x0f))
+    // pre-1970 date logical type: 1940-01-01 = -10957 epoch days
+    // zigzag(-10957) = 21913 = 0x5599 → varint 99 ab 01
+    assert(enc(AvroBinary.writeInt(_, -10957)) == Seq(0x99, 0xab, 0x01))
+  }
+
+  test("string encoding is length-prefixed utf8 (spec example)") {
+    val schema = StructType(Seq(StructField("s", StringType, nullable = false)))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("foo")))
+    assert(AvroBinary.encode(row, schema, null).toSeq.map(_ & 0xff) ==
+      Seq(0x06, 'f'.toInt, 'o'.toInt, 'o'.toInt))
+  }
+
+  // -------------------------------------------------------- spark round trip
+
+  private val wire = AvroCodec.customerWireSchema
+
+  private def epochRecords =
+    FakeData.toEpochRecords(FakeData.customers(spark, 200L))
+
+  test("customer records round-trip through Avro binary, including pre-1970 dates") {
+    val cols = wire.fieldNames.map(col).toIndexedSeq
+    val decoded = epochRecords
+      .select(AvroCodec.avroEncode(struct(cols: _*), wire).as("bytes"))
+      .select(AvroCodec.avroDecode(col("bytes"), wire).as("r"))
+      .select(col("r.*"))
+    val orig = epochRecords.collect().map(_.toSeq).toSet
+    val back = decoded.collect().map(_.toSeq).toSet
+    assert(back == orig)
+    // the generator straddles the epoch: negative epoch-day ints must
+    // survive the zigzag round trip (reference README.md:221-224)
+    val negs = decoded.filter(col("nascimento") < 0).count()
+    assert(negs > 0)
+    // and decode back to real pre-1970 dates through the typed view
+    val dates = FakeData.fromEpochRecords(decoded)
+      .filter(col("nascimento") < lit(java.sql.Date.valueOf("1970-01-01")))
+    assert(dates.count() == negs)
+  }
+
+  test("confluent wire framing: magic 0x00 + big-endian schema id") {
+    val cols = wire.fieldNames.map(col).toIndexedSeq
+    val framed = epochRecords.limit(5)
+      .select(AvroCodec.avroEncode(struct(cols: _*), wire, Some(42)).as("bytes"))
+    val head = framed.select(col("bytes")).as[Array[Byte]].head()
+    assert(head(0) == 0x00 && head(1) == 0x00 && head(2) == 0x00 &&
+      head(3) == 0x00 && head(4) == 42)
+    // framed bytes decode with framing on, and to NULL with framing off
+    // only if the body happens to misparse — assert the round trip instead
+    val back = framed
+      .select(AvroCodec.avroDecode(col("bytes"), wire, confluentFraming = true).as("r"))
+      .select(col("r.*"))
+    assert(back.collect().map(_.toSeq).toSet ==
+      epochRecords.limit(5).collect().map(_.toSeq).toSet)
+  }
+
+  test("nullable fields are [null, T] unions; nulls survive the round trip") {
+    val schema = StructType(Seq(
+      StructField("a", StringType, nullable = true),
+      StructField("b", LongType, nullable = true)))
+    val df = Seq((Some("x"), Some(7L)), (None, Some(8L)), (Some("y"), None))
+      .toDF("a", "b")
+    val back = df
+      .select(AvroCodec.avroEncode(struct($"a", $"b"), schema).as("bytes"))
+      .select(AvroCodec.avroDecode($"bytes", schema).as("r"))
+      .select($"r.a", $"r.b").as[(Option[String], Option[Long])]
+      .collect().toSet
+    assert(back == Set((Some("x"), Some(7L)), (None, Some(8L)), (Some("y"), None)))
+    // wire check: null string = branch-0 marker only (1 byte)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](null, 7L))
+    val bytes = AvroBinary.encode(row, schema, null).toSeq.map(_ & 0xff)
+    assert(bytes == Seq(0x00, 0x02, 0x0e)) // branch 0; branch 1, zigzag(7)
+  }
+
+  test("malformed and truncated records decode to NULL, not an exception") {
+    val good = epochRecords.limit(3)
+      .select(AvroCodec.avroEncode(struct(wire.fieldNames.map(col).toIndexedSeq: _*), wire).as("bytes"))
+    val truncated = good.select(expr("substring(bytes, 1, 4)").cast("binary").as("bytes"))
+    val decoded = truncated.select(AvroCodec.avroDecode($"bytes", wire).as("r"))
+    assert(decoded.filter($"r".isNull).count() == 3)
+    // confluent framing rejects a missing magic byte
+    val noMagic = good.select(AvroCodec.avroDecode($"bytes", wire,
+      confluentFraming = true).as("r"))
+    assert(noMagic.filter($"r".isNull).count() == 3)
+  }
+
+  test("all-primitive-type record round-trips (float/double/bool/bytes)") {
+    val schema = StructType(Seq(
+      StructField("f", FloatType, nullable = false),
+      StructField("d", DoubleType, nullable = false),
+      StructField("bo", BooleanType, nullable = false),
+      StructField("bin", BinaryType, nullable = false)))
+    val df = Seq((1.5f, -2.25d, true, Array[Byte](1, 2, 3)),
+      (Float.MinPositiveValue, Double.MaxValue, false, Array.empty[Byte]))
+      .toDF("f", "d", "bo", "bin")
+    val back = df
+      .select(AvroCodec.avroEncode(struct($"f", $"d", $"bo", $"bin"), schema).as("bytes"))
+      .select(AvroCodec.avroDecode($"bytes", schema).as("r"))
+      .select($"r.f", $"r.d", $"r.bo", $"r.bin")
+      .as[(Float, Double, Boolean, Array[Byte])].collect()
+    assert(back.map(t => (t._1, t._2, t._3, t._4.toSeq)).toSet ==
+      Set((1.5f, -2.25d, true, Seq[Byte](1, 2, 3)),
+        (Float.MinPositiveValue, Double.MaxValue, false, Seq.empty[Byte])))
+  }
+
+  test("decode stays inside whole-stage codegen") {
+    val cols = wire.fieldNames.map(col).toIndexedSeq
+    val q = epochRecords
+      .select(AvroCodec.avroEncode(struct(cols: _*), wire).as("bytes"))
+      .select(AvroCodec.avroDecode(col("bytes"), wire).as("r"))
+      .select(col("r.nascimento"))
+    q.collect()
+    val cg = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"))
+  }
+}
