@@ -86,6 +86,72 @@ object Pipelines {
       }
       .start()
 
+  // ----------------------------- Connect S3 object-layout sinks (K3/K4)
+
+  /** K3 with the reference's EXACT S3 object layout
+    * (`connect_s3_sink_jovens.config:10-14`: `topics.dir=raw-data/kafka`,
+    * ParquetFormat, flush.size 10): objects land under
+    * `<s3Dir>/<topicsDir>/<topic>/partition=<p>/` named
+    * `<topic>+<partition>+<startOffset>.parquet` — the Confluent S3 sink's
+    * DefaultPartitioner path and object naming. `jovens` is unkeyed on a
+    * single-partition topic, so everything is partition 0. The start
+    * offset is modeled as `batchId·10⁶ + first-record-index` (there is no
+    * Kafka offset off-broker); deterministic per batch, so a replayed
+    * micro-batch overwrites its own objects — idempotent like the real
+    * sink's offset-derived names. Files are written by the Spark parquet
+    * writer (flush.size via maxRecordsPerFile) and moved to their object
+    * names — a metadata op on HDFS/local, a copy on S3 (the real sink
+    * writes objects directly; the rename is the off-broker analog).
+    */
+  def startConnectParquetSink(df: DataFrame, s3Dir: String, topic: String,
+                              checkpoint: String, flushSize: Int = 10,
+                              topicsDir: String = "raw-data/kafka",
+                              trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ConnectLayout.writeParquetObjects(
+          batch, s"$s3Dir/$topicsDir/$topic", topic, flushSize, batchId)
+      }
+      .start()
+
+  /** K4 with the reference's layout AND sidecar key objects
+    * (`connect_s3_sink_count.config`: JsonFormat, `store.kafka.keys=true`,
+    * `keys.format.class=JsonFormat`, flush.size 10): each data object
+    * `<topic>+<p>+<offset>.json` has a sibling
+    * `<topic>+<p>+<offset>.keys.json` holding the record keys,
+    * record-aligned line by line — exactly how the S3 sink stores Kafka
+    * keys as separate objects. Partition = md5-hash of the key mod
+    * `numPartitions` (the off-broker analog of Kafka's key partitioner;
+    * deterministic, so results are reproducible). Objects are written
+    * executor-side per partition group — no driver collect at any scale.
+    */
+  def startConnectJsonSink(agg: DataFrame, s3Dir: String, topic: String,
+                           keyCols: Seq[String], checkpoint: String,
+                           numPartitions: Int = 1, flushSize: Int = 10,
+                           topicsDir: String = "raw-data/kafka",
+                           trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch.select(
+          to_json(struct(keyCols.map(col): _*)).as("__key"),
+          to_json(struct(batch.columns.toIndexedSeq.map(col): _*)).as("__value"))
+          .withColumn("__partition", pmod(
+            graft.functions.DetHash.base60(col("__key")),
+            lit(numPartitions)).cast("int"))
+        val base = s"$s3Dir/$topicsDir/$topic"
+        keyed.repartition(numPartitions, col("__partition"))
+          .foreachPartition { (it: Iterator[Row]) =>
+            ConnectLayout.writeJsonObjects(it, base, topic, flushSize, batchId)
+          }
+      }
+      .start()
+
   /** S4/P3: console push-query (`select * ... emit changes` /
     * `print <topic>`, reference README.md:180,204).
     */
@@ -167,25 +233,45 @@ object Pipelines {
 
   // ------------------------------------------------- kafka (K1/K2 shape)
 
-  /** K1/K2: CSAS/CTAS-shaped Kafka sink writer — value is the JSON-encoded
-    * row, key the concatenated key columns (the reference's changelog key:
-    * group key + window start, `connect_s3_sink_count.config:18`). Built
-    * but not started: no broker exists in the build sandbox (SURVEY.md
-    * §7.5.1); callers `.start()` against a real cluster.
+  /** The CSAS/CTAS topic record projection — EXACTLY the (key, value)
+    * binary columns the Kafka writer ships: value = JSON-encoded row, key
+    * = '|'-joined key columns (the reference's changelog key: group key +
+    * window start, `connect_s3_sink_count.config:18`). Factored out of
+    * [[kafkaSinkWriter]] so the wire encoding is assertable broker-free.
+    */
+  def kafkaRecords(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(
+      concat_ws("|", keyCols.map(col): _*).cast("binary").as("key"),
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).cast("binary").as("value"))
+
+  /** K1's actual wire format: Avro-binary values
+    * (reference `README.md:233-239` CSAS over an AVRO stream) with
+    * optional Confluent framing — [[kafkaRecords]] with the value encoded
+    * by the native [[graft.functions.AvroEncode]] expression instead of
+    * JSON. `wireSchema` field order must match `df`'s column order.
+    */
+  def kafkaAvroRecords(df: DataFrame, keyCols: Seq[String],
+                       wireSchema: org.apache.spark.sql.types.StructType,
+                       schemaId: Option[Int] = None): DataFrame =
+    df.select(
+      concat_ws("|", keyCols.map(col): _*).cast("binary").as("key"),
+      graft.functions.AvroCodec.avroEncode(
+        struct(df.columns.toIndexedSeq.map(col): _*), wireSchema, schemaId).as("value"))
+
+  /** K1/K2: CSAS/CTAS-shaped Kafka sink writer over [[kafkaRecords]].
+    * Built but not started: no broker exists in the build sandbox
+    * (SURVEY.md §7.5.1); callers `.start()` against a real cluster. The
+    * record encoding itself is unit-tested via [[kafkaRecords]].
     */
   def kafkaSinkWriter(df: DataFrame, topic: String, bootstrapServers: String,
                       keyCols: Seq[String], checkpoint: String,
-                      mode: OutputMode = OutputMode.Append): DataStreamWriter[Row] = {
-    val keyed = df.select(
-      concat_ws("|", keyCols.map(col): _*).cast("binary").as("key"),
-      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).cast("binary").as("value"))
-    keyed.writeStream
+                      mode: OutputMode = OutputMode.Append): DataStreamWriter[Row] =
+    kafkaRecords(df, keyCols).writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
       .outputMode(mode)
-  }
 
   /** K5 streaming face: append each micro-batch to a JDBC table (the
     * generator's `to_sql(if_exists='append')` as a continuous sink).
