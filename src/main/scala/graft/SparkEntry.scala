@@ -37,6 +37,10 @@ object SparkEntry {
     "q1_pricing_summary" -> q((s, d) => Relational.pricingSummary(Tables.load(s, d, "lineitem"))),
     "join_orders_by_region" -> q((s, d) => Relational.ordersByRegion(s, d)),
     "join_revenue_by_status" -> q((s, d) => Relational.revenueByStatus(s, d)),
+    // write-time-bucketed variant: same rows, the join consumes the
+    // tables' bucket distribution instead of shuffling (the oracle is the
+    // same SQL — bucketing must be invisible in the result)
+    "join_revenue_by_status_bucketed" -> q((s, d) => Relational.revenueByStatusBucketed(s, d)),
     "q3_shipping" -> q((s, d) => Relational.q3Shipping(s, d)),
     "q6_forecast" -> q((s, d) => Relational.q6Forecast(Tables.load(s, d, "lineitem"))),
     "q5_local_supplier" -> q((s, d) => Relational.q5LocalSupplier(s, d)),
@@ -159,6 +163,12 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
     "join_revenue_by_status" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         count(*) AS line_cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
+    "join_revenue_by_status_bucketed" ->
       """SELECT o_orderstatus,
          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
          count(*) AS line_cnt

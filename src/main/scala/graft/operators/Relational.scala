@@ -100,9 +100,11 @@ object Relational {
   }
 
   /** Fact-fact shuffle join: lineitem ⋈ orders, revenue per order status. */
-  def revenueByStatus(spark: SparkSession, dir: String): DataFrame = {
-    val lineitem = Tables.load(spark, dir, "lineitem")
-    val orders = Tables.load(spark, dir, "orders")
+  def revenueByStatus(spark: SparkSession, dir: String): DataFrame =
+    revenueByStatusOver(
+      Tables.load(spark, dir, "lineitem"), Tables.load(spark, dir, "orders"))
+
+  private def revenueByStatusOver(lineitem: DataFrame, orders: DataFrame): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
@@ -110,6 +112,42 @@ object Relational {
         sum(revenueTerm("l_extendedprice", "l_discount"))
           .cast("double").as("revenue"),
         count(lit(1)).as("line_cnt"))
+
+  /** Write-time bucketing: (lineitem, orders) persisted as bucketed +
+    * sorted tables on the join key. At warehouse scale this is THE answer
+    * to the fact-fact exchange — every subsequent orderkey join reads
+    * co-located buckets and shuffles nothing; the write-side shuffle is
+    * paid once, amortized over every downstream query. Idempotent per
+    * (session, dir): tables are written only if absent from the catalog.
+    */
+  def bucketedFactTables(spark: SparkSession, dir: String,
+                         buckets: Int = 8): (DataFrame, DataFrame) =
+    Relational.synchronized {
+      // deterministic per-dir tag keeps sf0.001/sf0.01/sf0.1 tables apart
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+      def ensure(table: String, key: String): DataFrame = {
+        val name = s"graft_${table}_b$tag"
+        if (!spark.catalog.tableExists(name)) {
+          Tables.load(spark, dir, table).write
+            .bucketBy(buckets, key).sortBy(key)
+            .option("path", s"$base/$name")
+            .mode("overwrite").saveAsTable(name)
+        }
+        spark.table(name)
+      }
+      (ensure("lineitem", "l_orderkey"), ensure("orders", "o_orderkey"))
+    }
+
+  /** [[revenueByStatus]] over the bucketed tables: identical rows, but the
+    * join consumes the tables' bucket distribution — the plan's ONLY hash
+    * exchange is the 3-group final aggregation (PlanShapeSpec asserts it).
+    */
+  def revenueByStatusBucketed(spark: SparkSession, dir: String,
+                              buckets: Int = 8): DataFrame = {
+    val (lineitem, orders) = bucketedFactTables(spark, dir, buckets)
+    revenueByStatusOver(lineitem, orders)
   }
 
   /** TPC-H Q3 shape: segment customers ⋈ orders ⋈ lineitem, unshipped

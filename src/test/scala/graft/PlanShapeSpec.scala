@@ -95,6 +95,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucketed revenue join: the only hash exchange is the final aggregation") {
+    // disable auto-broadcast so the join must rely on the tables' bucket
+    // distribution (at sf0.001 orders fits the broadcast threshold, which
+    // would hide whether bucketing eliminated the shuffle — at warehouse
+    // scale neither fact side broadcasts)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val q = Relational.revenueByStatusBucketed(spark, sf)
+      q.collect() // finalize AQE
+      val p = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head // executed stages only
+      assert(p.contains("SortMergeJoin"))
+      // no exchange on either join key: that shuffle is exactly what
+      // write-time bucketing eliminates; only the 3-group agg repartitions
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"))
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"))
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"expected only the agg exchange, got $exchanges")
+    } finally spark.conf.set(key, prior)
+  }
+
   test("exact dedup is a single-exchange aggregation") {
     val q = Dedup.exactDedup(Tables.load(spark, sf, "documents"))
     val exchanges = q.queryExecution.executedPlan.toString
