@@ -34,8 +34,12 @@ object Tables {
     // elsewhere in the session. Scan execution is unaffected by the
     // restore — the scan captures its Hadoop conf (including this flag)
     // when the relation is created, not when the query later runs.
+    // The set→resolve→restore window is serialized under a lock: two
+    // concurrent events loads otherwise race (one restores while the
+    // other is mid-resolution → PARQUET_TYPE_ILLEGAL), which Verify's
+    // 4-way pool hits in practice.
     val raw =
-      if (name == "events") {
+      if (name == "events") Tables.synchronized {
         val key = "spark.sql.legacy.parquet.nanosAsLong"
         val prior = spark.conf.getOption(key)
         spark.conf.set(key, "true")

@@ -24,10 +24,19 @@ object Verify {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val fs = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
+        // a failed query must leave NO dump: when the caller reuses an
+        // outDir, a stale dump from a previous run would silently pass
+        // the oracle and mask the failure (chaos-tested — see
+        // tools/CHAOS_CHECK.md)
+        val dump = new java.io.File(s"$outDir/$name")
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+          .parquet(dump.getPath)
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dump)
         }
       }
     }
