@@ -267,23 +267,31 @@ object Dedup {
       .select(col("doc_id"),
         transform(col("gs"), _.getField("g")).as("grams"),
         size(col("gs")).as("sz"))
-    val prefix = ordered.select(col("doc_id"),
+    // set sizes RIDE the prefix explode (sz is functional on doc_id, so
+    // the candidate distinct keeps its cardinality): the length filter
+    // then needs no size re-join, keeping references to `ordered` at
+    // three (prefix + the two posting sides). That matters because
+    // collect_list is non-deterministic, which defeats ReuseExchange —
+    // every reference to `ordered` re-runs the whole shingle pipeline.
+    val prefix = ordered.select(col("doc_id"), col("sz"),
       explode_outer(slice(col("grams"), lit(1),
         (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("g"))
     val cand = prefix.as("x").join(prefix.as("y"), col("x.g") === col("y.g"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
       .distinct()
-    val sa = ordered.select(col("doc_id").as("a"), col("sz").as("sza"))
-    val sb = ordered.select(col("doc_id").as("b"), col("sz").as("szb"))
-    val candSized = cand.join(sa, "a").join(sb, "b")
+    val candSized = cand
       .filter(least(col("sza"), col("szb")).cast("double")
         >= lit(threshold) * greatest(col("sza"), col("szb")).cast("double"))
     // count-based |A∩B|: expand by a's postings, match b's on (b, gram).
     // Candidates share >= 1 prefix gram, so no pair vanishes from the
-    // inner join's group-count.
-    val pa = grams.select(col("doc_id").as("a"), col("g"))
-    val pb = grams.select(col("doc_id").as("b"), col("g"))
+    // inner join's group-count. Postings re-explode from `ordered` (the
+    // already-aggregated lists), not from the raw shingling lineage.
+    val pa = ordered.select(col("doc_id").as("a"),
+      explode_outer(col("grams")).as("g"))
+    val pb = ordered.select(col("doc_id").as("b"),
+      explode_outer(col("grams")).as("g"))
     candSized.join(pa, "a")
       .join(pb, Seq("b", "g"))
       .groupBy(col("a"), col("b"), col("sza"), col("szb"))
