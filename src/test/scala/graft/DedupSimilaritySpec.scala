@@ -84,6 +84,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann == brute.filter(ann.contains))
   }
 
+  test("fused SrpBandKeys is bit-identical to the unfused per-plane buckets") {
+    import graft.functions.{DetHash, VectorMath}
+    val (bands, r, dims) = (4, 8, 64)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val planeMatrix = Array.tabulate(bands * r)(p => DetHash.hyperplane(p, dims))
+    val fused = emb.select($"vec_id",
+      VectorMath.srpBandKeys($"embedding", planeMatrix, r).as("keys"))
+    val unfused = emb.select($"vec_id", array((0 until bands).map { b =>
+      lit(b.toLong * (1L << r)) +
+        Similarity.srpBucketFrom($"embedding", b * r, r, dims)
+    }: _*).as("keys"))
+    assert(fused.exceptAll(unfused).isEmpty && unfused.exceptAll(fused).isEmpty)
+  }
+
   test("embedding near-dup pairs: banded SRP finds the parallel pair") {
     // parallel vectors agree with EVERY hyperplane's sign, so they share
     // all band buckets regardless of the plane draw — guaranteed recall
