@@ -97,15 +97,24 @@ object Dedup {
     array((0 until NumHashes).map(minSlot(hs, _)): _*)
   }
 
-  /** (doc_id, shingles, sig) with the base-hash array materialized as a real
-    * column between the md5 pass and the NumHashes permutation scans.
+  private val minhashAs = Array.tabulate(NumHashes)(DetHash.minhashA(_))
+  private val minhashBs = Array.tabulate(NumHashes)(DetHash.minhashB(_))
+
+  /** (doc_id, shingles, sig) with the base-hash array materialized as a
+    * real column between the md5 pass and the permutation pass. All
+    * NumHashes slots come from ONE fused [[graft.functions.MinHashSlots]]
+    * scan of the hash array (bit-identical to the per-permutation
+    * [[minSlot]] form — spec-asserted) instead of NumHashes
+    * array_min(transform(...)) scans, each of which re-reads the array
+    * and allocates an intermediate copy per row.
     */
   private def signaturesOver(sh: DataFrame): DataFrame =
     sh
       .withColumn("hs", transform(col("shingles"),
         s => pmod(DetHash.base60(s), lit(DetHash.P))))
       .select(col("doc_id"), col("shingles"),
-        array((0 until NumHashes).map(minSlot(col("hs"), _)): _*).as("sig"))
+        graft.functions.MinHashSlots.column(
+          col("hs"), minhashAs, minhashBs, DetHash.P).as("sig"))
 
   private def signatures(docs: DataFrame, n: Int): DataFrame =
     signaturesOver(shingled(docs, n))

@@ -84,6 +84,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann == brute.filter(ann.contains))
   }
 
+  test("fused MinHashSlots is bit-identical to the per-permutation form") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fused = Dedup.minhashSignatures(docs)
+    val unfused = Dedup.shingled(docs)
+      .select($"doc_id", Dedup.minhashSignature($"shingles").as("sig"))
+    assert(fused.exceptAll(unfused).isEmpty && unfused.exceptAll(fused).isEmpty)
+  }
+
   test("fused SrpBandKeys is bit-identical to the unfused per-plane buckets") {
     import graft.functions.{DetHash, VectorMath}
     val (bands, r, dims) = (4, 8, 64)
