@@ -132,6 +132,29 @@ class AvroCodecSpec extends SparkSpec {
         (Float.MinPositiveValue, Double.MaxValue, false, Seq.empty[Byte])))
   }
 
+  test("avro values decode inside a streaming pipeline (S2 path, broker-free)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the kafka source yields (value: binary) — model that stage with a
+    // MemoryStream of encoded records and run the exact decode projection
+    // kafkaAvroSource applies
+    val encoded = epochRecords.limit(10)
+      .select(AvroCodec.avroEncode(
+        struct(wire.fieldNames.map(col).toIndexedSeq: _*), wire, Some(1)).as("value"))
+      .as[Array[Byte]].collect().toSeq
+    val mem = MemoryStream[Array[Byte]]
+    val decoded = mem.toDF().select(
+      AvroCodec.avroDecode(col("value"), wire, confluentFraming = true).as("r"))
+      .select(col("r.*"))
+    val q = graft.streaming.Pipelines.startMemorySink(decoded, "avro_stream_t")
+    try {
+      mem.addData(encoded: _*)
+      q.processAllAvailable()
+      val got = spark.table("avro_stream_t").collect().map(_.toSeq).toSet
+      assert(got == epochRecords.limit(10).collect().map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("decode stays inside whole-stage codegen") {
     val cols = wire.fieldNames.map(col).toIndexedSeq
     val q = epochRecords
