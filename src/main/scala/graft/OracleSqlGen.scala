@@ -240,6 +240,30 @@ object OracleSqlGen {
         SELECT a, b, round(inter::DOUBLE / (sza + szb - inter)::DOUBLE, 4) AS jaccard_sim
         FROM pairs WHERE inter::DOUBLE / (sza + szb - inter)::DOUBLE >= $threshold"""
 
+  /** Mirrors Dedup.clusters: the SAME LSH pair derivation as
+    * lshPairsSql feeds a recursive-CTE transitive closure; every doc's
+    * cluster id is the min doc_id reachable over near-dup edges. The
+    * fixpoint of Spark's min-label propagation equals the min over the
+    * transitive closure, so both engines agree exactly.
+    */
+  def clustersSql(n: Int, threshold: Double): String = {
+    val body = s"""${sigCte(n)},
+        bands AS (SELECT doc_id, unnest([$bandKeysSql]) AS bk FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+        pairs AS (SELECT a, b FROM (SELECT a, b,
+            ${jaccardExpr("sa.shingles", "sb.shingles")} AS jac
+          FROM cand JOIN sh sa ON cand.a = sa.doc_id
+                    JOIN sh sb ON cand.b = sb.doc_id) WHERE jac >= $threshold),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        reach AS (
+          SELECT doc_id AS v, doc_id AS l FROM documents
+          UNION
+          SELECT e.a AS v, r.l AS l FROM edges e JOIN reach r ON r.v = e.b)
+        SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v"""
+    "WITH RECURSIVE " + body.stripPrefix("WITH ")
+  }
+
   def simhashSql: String = {
     val bits = (0 until Dedup.SimHashBits).map { j =>
       s"CASE WHEN 2 * coalesce(list_sum(list_transform(hs, h -> (h >> $j) & 1)), 0) > len(hs) THEN ${1L << j} ELSE 0 END"

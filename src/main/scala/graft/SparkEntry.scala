@@ -92,6 +92,9 @@ object SparkEntry {
     "dedup_lsh_pairs" -> q((s, d) => Dedup.minhashLshPairs(Tables.load(s, d, "documents"), 3, 0.8)),
     "dedup_jaccard_pairs" -> q((s, d) => Dedup.jaccardPairs(Tables.load(s, d, "documents"), 3, 0.8)),
     "dedup_simhash" -> q((s, d) => Dedup.simhashSignatures(Tables.load(s, d, "documents"))),
+    // transitive near-dup clusters: min-label propagation to fixpoint
+    // over the LSH pair graph (oracle: recursive-CTE transitive closure)
+    "dedup_clusters" -> q((s, d) => Dedup.clusters(Tables.load(s, d, "documents"), 3, 0.8)),
     // 16 bands x 16 planes/band: each band's buckets stay tiny (population
     // ∝ n/65536 — near-linear self-join at any scale) and the union over
     // bands recovers recall. threshold=0.35 sized to the testdata's cosine
@@ -285,6 +288,7 @@ object SparkEntry {
     "dedup_lsh_pairs" -> OracleSqlGen.lshPairsSql(3, 0.8),
     "dedup_jaccard_pairs" -> OracleSqlGen.jaccardPairsSql(3, 0.8),
     "dedup_simhash" -> OracleSqlGen.simhashSql,
+    "dedup_clusters" -> OracleSqlGen.clustersSql(3, 0.8),
     "dedup_embedding_pairs" -> OracleSqlGen.embeddingNearDupSql(16, 16, 64, 0.35),
     "mm_asset_stats" -> OracleSqlGen.assetStatsSql,
     "mm_frame_sample" -> OracleSqlGen.frameSampleSql(10000L),

@@ -314,6 +314,46 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard_sim"))
   }
 
+  /** Near-dup CLUSTERS: connected components of the LSH pair graph, each
+    * doc labeled with the minimum doc_id reachable through near-dup edges
+    * (singletons label themselves) — the "keep one per duplicate cluster"
+    * step of a training-data pipeline, where pairwise output alone can't
+    * dedup transitive groups (a~b, b~c ⇒ one survivor for {a,b,c}).
+    *
+    * Algorithm: iterative min-label propagation over the symmetrized edge
+    * list until fixpoint — each round, every node takes the min of its
+    * own label and its neighbours'. Converges in O(component diameter)
+    * rounds; near-dup components are tiny and shallow in practice, so the
+    * driver-side loop runs 2-4 rounds. Each round is one shuffle of
+    * (node, label) pairs — the standard large-scale connected-components
+    * formulation on DataFrames; intermediates are localCheckpointed so
+    * lineage doesn't grow with iterations. Deterministic (min over ids),
+    * so oracle-checkable against a recursive-CTE transitive closure.
+    */
+  def clusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val edges = minhashLshPairs(docs, n, threshold).select(col("a"), col("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true) // edges reused every round: compute LSH once
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym
+        .join(labels, sym("b") === labels("doc_id"))
+        .groupBy(sym("a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+    }
+    labels
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

@@ -84,6 +84,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann == brute.filter(ann.contains))
   }
 
+  test("clusters: transitive near-dups collapse to one min-labeled component") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val chain = Seq(
+      (10L, base, "en", "s"),                       // 1 ── edge to 11 (identical)
+      (11L, base.toUpperCase, "en", "s"),           // normalizes to base
+      (12L, base + " kilo", "en", "s"),             // near-dup of 10/11 (j = 8/9)
+      (30L, "totally unrelated words about engines and planners", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val labels = Dedup.clusters(chain, 3, 0.8)
+      .as[(Long, Long)].collect().toMap
+    // the {10, 11, 12} component must share the MIN label even though the
+    // 11-12 and 10-12 edges arrive via different pairs (propagation, not
+    // just pairwise); singleton labels itself
+    assert(labels(10L) == 10L && labels(11L) == 10L && labels(12L) == 10L)
+    assert(labels(30L) == 30L)
+    // cluster labels are a fixpoint: relabeling again changes nothing
+    assert(labels.size == 4)
+  }
+
   test("fused MinHashSlots is bit-identical to the per-permutation form") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val fused = Dedup.minhashSignatures(docs)
