@@ -155,6 +155,46 @@ class AvroCodecSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: arbitrary records round-trip bit-exactly (unicode, extremes, nulls)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("s", StringType, nullable = true),
+      StructField("i", IntegerType, nullable = true),
+      StructField("l", LongType, nullable = false),
+      StructField("d", DoubleType, nullable = false),
+      StructField("bin", BinaryType, nullable = true),
+      StructField("bo", BooleanType, nullable = false)))
+    val gen = for {
+      s <- Gen.option(Gen.oneOf(Gen.asciiPrintableStr, Gen.const("héllo wörld — ünïcode ≥ 💡")))
+      i <- Gen.option(Gen.oneOf(Gen.choose(Int.MinValue, Int.MaxValue), Gen.oneOf(0, -1, 1, Int.MinValue, Int.MaxValue)))
+      l <- Gen.oneOf(Gen.choose(Long.MinValue, Long.MaxValue), Gen.oneOf(0L, -1L, Long.MinValue, Long.MaxValue))
+      d <- Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, Double.NaN, Double.NegativeInfinity, 1.5e300, -2.25)
+      b <- Gen.option(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+      bo <- Gen.oneOf(true, false)
+    } yield (s, i, l, d, b, bo)
+    (1 to 64).foreach { seed =>
+      val (s, i, l, d, b, bo) = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val row = new GenericInternalRow(Array[Any](
+        s.map(UTF8String.fromString).orNull, i.map(Int.box).orNull, l, d, b.orNull, bo))
+      val back = AvroBinary.decode(AvroBinary.encode(row, schema, null), schema,
+        confluentFraming = false)
+      assert(back != null, s"seed $seed decoded to null")
+      assert((back.isNullAt(0), back.isNullAt(1), back.isNullAt(4)) ==
+        (s.isEmpty, i.isEmpty, b.isEmpty))
+      s.foreach(v => assert(back.getUTF8String(0).toString == v))
+      i.foreach(v => assert(back.getInt(1) == v))
+      assert(back.getLong(2) == l)
+      // NaN and -0.0 must survive bit-exactly (IEEE bits, not ==)
+      assert(java.lang.Double.doubleToLongBits(back.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(d))
+      b.foreach(v => assert(back.getBinary(4).toSeq == v.toSeq))
+      assert(back.getBoolean(5) == bo)
+    }
+  }
+
   test("decode stays inside whole-stage codegen") {
     val cols = wire.fieldNames.map(col).toIndexedSeq
     val q = epochRecords
