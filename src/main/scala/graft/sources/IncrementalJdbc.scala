@@ -169,35 +169,11 @@ class IncrementalJdbc(
     val upper =
       if (delayIntervalMs > 0) Some(new Timestamp(nowMillis() - delayIntervalMs))
       else None
-    val capped = maxRowsPerPoll < Int.MaxValue
-    val probe = source.chunk(offset, upper,
-      if (capped) Some(maxRowsPerPoll + 1) else None)
-    val spark = probe.sparkSession
-    val schema = probe.schema
-    val tsIdx = schema.fieldIndex(source.timestampCol)
-    val idIdx = source.incrementingCol.map(schema.fieldIndex)
-    val fetched = probe.collect()
-    val rows =
-      if (!capped || fetched.length <= maxRowsPerPoll) fetched
-      else idIdx match {
-        case Some(_) => fetched.take(maxRowsPerPoll)
-        case None =>
-          val chunkMax = fetched.last.getTimestamp(tsIdx) // sorted asc
-          val beforeMax = fetched.filter(_.getTimestamp(tsIdx).before(chunkMax))
-          if (beforeMax.nonEmpty) beforeMax
-          // Every fetched row shares chunkMax: deliver the full equal-ts
-          // run so the strictly-greater resume filter cannot skip its
-          // tail (see scaladoc — unbounded by design, composite mode is
-          // the escape).
-          else source.chunk(offset, Some(chunkMax), None).collect()
-      }
-    val stable = spark.createDataFrame(
+    val (rows, schema, newOffset) =
+      IncrementalJdbc.chunkRows(source, offset, upper, maxRowsPerPoll)
+    val stable = SparkSession.active.createDataFrame(
       java.util.Arrays.asList(rows: _*), schema)
-    if (rows.nonEmpty) {
-      val last = rows.last // ascending (ts[, id]) order
-      offset = Some(JdbcOffset(last.getTimestamp(tsIdx),
-        idIdx.map(i => last.getLong(i))))
-    }
+    newOffset.foreach(o => offset = Some(o))
     stable
   }
 
@@ -226,6 +202,41 @@ object IncrementalJdbc {
     * the initial backfill. 100k rows ≈ tens of MB for a typical row.
     */
   val DefaultMaxRowsPerPoll: Int = 100000
+
+  /** One materialized chunk past `lower`: the shared probe + boundary
+    * logic behind both [[IncrementalJdbc.poll]] and the DSv2
+    * [[GraftJdbcMicroBatchStream]]. Returns the delivered rows (ascending
+    * (ts[, id]) order), their schema, and the advanced offset (None when
+    * the chunk is empty). See [[IncrementalJdbc.poll]]'s scaladoc for the
+    * chunk-boundary semantics per mode.
+    */
+  def chunkRows(source: ChunkSource, lower: Option[JdbcOffset],
+                upper: Option[Timestamp], maxRows: Int)
+      : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType,
+         Option[JdbcOffset]) = {
+    val capped = maxRows < Int.MaxValue
+    val probe = source.chunk(lower, upper, if (capped) Some(maxRows + 1) else None)
+    val schema = probe.schema
+    val tsIdx = schema.fieldIndex(source.timestampCol)
+    val idIdx = source.incrementingCol.map(schema.fieldIndex)
+    val fetched = probe.collect()
+    val rows =
+      if (!capped || fetched.length <= maxRows) fetched
+      else idIdx match {
+        case Some(_) => fetched.take(maxRows)
+        case None =>
+          val chunkMax = fetched.last.getTimestamp(tsIdx) // sorted asc
+          val beforeMax = fetched.filter(_.getTimestamp(tsIdx).before(chunkMax))
+          if (beforeMax.nonEmpty) beforeMax
+          // Every fetched row shares chunkMax: deliver the full equal-ts
+          // run so the strictly-greater resume filter cannot skip its
+          // tail (unbounded by design; composite mode is the escape).
+          else source.chunk(lower, Some(chunkMax), None).collect()
+      }
+    val next = rows.lastOption.map(last => // ascending (ts[, id]) order
+      JdbcOffset(last.getTimestamp(tsIdx), idIdx.map(i => last.getLong(i))))
+    (rows, schema, next)
+  }
 
   /** Offline/test construction over a snapshot-frame factory. */
   def ofSnapshot(provider: () => DataFrame,
