@@ -113,6 +113,21 @@ object OracleSqlGen {
             x -> x IS NOT NULL))), ',') AS fp_sig
         FROM h"""
 
+  /** Mirrors Curation.curate: language+quality survivors (same expressions
+    * as languageIdSql/qualitySql), then exact dedup keep-one over them.
+    */
+  def curateSql(lang: String, minQuality: Double): String =
+    s"""WITH survivors AS (
+          SELECT d.doc_id, d.lang, d.source, d.text
+          FROM documents d
+          JOIN ($languageIdSql) lid ON d.doc_id = lid.doc_id
+          JOIN ($qualitySql) q ON d.doc_id = q.doc_id
+          WHERE lid.pred_lang = '$lang' AND q.quality >= $minQuality)
+        SELECT s.doc_id, s.lang, s.source FROM survivors s
+        JOIN (SELECT min(doc_id) AS doc_id FROM
+              (SELECT doc_id, md5(${norm("text")}) AS fp FROM survivors)
+              GROUP BY fp) k ON s.doc_id = k.doc_id"""
+
   def tokenHistogramSql: String =
     s"""SELECT CAST(floor(len(${toks("text")})::DOUBLE / 32) AS BIGINT) * 32 AS bucket,
         count(*) AS cnt FROM documents GROUP BY 1"""

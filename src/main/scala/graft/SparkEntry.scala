@@ -85,6 +85,9 @@ object SparkEntry {
     "text_token_histogram" -> q((s, d) => TextAnalysis.tokenHistogram(Tables.load(s, d, "documents"))),
     "text_fingerprints" -> q((s, d) => TextAnalysis.fingerprints(Tables.load(s, d, "documents"))),
     "text_winnow_fp" -> q((s, d) => TextAnalysis.winnowingFingerprints(Tables.load(s, d, "documents"))),
+    // the composed curation chain: language filter -> quality filter ->
+    // exact-dedup keep-one, as a scan-fused projection + one shuffle
+    "curate_corpus" -> q((s, d) => Curation.curate(Tables.load(s, d, "documents"), "en", 0.7)),
     // --- deduplication (documents / embeddings) ---
     "dedup_exact_groups" -> q((s, d) => Dedup.exactGroups(Tables.load(s, d, "documents"))),
     "dedup_exact" -> q((s, d) => Dedup.exactDedup(Tables.load(s, d, "documents"))),
@@ -282,6 +285,7 @@ object SparkEntry {
     "text_token_histogram" -> OracleSqlGen.tokenHistogramSql,
     "text_fingerprints" -> OracleSqlGen.fingerprintsSql,
     "text_winnow_fp" -> OracleSqlGen.winnowingSql(5, 4),
+    "curate_corpus" -> OracleSqlGen.curateSql("en", 0.7),
     "dedup_exact_groups" -> OracleSqlGen.exactGroupsSql,
     "dedup_exact" -> OracleSqlGen.exactDedupSql,
     "dedup_minhash_sigs" -> OracleSqlGen.minhashSigSql(3),

@@ -82,6 +82,37 @@ object TextAnalysis {
             + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0)) * 0.2, 6))
   }
 
+  /** All document columns + `pred_lang` + `quality`, JOIN-FREE: the
+    * argmax language fold and the composite quality score evaluate as
+    * projections over one shared materialized token array, so a filter on
+    * them fuses into the document scan. This is [[Curation]]'s building
+    * block — deriving the same columns by joining [[languageId]] and
+    * [[qualityScores]] back on doc_id would shuffle the corpus twice for
+    * what is per-row arithmetic. Values are bit-identical to those
+    * frames' columns (same expressions over the same tokenization).
+    */
+  def withPredLangAndQuality(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val low = col("__tk")
+    val base = docs.select(col("*"), tokens(lower(t)).as("__tk"))
+    val scored = base.select(col("*") +:
+      langMarkers.map { case (l, m) => markerScore(low, m).as(s"__score_$l") }: _*)
+    val best = langMarkers.tail.foldLeft(
+      (lit(langMarkers.head._1), col(s"__score_${langMarkers.head._1}"))) {
+      case ((bl, bs), (l, _)) =>
+        val s = col(s"__score_$l")
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    val quality = round(
+      least(lit(1.0), size(low).cast("double") / 100.0) * 0.4
+        + round(alphaRatio(t), 6) * 0.4
+        + (lit(1.0) - least(lit(1.0), round(punctRatio(t), 6) * 5.0)) * 0.2, 6)
+    scored
+      .withColumn("pred_lang", best._1)
+      .withColumn("quality", quality)
+      .drop((Seq("__tk") ++ langMarkers.map("__score_" + _._1)): _*)
+  }
+
   /** Token-count histogram: corpus-level length distribution in buckets of
     * 32 tokens (one narrow shuffle on the bucket id).
     */
