@@ -422,6 +422,19 @@ object OracleSqlGen {
         FROM w GROUP BY 1, 2"""
   }
 
+  /** Mirrors Temporal.priorActivityCounts: the bucketed equi-join form is
+    * oracle-checked against DuckDB's straightforward inequality join —
+    * proving the bucketing is invisible in the result.
+    */
+  def priorActivitySql(windowUs: Long): String =
+    s"""SELECT p.event_id, p.user_id, count(e.e_user) AS n_prior_events
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS p_us
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id AS e_user, epoch_us(ts) AS e_us FROM events) e
+          ON p.user_id = e.e_user
+          AND e.e_us >= p.p_us - $windowUs AND e.e_us < p.p_us
+        GROUP BY 1, 2"""
+
   // ---------------------------------------------------------- multimodal
 
   /** The md5-salted id hash used by Multimodal.assetsFromDocuments. */

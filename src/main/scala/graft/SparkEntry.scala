@@ -79,6 +79,9 @@ object SparkEntry {
     "asof_attribution" -> q((s, d) => Temporal.purchaseAttribution(Tables.load(s, d, "events"))),
     "session_counts" -> q((s, d) => Temporal.sessionCounts(Tables.load(s, d, "events"))),
     "hopping_counts" -> q((s, d) => Temporal.hoppingCounts(Tables.load(s, d, "events"))),
+    // interval join without the inequality-join nested loop: equi-join on
+    // (user, time-bucket) + in-join range verify (oracle: plain theta join)
+    "range_join_prior_activity" -> q((s, d) => Temporal.priorActivityCounts(Tables.load(s, d, "events"))),
     // --- text analysis (documents) ---
     "text_language_id" -> q((s, d) => TextAnalysis.languageId(Tables.load(s, d, "documents"))),
     "text_quality" -> q((s, d) => TextAnalysis.qualityScores(Tables.load(s, d, "documents"))),
@@ -278,6 +281,7 @@ object SparkEntry {
     "asof_attribution" -> OracleSqlGen.asofAttributionSql,
     "session_counts" -> OracleSqlGen.sessionCountsSql(5),
     "hopping_counts" -> OracleSqlGen.hoppingCountsSql(60, 30),
+    "range_join_prior_activity" -> OracleSqlGen.priorActivitySql(300000000L),
     // text analysis + dedup + similarity oracles are generated from the
     // same constants the Spark plans use — see OracleSqlGen.
     "text_language_id" -> OracleSqlGen.languageIdSql,

@@ -96,4 +96,38 @@ object Temporal {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("cnt"))
+
+  /** BUCKETED RANGE JOIN: per purchase, how many of the same user's
+    * events fall in the half-open window [purchase.ts − window,
+    * purchase.ts). Semantically an interval (theta) join — which Spark
+    * would plan as a nested-loop — executed instead as an EQUI-join on
+    * (user, time-bucket): activities key by their bucket
+    * (⌊µs / windowµs⌋); each purchase window spans at most two buckets
+    * (its own and the previous, since bucket width = window length), so
+    * the purchase side explodes to exactly 2 keys and the range predicate
+    * verifies inside the join. An activity's single bucket matches at
+    * most one of the two exploded keys, so matches are exact with no
+    * dedup pass. One narrow shuffle on (user, bucket) per side at any
+    * scale — the standard bucketed-range-join pattern.
+    *
+    * Purchases with no prior activity keep cnt = 0 via the left join
+    * (count over the activity-side key counts non-null matches only).
+    */
+  def priorActivityCounts(events: DataFrame, windowUs: Long = 300000000L): DataFrame = {
+    val acts = events.select(col("user_id").as("a_user"),
+      unix_micros(col("ts")).as("a_us"))
+      .withColumn("bucket", floor(col("a_us") / windowUs))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", explode(array(
+        floor(col("p_us") / windowUs) - 1, floor(col("p_us") / windowUs))))
+    purchases.join(acts,
+        purchases("user_id") === acts("a_user")
+          && purchases("bucket") === acts("bucket")
+          && acts("a_us") >= purchases("p_us") - windowUs
+          && acts("a_us") < purchases("p_us"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("a_user")).as("n_prior_events"))
+  }
 }

@@ -61,4 +61,33 @@ class TemporalSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("cnt")).as[Long].collect()(0)
     assert(total == events.count() * 2) // 60s/30s → 2 windows per event
   }
+
+  test("bucketed range join: boundary-exact window counts, zero kept, no nested loop") {
+    import org.apache.spark.sql.functions._
+    val w = 300000000L // 5 min in µs
+    def ev(id: Long, user: Long, tpe: String, ms: Long) =
+      (id, user, tpe, new java.sql.Timestamp(ms))
+    val events = Seq(
+      // times in ms; user 1: purchase at 600s — window [300s, 600s)
+      ev(1, 1, "purchase", 600000L),
+      ev(2, 1, "click", 300000L),    // exactly ts-w → INCLUDED
+      ev(3, 1, "view", 599999L),     // just inside
+      ev(4, 1, "click", 600000L),    // exactly ts → EXCLUDED
+      ev(5, 1, "view", 299999L),     // just before window
+      ev(6, 2, "click", 500000L),    // other user → excluded
+      // user 2: purchase with NOTHING prior → kept with 0
+      ev(7, 2, "purchase", 100000L),
+      // user 3: purchase whose window spans a bucket boundary
+      ev(8, 3, "purchase", 650000L), // window [350s, 650s)
+      ev(9, 3, "click", 400000L),    // previous bucket, in window
+      ev(10, 3, "click", 640000L)    // same bucket, in window
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Temporal.priorActivityCounts(events, w)
+      .select("event_id", "n_prior_events").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 7L -> 0L, 8L -> 2L))
+    // the whole point: an interval join WITHOUT the nested-loop plan
+    val p = Temporal.priorActivityCounts(events, w)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
