@@ -22,15 +22,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * delivery guarantees Connect stores in its offset topic, inherited here
   * from the Structured Streaming commit log for free.
   *
-  * Chunk probing happens ON THE DRIVER at `latestOffset()` time (the same
-  * materialize-before-advance probe as [[IncrementalJdbc.poll]], bounded
-  * by `maxRowsPerPoll`), and the probed rows are stashed to serve the
-  * batch that plans against that exact offset range. The reference's
-  * Connect JDBC source is itself a single-task poller (`tasks.max=1`,
-  * `connect_postgres.config:5`) with the same shape. A replay after
-  * restart re-queries the source for the checkpointed (start, end] range
-  * instead — correct under timestamp-mode's append-only assumption (rows
-  * at or before a committed offset never change; README.md:136).
+  * Chunk probing happens ON THE DRIVER at `latestOffset()` time, bounded
+  * by `maxRowsPerPoll`. Two delivery paths:
+  *
+  *  - PARALLEL (default whenever the source provides a
+  *    [[ChunkSource.rangeFetcher]] — always true for the JDBC path): the
+  *    probe materializes only (ts[, id]) KEYS
+  *    ([[IncrementalJdbc.chunkKeysProbe]]), picks split keys every
+  *    `rowsPerPartition` rows, and plans one [[GraftJdbcRangePartition]]
+  *    per `(lo, hi]` slice. Each task then fetches its own slice where it
+  *    runs — for JDBC, a remote range statement
+  *    ([[IncrementalJdbc.rangeSql]]) over the task's own connection. The
+  *    driver never holds a batch's rows; a 100 TB backfill streams
+  *    through N executor connections.
+  *  - STASH (fallback, `parallelReads=false` or no fetcher): the probe
+  *    collects the rows themselves (the same materialize-before-advance
+  *    probe as [[IncrementalJdbc.poll]]) and ships them inside the
+  *    partitions — the reference Connect source's single-task shape
+  *    (`tasks.max=1`, `connect_postgres.config:5`).
+  *
+  * Either way a replay after restart re-derives the checkpointed
+  * (start, end] range from the source — correct under timestamp-mode's
+  * append-only assumption (rows at or before a committed offset never
+  * change; README.md:136), which also makes the two paths deliver
+  * identical batches.
   *
   * Options:
   *  - `url`, `table`, `user`, `password`: the JDBC path (builds
@@ -41,7 +56,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `timestampColumn` (default dt_update), `incrementingColumn`
   *    (enables composite mode), `maxRowsPerPoll` (default 100k),
   *    `delayIntervalMs` (Connect's timestamp.delay), `rowsPerPartition`
-  *    (batch split granularity, default 10k).
+  *    (split granularity of both paths, default 10k), `parallelReads`
+  *    (default true; set false to force the stash path).
   */
 class GraftJdbcStream extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-jdbc"
@@ -129,10 +145,14 @@ private[graft] class GraftJdbcMicroBatchStream(
     IncrementalJdbc.DefaultMaxRowsPerPoll)
   private val delayMs = options.getLong("delayIntervalMs", 0L)
   private val rowsPerPartition = options.getInt("rowsPerPartition", 10000)
+  private val fetcher: Option[ChunkFetcher] =
+    if (options.getBoolean("parallelReads", true)) source.rangeFetcher else None
 
-  /** Furthest probed offset; the stash serves exactly (stashStart, latest]. */
+  /** Furthest probed offset; a stash serves exactly (stashStart, latest]. */
   @volatile private var latest: GraftJdbcOffset = GraftJdbcOffset(None)
   @volatile private var stash: Option[(GraftJdbcOffset, GraftJdbcOffset, Array[Row])] = None
+  /** Parallel path: the probed chunk's KEYS (not rows) for split planning. */
+  @volatile private var keysStash: Option[(GraftJdbcOffset, GraftJdbcOffset, Array[JdbcOffset])] = None
 
   /** Total order of offsets ((ts, id), None = beginning) — used to bump
     * [[latest]] to the checkpointed position after a restart, so the next
@@ -163,12 +183,22 @@ private[graft] class GraftJdbcMicroBatchStream(
     val upper =
       if (delayMs > 0) Some(new Timestamp(System.currentTimeMillis() - delayMs))
       else None
-    val (rows, _, next) =
-      IncrementalJdbc.chunkRows(source, latest.pos, upper, maxRows)
-    next.foreach { o =>
-      val end = GraftJdbcOffset(Some(o))
-      stash = Some((latest, end, rows))
-      latest = end
+    if (fetcher.isDefined) {
+      val (keys, next) =
+        IncrementalJdbc.chunkKeysProbe(source, latest.pos, upper, maxRows)
+      next.foreach { o =>
+        val end = GraftJdbcOffset(Some(o))
+        keysStash = Some((latest, end, keys))
+        latest = end
+      }
+    } else {
+      val (rows, _, next) =
+        IncrementalJdbc.chunkRows(source, latest.pos, upper, maxRows)
+      next.foreach { o =>
+        val end = GraftJdbcOffset(Some(o))
+        stash = Some((latest, end, rows))
+        latest = end
+      }
     }
     latest
   }
@@ -176,15 +206,69 @@ private[graft] class GraftJdbcMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[GraftJdbcOffset], end.asInstanceOf[GraftJdbcOffset])
     bump(e)
-    val rows = this.synchronized {
-      stash match {
-        case Some((ss, se, r)) if ss == s && se == e => r
-        case _ => replay(s, e) // checkpoint restart: re-read (start, end]
-      }
+    fetcher match {
+      case Some(f) =>
+        val keys = this.synchronized {
+          keysStash match {
+            case Some((ss, se, k)) if ss == s && se == e => k
+            case _ => replayKeys(s, e) // restart: re-derive (start, end]
+          }
+        }
+        rangePartitions(f, s, keys)
+      case None =>
+        val rows = this.synchronized {
+          stash match {
+            case Some((ss, se, r)) if ss == s && se == e => r
+            case _ => replay(s, e) // checkpoint restart: re-read (start, end]
+          }
+        }
+        rows.grouped(rowsPerPartition).map(g =>
+          GraftJdbcInputPartition(g, schema): InputPartition).toArray
     }
-    rows.grouped(rowsPerPartition).map(g =>
-      GraftJdbcInputPartition(g, schema): InputPartition).toArray
   }
+
+  /** Split one batch's keys into ~`rowsPerPartition` slices: a boundary
+    * key every `rowsPerPartition` rows plus the batch end, deduplicated
+    * to strictly-increasing under the mode's ordering. Pure-timestamp
+    * ranges bound by ts alone, so an equal-ts run spanning a boundary
+    * lands WHOLE in the earlier partition (skew, never duplication or
+    * loss — the next partition's `ts > boundary` excludes the run);
+    * composite (ts, id) keys cut exactly.
+    */
+  private def rangePartitions(f: ChunkFetcher, s: GraftJdbcOffset,
+                              keys: Array[JdbcOffset]): Array[InputPartition] = {
+    if (keys.isEmpty) return Array.empty
+    val composite = source.incrementingCol.isDefined
+    def after(a: JdbcOffset, b: JdbcOffset): Boolean =
+      a.ts.after(b.ts) || (composite && a.ts.equals(b.ts) &&
+        a.id.getOrElse(Long.MinValue) > b.id.getOrElse(Long.MinValue))
+    val raw = (rowsPerPartition to keys.length by rowsPerPartition)
+      .map(p => keys(p - 1)) :+ keys.last
+    val bounds = raw.foldLeft(Vector.empty[JdbcOffset]) { (acc, k) =>
+      if (acc.isEmpty || after(k, acc.last)) acc :+ k else acc
+    }
+    val lowers = s.pos +: bounds.init.map(Option(_))
+    lowers.zip(bounds).map { case (lo, hi) =>
+      GraftJdbcRangePartition(f, source.timestampCol, source.incrementingCol,
+        lo, hi): InputPartition
+    }.toArray
+  }
+
+  /** Restart path of the parallel planner: re-derive the committed
+    * range's keys (not rows) so the replayed batch re-plans the same
+    * splits' worth of work — deterministic under append-only.
+    */
+  private def replayKeys(s: GraftJdbcOffset, e: GraftJdbcOffset): Array[JdbcOffset] =
+    e.pos match {
+      case None => Array.empty
+      case Some(endPos) =>
+        val all = source.chunkKeys(s.pos, Some(endPos.ts), None)
+        (endPos.id, source.incrementingCol) match {
+          case (Some(endId), Some(_)) =>
+            all.filter(k => k.ts.before(endPos.ts) || k.id.exists(_ <= endId))
+          case _ => all
+        }
+    }
 
   /** Bounded re-read of a committed range — timestamp mode's append-only
     * assumption makes this deterministic (rows at or before a committed
@@ -210,30 +294,48 @@ private[graft] class GraftJdbcMicroBatchStream(
 
   override def commit(end: Offset): Unit = this.synchronized {
     stash = stash.filterNot(_._2 == end) // batch served; free the rows
+    keysStash = keysStash.filterNot(_._2 == end)
   }
 
   override def stop(): Unit = ()
 }
 
-/** Rows ride to executors as plain serializable [[Row]]s — they are
-  * ALREADY materialized on the driver by the chunk probe (the Connect
-  * single-task shape); a multi-task production variant would instead push
-  * per-partition range predicates into the remote query.
+/** Stash-path partition: rows ride to executors as plain serializable
+  * [[Row]]s, already materialized on the driver by the chunk probe — the
+  * Connect single-task shape, kept as the fallback for sources without a
+  * [[ChunkFetcher]].
   */
 private[graft] case class GraftJdbcInputPartition(rows: Array[Row],
                                                     schema: StructType)
     extends InputPartition
 
+/** Parallel-path partition: NO rows ride along — only the `(lower,
+  * upper]` bounds plus the serialized fetcher; the task reads its own
+  * slice where it runs (a remote range statement for JDBC).
+  */
+private[graft] case class GraftJdbcRangePartition(
+    fetcher: ChunkFetcher, timestampCol: String,
+    incrementingCol: Option[String],
+    lower: Option[JdbcOffset], upper: JdbcOffset)
+    extends InputPartition
+
 private[graft] case class GraftJdbcReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftJdbcInputPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GraftJdbcInputPartition => reader(p.rows.iterator)
+      case p: GraftJdbcRangePartition =>
+        reader(p.fetcher.fetch(schema, p.timestampCol, p.incrementingCol,
+          p.lower, p.upper))
+    }
+
+  private def reader(rows: Iterator[Row]): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val conv = CatalystTypeConverters.createToCatalystConverter(schema)
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < p.rows.length }
-      override def get(): InternalRow = conv(p.rows(i)).asInstanceOf[InternalRow]
+      private var cur: Row = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = conv(cur).asInstanceOf[InternalRow]
       override def close(): Unit = ()
     }
-  }
 }

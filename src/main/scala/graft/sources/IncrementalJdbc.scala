@@ -39,6 +39,29 @@ trait ChunkSource {
   def incrementingCol: Option[String]
   def chunk(lower: Option[JdbcOffset], upper: Option[Timestamp],
             limit: Option[Int]): DataFrame
+
+  /** Keys-only probe: the (ts[, id]) keys of the chunk's rows, in chunk
+    * order — what the parallel planner materializes on the driver instead
+    * of full rows, so the driver's footprint per poll is two narrow
+    * columns regardless of row width. The default derives from [[chunk]]
+    * with a keys projection (the column pruning reaches a V1 JDBC scan's
+    * remote SELECT list; over parquet/memory frames only the key columns
+    * are read).
+    */
+  def chunkKeys(lower: Option[JdbcOffset], upper: Option[Timestamp],
+                limit: Option[Int]): Array[JdbcOffset] = {
+    val keyCols = col(timestampCol) +: incrementingCol.map(col).toSeq
+    chunk(lower, upper, limit).select(keyCols: _*).collect().map { r =>
+      JdbcOffset(r.getTimestamp(0), incrementingCol.map(_ => r.getLong(1)))
+    }
+  }
+
+  /** Serializable executor-side fetcher for `(lower, upper]` row ranges.
+    * When present, the `graft-jdbc` stream plans range partitions (tasks
+    * read their own slices); None (the default) keeps the single-task
+    * driver-stash delivery path.
+    */
+  def rangeFetcher: Option[ChunkFetcher] = None
 }
 
 /** [[ChunkSource]] over any snapshot-frame factory — the offline/test
@@ -58,7 +81,10 @@ trait ChunkSource {
 final class SnapshotChunkSource(
     provider: () => DataFrame,
     val timestampCol: String = "dt_update",
-    val incrementingCol: Option[String] = None) extends ChunkSource {
+    val incrementingCol: Option[String] = None,
+    fetcher: Option[ChunkFetcher] = None) extends ChunkSource {
+
+  override def rangeFetcher: Option[ChunkFetcher] = fetcher
 
   override def chunk(lower: Option[JdbcOffset], upper: Option[Timestamp],
                      limit: Option[Int]): DataFrame = {
@@ -238,6 +264,61 @@ object IncrementalJdbc {
     (rows, schema, next)
   }
 
+  /** Keys-only analog of [[chunkRows]]: identical chunk-boundary
+    * semantics (cap, composite cut-anywhere, pure-timestamp distinct-ts
+    * backoff and equal-run fallback), but only (ts[, id]) keys cross to
+    * the driver — the probe behind parallel range planning. Returns the
+    * chunk's keys and the advanced offset (None when empty).
+    */
+  def chunkKeysProbe(source: ChunkSource, lower: Option[JdbcOffset],
+                     upper: Option[Timestamp], maxRows: Int)
+      : (Array[JdbcOffset], Option[JdbcOffset]) = {
+    val capped = maxRows < Int.MaxValue
+    val fetched = source.chunkKeys(lower, upper,
+      if (capped) Some(maxRows + 1) else None)
+    val keys =
+      if (!capped || fetched.length <= maxRows) fetched
+      else if (source.incrementingCol.isDefined) fetched.take(maxRows)
+      else {
+        val chunkMax = fetched.last.ts // ascending order
+        val beforeMax = fetched.filter(_.ts.before(chunkMax))
+        if (beforeMax.nonEmpty) beforeMax
+        // every fetched key shares chunkMax: deliver the full equal-ts
+        // run (see chunkRows — the strictly-greater resume filter must
+        // not skip its tail)
+        else source.chunkKeys(lower, Some(chunkMax), None)
+      }
+    (keys, keys.lastOption)
+  }
+
+  /** The executor-side range statement: all rows in `(lower, upper]` by
+    * (ts[, id]) order — [[chunkSql]]'s WHERE shape with an INCLUSIVE
+    * upper KEY in place of the LIMIT, so each of N tasks streams exactly
+    * its planned slice of one micro-batch straight from the database.
+    * Pure function, golden-tested without a database.
+    */
+  def rangeSql(table: String, timestampCol: String,
+               incrementingCol: Option[String],
+               lower: Option[JdbcOffset], upper: JdbcOffset): String = {
+    def tsLit(t: Timestamp) = s"TIMESTAMP '${t.toString}'"
+    val lowerPred = lower.map { o =>
+      (incrementingCol, o.id) match {
+        case (Some(idCol), Some(i)) =>
+          s"($timestampCol > ${tsLit(o.ts)} OR ($timestampCol = ${tsLit(o.ts)} AND $idCol > $i))"
+        case _ => s"$timestampCol > ${tsLit(o.ts)}"
+      }
+    }
+    val upperPred = (incrementingCol, upper.id) match {
+      case (Some(idCol), Some(i)) =>
+        s"($timestampCol < ${tsLit(upper.ts)} OR ($timestampCol = ${tsLit(upper.ts)} AND $idCol <= $i))"
+      case _ => s"$timestampCol <= ${tsLit(upper.ts)}"
+    }
+    val preds = (Seq(s"$timestampCol IS NOT NULL") ++ lowerPred) :+ upperPred
+    val order = (Seq(timestampCol) ++ incrementingCol)
+      .map(_ + " ASC").mkString(", ")
+    s"SELECT * FROM $table WHERE ${preds.mkString(" AND ")} ORDER BY $order"
+  }
+
   /** Offline/test construction over a snapshot-frame factory. */
   def ofSnapshot(provider: () => DataFrame,
                  timestampCol: String = "dt_update",
@@ -301,6 +382,12 @@ object IncrementalJdbc {
         spark.read.jdbc(url,
           chunkSql(table, timestampCol, incrementingCol, lower, upper, limit),
           props)
+      override def rangeFetcher: Option[ChunkFetcher] = {
+        import scala.jdk.CollectionConverters._
+        val propMap = props.stringPropertyNames().asScala
+          .map(k => k -> props.getProperty(k)).toMap
+        Some(JdbcRangeFetcher(url, table, propMap))
+      }
     }
 
   /** K5: the generator's append write (reference `make_fake_data.py:76`). */

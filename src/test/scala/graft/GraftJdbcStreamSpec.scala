@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
-import graft.sources.{GraftJdbcStream, IncrementalJdbc, SnapshotChunkSource}
+import graft.sources.{ArrayChunkFetcher, ChunkFetcher, GraftJdbcStream, IncrementalJdbc, JdbcOffset, SnapshotChunkSource}
 
 /** The DSv2 `graft-jdbc` streaming source end-to-end: real
   * `spark.readStream` queries over a registered ChunkSource — offsets,
@@ -91,6 +91,103 @@ class GraftJdbcStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("parallel range reads: tasks fetch their own slices, multi-partition batch") {
+    val snap = table((1L to 40L).map(i => (i, 1000L * i)): _*)
+    val key = handle(new SnapshotChunkSource(() => snap,
+      incrementingCol = Some("id"),
+      fetcher = Some(ArrayChunkFetcher(snap.collect().toIndexedSeq))))
+    @volatile var maxParts = 0
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = readStream(key, "rowsPerPartition" -> "7")
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("id").as[Long].collect()
+        seen.synchronized { seen ++= ids }
+        maxParts = math.max(maxParts, b.rdd.getNumPartitions)
+      }.start()
+    try {
+      q.processAllAvailable()
+      // exactly once (a Seq, not a Set: duplicates would show)
+      assert(seen.sorted.toSeq == (1L to 40L))
+      assert(maxParts == 6, // ceil(40/7) range slices in the one batch
+        s"expected 6 range partitions, got $maxParts")
+    } finally q.stop()
+  }
+
+  test("parallel pure-ts mode: equal-ts runs stay whole across range boundaries") {
+    // three equal-ts runs; rowsPerPartition=3 wants to cut inside each
+    val snap = table(((1L to 10L).map((_, 1000L)) ++
+      (11L to 20L).map((_, 2000L)) ++ (21L to 25L).map((_, 3000L))): _*)
+    val key = handle(new SnapshotChunkSource(() => snap,
+      fetcher = Some(ArrayChunkFetcher(snap.collect().toIndexedSeq))))
+    @volatile var maxParts = 0
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = readStream(key, "rowsPerPartition" -> "3")
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("id").as[Long].collect()
+        seen.synchronized { seen ++= ids }
+        maxParts = math.max(maxParts, b.rdd.getNumPartitions)
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == (1L to 25L)) // no loss, no duplication
+      // ts-only bounds collapse to the three distinct-ts edges
+      assert(maxParts == 3, s"expected 3 deduped range partitions, got $maxParts")
+    } finally q.stop()
+  }
+
+  test("parallel restart replans range partitions from keys (stash gone)") {
+    val snap = table((1L to 20L).map(i => (i, 1000L * i)): _*)
+    val key = handle(new SnapshotChunkSource(() => snap,
+      fetcher = Some(ArrayChunkFetcher(snap.collect().toIndexedSeq))))
+    val stream = new graft.sources.GraftJdbcMicroBatchStream(snap.schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("sourceHandle", key, "rowsPerPartition", "4")))
+    // a fresh stream instance planning a checkpointed range it never
+    // probed — the restart/replay path — must still split in parallel
+    val parts = stream.planInputPartitions(
+      graft.sources.GraftJdbcOffset(None),
+      graft.sources.GraftJdbcOffset(Some(JdbcOffset(new Timestamp(20000L)))))
+    assert(parts.length == 5)
+    val factory = stream.createReaderFactory()
+    val got = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(0)
+      buf
+    }
+    assert(got.sorted.toSeq == (1L to 20L))
+  }
+
+  test("parallel reads: checkpointed restart resumes exactly once") {
+    val k = "spec_shared_rows"
+    def setRows(df: DataFrame): Unit =
+      GraftJdbcStreamSpecRows.data.put(k, df.collect().toIndexedSeq)
+    @volatile var snap = table((1L, 1000L), (2L, 2000L))
+    setRows(snap)
+    val key = handle(new SnapshotChunkSource(() => snap,
+      fetcher = Some(SharedRowsFetcher(k))))
+    val ckp = Files.createTempDirectory("gjs_pckp_").toString
+    val out = Files.createTempDirectory("gjs_pout_").toString
+    def start() = readStream(key, "rowsPerPartition" -> "1").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckp).start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 2)
+    } finally q1.stop()
+
+    snap = table((1L, 1000L), (2L, 2000L), (3L, 3000L), (4L, 4000L))
+    setRows(snap)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L, 3L, 4L))
+    } finally q2.stop()
+  }
+
   test("offset json round-trips both modes") {
     import graft.sources.JdbcOffset
     val src = new SnapshotChunkSource(() => table((1L, 1000L)))
@@ -109,4 +206,21 @@ class GraftJdbcStreamSpec extends SparkSpec {
     val begin = graft.sources.GraftJdbcOffset(None)
     assert(stream.deserializeOffset(begin.json()) == begin)
   }
+}
+
+/** Mutable row store behind [[SharedRowsFetcher]] — lets a restart test
+  * insert rows "into the table" while the stream is down without
+  * reserializing the fetcher (same JVM in local mode).
+  */
+object GraftJdbcStreamSpecRows {
+  val data = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[org.apache.spark.sql.Row]]()
+}
+
+case class SharedRowsFetcher(key: String) extends ChunkFetcher {
+  override def fetch(schema: org.apache.spark.sql.types.StructType,
+                     timestampCol: String, incrementingCol: Option[String],
+                     lower: Option[JdbcOffset], upper: JdbcOffset) =
+    ArrayChunkFetcher(GraftJdbcStreamSpecRows.data.get(key))
+      .fetch(schema, timestampCol, incrementingCol, lower, upper)
 }

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
-import graft.sources.{IncrementalJdbc, JdbcOffset}
+import graft.sources.{IncrementalJdbc, JdbcOffset, SnapshotChunkSource}
 
 class IncrementalJdbcSpec extends SparkSpec {
   import spark.implicits._
@@ -166,5 +166,34 @@ class IncrementalJdbcSpec extends SparkSpec {
     assert(comp.contains(
       s"(ts > TIMESTAMP '${t0.toString}' OR (ts = TIMESTAMP '${t0.toString}' AND id > 42))"))
     assert(comp.contains("ORDER BY ts ASC, id ASC LIMIT 11"))
+  }
+
+  test("rangeSql bounds a slice by inclusive upper key, both modes") {
+    val t0 = new Timestamp(1704067200000L) // 2024-01-01 00:00:00 UTC
+    val t1 = new Timestamp(t0.getTime + 3600000L)
+    // pure timestamp: (lo.ts, hi.ts] on ts alone
+    assert(IncrementalJdbc.rangeSql("t", "ts", None,
+      Some(JdbcOffset(t0)), JdbcOffset(t1)) ==
+      s"SELECT * FROM t WHERE ts IS NOT NULL AND ts > TIMESTAMP '${t0.toString}' " +
+        s"AND ts <= TIMESTAMP '${t1.toString}' ORDER BY ts ASC")
+    // composite: lexicographic (ts, id) bounds, upper id INCLUSIVE
+    val comp = IncrementalJdbc.rangeSql("t", "ts", Some("id"),
+      Some(JdbcOffset(t0, Some(7L))), JdbcOffset(t1, Some(9L)))
+    assert(comp.contains(
+      s"(ts > TIMESTAMP '${t0.toString}' OR (ts = TIMESTAMP '${t0.toString}' AND id > 7))"))
+    assert(comp.contains(
+      s"(ts < TIMESTAMP '${t1.toString}' OR (ts = TIMESTAMP '${t1.toString}' AND id <= 9))"))
+    assert(comp.endsWith("ORDER BY ts ASC, id ASC"))
+    // batch start (lower = None): only the NULL guard and the upper bound
+    assert(IncrementalJdbc.rangeSql("t", "ts", None, None, JdbcOffset(t1)) ==
+      s"SELECT * FROM t WHERE ts IS NOT NULL AND ts <= TIMESTAMP '${t1.toString}' ORDER BY ts ASC")
+  }
+
+  test("chunkKeys probes only the key columns, same order and cap") {
+    val snap = table((3L, 3000L), (1L, 1000L), (2L, 2000L))
+    val src = new SnapshotChunkSource(() => snap, incrementingCol = Some("id"))
+    val keys = src.chunkKeys(None, None, Some(2))
+    assert(keys.toSeq == Seq(JdbcOffset(new Timestamp(1000L), Some(1L)),
+      JdbcOffset(new Timestamp(2000L), Some(2L))))
   }
 }
