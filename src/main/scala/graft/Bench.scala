@@ -1,14 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Two passes over every registered query:
+/** Benchmark main. Three passes over every registered query:
   *
-  *  1. SEQUENTIAL (pool=1): one query at a time. These are the per-query
-  *     numbers in `queries` — free of scheduler contention, so they are
-  *     the ones to compare round over round (a 6-way concurrent drain
-  *     inflates individual queries up to 5× depending on what they happen
-  *     to overlap with). Their sum ≈ `seq_total`, the sequential wall.
-  *  2. CONCURRENT drain (pool=6): batch throughput. One tiny query alone
+  *  1. COLD sequential (pool=1): first execution of each plan, charged
+  *     its one-time janino/codegen compilation (~1-9 s for the big fused
+  *     plans — constant work, amortized to nothing at 100 TB). Reported
+  *     under `queries_cold` for visibility, NOT as the headline.
+  *  2. WARM sequential (pool=1): second execution of the same plans —
+  *     per-row work only, free of both compilation and scheduler
+  *     contention. These are `queries` (headline per-query numbers, the
+  *     ones to compare round over round) and sum ≈ `seq_total`.
+  *  3. CONCURRENT drain (pool=6): batch throughput. One tiny query alone
   *     cannot saturate local[32] (small shuffle stages leave cores idle
   *     between tasks), so the drain wall-clock `value` is the honest
   *     engine-throughput metric, directly comparable to earlier rounds.
@@ -39,12 +42,15 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
     }
 
-    // pass 1: sequential per-query timings
+    // pass 1: cold sequential (codegen compile included — reported apart)
+    val cold = named.map { case (name, fn) => name -> timed(name, fn) }
+
+    // pass 2: warm sequential — the headline per-query numbers
     val s0 = System.nanoTime()
     val seq = named.map { case (name, fn) => name -> timed(name, fn) }
     val seqTotal = (System.nanoTime() - s0) / 1e9
 
-    // pass 2: concurrent drain (plans/codegen now warm from pass 1, so
+    // pass 3: concurrent drain (plans/codegen warm from passes 1-2, so
     // this measures scheduling + execution throughput, not compilation)
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -58,9 +64,9 @@ object Bench {
     val drainTotal = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
-    val qs = seq.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$drainTotal,"unit":"sec","queries":$qs,"seq_total":$seqTotal,"sf":"$sfDir"}""")
+    def jsonMap(m: Seq[(String, Double)]) = m
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$drainTotal,"unit":"sec","queries":${jsonMap(seq)},"queries_cold":${jsonMap(cold)},"seq_total":$seqTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
