@@ -119,6 +119,9 @@ object SparkEntry {
     // --- similarity search (embeddings) ---
     "sim_topk_bruteforce" -> q((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"), 0L, 20)),
     "sim_ann_topk" -> q((s, d) => Similarity.annTopK(Tables.load(s, d, "embeddings"), 0L, 20, 4, 64)),
+    // persisted-index variant: same rows as sim_ann_topk, but the scan is
+    // dynamically pruned to the query's bucket directory
+    "sim_ann_topk_partitioned" -> q((s, d) => Similarity.annTopKPartitioned(s, d, 0L, 20, 4, 64)),
     "sim_bucket_histogram" -> q((s, d) => Similarity.bucketHistogram(Tables.load(s, d, "embeddings"))),
     "sim_ivf_topk" -> q((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"), 0L, 20, 16, 4)),
   )
@@ -304,6 +307,7 @@ object SparkEntry {
     "mm_decode_features" -> OracleSqlGen.decodeFeaturesSql(operators.Multimodal.EmbDims),
     "sim_topk_bruteforce" -> OracleSqlGen.bruteForceTopKSql(0L, 20, 64),
     "sim_ann_topk" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
+    "sim_ann_topk_partitioned" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
     "sim_bucket_histogram" -> OracleSqlGen.bucketHistogramSql(8, 64),
     "sim_ivf_topk" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
   )

@@ -89,6 +89,65 @@ object Similarity {
     emb.select(srpBucket(col("embedding"), planes, dims).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  // ------------------------------------------- persisted (write-time) index
+
+  /** The PERSISTED ANN index: embeddings written `partitionBy(bucket)` —
+    * the SRP bucket directory layout IS the index (one directory per
+    * bucket value, registered in the catalog). Built once per sf-dir
+    * (the amortized write-time cost, same ensure-once discipline as
+    * [[Relational.bucketedFactTables]]); `repartition(bucket)` before
+    * the write keeps it to one file per bucket instead of
+    * tasks × buckets small files.
+    *
+    * At 100 TB this is the scale path the bucket column only narrates in
+    * [[annTopK]]: a probe reads ~n/2^planes of the corpus and the
+    * pruning decision is METADATA-ONLY (directory listing), not a scan.
+    */
+  def partitionedAnnIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          planes: Int = 4, dims: Int = 64): DataFrame =
+    Similarity.synchronized {
+      val tag = java.lang.Long.toHexString(
+        DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_ann_p${planes}_$tag"
+      if (!spark.catalog.tableExists(name)) {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+        graft.Tables.load(spark, dir, "embeddings")
+          // int, not long: partition-column type inference reads the
+          // directory values back as int — keep write and probe aligned
+          .withColumn("bucket", srpBucket(col("embedding"), planes, dims).cast("int"))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket")
+          .option("path", s"$base/$name")
+          .mode("overwrite").saveAsTable(name)
+      }
+      spark.table(name)
+    }
+
+  /** [[annTopK]] over the persisted index — identical rows, but the
+    * query's bucket reaches the index scan as a DYNAMIC PARTITION
+    * PRUNING filter: the broadcast 1-row query side's `bucket = q_bucket`
+    * equi-join key is the table's partition column, so Spark prunes the
+    * scan to the probed directory at runtime (PlanShapeSpec asserts the
+    * `dynamicpruningexpression` on the scan). The un-indexed embeddings
+    * table serves the query-point lookup, as a serving system would take
+    * the query vector from outside the index.
+    */
+  def annTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         qid: Long = 0L, k: Int = 20,
+                         planes: Int = 4, dims: Int = 64): DataFrame = {
+    val idx = partitionedAnnIndex(spark, dir, planes, dims)
+    val q = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_embedding"),
+        srpBucket(col("embedding"), planes, dims).cast("int").as("q_bucket"))
+    idx.filter(col("vec_id") =!= qid)
+      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .select(col("vec_id"), col("label"),
+        round(cosineSimilarity(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // -------------------------------------------------------------- IVF
 
   /** Deterministic coarse quantizer: the embeddings of vec_id < K serve as

