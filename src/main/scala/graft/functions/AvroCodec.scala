@@ -139,20 +139,66 @@ object AvroBinary {
         if (bytes.length < 5 || bytes(0) != 0x00) return null
         c.pos = 5 // magic + 4-byte schema id
       }
-      val vals = new Array[Any](schema.length)
-      var i = 0
-      while (i < schema.length) {
-        val f = schema(i)
-        val isNull = f.nullable && {
-          val branch = readVarint(c)
-          if (branch != 0L && branch != 1L) return null // not a 2-union
-          branch == 0L
-        }
-        vals(i) = if (isNull) null else readValue(c, f.dataType)
-        i += 1
-      }
+      val vals = decodeBody(c, schema)
       if (c.pos != bytes.length) return null // trailing garbage
       new GenericInternalRow(vals)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: IllegalArgumentException |
+           _: NegativeArraySizeException => null
+    }
+
+  /** Decode a record body at the cursor against one schema. Throws
+    * IllegalArgumentException on malformed input (callers map to null).
+    */
+  private def decodeBody(c: Cursor, schema: StructType): Array[Any] = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      val isNull = f.nullable && {
+        val branch = readVarint(c)
+        if (branch != 0L && branch != 1L) // not a 2-union
+          throw new IllegalArgumentException(s"bad union branch $branch")
+        branch == 0L
+      }
+      vals(i) = if (isNull) null else readValue(c, f.dataType)
+      i += 1
+    }
+    vals
+  }
+
+  /** Per-record Confluent schema-id dispatch — the registry-backed topic
+    * shape where records written under EVOLVING schema versions
+    * interleave on one topic (the reference's AvroConverter + registry,
+    * `docker-compose.yml:78-79`, permits this; the pinned-schema
+    * [[decode]] is ksqlDB's one-subject view). The framed id routes each
+    * record to its writer schema; the decoded record then resolves onto
+    * `reader` BY FIELD NAME (Avro schema resolution): reader fields the
+    * writer lacks read as null, writer fields the reader lacks are
+    * dropped. Unframed bytes, unknown ids, and malformed bodies all
+    * decode to a NULL row rather than failing the stream.
+    */
+  def decodeEvolving(bytes: Array[Byte], reader: StructType,
+                     writers: scala.collection.immutable.Map[Int, StructType])
+      : InternalRow =
+    try {
+      if (bytes.length < 5 || bytes(0) != 0x00) return null
+      val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+        ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+      val writer = writers.getOrElse(id, null)
+      if (writer == null) return null
+      val c = new Cursor(bytes, 5)
+      val vals = decodeBody(c, writer)
+      if (c.pos != bytes.length) return null
+      val out = new Array[Any](reader.length)
+      var i = 0
+      while (i < reader.length) {
+        val name = reader(i).name
+        val w = writer.indexWhere(_.name == name)
+        out(i) = if (w >= 0) vals(w) else null
+        i += 1
+      }
+      new GenericInternalRow(out)
     } catch {
       case _: ArrayIndexOutOfBoundsException | _: IllegalArgumentException |
            _: NegativeArraySizeException => null
@@ -267,6 +313,59 @@ case class AvroDecode(child: Expression, wireSchema: StructType,
     copy(child = newChild)
 }
 
+/** Confluent-framed bytes → struct(`readerSchema`) with PER-RECORD
+  * schema-id dispatch over `writerSchemas` (see
+  * [[AvroBinary.decodeEvolving]]). Every reader field that some writer
+  * version lacks must be nullable — the type check enforces it, since
+  * those records decode that field to null.
+  */
+case class AvroDecodeEvolving(child: Expression, readerSchema: StructType,
+                              writerSchemas: Map[Int, StructType])
+    extends UnaryExpression {
+
+  override def dataType: DataType = readerSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "avro_decode_evolving"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType =>
+      val allFields = readerSchema.fields ++
+        writerSchemas.values.flatMap(_.fields)
+      val unsupported = allFields.filterNot(f => AvroBinary.supported(f.dataType))
+      val mustBeNullable = readerSchema.fields.filter(f =>
+        !f.nullable && writerSchemas.values.exists(w =>
+          !w.fieldNames.contains(f.name)))
+      if (unsupported.nonEmpty) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName unsupported field types: ${unsupported.map(_.dataType).mkString(", ")}")
+      else if (writerSchemas.isEmpty) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs at least one writer schema")
+      else if (mustBeNullable.nonEmpty) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName reader fields ${mustBeNullable.map(_.name).mkString(", ")} " +
+          "are missing from some writer schema and must be nullable")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    AvroBinary.decodeEvolving(v.asInstanceOf[Array[Byte]], readerSchema,
+      writerSchemas)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val readerRef = ctx.addReferenceObj("readerSchema", readerSchema,
+      classOf[StructType].getName)
+    val writersRef = ctx.addReferenceObj("writerSchemas", writerSchemas,
+      "scala.collection.immutable.Map")
+    nullSafeCodeGen(ctx, ev, bytes => s"""
+      ${ev.value} = graft.functions.AvroBinary.decodeEvolving($bytes, $readerRef, $writersRef);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroDecodeEvolving =
+    copy(child = newChild)
+}
+
 object AvroCodec {
 
   /** Column API over [[AvroEncode]]. */
@@ -278,6 +377,12 @@ object AvroCodec {
   def avroDecode(c: Column, schema: StructType,
                  confluentFraming: Boolean = false): Column =
     GraftShim.column(AvroDecode(GraftShim.expression(c), schema, confluentFraming))
+
+  /** Column API over [[AvroDecodeEvolving]]. */
+  def avroDecodeEvolving(c: Column, readerSchema: StructType,
+                         writerSchemas: Map[Int, StructType]): Column =
+    GraftShim.column(AvroDecodeEvolving(GraftShim.expression(c), readerSchema,
+      writerSchemas))
 
   /** The reference customer topic's wire schema (`make_fake_data.py:54-62`
     * field order; date/timestamp as their Avro logical-type primitives).

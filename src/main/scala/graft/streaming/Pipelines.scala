@@ -336,4 +336,26 @@ object Pipelines {
       .select(graft.functions.AvroCodec.avroDecode(
         col("value"), wireSchema, confluentFraming).as("r"))
       .select(col("r.*"))
+
+  /** S2 against a REGISTRY-BACKED topic where records written under
+    * evolving schema versions interleave: each record's framed Confluent
+    * schema id routes it to its writer schema, then resolves onto
+    * `readerSchema` by field name ([[graft.functions.AvroDecodeEvolving]]).
+    * Unknown ids and malformed bodies become NULL rows (kept, so the
+    * pipeline can count/dead-letter them; filter on a reader column's
+    * non-nullness to drop). Built but not bound to a broker in the
+    * sandbox; two-id interleave round-trips in AvroCodecSpec.
+    */
+  def kafkaAvroSourceEvolving(spark: SparkSession, topic: String,
+                              bootstrapServers: String,
+                              readerSchema: org.apache.spark.sql.types.StructType,
+                              writerSchemas: Map[Int, org.apache.spark.sql.types.StructType]): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load()
+      .select(graft.functions.AvroCodec.avroDecodeEvolving(
+        col("value"), readerSchema, writerSchemas).as("r"))
+      .select(col("r.*"))
 }

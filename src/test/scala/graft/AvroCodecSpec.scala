@@ -155,6 +155,61 @@ class AvroCodecSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("schema-id dispatch: two writer versions interleaved on one stream") {
+    // v1: (nome, dt_update); v2 adds a nullable email — records written
+    // under both ids land interleaved on the same topic
+    val v1 = StructType(Seq(
+      StructField("nome", StringType, nullable = false),
+      StructField("dt_update", LongType, nullable = false)))
+    val v2 = StructType(Seq(
+      StructField("nome", StringType, nullable = false),
+      StructField("email", StringType),
+      StructField("dt_update", LongType, nullable = false)))
+    val writers = Map(7 -> v1, 8 -> v2)
+
+    val recsV1 = Seq(("ana", 1000L), ("bia", 2000L)).toDF("nome", "dt_update")
+      .select(AvroCodec.avroEncode(struct(col("nome"), col("dt_update")), v1,
+        Some(7)).as("value"))
+    val recsV2 = Seq(("caio", "c@example.org", 3000L))
+      .toDF("nome", "email", "dt_update")
+      .select(AvroCodec.avroEncode(
+        struct(col("nome"), col("email"), col("dt_update")), v2, Some(8)).as("value"))
+    // + one record under an UNKNOWN id and one malformed body
+    val unknown = Seq(("zed", 9000L)).toDF("nome", "dt_update")
+      .select(AvroCodec.avroEncode(struct(col("nome"), col("dt_update")), v1,
+        Some(99)).as("value"))
+    val garbage = Seq(Array[Byte](0x00, 0, 0, 0, 8, 0x42)).toDF("value")
+
+    val decoded = recsV1.union(recsV2).union(unknown).union(garbage)
+      .select(AvroCodec.avroDecodeEvolving(col("value"), v2, writers).as("r"))
+      .select(col("r.*"))
+    val rows = decoded.collect().map(_.toSeq).toSet
+    assert(rows == Set(
+      Seq("ana", null, 1000L), // v1 writer: reader-only email reads null
+      Seq("bia", null, 2000L),
+      Seq("caio", "c@example.org", 3000L), // v2 writer: full record
+      Seq(null, null, null))) // unknown id AND malformed body → null rows
+    // pinned-schema decode would NOT have tolerated the v1 records
+    val pinned = recsV1
+      .select(AvroCodec.avroDecode(col("value"), v2, confluentFraming = true).as("r"))
+      .select(col("r.nome")).collect().map(_.isNullAt(0))
+    assert(pinned.forall(identity))
+  }
+
+  test("evolving decode rejects a non-nullable reader field missing from a writer") {
+    val v1 = StructType(Seq(StructField("a", LongType, nullable = false)))
+    val reader = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = false))) // b absent from v1
+    val ex = intercept[Exception] {
+      Seq(Array[Byte](0x00)).toDF("value")
+        .select(AvroCodec.avroDecodeEvolving(col("value"), reader, Map(1 -> v1)))
+        .collect()
+    }
+    assert(ex.getMessage.contains("must be nullable") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("property: arbitrary records round-trip bit-exactly (unicode, extremes, nulls)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
