@@ -183,6 +183,48 @@ object Pipelines {
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** The north-star COMPOSITION: corpus curation ON the stream — an
+    * incremental documents frame (the `graft-jdbc` DSv2 source in
+    * production, any streaming frame in tests) → join-free
+    * language+quality scoring → survivor guard → watermarked fingerprint
+    * dedup → Connect S3 parquet object layout. Every stage is an
+    * operator the batch engine oracle-checks on its own
+    * ([[graft.operators.Curation.curate]] is the batch twin); this wires
+    * them through a real micro-batch executor with checkpointed
+    * exactly-once delivery into the reference's sink layout.
+    *
+    * The survivor guard rides a GENERATOR expression
+    * (`explode_outer(when(keep, array(fp)))`, then a filter on the
+    * generator-output attribute) exactly like the batch chain: a
+    * `.filter` on the derived pred_lang/quality columns would be
+    * substituted through the scoring projections and re-run them per row
+    * inside the pushed predicate — the measured-10× Catalyst trap
+    * [[graft.operators.Curation]] documents.
+    *
+    * Scale shape: scoring and the guard are per-row projections fused
+    * into the source scan; the ONLY stateful exchange is the dedup's
+    * key-hash shuffle, whose state is watermark-bounded. The sink writes
+    * executor-side objects per micro-batch.
+    */
+  def startStreamingCuration(docs: DataFrame, s3Dir: String, topic: String,
+                             checkpoint: String,
+                             lang: String = "en", minQuality: Double = 0.7,
+                             eventTimeCol: String = "dt_update",
+                             delay: String = "1 hour",
+                             flushSize: Int = 10): StreamingQuery = {
+    import graft.operators.TextAnalysis
+    val keep = col("pred_lang") === lang && col("quality") >= minQuality
+    val survivors = TextAnalysis.withPredLangAndQuality(docs)
+      .select(
+        explode_outer(when(keep,
+          array(graft.functions.GraftFunctions.fingerprint(col("text"))))).as("fp"),
+        col("*"))
+      .filter(col("fp").isNotNull)
+    val curated = streamingDedup(survivors, Seq("fp"), eventTimeCol, delay)
+      .drop("fp", "pred_lang", "quality")
+    startConnectParquetSink(curated, s3Dir, topic, checkpoint, flushSize)
+  }
+
   /** Per-user running aggregate via mapGroupsWithState — the custom-state
     * escape hatch for logic windowed aggregations can't express (here:
     * lifetime event count + last-seen timestamp, emitted per micro-batch

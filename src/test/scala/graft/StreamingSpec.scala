@@ -247,6 +247,50 @@ class StreamingSpec extends SparkSpec {
       "email", "foto", "nascimento", "profissao", "dt_update"))
   }
 
+  test("end-to-end streaming curation: jdbc source → score → dedup → connect layout") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.sources.{GraftJdbcStream, SnapshotChunkSource}
+
+    val goodEn = ("the cat and the dog sat on a mat of straw " * 12).trim
+    val otherEn = ("a bird and the fish swim to the old red barn " * 12).trim
+    val german = ("der hund und die katze ist nicht ein zu mit auf " * 12).trim
+    val junk = "!!! ??? !! ?"
+    def doc(id: Long, text: String, ms: Long) =
+      (id, "xx", s"web-$id", text, new Timestamp(ms))
+    val snap = Seq(
+      doc(1L, goodEn, 1000L),  // survives
+      doc(2L, goodEn, 5000L),  // same fingerprint → dedup drops
+      doc(3L, german, 6000L),  // language filter drops
+      doc(4L, junk, 7000L),    // quality filter drops
+      doc(5L, otherEn, 8000L)  // survives
+    ).toDF("doc_id", "lang", "source", "text", "dt_update")
+    GraftJdbcStream.registry.put("spec_curation_docs",
+      new SnapshotChunkSource(() => snap))
+
+    val out = Files.createTempDirectory("graft_cur_s3_").toString
+    val docsStream = spark.readStream.format("graft-jdbc")
+      .option("sourceHandle", "spec_curation_docs").load()
+    val q = Pipelines.startStreamingCuration(docsStream, out, "curated",
+      checkpoint = Files.createTempDirectory("graft_cur_ckp_").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    // reference object layout: topics.dir/<topic>/partition=N/<topic>+N+off
+    val partDir = Paths.get(out, "raw-data", "kafka", "curated", "partition=0")
+    assert(Files.isDirectory(partDir), s"missing connect layout under $out")
+    val objects = Files.list(partDir).iterator().asScala.toSeq
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+    assert(objects.nonEmpty && objects.forall(_.matches("curated\\+0\\+\\d+\\.parquet")))
+
+    // contents: only the two distinct en/quality survivors, helper
+    // columns (fp/pred_lang/quality) dropped, source columns intact
+    val curated = spark.read.parquet(
+      objects.map(o => partDir.resolve(o).toString): _*)
+    assert(curated.columns.sorted.toSeq ==
+      Seq("doc_id", "dt_update", "lang", "source", "text"))
+    assert(curated.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+  }
+
   test("batch generator: deterministic, epoch round-trip exact, pre-1970 covered") {
     val a = FakeData.customers(spark, 500)
     val b = FakeData.customers(spark, 500)
