@@ -97,6 +97,11 @@ object SparkEntry {
     "dedup_minhash_sigs" -> q((s, d) => Dedup.minhashSignaturesStr(Tables.load(s, d, "documents"))),
     "dedup_lsh_pairs" -> q((s, d) => Dedup.minhashLshPairs(Tables.load(s, d, "documents"), 3, 0.8)),
     "dedup_jaccard_pairs" -> q((s, d) => Dedup.jaccardPairs(Tables.load(s, d, "documents"), 3, 0.8)),
+    // char-gram exact jaccard at n=7/t=0.9: 7-grams keep the oracle's
+    // full posting self-join tractable in DuckDB (measured 85 s at
+    // sf0.1; n=5's hotter grams cost ~2x) — the Spark side prefix-filters
+    // and is parameter-insensitive
+    "dedup_char_jaccard_pairs" -> q((s, d) => Dedup.charJaccardPairs(Tables.load(s, d, "documents"), 7, 0.9)),
     "dedup_simhash" -> q((s, d) => Dedup.simhashSignatures(Tables.load(s, d, "documents"))),
     // transitive near-dup clusters: min-label propagation to fixpoint
     // over the LSH pair graph (oracle: recursive-CTE transitive closure)
@@ -281,6 +286,7 @@ object SparkEntry {
          count(*) FILTER (event_type = 'error') AS error
          FROM events GROUP BY user_id""",
     "dedup_char_lsh" -> OracleSqlGen.charLshPairsSql(5, 0.8),
+    "dedup_char_jaccard_pairs" -> OracleSqlGen.charJaccardPairsSql(7, 0.9),
     "asof_attribution" -> OracleSqlGen.asofAttributionSql,
     "session_counts" -> OracleSqlGen.sessionCountsSql(5),
     "hopping_counts" -> OracleSqlGen.hoppingCountsSql(60, 30),
