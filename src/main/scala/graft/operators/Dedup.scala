@@ -205,10 +205,29 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sa = sh.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
-    val sb = sh.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
-    cand.join(sa, "a").join(sb, "b")
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+    // COUNT-BASED exact verify, same discipline as [[jaccardPairsOver]]:
+    // expand each candidate by a's posting list, match b's postings on
+    // (b, gram), group-count = |A∩B| (shingle sets are distinct by
+    // construction); |A∪B| from the per-doc sizes. Nothing wider than
+    // (doc id, doc id, one gram) shuffles — candidate pairs never pull
+    // full shingle ARRAYS through a join (the array_intersect verify this
+    // replaces shipped two gram arrays per candidate, unbounded row
+    // width on long docs). Zero-overlap or empty-set candidates simply
+    // produce no posting matches — identical output for any threshold>0
+    // (their exact jaccard is 0).
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val pa = sh.select(col("doc_id").as("a"),
+      explode_outer(col("shingles")).as("g"))
+    val pb = sh.select(col("doc_id").as("b"),
+      explode_outer(col("shingles")).as("g"))
+    cand
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .join(pa, "a").join(pb, Seq("b", "g"))
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast("double")
+        / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jac") >= threshold) // unrounded, see jaccardPairsOver
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard_sim"))
   }
