@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Corpus-assembly operators for a training-data pipeline: deterministic
+  * sampling (train/eval split, per-domain mixing), eval-set decontamination,
+  * and token-budget shard packing (north-star extension surface — not in
+  * the reference, which has no batch corpus operators at all; see
+  * `/root/reference/README.md:204-277` for its entire query surface).
+  *
+  * Design rules shared by every operator here:
+  *
+  *  - **Determinism over randomness.** `rand()` would make the result
+  *    unreproducible run-to-run and unverifiable against the DuckDB oracle;
+  *    every sampling decision derives from `md5(salt ":" doc_id)`, so the
+  *    same document lands in the same split/sample on every run, on any
+  *    cluster size, in any engine that agrees on md5 (exactly the property
+  *    a 100 TB pipeline needs to resume/backfill without reshuffling the
+  *    world).
+  *  - **No single-reducer stages.** The one operator that semantically
+  *    needs a GLOBAL ordering (shard packing's running token sum) is built
+  *    as a two-phase distributed prefix sum — per-range-partition window
+  *    plus a broadcast of the tiny per-partition offsets — never a
+  *    single-partition `Window.orderBy` over the corpus.
+  */
+object CorpusOps {
+
+  // -------------------------------------------------------------------
+  // Deterministic hash sampling
+  // -------------------------------------------------------------------
+
+  /** Threshold for "keep with probability `rate`" over the first 8 hex
+    * chars of an md5: a rate-r sample keeps rows whose 8-hex-digit cell is
+    * lexicographically below `floor(r * 16^8)` rendered as 8 lower-case
+    * hex digits. Rates >= 1 map to "g" — greater than every hex digit
+    * string, so the comparison keeps everything (and rates <= 0 map to
+    * "00000000", which keeps nothing). Hex-string comparison is identical
+    * byte-wise in the JVM and DuckDB, so the oracle reproduces the exact
+    * sample.
+    */
+  def hexThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) "00000000"
+    else f"${(rate * 4294967296.0).toLong}%08x"
+
+  /** The sampling cell: first 8 hex chars of md5("salt:id"). */
+  def hexCell(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8)
+
+  /** Deterministic train/eval split assignment: (doc_id, split). The salt
+    * isolates this decision from every other sampled decision in the
+    * pipeline (mixing, subsampling) — re-using one hash for two decisions
+    * correlates them.
+    */
+  def splitAssignments(docs: DataFrame, evalRate: Double,
+                       salt: String = "split"): DataFrame =
+    docs.select(col("doc_id"),
+      when(hexCell(col("doc_id"), salt) < lit(hexThreshold(evalRate)), lit("eval"))
+        .otherwise(lit("train")).as("split"))
+
+  /** Default per-domain mixing weights for the registered query: exercise
+    * keep-all, heavy/light downsampling, and the default in one plan.
+    * [[graft.OracleSqlGen.mixCorpusSql]] renders its CASE expression from
+    * THIS map, so plan and oracle cannot drift.
+    */
+  val defaultMixWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.1, "src3" -> 0.75)
+  val defaultMixRate = 0.5
+
+  /** Per-domain weighted corpus mixing: keep each document with its
+    * domain's probability, deterministically. This is the "2 epochs of
+    * wiki, 0.3 of web" knob of a training-data pipeline (downsampling
+    * half of it — upsampling is a copy, not a filter). Pure per-row
+    * predicate on base columns: fuses into the scan, no shuffle, no
+    * driver participation — embarrassingly parallel at any corpus size.
+    */
+  def mixCorpus(docs: DataFrame,
+                weights: Seq[(String, Double)] = defaultMixWeights,
+                defaultRate: Double = defaultMixRate,
+                salt: String = "mix"): DataFrame = {
+    val thr = weights.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (src, w)) =>
+        when(col("source") === lit(src), lit(hexThreshold(w))).otherwise(acc)
+    }
+    docs.filter(hexCell(col("doc_id"), salt) < thr)
+      .select(col("doc_id"), col("source"))
+  }
+
+  // -------------------------------------------------------------------
+  // Eval-set decontamination
+  // -------------------------------------------------------------------
+
+  /** Train-split documents sharing at least one word n-gram with the eval
+    * split: (doc_id, n_shared_grams). The membership test every serious
+    * training corpus runs before training (don't train on your benchmark).
+    *
+    * Scale shape: an eval set is a small constant (benchmarks are
+    * thousands of documents, not terabytes), so its distinct gram set is
+    * BROADCAST and the 100 TB train side never shuffles its text — the
+    * scan explodes grams, probes the broadcast hash table, and only the
+    * surviving (doc_id, 1) pairs reach the per-document count (whose
+    * shuffle is proportional to the contamination, not the corpus).
+    * Shingles are distinct per document ([[shinglesFromTokens]]), so
+    * `count(*)` after the join IS the distinct shared-gram count — no
+    * `countDistinct` expand needed.
+    *
+    * explode_outer (not explode): InferFiltersFromGenerate would bolt
+    * `size(shingles) > 0` onto plain explode and predicate pushdown
+    * re-inlines the whole shingle pipeline below the scan (pitfall
+    * documented in [[Dedup.jaccardPairs]]).
+    */
+  def decontaminate(docs: DataFrame, n: Int = 8, evalRate: Double = 0.05,
+                    salt: String = "split"): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        (hexCell(col("doc_id"), salt) < lit(hexThreshold(evalRate))).as("is_eval"),
+        tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("doc_id"), col("is_eval"),
+        shinglesFromTokens(col("tk"), n).as("shingles"))
+      .select(col("doc_id"), col("is_eval"),
+        explode_outer(col("shingles")).as("gram"))
+    val evalGrams = grams.filter(col("is_eval")).select(col("gram")).distinct()
+    grams.filter(!col("is_eval") && col("gram").isNotNull)
+      .select(col("doc_id"), col("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  // -------------------------------------------------------------------
+  // Token-budget shard packing
+  // -------------------------------------------------------------------
+
+  /** Pack documents into training shards of ~`budgetTokens` BPE-ish tokens
+    * by global doc_id order: shard_id = floor((tokens before this
+    * document) / budget). Greedy sequential packing — the deterministic
+    * layout step between "curated corpus" and "data loader".
+    *
+    * The running sum is semantically GLOBAL, which is exactly the
+    * operation naive Spark gets wrong (`Window.orderBy` with no partition
+    * spec = every row through ONE reducer). This implementation is the
+    * classic two-phase distributed prefix sum instead:
+    *
+    *  1. derive a range-bucket id `pid` as a PURE MONOTONE FUNCTION of
+    *     doc_id (equal-width buckets over the [min, max] id span, bounds
+    *     broadcast as a 1-row frame — same shape as
+    *     [[Similarity.bruteForceTopK]]'s query vector). Monotone ⇒ bucket
+    *     order == global order; pure ⇒ deterministic across re-evaluation
+    *     of the frame, with no reliance on `spark_partition_id()` or on
+    *     ReuseExchange firing over a twice-referenced repartitionByRange
+    *     (RangePartitioner's boundary sampling is not contractually stable
+    *     across separate materializations);
+    *  2. compute each document's EXCLUSIVE running sum WITHIN its bucket
+    *     (window partitioned by pid — 1/N of the data per reducer), one
+    *     total per bucket (N rows), prefix-sum THAT on a single reducer
+    *     (N rows, constant work), and broadcast-join the offsets back.
+    *
+    * Global position = bucket offset + local exclusive sum — invariant to
+    * the bucketing itself, so equal-width skew (dense ids here; real
+    * pipelines would use range stats) costs balance, never correctness.
+    * shard_id mirrors the oracle's `floor(CAST(cum AS DOUBLE) / budget)`
+    * IEEE-op-for-op, and cumulative token counts sit far below 2^53.
+    */
+  def packShards(docs: DataFrame, budgetTokens: Long = 1000L,
+                 numParts: Int = 32): DataFrame = {
+    val sized = docs
+      .select(col("doc_id"), bpeishTokenCount(col("text")).as("n_tok"))
+    val withPid = sized.crossJoin(broadcast(
+        sized.agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))))
+      .withColumn("pid",
+        floor((col("doc_id") - col("min_id")).cast("double")
+          / ceil((col("max_id") - col("min_id") + 1).cast("double") / numParts)))
+      .select(col("doc_id"), col("n_tok"), col("pid"))
+    val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = withPid.withColumn("cum_local",
+      coalesce(sum(col("n_tok")).over(local), lit(0L)))
+    // N rows total: the only unpartitioned window in the plan runs over
+    // ONE row per bucket, not one row per document
+    val offsets = withPid.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
+      .withColumn("offset",
+        coalesce(sum(col("ptot")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("offset"))
+    withLocal.join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("n_tok"),
+        floor((col("offset") + col("cum_local")).cast("double")
+          / budgetTokens.toDouble).cast("long").as("shard_id"))
+  }
+}
