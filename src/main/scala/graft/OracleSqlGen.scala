@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.DetHash
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, TextAnalysis}
 
 /** DuckDB oracle-SQL builders for the dedup / similarity / text-analysis
   * operators.
@@ -131,6 +131,77 @@ object OracleSqlGen {
   def tokenHistogramSql: String =
     s"""SELECT CAST(floor(len(${toks("text")})::DOUBLE / 32) AS BIGINT) * 32 AS bucket,
         count(*) AS cnt FROM documents GROUP BY 1"""
+
+  // -------------------------------------------------------------- corpus
+
+  /** The [[CorpusOps.hexCell]] sampling cell in DuckDB: first 8 hex chars
+    * of md5("salt:id"). `||` stringifies the BIGINT id exactly like
+    * Spark's `.cast("string")`, and hex-string `<` is byte-wise identical
+    * in both engines.
+    */
+  private def hexCellSql(salt: String): String =
+    s"substr(md5('$salt:' || doc_id), 1, 8)"
+
+  /** Mirrors CorpusOps.splitAssignments — the threshold literal comes from
+    * the SAME [[CorpusOps.hexThreshold]] the Spark plan uses.
+    */
+  def splitAssignmentsSql(evalRate: Double, salt: String = "split"): String =
+    s"""SELECT doc_id,
+        CASE WHEN ${hexCellSql(salt)} < '${CorpusOps.hexThreshold(evalRate)}'
+             THEN 'eval' ELSE 'train' END AS split
+        FROM documents"""
+
+  /** Mirrors CorpusOps.mixCorpus: the CASE arms render from the SAME
+    * weight map as the Spark plan (source values are distinct, so arm
+    * order is immaterial; the ELSE is the default rate).
+    */
+  def mixCorpusSql(weights: Seq[(String, Double)] = CorpusOps.defaultMixWeights,
+                   defaultRate: Double = CorpusOps.defaultMixRate,
+                   salt: String = "mix"): String = {
+    val arms = weights.map { case (src, w) =>
+      s"WHEN '$src' THEN '${CorpusOps.hexThreshold(w)}'"
+    }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+        WHERE ${hexCellSql(salt)} <
+          CASE source $arms ELSE '${CorpusOps.hexThreshold(defaultRate)}' END"""
+  }
+
+  /** Mirrors CorpusOps.decontaminate: word n-gram shingles (same chain as
+    * the jaccard oracles), eval membership by hash cell, distinct eval
+    * grams probed by the train side. `unnest` drops empty shingle lists
+    * where Spark's explode_outer emits a null gram — equivalent, since
+    * null grams never survive the equi-join and the train side filters
+    * them explicitly.
+    */
+  def decontaminateSql(n: Int, evalRate: Double,
+                       salt: String = "split"): String =
+    s"""${toksCte()},
+        sh AS (SELECT doc_id,
+          ${hexCellSql(salt)} < '${CorpusOps.hexThreshold(evalRate)}' AS is_eval,
+          ${shingles(n)} AS shingles FROM t),
+        g AS (SELECT doc_id, is_eval, unnest(shingles) AS gram FROM sh),
+        ev AS (SELECT DISTINCT gram FROM g WHERE is_eval)
+        SELECT doc_id, count(*) AS n_shared_grams
+        FROM g JOIN ev USING (gram) WHERE NOT is_eval GROUP BY doc_id"""
+
+  /** Mirrors CorpusOps.packShards. The oracle computes the global
+    * exclusive running token sum directly (DuckDB windows the whole table
+    * in one pass — fine at oracle scale); Spark's two-phase distributed
+    * prefix sum must land on the identical cumulative values, which is
+    * exactly what this checks. The shard division mirrors Spark
+    * IEEE-op-for-op: floor(CAST(cum AS DOUBLE) / budget).
+    */
+  def packShardsSql(budgetTokens: Long): String =
+    s"""WITH s AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT doc_id, n_tok,
+          coalesce(sum(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM s)
+        SELECT doc_id, n_tok,
+          CAST(floor(cum::DOUBLE / $budgetTokens.0) AS BIGINT) AS shard_id
+        FROM c"""
 
   // --------------------------------------------------------------- dedup
 

@@ -91,6 +91,17 @@ object SparkEntry {
     // the composed curation chain: language filter -> quality filter ->
     // exact-dedup keep-one, as a scan-fused projection + one shuffle
     "curate_corpus" -> q((s, d) => Curation.curate(Tables.load(s, d, "documents"), "en", 0.7)),
+    // --- corpus assembly (documents) ---
+    // deterministic hash-sampled train/eval split (md5 cell, no rand())
+    "corpus_split" -> q((s, d) => CorpusOps.splitAssignments(Tables.load(s, d, "documents"), 0.05)),
+    // per-domain weighted downsampling; scan-fused per-row predicate
+    "corpus_mix" -> q((s, d) => CorpusOps.mixCorpus(Tables.load(s, d, "documents"))),
+    // train docs sharing >=1 word 8-gram with the eval split (broadcast
+    // eval-gram probe: the train side never shuffles its text)
+    "corpus_decontaminate" -> q((s, d) => CorpusOps.decontaminate(Tables.load(s, d, "documents"), 8, 0.05)),
+    // token-budget shard packing via two-phase distributed prefix sum
+    // (oracle computes the same running sum with one global window)
+    "corpus_pack_shards" -> q((s, d) => CorpusOps.packShards(Tables.load(s, d, "documents"), 1000L, 32)),
     // --- deduplication (documents / embeddings) ---
     "dedup_exact_groups" -> q((s, d) => Dedup.exactGroups(Tables.load(s, d, "documents"))),
     "dedup_exact" -> q((s, d) => Dedup.exactDedup(Tables.load(s, d, "documents"))),
@@ -299,6 +310,10 @@ object SparkEntry {
     "text_fingerprints" -> OracleSqlGen.fingerprintsSql,
     "text_winnow_fp" -> OracleSqlGen.winnowingSql(5, 4),
     "curate_corpus" -> OracleSqlGen.curateSql("en", 0.7),
+    "corpus_split" -> OracleSqlGen.splitAssignmentsSql(0.05),
+    "corpus_mix" -> OracleSqlGen.mixCorpusSql(),
+    "corpus_decontaminate" -> OracleSqlGen.decontaminateSql(8, 0.05),
+    "corpus_pack_shards" -> OracleSqlGen.packShardsSql(1000L),
     "dedup_exact_groups" -> OracleSqlGen.exactGroupsSql,
     "dedup_exact" -> OracleSqlGen.exactDedupSql,
     "dedup_minhash_sigs" -> OracleSqlGen.minhashSigSql(3),

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hexThreshold: boundary rates and the 0.05 cell") {
+    assert(CorpusOps.hexThreshold(1.0) == "g")
+    assert(CorpusOps.hexThreshold(1.5) == "g")
+    assert(CorpusOps.hexThreshold(0.0) == "00000000")
+    assert(CorpusOps.hexThreshold(-0.1) == "00000000")
+    assert(CorpusOps.hexThreshold(0.05) == "0ccccccc")
+    assert(CorpusOps.hexThreshold(0.5) == "80000000")
+  }
+
+  test("splitAssignments: deterministic, hash-stable, rate-accurate") {
+    val docs = spark.range(10000).select($"id".as("doc_id"))
+    val a = CorpusOps.splitAssignments(docs, 0.05).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = CorpusOps.splitAssignments(docs, 0.05).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val evalFrac = a.count(_._2 == "eval").toDouble / a.size
+    assert(evalFrac > 0.03 && evalFrac < 0.07, s"eval fraction $evalFrac")
+    // membership is a pure function of doc_id: a subset of the corpus gets
+    // identical assignments (no rank/partition dependence)
+    val sub = CorpusOps.splitAssignments(docs.filter($"doc_id" < 100), 0.05)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (id, s) => a(id) == s })
+  }
+
+  test("mixCorpus: per-source keep rates follow the weight map; no shuffle") {
+    val docs = spark.range(20000).select($"id".as("doc_id"),
+      concat(lit("src"), ($"id" % 5).cast("string")).as("source"))
+    val q = CorpusOps.mixCorpus(docs)
+    val kept = q.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSource = 4000.0
+    // src0 weight 1.0: keeps everything, exactly
+    assert(kept("src0") == 4000L)
+    // src2 weight 0.1, src4 unlisted -> default 0.5 (tolerances ~4 sigma)
+    assert(math.abs(kept("src2") / perSource - 0.1) < 0.03, s"src2=${kept("src2")}")
+    assert(math.abs(kept.getOrElse("src4", 0L) / perSource - 0.5) < 0.04, s"src4=${kept.getOrElse("src4", 0L)}")
+    // pure per-row predicate: the whole plan is scan+filter+project
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "mixCorpus must not shuffle")
+  }
+
+  test("decontaminate flags exactly the train docs sharing an eval 8-gram") {
+    // pick a real eval id and a real train id under the default salt
+    val ids = spark.range(0, 200).select($"id".as("doc_id"))
+    val split = CorpusOps.splitAssignments(ids, 0.05).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalId = split.collectFirst { case (id, "eval") => id }.get
+    val trainIds = split.collect { case (id, "train") => id }.toSeq.sorted
+    val shared = "one two three four five six seven eight nine ten" // 10 tokens
+    val docs = Seq(
+      (evalId, shared),
+      (trainIds(0), shared + " extra tail tokens here"),
+      (trainIds(1), "completely different words with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.decontaminate(docs, 8, 0.05)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 10 shared tokens -> 3 distinct shared 8-grams; the clean doc is absent
+    assert(out == Map(trainIds(0) -> 3L), s"got $out")
+  }
+
+  test("decontaminate probes eval grams via broadcast (train text never shuffles)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val q = CorpusOps.decontaminate(docs, 8, 0.05)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), "eval-gram probe must broadcast")
+    assert(!p.contains("SortMergeJoin"), "train side must not sort-merge its grams")
+  }
+
+  test("packShards matches a locally computed global prefix sum, any bucketing") {
+    val docs = spark.range(0, 1000).select($"id".as("doc_id"),
+      // deterministic variable-length texts: (id % 17) + 1 words
+      array_join(transform(sequence(lit(0), $"id" % 17), i => concat(lit("w"), i)), " ").as("text"))
+    val rows = docs.select($"doc_id", ($"doc_id" % 17 + 1).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val expected = rows.map { case (id, n) =>
+      val shard = math.floor(cum.toDouble / 50.0).toLong; cum += n; (id, n, shard)
+    }.toSet
+    for (parts <- Seq(1, 7, 32)) {
+      val got = CorpusOps.packShards(docs, 50L, parts).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"numParts=$parts")
+    }
+  }
+
+  test("packShards: doc-level windows are partitioned; offsets join broadcasts") {
+    val docs = Tables.load(spark, sf, "documents")
+    val q = CorpusOps.packShards(docs, 1000L, 32)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the doc-level running sum must be a window PARTITIONED by the range
+    // bucket (1/N of the corpus per reducer); the only unpartitioned
+    // window in the plan runs over the N per-bucket totals, and those
+    // offsets come back via broadcast, never a shuffled join
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.exists(_.contains(", [pid#")),
+      s"expected a pid-partitioned window, got:\n${windowLines.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), "offset join must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
