@@ -82,4 +82,32 @@ object Tables {
   /** Register every table as a temp view so spark.sql(...) works. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Per-session root for write-time-persisted derived tables (bucketed
+    * fact tables, the partitioned ANN index). The applicationId in the
+    * path keeps concurrent JVMs/users from colliding on one shared
+    * tmpdir location — the in-process locks only serialize one JVM.
+    */
+  def persistedTableRoot(spark: SparkSession): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_persisted_" +
+      spark.sparkContext.applicationId
+
+  /** Ensure-once for a persisted derived table: reuse the catalog entry
+    * only if its data is actually readable and non-empty (a persistent
+    * metastore can outlive a cleaned tmpdir, leaving an entry whose files
+    * are gone — that must trigger a rebuild, not an empty scan). Our
+    * derived tables are never legitimately empty, so `limit(1)` doubles
+    * as the files-exist probe while reading at most one row.
+    */
+  def ensurePersisted(spark: SparkSession, name: String)
+                     (write: String => Unit): DataFrame = {
+    val healthy = spark.catalog.tableExists(name) &&
+      (try spark.table(name).limit(1).count() == 1
+       catch { case _: Exception => false })
+    if (!healthy) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      write(s"${persistedTableRoot(spark)}/$name")
+    }
+    spark.table(name)
+  }
 }

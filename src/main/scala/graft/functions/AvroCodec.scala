@@ -315,9 +315,12 @@ case class AvroDecode(child: Expression, wireSchema: StructType,
 
 /** Confluent-framed bytes → struct(`readerSchema`) with PER-RECORD
   * schema-id dispatch over `writerSchemas` (see
-  * [[AvroBinary.decodeEvolving]]). Every reader field that some writer
-  * version lacks must be nullable — the type check enforces it, since
-  * those records decode that field to null.
+  * [[AvroBinary.decodeEvolving]]). The type check enforces the full
+  * resolution contract up front, at analysis time: every reader field
+  * that some writer version lacks must be nullable (it decodes to null
+  * there), a same-named field must have the SAME dataType in writer and
+  * reader (values are copied across by name with no Avro promotion), and
+  * a nullable writer field may only resolve onto a nullable reader field.
   */
 case class AvroDecodeEvolving(child: Expression, readerSchema: StructType,
                               writerSchemas: Map[Int, StructType])
@@ -335,10 +338,31 @@ case class AvroDecodeEvolving(child: Expression, readerSchema: StructType,
       val mustBeNullable = readerSchema.fields.filter(f =>
         !f.nullable && writerSchemas.values.exists(w =>
           !w.fieldNames.contains(f.name)))
+      // decodeEvolving copies the WRITER-decoded value into the reader row
+      // by name, so a same-named field must carry the same dataType in
+      // both schemas (no Avro promotions here), and a writer field that
+      // can decode to null must land in a nullable reader field
+      val typeMismatch = for {
+        (id, w) <- writerSchemas.toSeq.sortBy(_._1)
+        wf <- w.fields
+        rf <- readerSchema.fields.find(_.name == wf.name).toSeq
+        if wf.dataType != rf.dataType
+      } yield s"${wf.name} (writer $id ${wf.dataType.simpleString} vs reader ${rf.dataType.simpleString})"
+      val nullMismatch = for {
+        (id, w) <- writerSchemas.toSeq.sortBy(_._1)
+        wf <- w.fields if wf.nullable
+        rf <- readerSchema.fields.find(_.name == wf.name).toSeq
+        if !rf.nullable
+      } yield s"${wf.name} (writer $id)"
       if (unsupported.nonEmpty) TypeCheckResult.TypeCheckFailure(
         s"$prettyName unsupported field types: ${unsupported.map(_.dataType).mkString(", ")}")
       else if (writerSchemas.isEmpty) TypeCheckResult.TypeCheckFailure(
         s"$prettyName needs at least one writer schema")
+      else if (typeMismatch.nonEmpty) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName writer/reader dataType mismatch: ${typeMismatch.mkString("; ")}")
+      else if (nullMismatch.nonEmpty) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName nullable writer fields need a nullable reader field: " +
+          nullMismatch.mkString("; "))
       else if (mustBeNullable.nonEmpty) TypeCheckResult.TypeCheckFailure(
         s"$prettyName reader fields ${mustBeNullable.map(_.name).mkString(", ")} " +
           "are missing from some writer schema and must be nullable")

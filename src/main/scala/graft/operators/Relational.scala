@@ -126,16 +126,15 @@ object Relational {
       // deterministic per-dir tag keeps sf0.001/sf0.01/sf0.1 tables apart
       val tag = java.lang.Long.toHexString(
         graft.functions.DetHash.base60(dir) & 0xffffffffL)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
       def ensure(table: String, key: String): DataFrame = {
         val name = s"graft_${table}_b$tag"
-        if (!spark.catalog.tableExists(name)) {
+        // per-session path + readability probe: see Tables.ensurePersisted
+        Tables.ensurePersisted(spark, name) { path =>
           Tables.load(spark, dir, table).write
             .bucketBy(buckets, key).sortBy(key)
-            .option("path", s"$base/$name")
+            .option("path", path)
             .mode("overwrite").saveAsTable(name)
         }
-        spark.table(name)
       }
       (ensure("lineitem", "l_orderkey"), ensure("orders", "o_orderkey"))
     }

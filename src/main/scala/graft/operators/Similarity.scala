@@ -109,18 +109,19 @@ object Similarity {
       val tag = java.lang.Long.toHexString(
         DetHash.base60(dir) & 0xffffffffL)
       val name = s"graft_ann_p${planes}_$tag"
-      if (!spark.catalog.tableExists(name)) {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+      // ensurePersisted re-validates that the catalog entry's files are
+      // still readable (and uses a per-session path), so a cleaned tmpdir
+      // or a concurrent JVM can't serve an empty/foreign index
+      graft.Tables.ensurePersisted(spark, name) { path =>
         graft.Tables.load(spark, dir, "embeddings")
           // int, not long: partition-column type inference reads the
           // directory values back as int — keep write and probe aligned
           .withColumn("bucket", srpBucket(col("embedding"), planes, dims).cast("int"))
           .repartition(col("bucket"))
           .write.partitionBy("bucket")
-          .option("path", s"$base/$name")
+          .option("path", path)
           .mode("overwrite").saveAsTable(name)
       }
-      spark.table(name)
     }
 
   /** [[annTopK]] over the persisted index — identical rows, but the

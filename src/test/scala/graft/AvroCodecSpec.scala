@@ -210,6 +210,32 @@ class AvroCodecSpec extends SparkSpec {
       ex.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("evolving decode rejects a writer/reader dataType conflict on a shared field") {
+    // writer declares x: long, reader declares x: string — copying the
+    // decoded long into a string slot would corrupt rows at runtime
+    val writer = StructType(Seq(StructField("x", LongType, nullable = false)))
+    val reader = StructType(Seq(StructField("x", StringType, nullable = true)))
+    val ex = intercept[Exception] {
+      Seq(Array[Byte](0x00)).toDF("value")
+        .select(AvroCodec.avroDecodeEvolving(col("value"), reader, Map(1 -> writer)))
+        .collect()
+    }
+    assert(ex.getMessage.contains("dataType mismatch") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("evolving decode rejects a nullable writer field on a non-nullable reader field") {
+    val writer = StructType(Seq(StructField("x", LongType, nullable = true)))
+    val reader = StructType(Seq(StructField("x", LongType, nullable = false)))
+    val ex = intercept[Exception] {
+      Seq(Array[Byte](0x00)).toDF("value")
+        .select(AvroCodec.avroDecodeEvolving(col("value"), reader, Map(1 -> writer)))
+        .collect()
+    }
+    assert(ex.getMessage.contains("nullable") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("property: arbitrary records round-trip bit-exactly (unicode, extremes, nulls)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

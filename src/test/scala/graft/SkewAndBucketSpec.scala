@@ -65,4 +65,23 @@ class SkewAndBucketSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
+
+  test("ensurePersisted rebuilds when the catalog entry's files are gone") {
+    import graft.operators.Similarity
+    val idx = Similarity.partitionedAnnIndex(spark, sf)
+    val n = idx.count()
+    assert(n > 0)
+    // simulate a cleaned tmpdir under a persistent metastore: the catalog
+    // entry survives but its data directory is gone
+    val tag = java.lang.Long.toHexString(
+      graft.functions.DetHash.base60(sf) & 0xffffffffL)
+    val loc = s"${Tables.persistedTableRoot(spark)}/graft_ann_p4_$tag"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    assert(new java.io.File(loc).isDirectory, s"expected index data at $loc")
+    rm(new java.io.File(loc))
+    val rebuilt = Similarity.partitionedAnnIndex(spark, sf)
+    assert(rebuilt.count() == n, "missing files must trigger a rebuild")
+  }
 }
