@@ -132,6 +132,44 @@ object OracleSqlGen {
     s"""SELECT CAST(floor(len(${toks("text")})::DOUBLE / 32) AS BIGINT) * 32 AS bucket,
         count(*) AS cnt FROM documents GROUP BY 1"""
 
+  /** Mirrors CorpusOps.quotaSample. The oracle ranks each source with ONE
+    * global window (fine at oracle scale); Spark's salted two-phase prune
+    * must land on the identical top-quota set — exactly what this checks,
+    * since phase 1 keeping every global answer row is the operator's
+    * correctness claim.
+    */
+  def quotaSampleSql(quota: Int): String =
+    s"""WITH r AS (SELECT d.doc_id, d.source, q.quality,
+          row_number() OVER (PARTITION BY d.source
+            ORDER BY q.quality DESC, d.doc_id) AS rk
+          FROM documents d JOIN ($qualitySql) q ON d.doc_id = q.doc_id)
+        SELECT doc_id, source, quality, rk FROM r WHERE rk <= $quota"""
+
+  /** Mirrors TextAnalysis.scrubbed over TextAnalysis.withInjectedSpans.
+    * The regex literals come from the SAME TextAnalysis constants the
+    * Spark plan uses (RE2-safe subset — Java regex and DuckDB agree on
+    * every construct in them); the span-injection expression mirrors
+    * withInjectedSpans column-for-column. DuckDB regexp_replace needs the
+    * explicit 'g' flag to match Java's replace-all default.
+    */
+  def textScrubSql: String = {
+    import graft.operators.TextAnalysis.{urlRe, emailRe, numRe}
+    s"""WITH e AS (SELECT doc_id,
+          text || ' contact ' || source || '@example.com via https://ex.org/d/'
+            || CAST(doc_id AS VARCHAR) || ' ref '
+            || CAST(doc_id * 1000003 + 123456789 AS VARCHAR) AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '$urlRe')) AS BIGINT) AS n_urls,
+          CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '$numRe')) AS BIGINT) AS n_nums,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '$urlRe', '<URL>', 'g'),
+            '$emailRe', '<EMAIL>', 'g'),
+            '$numRe', '<NUM>', 'g') AS scrubbed
+        FROM e"""
+  }
+
   // -------------------------------------------------------------- corpus
 
   /** The [[CorpusOps.hexCell]] sampling cell in DuckDB: first 8 hex chars

@@ -102,6 +102,13 @@ object SparkEntry {
     // token-budget shard packing via two-phase distributed prefix sum
     // (oracle computes the same running sum with one global window)
     "corpus_pack_shards" -> q((s, d) => CorpusOps.packShards(Tables.load(s, d, "documents"), 1000L, 32)),
+    // exact top-quota-per-source by quality: salted two-phase ranking
+    // bounds phase-2 reducers to quota*salts rows at any corpus size
+    "corpus_quota_sample" -> q((s, d) => CorpusOps.quotaSample(Tables.load(s, d, "documents"), 25, 32)),
+    // URL/email/digit-run scrub with per-pattern counts; spans injected
+    // deterministically from base columns (the synthetic corpus has none)
+    // so the query is data-effective AND oracle-checkable
+    "text_scrub" -> q((s, d) => TextAnalysis.scrubbed(TextAnalysis.withInjectedSpans(Tables.load(s, d, "documents")))),
     // --- deduplication (documents / embeddings) ---
     "dedup_exact_groups" -> q((s, d) => Dedup.exactGroups(Tables.load(s, d, "documents"))),
     "dedup_exact" -> q((s, d) => Dedup.exactDedup(Tables.load(s, d, "documents"))),
@@ -314,6 +321,8 @@ object SparkEntry {
     "corpus_mix" -> OracleSqlGen.mixCorpusSql(),
     "corpus_decontaminate" -> OracleSqlGen.decontaminateSql(8, 0.05),
     "corpus_pack_shards" -> OracleSqlGen.packShardsSql(1000L),
+    "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
+    "text_scrub" -> OracleSqlGen.textScrubSql,
     "dedup_exact_groups" -> OracleSqlGen.exactGroupsSql,
     "dedup_exact" -> OracleSqlGen.exactDedupSql,
     "dedup_minhash_sigs" -> OracleSqlGen.minhashSigSql(3),

@@ -130,6 +130,85 @@ object TextAnalysis {
         langMarkers.map("__score_" + _._1)): _*)
   }
 
+  /** All document columns + `quality` alone — [[withPredLangAndQuality]]
+    * without the language-argmax fold, for operators that need only the
+    * composite score next to base columns (e.g.
+    * [[CorpusOps.quotaSample]]'s per-source ranking). Values are
+    * bit-identical to [[qualityScores]]'s `quality` (same expressions,
+    * same rounding over the same single tokenization).
+    */
+  def withQuality(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val low = col("__tk")
+    docs.select(col("*"), tokens(lower(t)).as("__tk"))
+      .withColumn("quality", round(
+        least(lit(1.0), size(low).cast("double") / 100.0) * 0.4
+          + round(alphaRatio(t), 6) * 0.4
+          + (lit(1.0) - least(lit(1.0), round(punctRatio(t), 6) * 5.0)) * 0.2, 6))
+      .drop("__tk")
+  }
+
+  // ------------------------------------------------------------- scrubbing
+
+  /** Span-scrubbing patterns (URL / email / long digit run). Shared
+    * constants: [[graft.OracleSqlGen.textScrubSql]] renders its DuckDB SQL
+    * from THESE strings, so plan and oracle cannot drift. Deliberately the
+    * RE2-safe regex subset (no lookarounds, no backreferences) — Java
+    * regex and DuckDB's RE2 agree on every construct used here, which is
+    * what makes the scrub oracle-checkable at all.
+    *
+    * Replacement order is URL → email → digit-run: a URL may embed both
+    * digit runs and '@' userinfo, so it must be collapsed to its
+    * placeholder before the narrower patterns get a chance to chew on its
+    * pieces.
+    */
+  val urlRe = "https?://[^\\s]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val numRe = "[0-9]{6,}"
+
+  /** PII-style span scrub over `text`: (doc_id, n_urls, n_emails, n_nums,
+    * scrubbed). Counts are of matches in the ORIGINAL text (per pattern,
+    * independently); `scrubbed` is the chained URL → email → digit-run
+    * replacement with `<URL>`/`<EMAIL>`/`<NUM>` placeholders.
+    *
+    * Scale shape: pure per-row projection over scan attributes — no
+    * shuffle, no UDF, fuses into the document scan like every operator in
+    * this file. The regex work is the per-row cost a 100 TB scrub pays by
+    * definition; nothing here adds a byte of data movement on top.
+    */
+  def scrubbed(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(urlRe), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(numRe), lit(0))).cast("long").as("n_nums"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, lit(urlRe), lit("<URL>")),
+          lit(emailRe), lit("<EMAIL>")),
+        lit(numRe), lit("<NUM>")).as("scrubbed"))
+  }
+
+  /** Deterministic span injection for the registered `text_scrub` query:
+    * the synthetic corpus is word-soup with no URL/email/digit spans, so
+    * the scrub would be a no-op pass-through on testdata. Appending spans
+    * BUILT FROM base columns keeps the registered query data-effective
+    * (every row has ≥1 of each span kind) while staying oracle-checkable —
+    * both engines derive the same enriched string from the same columns;
+    * any drift between this expression and the SQL rendering in
+    * [[graft.OracleSqlGen.textScrubSql]] fails the hash compare
+    * immediately. Crafted-string effectiveness cases (placeholder shape,
+    * chain precedence, clean-text no-op) live in TextScrubSpec.
+    */
+  def withInjectedSpans(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      col("text"),
+      lit(" contact "), col("source"), lit("@example.com via https://ex.org/d/"),
+      col("doc_id").cast("string"),
+      lit(" ref "),
+      (col("doc_id") * lit(1000003L) + lit(123456789L)).cast("string")))
+
   /** Token-count histogram: corpus-level length distribution in buckets of
     * 32 tokens (one narrow shuffle on the bucket id).
     */

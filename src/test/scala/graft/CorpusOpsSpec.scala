@@ -48,6 +48,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "mixCorpus must not shuffle")
   }
 
+  test("quotaSample: exact top-N per source, ties by doc_id, salt-invariant") {
+    import graft.operators.TextAnalysis
+    // quality varies with token count (id % 23 repeats force cross-source
+    // quality ties, exercising the doc_id tie-break)
+    val docs = spark.range(300).select(
+      $"id".as("doc_id"),
+      concat_ws(" ", array_repeat(lit("alpha"), ($"id" % 23).cast("int") + 1)).as("text"),
+      concat(lit("src"), ($"id" % 4).cast("string")).as("source"))
+    val quota = 5
+    // reference: one global ranking per source over the SAME quality values
+    val scored = TextAnalysis.withQuality(docs)
+      .select($"doc_id", $"source", $"quality").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.toSeq.sortBy { case (id, _, qual) => (-qual, id) }.take(quota)
+        .zipWithIndex.map { case ((id, src, qual), i) => (id, src, qual, i + 1L) }
+    }.toSet
+    for (salts <- Seq(1, 4, 32)) {
+      val got = CorpusOps.quotaSample(docs, quota, salts).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got == expected, s"salts=$salts")
+    }
+  }
+
   test("decontaminate flags exactly the train docs sharing an eval 8-gram") {
     // pick a real eval id and a real train id under the default salt
     val ids = spark.range(0, 200).select($"id".as("doc_id"))
