@@ -598,6 +598,29 @@ object OracleSqlGen {
           sqrt($norm) AS emb_norm FROM e"""
   }
 
+  /** Mirrors Similarity.knnJoin: the same banded-SRP candidate generation
+    * as [[embeddingNearDupSql]] but DIRECTED (a ≠ b, both orientations),
+    * exact-cosine scored, then ranked per source vector. The hyperplane
+    * constants render from the same DetHash generator as the fused
+    * SrpBandKeys expression in the plan.
+    */
+  def knnJoinSql(k: Int, bands: Int, planesPerBand: Int, dims: Int): String = {
+    val keys = (0 until bands).map { b =>
+      s"(${b.toLong * (1L << planesPerBand)} + ${
+        srpBucketFrom("embedding", b * planesPerBand, planesPerBand, dims)})"
+    }.mkString(",\n          ")
+    s"""WITH e AS (SELECT vec_id, unnest([$keys]) AS bk FROM embeddings),
+        cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM e x JOIN e y ON x.bk = y.bk AND x.vec_id <> y.vec_id),
+        v AS (SELECT cand.a, cand.b,
+          round(${cosine("ea.embedding", "eb.embedding", dims)}, 4) AS cos_sim
+          FROM cand JOIN embeddings ea ON cand.a = ea.vec_id
+                    JOIN embeddings eb ON cand.b = eb.vec_id),
+        r AS (SELECT a, b, cos_sim, row_number() OVER (PARTITION BY a
+          ORDER BY cos_sim DESC, b) AS rk FROM v)
+        SELECT a, b, cos_sim, rk FROM r WHERE rk <= $k"""
+  }
+
   /** Mirrors Dedup.embeddingNearDupPairs: banded SRP candidates (union of
     * per-band bucket collisions) + exact-cosine verify.
     */

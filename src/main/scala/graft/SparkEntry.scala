@@ -102,9 +102,9 @@ object SparkEntry {
     // token-budget shard packing via two-phase distributed prefix sum
     // (oracle computes the same running sum with one global window)
     "corpus_pack_shards" -> q((s, d) => CorpusOps.packShards(Tables.load(s, d, "documents"), 1000L, 32)),
-    // exact top-quota-per-source by quality: salted two-phase ranking
-    // bounds phase-2 reducers to quota*salts rows at any corpus size
-    "corpus_quota_sample" -> q((s, d) => CorpusOps.quotaSample(Tables.load(s, d, "documents"), 25, 32)),
+    // exact top-quota-per-source by quality: rank-limit pushdown
+    // (WindowGroupLimit) prunes map-side, so no reducer sees a whole source
+    "corpus_quota_sample" -> q((s, d) => CorpusOps.quotaSample(Tables.load(s, d, "documents"), 25)),
     // URL/email/digit-run scrub with per-pattern counts; spans injected
     // deterministically from base columns (the synthetic corpus has none)
     // so the query is data-effective AND oracle-checkable
@@ -147,6 +147,9 @@ object SparkEntry {
     "sim_ann_topk_partitioned" -> q((s, d) => Similarity.annTopKPartitioned(s, d, 0L, 20, 4, 64)),
     "sim_bucket_histogram" -> q((s, d) => Similarity.bucketHistogram(Tables.load(s, d, "embeddings"))),
     "sim_ivf_topk" -> q((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"), 0L, 20, 16, 4)),
+    // approximate kNN SELF-join: every vector's top-3 neighbours from
+    // banded-SRP candidates, exact-cosine ranked per vector
+    "sim_knn_join" -> q((s, d) => Similarity.knnJoin(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
@@ -340,5 +343,6 @@ object SparkEntry {
     "sim_ann_topk_partitioned" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
     "sim_bucket_histogram" -> OracleSqlGen.bucketHistogramSql(8, 64),
     "sim_ivf_topk" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
+    "sim_knn_join" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
   )
 }

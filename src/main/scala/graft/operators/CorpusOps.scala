@@ -98,39 +98,28 @@ object CorpusOps {
     * domain" knob of a corpus pipeline — mixing by count where
     * [[mixCorpus]] mixes by rate.
     *
-    * Exact top-N per key without a hot reducer: a naive
-    * `row_number() OVER (PARTITION BY source ...)` funnels EVERY document
-    * of a source through one reducer — with a handful of sources that is
-    * a single-machine sort of the corpus. Instead, two phases:
-    *
-    *  1. rank within (source, salt) for a deterministic `salts`-way salt
-    *     and keep each subgroup's top `quota`. Any global top-quota row is
-    *     a fortiori top-quota within its own subgroup, so this prunes to
-    *     at most quota × salts rows per source while provably keeping
-    *     every answer row — the salt choice can affect WHICH extra rows
-    *     survive phase 1, never the final result.
-    *  2. rank the survivors within source alone. This window's reducers
-    *     see ≤ quota × salts rows per source — constant-bounded, at any
-    *     corpus size, with `salts` sized to the cluster (32 here to match
-    *     local[32]; a 1000-executor run would use ~num-cores).
+    * Deliberately the PLAIN declarative window, because Catalyst's
+    * rank-limit pushdown (`WindowGroupLimit`, Spark 3.5+) already turns
+    * `row_number() ≤ quota` into a distributed two-phase top-N: a PARTIAL
+    * group-limit prunes each MAP partition to its own top `quota` per
+    * source BEFORE the shuffle, so a source's reducer receives at most
+    * quota × num-map-partitions pre-pruned rows, never the whole source.
+    * A hand-rolled salted two-phase ranking (the pre-3.5 recipe, built
+    * and plan-compared during round 5) produces the same bound at the
+    * cost of one EXTRA exchange — the optimizer's shape is strictly
+    * better, and PlanShapeSpec pins it (Partial + Final WindowGroupLimit,
+    * exactly one hash exchange, no SinglePartition sort).
     *
     * Quality evaluates once, scan-fused ([[TextAnalysis.withQuality]]),
-    * before anything shuffles; only (doc_id, source, quality) ever moves.
+    * before the shuffle; only (doc_id, source, quality) ever moves.
     */
-  def quotaSample(docs: DataFrame, quota: Int = 25,
-                  salts: Int = 32): DataFrame = {
+  def quotaSample(docs: DataFrame, quota: Int = 25): DataFrame = {
     val scored = TextAnalysis.withQuality(docs)
       .select(col("doc_id"), col("source"), col("quality"))
-    val byQuality = Seq(col("quality").desc, col("doc_id").asc)
-    val pruned = scored
-      .withColumn("__salt", pmod(col("doc_id"), lit(salts)))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("source"), col("__salt")).orderBy(byQuality: _*)))
-      .filter(col("__rn") <= quota)
-      .drop("__salt", "__rn")
-    pruned
+    scored
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(byQuality: _*)).cast("long"))
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rk") <= quota)
   }
 

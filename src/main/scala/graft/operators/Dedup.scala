@@ -298,9 +298,11 @@ object Dedup {
     // set sizes RIDE the prefix explode (sz is functional on doc_id, so
     // the candidate distinct keeps its cardinality): the length filter
     // then needs no size re-join, keeping references to `ordered` at
-    // three (prefix + the two posting sides). That matters because
-    // collect_list is non-deterministic, which defeats ReuseExchange —
-    // every reference to `ordered` re-runs the whole shingle pipeline.
+    // three (prefix + the two posting sides). AQE's runtime stage reuse
+    // dedups their shared shuffle (measured: 3 ReusedExchange/stage nodes
+    // in the executed plan; collect_list IS deterministic in Spark 4),
+    // so the extra references cost post-shuffle re-aggregation only —
+    // never a re-scan of the shingle pipeline.
     val prefix = ordered.select(col("doc_id"), col("sz"),
       explode_outer(slice(col("grams"), lit(1),
         (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("g"))

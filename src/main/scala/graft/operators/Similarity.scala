@@ -89,6 +89,53 @@ object Similarity {
     emb.select(srpBucket(col("embedding"), planes, dims).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  // ---------------------------------------------------------- kNN self-join
+
+  /** Approximate kNN SELF-JOIN: for EVERY vector, its top-`k` neighbours
+    * by exact cosine among banded-SRP candidates — the all-vectors
+    * companion to [[annTopK]]'s single-query probe, and the building block
+    * a corpus pipeline needs for neighbourhood-based curation (cluster
+    * seeding, diversity sampling, near-dup graphs with per-node degree
+    * caps).
+    *
+    * Scale shape — three bounded stages, no all-pairs anywhere:
+    *  1. candidates come from the SAME banded SRP as
+    *     [[Dedup.embeddingNearDupPairs]] (one fused `SrpBandKeys`
+    *     projection, per-band bucket self-join): volume ∝ band-bucket
+    *     collisions, tunable by `planesPerBand` (raise it as the corpus
+    *     grows; `bands` buys recall back). DIRECTED pairs (both
+    *     orientations, a ≠ b) because every vector needs its own list.
+    *  2. exact-cosine verify re-joins embeddings BY ID — only id pairs
+    *     and (id, vector) rows shuffle, never vector pairs per band.
+    *  3. per-vector top-k: the window's per-key input is that vector's
+    *     candidate count — bounded by LSH selectivity (≈ bands × band
+    *     population), NOT by corpus size, so no salted two-phase is
+    *     needed (contrast [[CorpusOps.quotaSample]], where per-key input
+    *     is the whole source).
+    */
+  def knnJoin(emb: DataFrame, k: Int = 3, bands: Int = 8,
+              planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
+    require(planesPerBand < 48, "band bucket must fit the long band-key encoding")
+    val planeMatrix = Array.tabulate(bands * planesPerBand)(
+      p => DetHash.hyperplane(p, dims))
+    val bandKeys = graft.functions.VectorMath.srpBandKeys(
+      col("embedding"), planeMatrix, planesPerBand)
+    val banded = emb.select(col("vec_id"), explode_outer(bandKeys).as("bk"))
+    val cand = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val vb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    cand.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"),
+        round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+          .orderBy(col("cos_sim").desc, col("b").asc)).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   // ------------------------------------------- persisted (write-time) index
 
   /** The PERSISTED ANN index: embeddings written `partitionBy(bucket)` —

@@ -48,7 +48,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "mixCorpus must not shuffle")
   }
 
-  test("quotaSample: exact top-N per source, ties by doc_id, salt-invariant") {
+  test("quotaSample: exact top-N per source, ties by doc_id") {
     import graft.operators.TextAnalysis
     // quality varies with token count (id % 23 repeats force cross-source
     // quality ties, exercising the doc_id tie-break)
@@ -65,11 +65,9 @@ class CorpusOpsSpec extends SparkSpec {
       rows.toSeq.sortBy { case (id, _, qual) => (-qual, id) }.take(quota)
         .zipWithIndex.map { case ((id, src, qual), i) => (id, src, qual, i + 1L) }
     }.toSet
-    for (salts <- Seq(1, 4, 32)) {
-      val got = CorpusOps.quotaSample(docs, quota, salts).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
-      assert(got == expected, s"salts=$salts")
-    }
+    val got = CorpusOps.quotaSample(docs, quota).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == expected)
   }
 
   test("decontaminate flags exactly the train docs sharing an eval 8-gram") {

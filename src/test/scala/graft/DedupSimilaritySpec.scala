@@ -133,6 +133,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("knn join: each vector's list is its banded candidates, exactly ranked") {
+    // parallel pairs share every band bucket -> guaranteed mutual top-1;
+    // directed output means BOTH orientations appear
+    val knn = Similarity.knnJoin(vecs, k = 2, bands = 2, planesPerBand = 4,
+      dims = 4).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byA = knn.groupBy(_._1)
+    // ranks are contiguous from 1 and ordered by descending score
+    byA.foreach { case (a, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq, s"a=$a ranks")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq, s"a=$a order")
+      assert(rows.forall(r => r._2 != a), s"a=$a self pair")
+    }
+    // the near-parallel pair is each other's top neighbour, both directions
+    assert(knn.exists(r => r._1 == 0L && r._2 == 1L && r._4 == 1L))
+    assert(knn.exists(r => r._1 == 1L && r._2 == 0L && r._4 == 1L))
+  }
+
   test("ivf: assignment covers corpus with <= K lists; full probe == brute force") {
     val assigned = Similarity.ivfAssign(vecs, numCentroids = 2)
     assert(assigned.count() == 6)

@@ -142,4 +142,29 @@ class PlanShapeSpec extends SparkSpec {
       .linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1)
   }
+
+  test("quota sample: rank-limit pushdown prunes map-side before one exchange") {
+    val q = graft.operators.CorpusOps.quotaSample(
+      Tables.load(spark, sf, "documents"), 25)
+    val p = plan(q)
+    // Catalyst's WindowGroupLimit must appear in BOTH phases: Partial
+    // (per map partition, before the shuffle) and Final — this is what
+    // bounds a source's reducer input to quota × maps instead of the
+    // whole source
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial")
+      && p.contains("Final"), "rank-limit pushdown did not fire")
+    assert(!p.contains("Exchange SinglePartition"),
+      "quota sample fell back to a global single-reducer window")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one window exchange, saw $exchanges")
+  }
+
+  test("knn join: banded candidates only — no cartesian or nested-loop join") {
+    val p = plan(Similarity.knnJoin(
+      Tables.load(spark, sf, "embeddings"), 3, 8, 8, 64))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SrpBandKeys") || p.contains("srp_band_keys"),
+      "candidate generation lost the fused band-key expression")
+  }
 }
