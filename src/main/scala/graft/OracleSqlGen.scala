@@ -45,6 +45,19 @@ object OracleSqlGen {
   def fingerprintsSql: String =
     s"SELECT doc_id, md5(${norm("text")}) AS fp FROM documents"
 
+  /** Mirrors Dedup.incrementalIngest: new batch (doc_id % 10 >= 8)
+    * anti-joined against the existing corpus' distinct fingerprints
+    * (doc_id % 10 < 8), then keep-min within the batch. The oracle
+    * doesn't model the persisted bucketed index — bucketing is physical
+    * layout; the VALUES must be identical to this plain formulation.
+    */
+  def incrementalIngestSql: String =
+    s"""WITH f AS (SELECT doc_id, md5(${norm("text")}) AS fp FROM documents),
+        seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 8),
+        batch AS (SELECT * FROM f WHERE doc_id % 10 >= 8)
+        SELECT min(doc_id) AS doc_id, fp FROM batch
+        WHERE fp NOT IN (SELECT fp FROM seen) GROUP BY fp"""
+
   def exactGroupsSql: String =
     s"""SELECT md5(${norm("text")}) AS fp, min(doc_id) AS keep_doc_id,
         count(*) AS dup_cnt FROM documents GROUP BY 1"""

@@ -112,6 +112,9 @@ object SparkEntry {
     // --- deduplication (documents / embeddings) ---
     "dedup_exact_groups" -> q((s, d) => Dedup.exactGroups(Tables.load(s, d, "documents"))),
     "dedup_exact" -> q((s, d) => Dedup.exactDedup(Tables.load(s, d, "documents"))),
+    // daily-append dedup: new batch anti-joined against the persisted
+    // BUCKETED fingerprint index — only the batch ever shuffles
+    "dedup_incremental" -> q((s, d) => Dedup.incrementalIngest(s, d)),
     "dedup_minhash_sigs" -> q((s, d) => Dedup.minhashSignaturesStr(Tables.load(s, d, "documents"))),
     "dedup_lsh_pairs" -> q((s, d) => Dedup.minhashLshPairs(Tables.load(s, d, "documents"), 3, 0.8)),
     "dedup_jaccard_pairs" -> q((s, d) => Dedup.jaccardPairs(Tables.load(s, d, "documents"), 3, 0.8)),
@@ -328,6 +331,7 @@ object SparkEntry {
     "text_scrub" -> OracleSqlGen.textScrubSql,
     "dedup_exact_groups" -> OracleSqlGen.exactGroupsSql,
     "dedup_exact" -> OracleSqlGen.exactDedupSql,
+    "dedup_incremental" -> OracleSqlGen.incrementalIngestSql,
     "dedup_minhash_sigs" -> OracleSqlGen.minhashSigSql(3),
     "dedup_lsh_pairs" -> OracleSqlGen.lshPairsSql(3, 0.8),
     "dedup_jaccard_pairs" -> OracleSqlGen.jaccardPairsSql(3, 0.8),

@@ -68,6 +68,62 @@ object Dedup {
       .select(col("r.doc_id"), col("r.lang"), col("r.source"))
 
   // -------------------------------------------------------------------
+  // Incremental ingest dedup (persisted fingerprint index)
+  // -------------------------------------------------------------------
+
+  /** The persisted corpus fingerprint index: distinct fingerprints of the
+    * already-ingested corpus, written `bucketBy(fp)` once per sf-dir (the
+    * same ensure-once discipline as `Relational.bucketedFactTables`).
+    * "Existing corpus" here is the deterministic doc_id % 10 < 8 slice —
+    * a stand-in for yesterday's accumulated index, which a production
+    * pipeline would append to after each batch.
+    */
+  def fingerprintIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       buckets: Int = 32): DataFrame =
+    Dedup.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_fpidx_b$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        graft.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 10 < 8)
+          .select(fingerprint(col("text")).as("fp")).distinct()
+          .write.bucketBy(buckets, "fp").sortBy("fp")
+          .option("path", path)
+          .mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** Incremental ingest: dedup TODAY'S batch (doc_id % 10 >= 8) against
+    * the persisted corpus index AND within itself — the daily-append
+    * shape of a training-data pipeline, where re-fingerprinting (or
+    * re-shuffling) the accumulated 100 TB corpus per batch is exactly
+    * what must not happen.
+    *
+    * Scale shape: the index side is read pre-bucketed on fp — NO exchange
+    * at any corpus size (PlanShapeSpec asserts the index scan has
+    * `SelectedBucketsCount` and no exchange above it). The anti-join
+    * shuffles only the NEW BATCH into the index's bucket layout, and the
+    * within-batch keep-one groupBy then reuses that same (fp)
+    * partitioning — one exchange total, sized by the batch, not the
+    * corpus. Anti-join runs BEFORE the keep-one agg on purpose: both need
+    * the batch hashed by fp, so ordering them this way lets
+    * EnsureRequirements feed the agg from the join's partitioning
+    * instead of re-shuffling.
+    */
+  def incrementalIngest(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val idx = fingerprintIndex(spark, dir)
+    val batch = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    batch.join(idx, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  // -------------------------------------------------------------------
   // MinHash + LSH (the at-scale near-dup path)
   // -------------------------------------------------------------------
 
@@ -288,40 +344,58 @@ object Dedup {
   private def jaccardPairsOver(sh: DataFrame, threshold: Double): DataFrame = {
     val grams = sh.select(col("doc_id"), explode_outer(col("shingles")).as("g"))
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // per-doc gram list in global (df, gram) order + set size
-    val ordered = grams.join(df, "g")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("gs"))
-      .select(col("doc_id"),
-        transform(col("gs"), _.getField("g")).as("grams"),
-        size(col("gs")).as("sz"))
-    // set sizes RIDE the prefix explode (sz is functional on doc_id, so
-    // the candidate distinct keeps its cardinality): the length filter
-    // then needs no size re-join, keeping references to `ordered` at
-    // three (prefix + the two posting sides). AQE's runtime stage reuse
-    // dedups their shared shuffle (measured: 3 ReusedExchange/stage nodes
-    // in the executed plan; collect_list IS deterministic in Spark 4),
-    // so the extra references cost post-shuffle re-aggregation only —
-    // never a re-scan of the shingle pipeline.
-    val prefix = ordered.select(col("doc_id"), col("sz"),
-      explode_outer(slice(col("grams"), lit(1),
-        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("g"))
+    // Per-doc (df, gram)-order RANK + set size as two windows over ONE
+    // (doc_id) exchange — NO per-document arrays anywhere. The previous
+    // formulation built each doc's full sorted gram array
+    // (sort_array(collect_list(struct))) and re-aggregated it on every
+    // consumer; on char 7-grams at sf0.1 (~2k grams/doc) that array
+    // build dominated the whole query (24.6 s warm). Only the PREFIX
+    // needs the global order — the posting sides of the count-based
+    // verify are order-free and read the exploded grams directly.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = grams.join(df, "g")
+      .withColumn("rn", row_number().over(w.orderBy(col("df"), col("g"))))
+      .withColumn("sz", count(lit(1)).over(w))
+    val prefix = ranked
+      .filter(col("rn") <= (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+      .select(col("doc_id"), col("sz"), col("rn"), col("g"))
+    // Candidate aggregation replaces a plain distinct with PPJoin's
+    // POSITION FILTER. All gram sets are sorted by the SAME global
+    // (df, g) order, so ranks are order-consistent across documents:
+    // every common gram beyond the LAST prefix-prefix match sits past
+    // position max(rn_a) in a AND past max(rn_b) in b, and every common
+    // gram before it lies in both prefixes (counted exactly by pmatch).
+    // Hence |A∩B| <= pmatch + min(sza - mxa, szb - mxb), and jac >= t
+    // needs |A∩B| >= t/(1+t) * (sza+szb). On low-entropy corpora this is
+    // THE filter that matters: char 7-grams at sf0.1 draw from only ~6.3k
+    // distinct grams, so 571k candidates survived the length filter for
+    // 255 true pairs and the verify expanded 198M posting rows (24.6 s);
+    // a random pair matches ~0.1 prefix grams and needs >= 13 to pass
+    // here, so the verify now expands only near-threshold survivors.
     val cand = prefix.as("x").join(prefix.as("y"), col("x.g") === col("y.g"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.sz").as("sza"), col("y.sz").as("szb"))
-      .distinct()
+        col("x.sz").as("sza"), col("y.sz").as("szb"),
+        col("x.rn").as("rna"), col("y.rn").as("rnb"))
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("pmatch"),
+        max(col("rna")).as("mxa"), max(col("rnb")).as("mxb"))
+    val needed = lit(threshold / (1 + threshold)) *
+      (col("sza") + col("szb")).cast("double")
     val candSized = cand
       .filter(least(col("sza"), col("szb")).cast("double")
         >= lit(threshold) * greatest(col("sza"), col("szb")).cast("double"))
+      .filter((col("pmatch")
+        + least(col("sza") - col("mxa"), col("szb") - col("mxb")))
+        .cast("double") >= needed)
+      .select(col("a"), col("b"), col("sza"), col("szb"))
     // count-based |A∩B|: expand by a's postings, match b's on (b, gram).
     // Candidates share >= 1 prefix gram, so no pair vanishes from the
-    // inner join's group-count. Postings re-explode from `ordered` (the
-    // already-aggregated lists), not from the raw shingling lineage.
-    val pa = ordered.select(col("doc_id").as("a"),
-      explode_outer(col("grams")).as("g"))
-    val pb = ordered.select(col("doc_id").as("b"),
-      explode_outer(col("grams")).as("g"))
+    // inner join's group-count. Postings are the raw exploded grams —
+    // counting an intersection needs no ordering (empty docs' null grams
+    // never join: they are not candidates and the (b, g) join is inner).
+    val pa = grams.select(col("doc_id").as("a"), col("g"))
+    val pb = grams.select(col("doc_id").as("b"), col("g"))
     candSized.join(pa, "a")
       .join(pb, Seq("b", "g"))
       .groupBy(col("a"), col("b"), col("sza"), col("szb"))

@@ -159,6 +159,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one window exchange, saw $exchanges")
   }
 
+  test("incremental ingest: index side is read pre-bucketed, batch shuffles once") {
+    val q = Dedup.incrementalIngest(spark, sf)
+    val p = plan(q)
+    // the persisted fingerprint index must be consumed through its bucket
+    // layout (no exchange above its scan at any corpus size)
+    assert(p.contains("SelectedBucketsCount"),
+      "fingerprint index lost its bucketed scan")
+    // one hash exchange total: the batch into the index's bucket layout;
+    // the keep-one agg must reuse that same (fp) partitioning
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one batch-side exchange, saw $exchanges")
+  }
+
   test("knn join: banded candidates only — no cartesian or nested-loop join") {
     val p = plan(Similarity.knnJoin(
       Tables.load(spark, sf, "embeddings"), 3, 8, 8, 64))
