@@ -145,6 +145,25 @@ object OracleSqlGen {
     s"""SELECT CAST(floor(len(${toks("text")})::DOUBLE / 32) AS BIGINT) * 32 AS bucket,
         count(*) AS cnt FROM documents GROUP BY 1"""
 
+  /** Mirrors TextAnalysis.hashEmbeddingSketch: feature-hash dims/signs by
+    * bit operations on the 60-bit md5 hash (integer-only — no double
+    * division anywhere), signed counts per dim, zero-sum dims dropped,
+    * canonical "dim:count" string ordered by dim.
+    */
+  def hashEmbeddingSketchSql(dims: Int): String = {
+    val shift = java.lang.Integer.numberOfTrailingZeros(dims)
+    s"""WITH tk AS (SELECT doc_id, unnest(${toks(norm("text"))}) AS t
+          FROM documents),
+        h AS (SELECT doc_id, ${base60("t")} AS h FROM tk),
+        s AS (SELECT doc_id, (h & ${dims - 1}) AS dim,
+          CASE WHEN ((h >> $shift) & 1) = 0 THEN 1 ELSE -1 END AS sgn FROM h),
+        c AS (SELECT doc_id, dim, sum(sgn) AS c FROM s
+          GROUP BY doc_id, dim HAVING sum(sgn) <> 0)
+        SELECT doc_id,
+          string_agg(dim || ':' || c, ',' ORDER BY dim) AS emb_sketch
+        FROM c GROUP BY doc_id"""
+  }
+
   /** Mirrors CorpusOps.quotaSample. The oracle ranks each source with ONE
     * global window (fine at oracle scale); Spark's salted two-phase prune
     * must land on the identical top-quota set — exactly what this checks,

@@ -109,6 +109,9 @@ object SparkEntry {
     // deterministically from base columns (the synthetic corpus has none)
     // so the query is data-effective AND oracle-checkable
     "text_scrub" -> q((s, d) => TextAnalysis.scrubbed(TextAnalysis.withInjectedSpans(Tables.load(s, d, "documents")))),
+    // feature-hash (hashing-trick) embedding, integer-only sparse sketch;
+    // the dense L2-normalized variant is spec-tested engine-side
+    "text_hash_embedding" -> q((s, d) => TextAnalysis.hashEmbeddingSketch(Tables.load(s, d, "documents"))),
     // --- deduplication (documents / embeddings) ---
     "dedup_exact_groups" -> q((s, d) => Dedup.exactGroups(Tables.load(s, d, "documents"))),
     "dedup_exact" -> q((s, d) => Dedup.exactDedup(Tables.load(s, d, "documents"))),
@@ -329,6 +332,7 @@ object SparkEntry {
     "corpus_pack_shards" -> OracleSqlGen.packShardsSql(1000L),
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
     "text_scrub" -> OracleSqlGen.textScrubSql,
+    "text_hash_embedding" -> OracleSqlGen.hashEmbeddingSketchSql(64),
     "dedup_exact_groups" -> OracleSqlGen.exactGroupsSql,
     "dedup_exact" -> OracleSqlGen.exactDedupSql,
     "dedup_incremental" -> OracleSqlGen.incrementalIngestSql,

@@ -209,6 +209,83 @@ object TextAnalysis {
       lit(" ref "),
       (col("doc_id") * lit(1000003L) + lit(123456789L)).cast("string")))
 
+  // ------------------------------------------------ feature-hash embedding
+
+  /** Hashing-trick document embedding (Weinberger et al.'s feature
+    * hashing): each normalized token hashes to a dimension (low bits of
+    * the 60-bit md5 hash) and a sign (bit log2(dims)); per-dim SIGNED
+    * COUNTS accumulate. This is the standard text→vector bridge when no
+    * model embedding exists — the output feeds the engine's similarity
+    * stack ([[Similarity.knnJoin]] et al.) directly.
+    *
+    * Integer-only arithmetic end to end: dimension and sign come from bit
+    * operations on the hash (never a double division, whose rounding
+    * above 2^53 would diverge between engines) and counts are exact
+    * longs, so the canonical SPARSE form ("dim:count,…" ordered by dim)
+    * is bit-reproducible in DuckDB with zero float-formatting hazard —
+    * that form is the registered oracle query. [[hashEmbedding]] densifies
+    * and L2-normalizes the same counts for in-engine use (spec-tested;
+    * doubles stay engine-side).
+    *
+    * Scale shape: explode → one (doc_id, dim) shuffle with map-side
+    * partial sums → one (doc_id) shuffle to assemble. Nothing wider than
+    * (doc_id, dim, count) moves.
+    */
+  def hashEmbeddingSketch(docs: DataFrame, dims: Int = 64): DataFrame =
+    hashCounts(docs, dims)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("e"))
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("e"),
+          x => concat(x.getField("dim").cast("string"), lit(":"),
+            x.getField("c").cast("string")))).as("emb_sketch"))
+
+  /** Dense `array<double>` L2-normalized variant of [[hashEmbeddingSketch]]
+    * — same counts, densified to `dims` slots and normalized (all-zero
+    * vectors stay all-zero). Shape-compatible with the `embeddings` table
+    * minus the float narrowing.
+    */
+  def hashEmbedding(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val dense = transform(sequence(lit(0), lit(dims - 1)),
+      d => coalesce(element_at(col("m"), d.cast("long")), lit(0L)).cast("double"))
+    val nrm = sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+    hashCounts(docs, dims)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("c")))).as("m"))
+      .select(col("doc_id"), dense.as("v"))
+      .select(col("doc_id"),
+        when(nrm === 0.0, col("v"))
+          .otherwise(transform(col("v"), x => x / nrm)).as("embedding"))
+  }
+
+  /** Shared count pipeline: (doc_id, dim, c) with zero-sum dims dropped
+    * (canonical sparse form; a document whose every dim cancels — or an
+    * empty document — is absent, in both engines). The hash materializes
+    * in its own projection so dim and sign read it without re-running md5
+    * per reference.
+    */
+  private def hashCounts(docs: DataFrame, dims: Int): DataFrame = {
+    require(dims > 0 && (dims & (dims - 1)) == 0, "dims must be a power of two")
+    val shift = java.lang.Integer.numberOfTrailingZeros(dims)
+    docs.select(col("doc_id"),
+        explode_outer(tokens(normalizeText(col("text")))).as("t"))
+      // drop the null token explode_outer emits for EMPTY documents — a
+      // null hash would otherwise take the `otherwise(-1)` sign branch
+      // and materialize a phantom (doc, null-dim, -1) row that DuckDB's
+      // unnest (which skips empty lists) never produces. Filtering the
+      // GENERATOR OUTPUT attribute is pushdown-safe (pitfall: a filter on
+      // a derived column would re-inline the expression below the scan).
+      .filter(col("t").isNotNull)
+      .select(col("doc_id"), graft.functions.DetHash.base60(col("t")).as("h"))
+      .select(col("doc_id"),
+        col("h").bitwiseAND(lit((dims - 1).toLong)).as("dim"),
+        when(shiftright(col("h"), shift).bitwiseAND(lit(1L)) === lit(0L), lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("c"))
+      .filter(col("c") =!= 0)
+  }
+
   /** Token-count histogram: corpus-level length distribution in buckets of
     * 32 tokens (one narrow shuffle on the bucket id).
     */

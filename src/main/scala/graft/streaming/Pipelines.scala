@@ -183,6 +183,28 @@ object Pipelines {
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming INCREMENTAL INGEST — the streaming face of
+    * [[graft.operators.Dedup.incrementalIngest]]: arriving documents are
+    * fingerprinted, dropped if their fingerprint is already in the
+    * PERSISTED corpus index via a STREAM-STATIC anti-join, then deduped
+    * within the stream's own watermark horizon.
+    *
+    * Scale: a stream-static join keeps ZERO streaming state for the
+    * static side (Spark re-plans the static relation per micro-batch, so
+    * a bucketed index scan stays a bucketed scan); the only state is
+    * [[streamingDedup]]'s watermark-bounded fingerprint set. This is the
+    * daily-append pipeline running continuously: the 100 TB accumulated
+    * corpus participates as an on-disk index, never as stream state.
+    */
+  def streamingIncrementalIngest(docs: DataFrame, index: DataFrame,
+                                 eventTimeCol: String,
+                                 delay: String): DataFrame = {
+    val fp = docs.withColumn("fp",
+      graft.functions.GraftFunctions.fingerprint(col("text")))
+    streamingDedup(fp.join(index.select(col("fp")), Seq("fp"), "left_anti"),
+      Seq("fp"), eventTimeCol, delay)
+  }
+
   /** The north-star COMPOSITION: corpus curation ON the stream — an
     * incremental documents frame (the `graft-jdbc` DSv2 source in
     * production, any streaming frame in tests) → join-free

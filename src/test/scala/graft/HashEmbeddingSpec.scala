@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** The feature-hash embedding's engine-side guarantees: the registered
+  * oracle query checks the sparse integer sketch against DuckDB; this
+  * spec checks what the oracle can't — the dense/normalized variant and
+  * the hashing semantics on crafted inputs.
+  */
+class HashEmbeddingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("sketch: identical normalized text gives identical sketches") {
+    val d = docs(1L -> "Alpha beta GAMMA", 2L -> "alpha  beta gamma",
+      3L -> "something else entirely")
+    val m = TextAnalysis.hashEmbeddingSketch(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+    assert(m(1L).split(",").forall(_.matches("\\d+:-?\\d+")))
+  }
+
+  test("sketch: opposite-sign tokens cancel; fully-cancelled docs are absent") {
+    // one token twice vs once: counts differ, dims agree
+    val d = docs(1L -> "word", 2L -> "word word", 3L -> "")
+    val rows = TextAnalysis.hashEmbeddingSketch(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(1L, 2L), "empty doc must be absent")
+    val (dim1, c1) = { val p = rows(1L).split(":"); (p(0), p(1).toLong) }
+    val (dim2, c2) = { val p = rows(2L).split(":"); (p(0), p(1).toLong) }
+    assert(dim1 == dim2 && c2 == 2 * c1)
+  }
+
+  test("dense: L2-normalized, dims slots, consistent with the sketch") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dense = TextAnalysis.hashEmbedding(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val sketch = TextAnalysis.hashEmbeddingSketch(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dense.nonEmpty && dense.keySet == sketch.keySet)
+    dense.foreach { case (id, v) =>
+      assert(v.length == 64, s"doc $id dims")
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"doc $id norm $n")
+      // nonzero slots match the sketch's sparse entries
+      val sparseDims = sketch(id).split(",").map(_.split(":")(0).toInt).toSet
+      val denseDims = v.zipWithIndex.collect { case (x, i) if x != 0.0 => i }.toSet
+      assert(denseDims == sparseDims, s"doc $id dims mismatch")
+    }
+  }
+
+  test("dense: near-dup documents have near-1 cosine, unrelated lower") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog again",
+      3L -> "completely different vocabulary discussing spark plans")
+    val v = TextAnalysis.hashEmbedding(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    assert(cos(v(1L), v(2L)) > 0.9)
+    assert(cos(v(1L), v(2L)) > cos(v(1L), v(3L)))
+  }
+}

@@ -140,6 +140,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental ingest: indexed fps dropped via stream-static anti-join") {
+    import org.apache.spark.sql.functions.col
+    case class Doc(doc_id: Long, text: String, ts: Timestamp)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    // the persisted-corpus stand-in: fingerprints of two already-ingested
+    // texts (case/whitespace variants must still hit the index)
+    val index = Seq("seed one", "seed two").toDF("text")
+      .select(graft.functions.GraftFunctions.fingerprint(col("text")).as("fp"))
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingIncrementalIngest(docs, index, "ts", "1 hour"),
+      "inc_ingest_t")
+    try {
+      mem.addData(
+        (1L, "Seed ONE", new Timestamp(1_000L)),   // already in the index
+        (2L, "fresh text", new Timestamp(2_000L)), // new
+        (3L, "fresh  text", new Timestamp(3_000L)))// in-batch dup of 2
+      q.processAllAvailable()
+      mem.addData(
+        (4L, "fresh text", new Timestamp(4_000L)), // cross-batch dup of 2
+        (5L, "another new doc", new Timestamp(5_000L)))
+      q.processAllAvailable()
+      val kept = spark.table("inc_ingest_t").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(2L, 5L),
+        s"expected only first-seen un-indexed docs, got $kept")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     val mem = MemoryStream[UserEvent]
     val q = Pipelines.startMemorySink(
