@@ -76,9 +76,10 @@ object Bench {
     val drainTotal = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
-    // milliseconds are plenty for second-scale queries, and rounding keeps
-    // the headline line inside the tail-capture window
-    def ms(v: Double) = math.rint(v * 1000) / 1000
+    // centiseconds are plenty for second-scale headline queries, and the
+    // rounding keeps the line inside the 2000-char tail-capture window as
+    // the query count grows (full precision lives in BENCH_DETAIL.json)
+    def ms(v: Double) = math.rint(v * 100) / 100
     def jsonMap(m: Seq[(String, Double)], f: Double => Double = identity) = m
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
 

@@ -112,6 +112,9 @@ object SparkEntry {
     // feature-hash (hashing-trick) embedding, integer-only sparse sketch;
     // the dense L2-normalized variant is spec-tested engine-side
     "text_hash_embedding" -> q((s, d) => TextAnalysis.hashEmbeddingSketch(Tables.load(s, d, "documents"))),
+    // same sketch from the FUSED native expression (zero exchanges) —
+    // same oracle SQL: fusion must be invisible in the result
+    "text_hash_embedding_fused" -> q((s, d) => TextAnalysis.hashEmbeddingSketchFused(Tables.load(s, d, "documents"))),
     // --- deduplication (documents / embeddings) ---
     "dedup_exact_groups" -> q((s, d) => Dedup.exactGroups(Tables.load(s, d, "documents"))),
     "dedup_exact" -> q((s, d) => Dedup.exactDedup(Tables.load(s, d, "documents"))),
@@ -333,6 +336,7 @@ object SparkEntry {
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
     "text_scrub" -> OracleSqlGen.textScrubSql,
     "text_hash_embedding" -> OracleSqlGen.hashEmbeddingSketchSql(64),
+    "text_hash_embedding_fused" -> OracleSqlGen.hashEmbeddingSketchSql(64),
     "dedup_exact_groups" -> OracleSqlGen.exactGroupsSql,
     "dedup_exact" -> OracleSqlGen.exactDedupSql,
     "dedup_incremental" -> OracleSqlGen.incrementalIngestSql,

@@ -258,6 +258,41 @@ object TextAnalysis {
           .otherwise(transform(col("v"), x => x / nrm)).as("embedding"))
   }
 
+  /** FUSED feature-hash counts: the whole token loop in one native
+    * expression per row ([[graft.functions.HashEmbedCounts]]) — zero
+    * exchanges at any corpus size, where the agg formulation pays two.
+    * Keeps every document (all-zero counts for empty ones), unlike the
+    * agg path whose group never forms.
+    */
+  def hashEmbeddingCountsFused(docs: DataFrame, dims: Int = 64): DataFrame =
+    docs.select(col("doc_id"), tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        graft.functions.HashEmbed.hashEmbedCounts(col("tk"), dims).as("cnts"))
+
+  /** [[hashEmbeddingSketch]] rendered from the FUSED counts — identical
+    * rows (the sketch string is assembled in the same dim order from the
+    * same integers, and empty sketches are dropped to match the agg
+    * path's absent groups), but the plan is a pure scan projection. The
+    * empty-drop guard rides a generator expression + a filter on its
+    * OUTPUT attribute: a plain `.filter(length(s) > 0)` on the derived
+    * column would be substituted below the projection and re-run the
+    * whole count loop per row (pitfall documented in [[Curation.curate]]).
+    */
+  def hashEmbeddingSketchFused(docs: DataFrame, dims: Int = 64): DataFrame = {
+    // d is the 0-based dimension; element_at is 1-based
+    val entry = (d: Column) =>
+      when(element_at(col("cnts"), (d + 1).cast("int")) =!= 0,
+        concat(d.cast("string"), lit(":"),
+          element_at(col("cnts"), (d + 1).cast("int")).cast("string")))
+    val sketch = concat_ws(",",
+      filter(transform(sequence(lit(0), lit(dims - 1)), entry), x => x.isNotNull))
+    hashEmbeddingCountsFused(docs, dims)
+      .select(col("doc_id"), sketch.as("s"))
+      .select(col("doc_id"),
+        explode_outer(when(length(col("s")) > 0, array(col("s")))).as("emb_sketch"))
+      .filter(col("emb_sketch").isNotNull)
+  }
+
   /** Shared count pipeline: (doc_id, dim, c) with zero-sum dims dropped
     * (canonical sparse form; a document whose every dim cancels — or an
     * empty document — is absent, in both engines). The hash materializes

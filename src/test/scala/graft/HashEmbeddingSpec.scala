@@ -52,6 +52,33 @@ class HashEmbeddingSpec extends SparkSpec {
     }
   }
 
+  test("fused counts expression: bit-identical sketches, zero exchanges") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val agg = TextAnalysis.hashEmbeddingSketch(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fused = TextAnalysis.hashEmbeddingSketchFused(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fused == agg)
+    // the fused plan is a pure scan projection: no data shuffle (the only
+    // Exchange is Tables.load's round-robin fan-out of the 1-row-group
+    // parquet, which carries no key and exists at any query)
+    val p = TextAnalysis.hashEmbeddingSketchFused(d)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning")
+      && !p.contains("Exchange SinglePartition"),
+      "fused embedding must not shuffle")
+    assert(p.contains("hash_embed_counts"), "fused expression missing from plan")
+  }
+
+  test("fused counts: empty documents keep an all-zero vector (projection semantics)") {
+    val d = docs(1L -> "", 2L -> "some words")
+    val rows = TextAnalysis.hashEmbeddingCountsFused(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L).forall(_ == 0L) && rows(1L).length == 64)
+    assert(rows(2L).exists(_ != 0L))
+  }
+
   test("dense: near-dup documents have near-1 cosine, unrelated lower") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog",
