@@ -279,6 +279,47 @@ object OracleSqlGen {
   def base60(c: String): String =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
+  /** Mirrors TextAnalysis.bm25TopK (odds-ratio idf, logIdf = false). All
+    * double literals are rendered from the SAME JVM doubles the Spark
+    * plan inlines (`Double.toString` round-trips exactly), and every
+    * expression is parenthesized to the same evaluation order, so scores
+    * are bit-identical.
+    */
+  def bm25TopKSql(terms: Seq[String] = TextAnalysis.bm25Terms, k: Int = 20,
+                  k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t'))::BIGINT AS tf_$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val normExpr = s"$k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE) / avgdl)"
+    val score = terms.indices.map { i =>
+      s"((n_docs - df_$i + 0.5) / (df_$i + 0.5)) * (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0}) / (CAST(tf_$i AS DOUBLE) + $normExpr)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM documents),
+        d AS (SELECT doc_id, len(tk)::BIGINT AS dl, $tfCols FROM t),
+        s AS (SELECT count(*) AS n_docs,
+          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, $dfCols FROM d),
+        sc AS (SELECT doc_id, $score AS raw FROM d, s)
+        SELECT doc_id, round(raw, 4) AS bm25 FROM sc WHERE raw > 0
+        ORDER BY bm25 DESC, doc_id ASC LIMIT $k"""
+  }
+
+  /** Mirrors Relational.kmvDistinct: k smallest distinct base60 hashes of
+    * the key, then the (k−1)/r_k KMV estimate. The (k−1)·2⁶⁰ numerator is
+    * a product of two exactly-representable doubles in both engines
+    * (k−1 < 2⁵³, 2⁶⁰ is a power of two), so the division and round(…,4)
+    * see bit-identical operands.
+    */
+  def kmvDistinctSql(k: Int, table: String = "lineitem",
+                     key: String = "l_orderkey"): String =
+    s"""WITH h AS (SELECT DISTINCT ${base60(s"CAST($key AS VARCHAR)")} AS h FROM $table),
+        s AS (SELECT h FROM h ORDER BY h LIMIT $k)
+        SELECT count(*) AS n_sketch, max(h) AS kth_hash,
+          CASE WHEN count(*) < $k THEN count(*)::DOUBLE
+               ELSE round(${(k - 1).toDouble} * 1152921504606846976.0 / max(h)::DOUBLE, 4) END AS est_distinct
+        FROM s"""
+
   private val P = DetHash.P
 
   /** The 16 minhash slot expressions over a `hs` BIGINT-list column. */

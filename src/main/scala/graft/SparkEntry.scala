@@ -62,6 +62,15 @@ object SparkEntry {
           .cast("double").as("revenue"),
           count(lit(1)).as("line_cnt"))),
     "stats_quantiles" -> q((s, d) => Relational.orderValueQuantiles(Tables.load(s, d, "orders"))),
+    // fact side pre-filtered by a declarative Bloom of the dim keys —
+    // runtime row-level filtering with no driver collect (the oracle is
+    // the plain join SQL: the bloom must be invisible in the result)
+    "join_bloom_filtered" -> q((s, d) => Relational.revenueByPriorityBloom(s, d)),
+    // KMV distinct sketch: bounded k-long state per map task, one
+    // fixed-size sketch per partition on the exchange; estimate
+    // bit-reproducible in DuckDB (unlike HLL++)
+    "sketch_distinct_kmv" -> q((s, d) =>
+      Relational.kmvDistinct(Tables.load(s, d, "lineitem"), col("l_orderkey"), 256)),
     "cube_orders" -> q((s, d) => Relational.ordersCube(Tables.load(s, d, "orders"))),
     "json_props_stats" -> q((s, d) => Relational.jsonPropsStats(Tables.load(s, d, "events"))),
     "intersect_users" -> q((s, d) => Relational.usersInBothTypes(Tables.load(s, d, "events"), "purchase", "error")),
@@ -109,6 +118,11 @@ object SparkEntry {
     // deterministically from base columns (the synthetic corpus has none)
     // so the query is data-effective AND oracle-checkable
     "text_scrub" -> q((s, d) => TextAnalysis.scrubbed(TextAnalysis.withInjectedSpans(Tables.load(s, d, "documents")))),
+    // BM25 top-k for a fixed query-term list: corpus stats reduce to ONE
+    // broadcast row, scoring is a scan-fused projection → TakeOrdered.
+    // idf is the log-free odds-ratio form (ln is not bit-reproducible
+    // across engines — see TextAnalysis.bm25TopK)
+    "text_bm25" -> q((s, d) => TextAnalysis.bm25TopK(Tables.load(s, d, "documents"))),
     // feature-hash (hashing-trick) embedding, integer-only sparse sketch;
     // the dense L2-normalized variant is spec-tested engine-side
     "text_hash_embedding" -> q((s, d) => TextAnalysis.hashEmbeddingSketch(Tables.load(s, d, "documents"))),
@@ -301,6 +315,13 @@ object SparkEntry {
          count(*) AS line_cnt
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+    "join_bloom_filtered" ->
+      """SELECT o_orderpriority, count(*) AS order_cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'AUTOMOBILE'
+         GROUP BY o_orderpriority""",
+    "sketch_distinct_kmv" -> OracleSqlGen.kmvDistinctSql(256),
     "stats_quantiles" ->
       """SELECT o_orderstatus,
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -335,6 +356,7 @@ object SparkEntry {
     "corpus_pack_shards" -> OracleSqlGen.packShardsSql(1000L),
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
     "text_scrub" -> OracleSqlGen.textScrubSql,
+    "text_bm25" -> OracleSqlGen.bm25TopKSql(),
     "text_hash_embedding" -> OracleSqlGen.hashEmbeddingSketchSql(64),
     "text_hash_embedding_fused" -> OracleSqlGen.hashEmbeddingSketchSql(64),
     "dedup_exact_groups" -> OracleSqlGen.exactGroupsSql,

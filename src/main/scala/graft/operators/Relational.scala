@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -309,6 +309,99 @@ object Relational {
   def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+
+  /** KMV distinct-count sketch summary over a key column: the k smallest
+    * distinct [[graft.functions.DetHash.base60]] hashes
+    * ([[graft.functions.KmvSketchAgg]] — bounded k-long state per map
+    * task, one fixed-size sketch per partition on the exchange), then the
+    * (k−1)/r_k estimate. When the sketch isn't full the key count is
+    * below k and the "estimate" is exact by definition. Contrast
+    * [[approxDistinctUsers]]: HLL++ is cheaper per byte but its sketch is
+    * engine-specific — this one is bit-reproducible in the DuckDB oracle.
+    */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int = 256): DataFrame = {
+    import graft.functions.{DetHash, KmvSketch}
+    df.select(DetHash.base60(key.cast("string")).as("h"))
+      .agg(KmvSketch.column(col("h"), k).as("ks"))
+      .select(
+        size(col("ks")).cast("long").as("n_sketch"),
+        when(size(col("ks")) === 0, lit(null).cast("long"))
+          .otherwise(element_at(col("ks"), size(col("ks")))).as("kth_hash"),
+        when(size(col("ks")) < k, size(col("ks")).cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble * math.pow(2, 60)) /
+              element_at(col("ks"), lit(k)).cast("double"), 4))
+          .as("est_distinct"))
+  }
+
+  // ------------------------------------------------- bloom-filtered join
+
+  /** Declarative Bloom filter over a key column: `words` 64-bit words
+    * (m = words·64 bits) with `hashes` probe positions per key from
+    * `xxhash64(key, seed)`, built entirely as a DataFrame aggregation —
+    * explode the positions, `bit_or` the per-word masks, fold the words
+    * into ONE map row. Unlike Spark's own runtime row-level filter
+    * (which materializes the bloom on the driver via a subquery), the
+    * build here never leaves the executors: partial `bit_or` ships at
+    * most `words` (word, bits) pairs per map task, and the finished
+    * filter is a single broadcastable row of fixed size at ANY build-side
+    * cardinality.
+    */
+  def bloomBuild(keys: DataFrame, key: Column, words: Int = 1024,
+                 hashes: Int = 3): DataFrame = {
+    val m = words * 64L
+    val pos = (0 until hashes).map(i => pmod(xxhash64(key, lit(i)), lit(m)))
+    keys.select(explode(array(pos: _*)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          col("p").bitwiseAND(lit(63L)).cast("int")).as("msk"))
+      .groupBy(col("w"))
+      .agg(call_function("bit_or", col("msk")).as("bits"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("w"), col("bits"))))).as("bloom"))
+  }
+
+  /** Membership probe against [[bloomBuild]]'s map column — same seeds
+    * and modulus, so no false negatives by construction (false positives
+    * only widen the pre-filter; the join afterwards is still exact).
+    */
+  def bloomMightContain(key: Column, bloom: Column, words: Int = 1024,
+                        hashes: Int = 3): Column = {
+    val m = words * 64L
+    (0 until hashes).map { i =>
+      val p = pmod(xxhash64(key, lit(i)), lit(m))
+      val msk = call_function("shiftleft", lit(1L),
+        p.bitwiseAND(lit(63L)).cast("int"))
+      coalesce(element_at(bloom, shiftright(p, 6).cast("int")), lit(0L))
+        .bitwiseAND(msk) === msk
+    }.reduce(_ && _)
+  }
+
+  /** Fact-side Bloom pruning ahead of a selective join — runtime
+    * row-level filtering made explicit. The segment-filtered customer
+    * keys build a bloom ([[bloomBuild]]); the orders scan probes it
+    * BEFORE the join, so ~(1 − selectivity) of the fact rows never reach
+    * the join's exchange. At 100 TB that is the difference between
+    * shuffling the whole fact table and shuffling the ~20 % that can
+    * match; the bloom itself stays `words`·8 bytes regardless of scale.
+    * False positives only cost wasted probe rows — the join result is
+    * bit-identical to the unfiltered plan, which is exactly what the
+    * oracle checks.
+    */
+  def revenueByPriorityBloom(spark: SparkSession, dir: String,
+                             segment: String = "AUTOMOBILE"): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val pruned = Tables.load(spark, dir, "orders")
+      .crossJoin(broadcast(bloomBuild(cust, col("c_custkey"))))
+      .filter(bloomMightContain(col("o_custkey"), col("bloom")))
+      .drop("bloom")
+    pruned.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_cnt"),
+        sum(col("o_totalprice").cast("decimal(12,4)")).cast("double").as("revenue"))
+  }
 
   /** UNION ALL + aggregate: account balances from two entity kinds. */
   def acctbalUnion(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{DetHash, KmvSketch}
+import graft.operators.Relational
+
+class SketchAndBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- bloom
+
+  test("bloom-filtered join is row-identical to the plain join") {
+    val bloomed = Relational.revenueByPriorityBloom(spark, sf)
+    val cust = Tables.load(spark, sf, "customer")
+      .filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val plain = Tables.load(spark, sf, "orders")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_cnt"),
+        sum($"o_totalprice".cast("decimal(12,4)")).cast("double").as("revenue"))
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+  }
+
+  test("bloom probe has no false negatives and actually prunes") {
+    val orders = Tables.load(spark, sf, "orders")
+    val cust = Tables.load(spark, sf, "customer")
+      .filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val bloom = Relational.bloomBuild(cust, $"c_custkey")
+    val survivors = orders.crossJoin(broadcast(bloom))
+      .filter(Relational.bloomMightContain($"o_custkey", $"bloom"))
+      .count()
+    val total = orders.count()
+    val matching = orders
+      .join(cust, $"o_custkey" === $"c_custkey", "left_semi").count()
+    // no false negatives: every truly-matching row survives;
+    // pruning: the pre-filter removes a real fraction of the fact side
+    assert(survivors >= matching)
+    assert(survivors < total)
+    // with m = 65536 bits and ~300 keys, false positives are ≪ the
+    // pruned mass — survivors stay close to the true match count
+    assert(survivors - matching < total / 10)
+  }
+
+  test("bloom probe runs before the join in the plan (xxhash64 pre-filter)") {
+    val df = Relational.revenueByPriorityBloom(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), s"expected bloom probe in plan:\n$plan")
+  }
+
+  // -------------------------------------------------------------- KMV
+
+  test("KMV sketch is exact below k") {
+    val df = (1L to 100L).toDF("id")
+    val out = Relational.kmvDistinct(df, $"id", k = 256)
+      .select($"n_sketch", $"est_distinct").as[(Long, Double)].head()
+    assert(out == ((100L, 100.0)))
+  }
+
+  test("KMV sketch deduplicates: repeated keys don't inflate the sketch") {
+    val df = (1L to 10000L).map(i => i % 50).toDF("id")
+    val out = Relational.kmvDistinct(df, $"id", k = 256)
+      .select($"n_sketch", $"est_distinct").as[(Long, Double)].head()
+    assert(out == ((50L, 50.0)))
+  }
+
+  test("KMV estimate lands within the expected error at 10k distinct keys") {
+    val df = (1L to 10000L).toDF("id")
+    val est = Relational.kmvDistinct(df, $"id", k = 256)
+      .select($"est_distinct").as[Double].head()
+    // σ ≈ 1/√(k−2) ≈ 6.3 %; allow 4σ
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.25, s"estimate $est")
+  }
+
+  test("KMV sketch is partitioning-invariant (merge correctness)") {
+    val base = (1L to 5000L).toDF("id")
+      .select(DetHash.base60($"id".cast("string")).as("h"))
+    val one = base.coalesce(1).agg(KmvSketch.column($"h", 64)).as[Seq[Long]].head()
+    val many = base.repartition(7).agg(KmvSketch.column($"h", 64)).as[Seq[Long]].head()
+    assert(one == many)
+    assert(one.length == 64 && one == one.sorted)
+  }
+
+  test("KMV aggregates via ObjectHashAggregate (partial sketches on the exchange)") {
+    val df = Relational.kmvDistinct(
+      Tables.load(spark, sf, "lineitem"), $"l_orderkey", 256)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
+  }
+
+  test("KMV matches the oracle formulation on testdata") {
+    // engine-side re-derivation of the oracle SQL's semantics: the k-th
+    // smallest distinct hash drives the estimate
+    val li = Tables.load(spark, sf, "lineitem")
+    val k = 256
+    val hashes = li.select(DetHash.base60($"l_orderkey".cast("string")).as("h"))
+      .distinct().orderBy($"h").limit(k).as[Long].collect()
+    val out = Relational.kmvDistinct(li, $"l_orderkey", k)
+      .select($"n_sketch", $"kth_hash").as[(Long, Long)].head()
+    assert(out._1 == hashes.length)
+    assert(out._2 == hashes.max)
+  }
+}
