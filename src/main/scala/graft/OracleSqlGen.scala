@@ -305,6 +305,52 @@ object OracleSqlGen {
         ORDER BY bm25 DESC, doc_id ASC LIMIT $k"""
   }
 
+  /** Mirrors Relational.cmsHeavyHitters: the Count-Min grid and the
+    * per-key min-over-depths probe, from the SAME affine constants
+    * (DetHash seed offset 200). Pure integer math in both engines.
+    */
+  def cmsHeavyHittersSql(depth: Int, width: Int, k: Int,
+                         table: String = "events",
+                         key: String = "user_id"): String = {
+    def cell(d: Int, h: String): String =
+      s"(((${DetHash.minhashA(200 + d)} * $h + ${DetHash.minhashB(200 + d)}) % $P) % $width)"
+    val cellRows = (0 until depth).map(d =>
+      s"SELECT $d AS d, ${cell(d, "h")} AS cell FROM b").mkString(" UNION ALL ")
+    val probeRows = (0 until depth).map(d =>
+      s"SELECT $key, exact_cnt, $d AS d, ${cell(d, "h")} AS cell FROM u")
+      .mkString(" UNION ALL ")
+    s"""WITH b AS (SELECT $key, ${base60(s"CAST($key AS VARCHAR)")} % $P AS h FROM $table),
+        cells AS (SELECT d, cell, count(*) AS cnt FROM ($cellRows) GROUP BY d, cell),
+        u AS (SELECT $key, count(*) AS exact_cnt,
+          ${base60(s"CAST($key AS VARCHAR)")} % $P AS h FROM $table GROUP BY $key),
+        probes AS ($probeRows),
+        est AS (SELECT p.$key, p.exact_cnt, min(c.cnt) AS est_cnt
+          FROM probes p JOIN cells c ON p.d = c.d AND p.cell = c.cell
+          GROUP BY p.$key, p.exact_cnt)
+        SELECT $key, exact_cnt, est_cnt FROM est
+        ORDER BY est_cnt DESC, $key ASC LIMIT $k"""
+  }
+
+  /** Mirrors ZOrder.ordersZkeys: the Morton key re-derived through the
+    * SAME (shift, mask) ladder ([[graft.operators.ZOrder.SpreadMasks]]) as
+    * chained CTEs — pure BIGINT `| & <<` arithmetic, identical in both
+    * engines.
+    */
+  def zorderKeySql: String = {
+    val ladder = graft.operators.ZOrder.SpreadMasks.zipWithIndex.map {
+      case ((s, m), i) =>
+        val prev = if (i == 0) "m" else s"s$i"
+        s"""s${i + 1} AS (SELECT o_orderkey, x, y,
+           ((xs | (xs << $s)) & $m) AS xs, ((ys | (ys << $s)) & $m) AS ys FROM $prev)"""
+    }.mkString(",\n        ")
+    s"""WITH r AS (SELECT o_orderkey, o_custkey AS x,
+          CAST(floor(o_totalprice / 16) AS BIGINT) AS y FROM orders),
+        m AS (SELECT o_orderkey, x, y, (x & 65535) AS xs, (y & 65535) AS ys FROM r),
+        $ladder
+        SELECT o_orderkey, x, y, (xs | (ys << 1)) AS zval
+        FROM s${graft.operators.ZOrder.SpreadMasks.size}"""
+  }
+
   /** Mirrors Relational.kmvDistinct: k smallest distinct base60 hashes of
     * the key, then the (k−1)/r_k KMV estimate. The (k−1)·2⁶⁰ numerator is
     * a product of two exactly-representable doubles in both engines

@@ -71,6 +71,18 @@ object SparkEntry {
     // bit-reproducible in DuckDB (unlike HLL++)
     "sketch_distinct_kmv" -> q((s, d) =>
       Relational.kmvDistinct(Tables.load(s, d, "lineitem"), col("l_orderkey"), 256)),
+    // Count-Min heavy hitters: fixed depth×width counter grid (exchange
+    // bounded by grid size, not key cardinality), min-over-depths probe;
+    // deterministic affine hashes → bit-reproducible in DuckDB
+    "sketch_heavy_hitters" -> q((s, d) =>
+      Relational.cmsHeavyHitters(Tables.load(s, d, "events"), "user_id", 4, 64, 10)),
+    // Morton (z-order) key per row — the 2-dim layout key; pure integer
+    // mask ladder, re-derived by the oracle in SQL
+    "zorder_key" -> q((s, d) => ZOrder.ordersZkeys(Tables.load(s, d, "orders"))),
+    // rectangle predicate over BOTH dims served by the z-partitioned
+    // table: covering-bucket IN-list prunes the scan to a few of 64
+    // directories (the oracle is the plain filter — layout invisible)
+    "zorder_pruned_scan" -> q((s, d) => ZOrder.prunedRectangle(s, d)),
     "cube_orders" -> q((s, d) => Relational.ordersCube(Tables.load(s, d, "orders"))),
     "json_props_stats" -> q((s, d) => Relational.jsonPropsStats(Tables.load(s, d, "events"))),
     "intersect_users" -> q((s, d) => Relational.usersInBothTypes(Tables.load(s, d, "events"), "purchase", "error")),
@@ -294,6 +306,12 @@ object SparkEntry {
     "cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "zorder_key" -> OracleSqlGen.zorderKeySql,
+    "zorder_pruned_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE o_custkey BETWEEN 100 AND 499
+           AND o_totalprice >= 10000.0 AND o_totalprice <= 150000.0""",
     "json_props_stats" ->
       """SELECT event_type,
          CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
@@ -322,6 +340,7 @@ object SparkEntry {
          WHERE c_mktsegment = 'AUTOMOBILE'
          GROUP BY o_orderpriority""",
     "sketch_distinct_kmv" -> OracleSqlGen.kmvDistinctSql(256),
+    "sketch_heavy_hitters" -> OracleSqlGen.cmsHeavyHittersSql(4, 64, 10),
     "stats_quantiles" ->
       """SELECT o_orderstatus,
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

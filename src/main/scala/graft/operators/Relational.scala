@@ -334,6 +334,58 @@ object Relational {
           .as("est_distinct"))
   }
 
+  /** The (depth, cell) coordinates a key touches in a Count-Min sketch:
+    * one affine-permuted cell per depth row, from the same [[DetHash]]
+    * derivations the DuckDB oracle inlines (seed offset 200 keeps them
+    * disjoint from the MinHash permutations).
+    */
+  private def cmsCells(key: Column, depth: Int, width: Int): Column = {
+    import graft.functions.DetHash
+    val h = DetHash.base60(key.cast("string")) % DetHash.P
+    array((0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        (((lit(DetHash.minhashA(200 + d)) * h + lit(DetHash.minhashB(200 + d)))
+          % DetHash.P) % width).as("cell"))
+    }: _*)
+  }
+
+  /** Count-Min-sketch heavy hitters: per-key frequency ESTIMATES from a
+    * fixed depth×width counter grid, top-k by estimate.
+    *
+    * The sketch build is the scale half: counts aggregate into ≤
+    * depth·width cells — partial aggregation bounds every map task's
+    * state and the exchange to the grid size, independent of key
+    * cardinality (exact per-key counting shuffles every distinct key).
+    * The query half here probes ALL distinct keys for the demo (the
+    * candidate side is what a production pipeline would feed from a
+    * sample or a threshold stream); each probe takes the MIN over its
+    * depth cells — ≥ the true count by construction (spec-pinned), with
+    * collisions visible as overestimate against the exact count carried
+    * alongside. The tiny grid broadcast-joins to the probes.
+    *
+    * Deterministic affine hashing over [[graft.functions.DetHash.base60]]
+    * makes the whole sketch bit-reproducible in the DuckDB oracle —
+    * same contrast to engine-specific sketches as
+    * [[kmvDistinct]] vs HLL++.
+    */
+  def cmsHeavyHitters(df: DataFrame, key: String, depth: Int = 4,
+                      width: Int = 64, k: Int = 10): DataFrame = {
+    val base = df.select(col(key))
+    val cms = base
+      .select(explode(cmsCells(col(key), depth, width)).as("dc"))
+      .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    base.groupBy(col(key)).agg(count(lit(1)).as("exact_cnt"))
+      .select(col(key), col("exact_cnt"),
+        explode(cmsCells(col(key), depth, width)).as("dc"))
+      .join(broadcast(cms),
+        col("dc.d") === col("d") && col("dc.cell") === col("cell"))
+      .groupBy(col(key), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .orderBy(col("est_cnt").desc, col(key).asc)
+      .limit(k)
+  }
+
   // ------------------------------------------------- bloom-filtered join
 
   /** Declarative Bloom filter over a key column: `words` 64-bit words

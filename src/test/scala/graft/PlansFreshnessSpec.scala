@@ -38,6 +38,10 @@ class PlansFreshnessSpec extends AnyFunSuite {
     assert(plans.contains("dynamicpruningexpression"),
       "partitioned ANN index lost dynamic partition pruning")
     assert(plans.contains("vector_dot"), "similarity lost the native dot product")
+    assert(plans.contains("xxhash64"), "bloom join lost its pre-join probe filter")
+    assert(plans.contains("kmv_sketch"), "KMV lost the native sketch aggregate")
+    assert(plans.contains("PartitionFilters"),
+      "z-order rectangle lost static partition pruning")
     // negative: the re-introductions rounds 2-3 explicitly removed
     assert(!plans.contains("array_intersect"),
       "a jaccard verify regressed to array_intersect (removed in round 3)")

@@ -91,6 +91,43 @@ class SketchAndBloomSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
   }
 
+  // ------------------------------------------------------ Count-Min
+
+  test("CMS estimates never undercount (min-over-depths ≥ exact)") {
+    val ev = Tables.load(spark, sf, "events")
+    val est = Relational.cmsHeavyHitters(ev, "user_id", 4, 64, 10)
+      .select($"exact_cnt", $"est_cnt").as[(Long, Long)].collect()
+    assert(est.nonEmpty)
+    assert(est.forall { case (exact, e) => e >= exact })
+  }
+
+  test("CMS with a wide grid and few keys is exact") {
+    // 8 distinct keys into a 4x1024 grid: collisions are (provably, for
+    // these derived constants) absent, so estimates equal exact counts
+    val df = (1L to 800L).map(i => i % 8).toDF("k")
+    val got = Relational.cmsHeavyHitters(df, "k", 4, 1024, 8)
+      .select($"exact_cnt", $"est_cnt").as[(Long, Long)].collect()
+    assert(got.length == 8)
+    assert(got.forall { case (exact, e) => e == exact && exact == 100L })
+  }
+
+  test("CMS surfaces a genuinely heavy key at the top") {
+    val df = ((1L to 5000L).map(_ => 42L) ++ (1L to 500L).map(i => i % 100))
+      .toDF("k")
+    val top = Relational.cmsHeavyHitters(df, "k", 4, 64, 1)
+      .select($"k").as[Long].head()
+    assert(top == 42L)
+  }
+
+  test("CMS grid broadcast-joins to the probes (no grid shuffle join)") {
+    val df = Relational.cmsHeavyHitters(
+      Tables.load(spark, sf, "events"), "user_id", 4, 64, 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
+
   test("KMV matches the oracle formulation on testdata") {
     // engine-side re-derivation of the oracle SQL's semantics: the k-th
     // smallest distinct hash drives the estimate
