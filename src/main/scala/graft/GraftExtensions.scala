@@ -53,7 +53,40 @@ object GraftSqlFunctions {
       Multiply(Sqrt(VectorDot(a, a)), Sqrt(VectorDot(b, b))))
   }
 
+  /** `zorder_key(x, y)` — the Morton key as a native expression tree,
+    * folded over the SAME [[graft.operators.ZOrder.SpreadMasks]] ladder
+    * the Column form uses (ExtensionsSpec pins SQL == JVM twin, so the
+    * two renderings cannot drift).
+    */
+  private def zorderKey(args: Seq[Expression]): Expression = {
+    def spread(v: Expression): Expression =
+      operators.ZOrder.SpreadMasks.foldLeft(
+        BitwiseAnd(Cast(v, LongType), Literal(0xFFFFL)): Expression) {
+        case (acc, (s, m)) =>
+          BitwiseAnd(BitwiseOr(acc, ShiftLeft(acc, Literal(s))), Literal(m))
+      }
+    BitwiseOr(spread(args.head), ShiftLeft(spread(args(1)), Literal(1)))
+  }
+
+  /** `kmv_sketch(hash, k)` — the KMV aggregate; `k` must be an integer
+    * literal (it sizes the aggregation state).
+    */
+  private def kmvSketch(args: Seq[Expression]): Expression = {
+    val k = args(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"kmv_sketch(hash, k): k must be an integer literal, got ${other.sql}")
+    }
+    graft.functions.KmvSketchAgg(args.head, k)
+  }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("zorder_key",
+      info("zorder_key", "zorder_key(x, y) - 32-bit Morton key interleaving two 16-bit dims"),
+      zorderKey _),
+    ("kmv_sketch",
+      info("kmv_sketch", "kmv_sketch(hash, k) - ascending array of the k smallest distinct hashes (KMV distinct sketch)"),
+      kmvSketch _),
     ("datetostring",
       info("datetostring", "datetostring(epochDays, fmt) - format epoch-days int as date string"),
       dateToString _),

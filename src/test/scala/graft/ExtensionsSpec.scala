@@ -17,6 +17,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(got._4 - 1.0) < 1e-12)
   }
 
+  test("zorder_key and kmv_sketch run through spark.sql") {
+    GraftSqlFunctions.install(spark)
+    val z = spark.sql("SELECT zorder_key(12345, 54321) AS z")
+      .as[Long].head()
+    assert(z == operators.ZOrder.zkeyJvm(12345L, 54321L))
+    val ks = spark.sql(
+      """SELECT kmv_sketch(h, 3) AS ks
+         FROM (SELECT CAST(v * 10 AS BIGINT) AS h FROM VALUES (5), (1), (4), (1), (2) AS t(v))
+      """).as[Seq[Long]].head()
+    assert(ks == Seq(10L, 20L, 40L))
+  }
+
   test("the reference jovens query text runs as spark.sql over a view") {
     GraftSqlFunctions.install(spark)
     // custstream in wire format: nascimento epoch-days INT, dt_update millis
