@@ -141,6 +141,31 @@ object OracleSqlGen {
               (SELECT doc_id, md5(${norm("text")}) AS fp FROM survivors)
               GROUP BY fp) k ON s.doc_id = k.doc_id"""
 
+  /** Mirrors CorpusOps.assemble — the composed curate → quota → split
+    * chain, built from the same sub-oracles ([[languageIdSql]],
+    * [[qualitySql]], [[hexCellSql]]) the per-stage queries use.
+    */
+  def assembleSql(lang: String, minQuality: Double, quota: Int,
+                  evalRate: Double): String =
+    s"""WITH survivors AS (
+          SELECT d.doc_id, d.source, d.text, q.quality
+          FROM documents d
+          JOIN ($languageIdSql) lid ON d.doc_id = lid.doc_id
+          JOIN ($qualitySql) q ON d.doc_id = q.doc_id
+          WHERE lid.pred_lang = '$lang' AND q.quality >= $minQuality),
+        kept AS (
+          SELECT s.doc_id, s.source, s.quality FROM survivors s
+          JOIN (SELECT min(doc_id) AS doc_id FROM
+                (SELECT doc_id, md5(${norm("text")}) AS fp FROM survivors)
+                GROUP BY fp) k ON s.doc_id = k.doc_id),
+        r AS (SELECT doc_id, source, quality,
+          row_number() OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id) AS rk FROM kept)
+        SELECT doc_id, source, quality, rk,
+          CASE WHEN ${hexCellSql("split")} < '${CorpusOps.hexThreshold(evalRate)}'
+               THEN 'eval' ELSE 'train' END AS split
+        FROM r WHERE rk <= $quota"""
+
   def tokenHistogramSql: String =
     s"""SELECT CAST(floor(len(${toks("text")})::DOUBLE / 32) AS BIGINT) * 32 AS bucket,
         count(*) AS cnt FROM documents GROUP BY 1"""

@@ -126,6 +126,10 @@ object SparkEntry {
     // exact top-quota-per-source by quality: rank-limit pushdown
     // (WindowGroupLimit) prunes map-side, so no reducer sees a whole source
     "corpus_quota_sample" -> q((s, d) => CorpusOps.quotaSample(Tables.load(s, d, "documents"), 25)),
+    // the COMPOSED batch assembly chain in one plan: curate (fused
+    // scoring + dedup keep-one, quality carried through) → per-source
+    // quota (rank-limit pushdown) → split label; two exchanges total
+    "corpus_assemble" -> q((s, d) => CorpusOps.assemble(Tables.load(s, d, "documents"))),
     // URL/email/digit-run scrub with per-pattern counts; spans injected
     // deterministically from base columns (the synthetic corpus has none)
     // so the query is data-effective AND oracle-checkable
@@ -374,6 +378,7 @@ object SparkEntry {
     "corpus_decontaminate" -> OracleSqlGen.decontaminateSql(8, 0.05),
     "corpus_pack_shards" -> OracleSqlGen.packShardsSql(1000L),
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
+    "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
     "text_scrub" -> OracleSqlGen.textScrubSql,
     "text_bm25" -> OracleSqlGen.bm25TopKSql(),
     "text_hash_embedding" -> OracleSqlGen.hashEmbeddingSketchSql(64),

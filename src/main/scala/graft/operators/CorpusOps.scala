@@ -198,6 +198,42 @@ object CorpusOps {
     * shard_id mirrors the oracle's `floor(CAST(cum AS DOUBLE) / budget)`
     * IEEE-op-for-op, and cumulative token counts sit far below 2^53.
     */
+  /** The COMPOSED batch corpus-assembly chain, one plan end to end:
+    * language+quality curation (scan-fused scoring, generator-guarded
+    * survivors, dedup keep-one — same shape as [[Curation.curate]] but
+    * carrying `quality` through the keep-one aggregate so the next stage
+    * needs no re-join) → per-source quality quota (rank-limit pushdown:
+    * a partial WindowGroupLimit prunes map-side before the one window
+    * exchange) → deterministic train/eval split label (pure per-row
+    * projection). Output: (doc_id, source, quality, rk, split).
+    *
+    * Two wide exchanges total at any corpus size — the fingerprint
+    * groupBy over curation SURVIVORS and the per-source window — plus
+    * the split's per-row md5; nothing else shuffles (spec-pinned).
+    * Individually each stage is oracle-checked elsewhere; this checks
+    * the CHAIN, where column handoffs break even when stages are right.
+    */
+  def assemble(docs: DataFrame, lang: String = "en", minQuality: Double = 0.7,
+               quota: Int = 25, evalRate: Double = 0.05): DataFrame = {
+    val keep = col("pred_lang") === lang && col("quality") >= minQuality
+    val curated = TextAnalysis.withPredLangAndQuality(docs)
+      .select(
+        explode_outer(when(keep, array(fingerprint(col("text"))))).as("fp"),
+        struct(col("doc_id"), col("source"), col("quality")).as("r"))
+      .groupBy(col("fp"))
+      .agg(min_by(col("r"), col("r.doc_id")).as("r"))
+      .filter(col("fp").isNotNull)
+      .select(col("r.doc_id"), col("r.source"), col("r.quality"))
+    curated
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= quota)
+      .withColumn("split",
+        when(hexCell(col("doc_id"), "split") < lit(hexThreshold(evalRate)),
+          lit("eval")).otherwise(lit("train")))
+  }
+
   def packShards(docs: DataFrame, budgetTokens: Long = 1000L,
                  numParts: Int = 32): DataFrame = {
     val sized = docs

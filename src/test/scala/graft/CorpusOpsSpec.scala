@@ -130,4 +130,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "offset join must broadcast")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("assemble composes curate, quota and split consistently") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = CorpusOps.assemble(docs).collect()
+    assert(out.nonEmpty)
+    // quota respected per source
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length <= 25))
+    // members are exactly a subset of the standalone curation survivors
+    val curated = operators.Curation.curate(docs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out.map(_.getAs[Long]("doc_id")).forall(curated.contains))
+    // the split label agrees with the standalone assignment operator
+    val ids = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val standalone = CorpusOps.splitAssignments(docs, 0.05)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.forall { case (id, s) => standalone(id) == s })
+  }
+
+  test("assemble: two wide exchanges and a pushed-down group limit") {
+    val df = CorpusOps.assemble(Tables.load(spark, sf, "documents"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges (dedup + window), got $exchanges:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown lost:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), "no single-reducer stage")
+  }
 }
