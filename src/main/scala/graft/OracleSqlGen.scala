@@ -189,6 +189,52 @@ object OracleSqlGen {
         FROM c GROUP BY doc_id"""
   }
 
+  /** Mirrors Dedup.semanticPairs: feature-hash counts (same chain as
+    * [[hashEmbeddingSketchSql]]) → banded-SRP candidates → exact-cosine
+    * verify, all in sparse form. The ±1 plane weights inline as a VALUES
+    * relation from the same DetHash derivations the fused Spark
+    * expressions use. Everything stays integer until the final
+    * √·√ division (IEEE sqrt is correctly rounded in both engines), so
+    * scores are bit-identical. Docs whose counts all cancel have no
+    * sparse rows here and pair with nothing; in Spark their all-zero
+    * vectors yield NaN cosines, dropped by the threshold — same pairs.
+    */
+  def semanticPairsSql(bands: Int, planesPerBand: Int, dims: Int,
+                       threshold: Double): String = {
+    val shift = java.lang.Integer.numberOfTrailingZeros(dims)
+    val weights = (0 until bands * planesPerBand).flatMap { p =>
+      (0 until dims).map { d =>
+        val w = if (DetHash.hyperplaneWeight(p, d) > 0) 1 else -1
+        s"($p,$d,$w)"
+      }
+    }.mkString(",")
+    s"""WITH tk AS (SELECT doc_id, unnest(${toks(norm("text"))}) AS t FROM documents),
+        h AS (SELECT doc_id, ${base60("t")} AS h FROM tk),
+        s AS (SELECT doc_id, (h & ${dims - 1}) AS dim,
+          CASE WHEN ((h >> $shift) & 1) = 0 THEN 1 ELSE -1 END AS sgn FROM h),
+        c AS (SELECT doc_id, dim, sum(sgn) AS c FROM s
+          GROUP BY doc_id, dim HAVING sum(sgn) <> 0),
+        w(p, dim, w) AS (VALUES $weights),
+        dots AS (SELECT c.doc_id, w.p, sum(c.c * w.w) AS dot
+          FROM c JOIN w ON c.dim = w.dim GROUP BY c.doc_id, w.p),
+        bk AS (SELECT doc_id, p // $planesPerBand AS band,
+          sum(CASE WHEN dot > 0 THEN 1 << (p % $planesPerBand) ELSE 0 END) AS bucket
+          FROM dots GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+            AND x.doc_id < y.doc_id),
+        nn AS (SELECT doc_id, sum(c * c) AS n2 FROM c GROUP BY doc_id),
+        vd AS (SELECT cand.a, cand.b, sum(ca.c * cb.c) AS dot
+          FROM cand JOIN c ca ON ca.doc_id = cand.a
+                    JOIN c cb ON cb.doc_id = cand.b AND cb.dim = ca.dim
+          GROUP BY cand.a, cand.b),
+        v AS (SELECT vd.a, vd.b,
+          round(CAST(vd.dot AS DOUBLE) /
+            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4) AS cos_sim
+          FROM vd JOIN nn na ON na.doc_id = vd.a JOIN nn nb ON nb.doc_id = vd.b)
+        SELECT a, b, cos_sim FROM v WHERE cos_sim >= $threshold"""
+  }
+
   /** Mirrors CorpusOps.quotaSample. The oracle ranks each source with ONE
     * global window (fine at oracle scale); Spark's salted two-phase prune
     * must land on the identical top-quota set — exactly what this checks,

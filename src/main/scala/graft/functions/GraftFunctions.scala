@@ -62,6 +62,20 @@ object GraftFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** [[cosineSimilarity]] that yields NULL for a zero vector instead of
+    * dividing by zero (which ANSI mode turns into a runtime error). The
+    * lazy CaseWhen keeps the division unevaluated when the norm product
+    * is 0; on nonzero vectors the value is bit-identical to the unguarded
+    * form. Threshold filters then drop the NULLs — exactly how the
+    * sparse oracle formulation excludes all-cancelled documents
+    * ([[graft.OracleSqlGen.semanticPairsSql]]).
+    */
+  def cosineSimilarityOrNull(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dotProduct(a, b) / denom)
+  }
+
   // ---------------------------------------------------------------------
   // Text analysis (extension: LLM-training-data pipeline surface)
   // ---------------------------------------------------------------------

@@ -500,6 +500,34 @@ object Dedup {
     * only (a, b) id pairs and (id, vector) rows shuffle, never vector
     * pairs per band.
     */
+  /** SEMANTIC near-dup pairs from RAW TEXT — the end-to-end composition
+    * of the engine's embedding and LSH halves with no given embedding
+    * column: feature-hash counts per document
+    * ([[graft.functions.HashEmbedCounts]], one fused scan projection) →
+    * banded SRP candidates → exact-cosine verify, all via
+    * [[embeddingNearDupPairs]] over the derived vectors.
+    *
+    * Exactness across engines, the reason this composition can be
+    * oracle-checked at all: the count vectors are INTEGERS (exact in
+    * doubles), the ±1 hyperplane dots are therefore integer-valued sums
+    * (order-independent — bucket bits cannot drift with partitioning),
+    * and the verify cosine is integer dot / (√int · √int) where IEEE
+    * sqrt is correctly rounded in both engines — no `ln`-style libm
+    * divergence anywhere (contrast [[graft.operators.TextAnalysis.bm25TopK]]).
+    *
+    * Scale shape is [[embeddingNearDupPairs]]'s: banding bounds candidate
+    * volume by per-band bucket collisions, the verify re-joins counts by
+    * id. The embedding stage adds zero exchanges.
+    */
+  def semanticPairs(docs: DataFrame, bands: Int = 8, planesPerBand: Int = 8,
+                    dims: Int = 64, threshold: Double = 0.9): DataFrame = {
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      graft.functions.HashEmbed.hashEmbedCounts(
+        tokens(normalizeText(col("text"))), dims)
+        .cast("array<double>").as("embedding"))
+    embeddingNearDupPairs(emb, bands, planesPerBand, dims, threshold)
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, bands: Int = 16,
                             planesPerBand: Int = 16, dims: Int = 64,
                             threshold: Double = 0.35): DataFrame = {
@@ -521,7 +549,10 @@ object Dedup {
     val vb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
     cand.join(va, "a").join(vb, "b")
       .select(col("a"), col("b"),
-        round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos_sim"))
+        // zero-safe: an all-zero vector (possible for derived hash
+        // embeddings, see semanticPairs) yields NULL and is dropped by
+        // the threshold — ANSI mode would make the raw division throw
+        round(cosineSimilarityOrNull(col("ea"), col("eb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

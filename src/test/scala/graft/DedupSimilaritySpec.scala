@@ -185,4 +185,34 @@ class DedupSimilaritySpec extends SparkSpec {
       .agg(sum("cnt")).as[Long].collect()(0)
     assert(total == 6L)
   }
+
+  test("semantic pairs find near-identical texts from raw text, skip unrelated") {
+    val pairs = Dedup.semanticPairs(docs, bands = 8, planesPerBand = 8,
+      dims = 64, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 is doc 0 up to normalization (identical count vector, cos = 1);
+    // doc 2 shares most tokens (near dup). doc 3 is unrelated; doc 4 is
+    // empty (all-zero vector — must pair with nothing, no NaN leakage)
+    assert(pairs.contains((0L, 1L)), s"pairs=$pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"pairs=$pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"pairs=$pairs")
+  }
+
+  test("semantic pairs: identical-after-normalize texts score exactly 1.0") {
+    val got = Dedup.semanticPairs(docs, 8, 8, 64, 0.9)
+      .filter($"a" === 0L && $"b" === 1L)
+      .select($"cos_sim").as[Double].collect()
+    assert(got.sameElements(Array(1.0)))
+  }
+
+  test("semantic pairs never degrade to a cartesian/nested-loop join") {
+    // parquet-backed input: over a LocalRelation Catalyst constant-folds
+    // the whole embedding projection away, hiding the plan shape
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val p = Dedup.semanticPairs(real, 8, 16, 64, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("hash_embed_counts"), "embedding stage lost the fused expression")
+    assert(p.contains("srp_band_keys"), "banding lost the fused expression")
+  }
 }
