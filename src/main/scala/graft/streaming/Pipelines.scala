@@ -12,6 +12,12 @@ case class UserEvent(user_id: Long, ts_ms: Long)
 /** Running per-user state emitted by [[Pipelines.userRunningState]]. */
 case class UserRunning(user_id: Long, n_events: Long, last_ms: Long)
 
+/** [[UserEvent]] plus its event-time column (for watermarked typed ops). */
+case class UserEventTimed(user_id: Long, ts_ms: Long, ts: java.sql.Timestamp)
+
+/** A closed user session: [start, end] with its event count. */
+case class UserSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
 /** Streaming topologies of the reference pipeline, Spark-native.
   *
   * The reference runs four ksqlDB persistent queries over Kafka topics and
@@ -268,6 +274,62 @@ object Pipelines {
           val next = UserRunning(user, n, last)
           state.update(next)
           next
+      }
+  }
+
+  /** Event-time SESSIONIZATION via flatMapGroupsWithState — the
+    * full-control custom-state API (vs [[userRunningState]]'s
+    * one-in-one-out mapGroupsWithState): per user, consecutive events
+    * within `gapMs` merge into one session; a session CLOSES either when
+    * a later in-batch event breaches the gap, or when the WATERMARK
+    * passes session-end + gap (EventTimeTimeout — no new data needed:
+    * the state store times the session out and emits it). Append mode:
+    * only closed, immutable sessions reach the sink.
+    *
+    * State is one open session per active user — bounded by active-user
+    * cardinality, evicted by timeout, partitioned by key like any keyed
+    * aggregation. The per-trigger sort is over ONE user's events in ONE
+    * micro-batch (bounded by trigger interval, not stream length).
+    */
+  def userSessions(events: org.apache.spark.sql.Dataset[UserEvent],
+                   gapMs: Long = 1800000L,
+                   delay: String = "1 minute"): org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", delay)
+      .as[UserEventTimed]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[UserEventTimed], state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator(done)
+          } else {
+            val sorted = rows.map(_.ts_ms).toArray.sorted
+            val closed = Seq.newBuilder[UserSession]
+            var open = state.getOption
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.end_ms <= gapMs =>
+                  open = Some(s.copy(end_ms = math.max(s.end_ms, t),
+                    n_events = s.n_events + 1))
+                case Some(s) =>
+                  closed += s
+                  open = Some(UserSession(user, t, t, 1L))
+                case None =>
+                  open = Some(UserSession(user, t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_ms + gapMs)
+            }
+            closed.result().iterator
+          }
       }
   }
 

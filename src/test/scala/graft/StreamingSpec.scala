@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.ReferenceQueries
 import graft.sources.FakeData
-import graft.streaming.{Pipelines, UserEvent}
+import graft.streaming.{Pipelines, UserEvent, UserSession}
 
 /** Customer row as it appears on the decoded stream (SURVEY.md §1.2). */
 case class Cust(nome: String, telefone: String, email: String,
@@ -329,5 +329,37 @@ class StreamingSpec extends SparkSpec {
     val negDays = FakeData.toEpochRecords(a)
       .filter($"nascimento" < 0).count()
     assert(negDays > 0) // pre-1970 births exist → F1 negative-day edge live
+  }
+
+  test("flatMapGroupsWithState sessionization: in-batch gap split and timeout close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val mem = MemoryStream[UserEvent]
+    val q = Pipelines.startMemorySink(
+      Pipelines.userSessions(mem.toDS(), gapMs = 30000L, delay = "10 seconds").toDF(),
+      "sessions_t", OutputMode.Append)
+    try {
+      // base offset: a ts at exactly the initial watermark (epoch 0) is
+      // dropped as late — use times well past it, as any real stream has
+      val t0 = 1000000L
+      // two events 10 s apart: one open session, nothing emitted yet
+      mem.addData(UserEvent(1, t0), UserEvent(1, t0 + 10000))
+      q.processAllAvailable()
+      assert(spark.table("sessions_t").isEmpty)
+      // 90 s later: breaches the 30 s gap in-batch → first session closes
+      mem.addData(UserEvent(1, t0 + 100000))
+      q.processAllAvailable()
+      assert(spark.table("sessions_t").as[UserSession].collect().toSet ==
+        Set(UserSession(1L, t0, t0 + 10000, 2L)))
+      // watermark rides a far-future event past end+gap; the EXTRA batch
+      // lets the updated watermark fire the event-time timeout
+      mem.addData(UserEvent(2, t0 + 200000))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, t0 + 201000))
+      q.processAllAvailable()
+      val got = spark.table("sessions_t").as[UserSession].collect().toSet
+      // user 1's open session emitted by TIMEOUT, with no further user-1 data
+      assert(got.contains(UserSession(1L, t0 + 100000, t0 + 100000, 1L)), s"got=$got")
+    } finally q.stop()
   }
 }
