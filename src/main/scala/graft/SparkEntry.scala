@@ -193,6 +193,9 @@ object SparkEntry {
     "sim_ann_topk_partitioned" -> q((s, d) => Similarity.annTopKPartitioned(s, d, 0L, 20, 4, 64)),
     "sim_bucket_histogram" -> q((s, d) => Similarity.bucketHistogram(Tables.load(s, d, "embeddings"))),
     "sim_ivf_topk" -> q((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"), 0L, 20, 16, 4)),
+    // persisted IVF index: same rows as sim_ivf_topk, the scan reads
+    // nprobe of numCentroids list directories via dynamic pruning
+    "sim_ivf_topk_partitioned" -> q((s, d) => Similarity.ivfTopKPartitioned(s, d, 0L, 20, 16, 4)),
     // approximate kNN SELF-join: every vector's top-3 neighbours from
     // banded-SRP candidates, exact-cosine ranked per vector
     "sim_knn_join" -> q((s, d) => Similarity.knnJoin(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
@@ -409,6 +412,7 @@ object SparkEntry {
     "sim_ann_topk_partitioned" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
     "sim_bucket_histogram" -> OracleSqlGen.bucketHistogramSql(8, 64),
     "sim_ivf_topk" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
+    "sim_ivf_topk_partitioned" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
     "sim_knn_join" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
   )
 }

@@ -228,6 +228,64 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"), best.as("c_id"))
   }
 
+  /** The PERSISTED IVF index: embeddings written `partitionBy(c_id)` —
+    * one directory per inverted list, the write-time twin of
+    * [[partitionedAnnIndex]] with the coarse quantizer's list id as the
+    * partition key. Same ensure-once + per-session-path discipline.
+    */
+  def partitionedIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          numCentroids: Int = 16): DataFrame =
+    Similarity.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_ivf_c${numCentroids}_$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        ivfAssign(graft.Tables.load(spark, dir, "embeddings"), numCentroids)
+          // int partition column: directory values read back as int
+          .withColumn("c_id", col("c_id").cast("int"))
+          .repartition(col("c_id"))
+          .write.partitionBy("c_id")
+          .option("path", path)
+          .mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** [[ivfTopK]] over the persisted index — identical rows, but the
+    * probed lists reach the scan as DYNAMIC PARTITION PRUNING: the
+    * query's top-nprobe list ids EXPLODE into a tiny broadcast probe
+    * frame whose `c_id = list_id` equi-join key is the index's partition
+    * column, so the scan reads nprobe of numCentroids directories —
+    * metadata-only pruning, like [[annTopKPartitioned]] (each vector
+    * lives in exactly one list and the probed lists are distinct, so the
+    * join cannot duplicate rows).
+    */
+  def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         qid: Long = 0L, k: Int = 20,
+                         numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val idx = partitionedIvfIndex(spark, dir, numCentroids)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val cmp = (l: Column, r: Column) => {
+      val sl = cosineSimilarity(col("q_embedding"), l.getField("c_emb"))
+      val sr = cosineSimilarity(col("q_embedding"), r.getField("c_emb"))
+      when(sl > sr, -1).when(sl < sr, 1)
+        .when(l.getField("c_id") < r.getField("c_id"), -1)
+        .when(l.getField("c_id") > r.getField("c_id"), 1)
+        .otherwise(0)
+    }
+    val probe = emb.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_embedding"))
+      .crossJoin(broadcast(ivfCentroids(emb, numCentroids)))
+      .select(col("q_embedding"),
+        explode(transform(slice(array_sort(col("cents"), cmp), 1, nprobe),
+          _.getField("c_id"))).as("list_id"))
+    idx.filter(col("vec_id") =!= qid)
+      .join(broadcast(probe), col("c_id") === col("list_id").cast("int"))
+      .select(col("vec_id"), col("label"),
+        round(cosineSimilarity(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** IVF ANN top-k: rank centroids by cosine to the query, scan only the
     * vectors assigned to the top `nprobe` lists, exact top-k within them.
     * Recall grows with nprobe (nprobe = numCentroids ⇒ exact search).

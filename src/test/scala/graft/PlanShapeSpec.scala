@@ -74,6 +74,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(scan.contains("dynamicpruningexpression"))
   }
 
+  test("partitioned IVF index: the scan prunes to the probed list directories") {
+    val df = Similarity.ivfTopKPartitioned(spark, sf)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("graft_ivf_")).get
+    assert(scan.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the IVF index scan:\n$scan")
+    // and the values agree with the un-indexed formulation
+    val flat = Similarity.ivfTopK(Tables.load(spark, sf, "embeddings"))
+    assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty)
+  }
+
   test("jaccard pairs never degrades to a cartesian product") {
     val p = plan(Dedup.jaccardPairs(Tables.load(spark, sf, "documents")))
     assert(!p.contains("CartesianProduct"))
