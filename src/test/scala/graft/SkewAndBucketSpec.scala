@@ -8,6 +8,36 @@ class SkewAndBucketSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("AQE splits a skewed join partition at runtime (the non-salted path)") {
+    // one hot key carrying ~100x the median partition size, thresholds
+    // lowered so the sf-free fixture trips the skew detector
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(200000)
+        .select(when($"id" % 2 === 0, 1L).otherwise($"id").as("k"),
+          $"id".as(("payload")))
+      val dim = spark.range(100000).select($"id".as("bk"), ($"id" * 2).as("v"))
+      val joined = fact.join(dim, $"k" === $"bk")
+        .groupBy($"k" % 10).count()
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // AQE marked the join skewed and split the hot partition — the
+      // runtime answer to skew when write-time salting isn't in the plan
+      assert(plan.contains("skew=true"), s"expected a skew-split join:\n$plan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     val lineitem = Tables.load(spark, sf, "lineitem")
     val orders = Tables.load(spark, sf, "orders")
