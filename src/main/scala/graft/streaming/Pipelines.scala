@@ -341,13 +341,19 @@ object Pipelines {
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String,
-                       withinMs: Long, delay: String = "1 minute"): DataFrame = {
+                       withinMs: Long, delay: String = "1 minute",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, delay).alias("l")
     val r = right.withWatermark(rightTs, delay).alias("r")
+    // outer variants emit the null-padded row only once the WATERMARK
+    // proves no in-bound match can still arrive — the time bound below is
+    // what makes that decidable (an un-bounded outer stream join could
+    // never emit)
     l.join(r,
       col(s"l.$key") === col(s"r.$key")
         && col(s"r.$rightTs") >= col(s"l.$leftTs")
-        && col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $withinMs MILLISECONDS"))
+        && col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $withinMs MILLISECONDS"),
+      joinType)
   }
 
   /** Stream-static join: a streaming frame enriched from a batch dimension

@@ -255,6 +255,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched rows once the watermark decides") {
+    val purchases = MemoryStream[UserEvent]
+    val views = MemoryStream[UserEvent]
+    val p = purchases.toDF()
+      .select($"user_id", org.apache.spark.sql.functions.timestamp_millis($"ts_ms").as("p_ts"))
+    val v = views.toDF()
+      .select($"user_id", org.apache.spark.sql.functions.timestamp_millis($"ts_ms").as("v_ts"))
+    val joined = Pipelines.streamStreamJoin(p, v, "user_id", "p_ts", "v_ts",
+      withinMs = 10_000L, delay = "5 seconds", joinType = "left_outer")
+      .select($"l.user_id", $"r.v_ts")
+    val q = Pipelines.startMemorySink(joined, "sso_t")
+    try {
+      purchases.addData(UserEvent(1, 100_000), UserEvent(2, 100_000))
+      views.addData(UserEvent(1, 105_000)) // user 1 matches; user 2 never will
+      q.processAllAvailable()
+      // ride the watermark far past 100000+10000+delay, then an extra
+      // batch so the outer state flushes
+      purchases.addData(UserEvent(9, 500_000))
+      views.addData(UserEvent(9, 500_000))
+      q.processAllAvailable()
+      views.addData(UserEvent(9, 600_000))
+      purchases.addData(UserEvent(9, 600_000))
+      q.processAllAvailable()
+      val got = spark.table("sso_t").as[(Long, Option[Timestamp])].collect().toSet
+      assert(got.contains((1L, Some(new Timestamp(105_000L)))), s"got=$got")
+      assert(got.contains((2L, None)), s"unmatched purchase never flushed: got=$got")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches from a broadcast dimension, stateless") {
     val mem = MemoryStream[UserEvent]
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("d_user", "tier")
