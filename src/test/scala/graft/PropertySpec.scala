@@ -91,4 +91,56 @@ class PropertySpec extends SparkSpec {
       assert(got(0) >= 0.0 && got(0) <= 1.0)
     }
   }
+
+  test("KMV sketch equals the k smallest distinct hashes for any multiset") {
+    import graft.functions.{DetHash, KmvSketch}
+    forAll(Gen.listOfN(400, Gen.choose(0L, 200L)), trials = 6) { vals =>
+      val df = vals.toDF("v")
+        .select(DetHash.base60(col("v").cast("string")).as("h"))
+      val sketch = df.repartition(5)
+        .agg(KmvSketch.column(col("h"), 32)).as[Seq[Long]].head()
+      val expect = vals.map(v => DetHash.base60(v.toString))
+        .distinct.sorted.take(32)
+      assert(sketch == expect)
+    }
+  }
+
+  test("bloom probe admits every inserted key (no false negatives, any key set)") {
+    import graft.operators.Relational
+    forAll(Gen.listOfN(60, Gen.choose(Long.MinValue, Long.MaxValue)), trials = 6) { keys =>
+      val kdf = keys.toDF("k")
+      val bloom = Relational.bloomBuild(kdf, col("k"), words = 64)
+      val pass = kdf.crossJoin(broadcast(bloom))
+        .filter(Relational.bloomMightContain(col("k"), col("bloom"), words = 64))
+        .count()
+      assert(pass == keys.length.toLong)
+    }
+  }
+
+  test("z-order key deinterleaves back to its inputs (any 16-bit pair)") {
+    import graft.operators.ZOrder
+    def unspread(z: Long): Long = {
+      // inverse mask ladder: gather the even bits back into 16
+      var v = z & 0x55555555L
+      v = (v | (v >> 1)) & 0x33333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FFL
+      (v | (v >> 8)) & 0x0000FFFFL
+    }
+    forAll2(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (x, y) =>
+      val z = ZOrder.zkeyJvm(x, y)
+      assert(unspread(z) == x)
+      assert(unspread(z >> 1) == y)
+    }
+  }
+
+  test("CMS estimate dominates the exact count for any key distribution") {
+    import graft.operators.Relational
+    forAll(Gen.listOfN(300, Gen.choose(0L, 40L)), trials = 4) { vals =>
+      val got = Relational.cmsHeavyHitters(vals.toDF("k"), "k", 4, 32, 50)
+        .select(col("exact_cnt"), col("est_cnt")).as[(Long, Long)].collect()
+      assert(got.nonEmpty)
+      assert(got.forall { case (exact, est) => est >= exact })
+    }
+  }
 }
