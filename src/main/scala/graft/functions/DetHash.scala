@@ -26,9 +26,16 @@ import org.apache.spark.sql.functions._
 object DetHash {
   val P: Long = 2147483647L // 2^31 - 1
 
-  /** 60-bit integer from md5, as a Column. */
+  /** 60-bit integer from md5, as a Column — the fused native expression
+    * ([[Base60Hash]]): digest bytes → long directly. The composed
+    * `conv(substring(md5(c),1,15),16,10)` form allocates a 32-char hex
+    * string, a 15-char substring and a BigInteger parse PER HASH; the
+    * fused expression is bit-identical (spec-pinned against the composed
+    * form) and the oracle SQL keeps the string formulation unchanged.
+    */
   def base60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftShim.column(
+      Base60Hash(org.apache.spark.sql.GraftShim.expression(c)))
 
   /** Same, JVM-side (for generating constants). */
   def base60(s: String): Long = {
@@ -52,4 +59,54 @@ object DetHash {
 
   def hyperplane(plane: Int, dims: Int): Array[Double] =
     Array.tabulate(dims)(d => hyperplaneWeight(plane, d))
+}
+
+/** The engine's 60-bit md5-derived hash as ONE codegen'd expression.
+  *
+  * Equivalence to the composed string form: the first 15 hex chars of
+  * the digest are the first 60 bits, i.e. the big-endian long of bytes
+  * 0..7 with the low nibble of byte 7 dropped — `beLong >>> 4`. Always
+  * in [0, 2⁶⁰), matching `('0x'||substr(md5(s),1,15))::BIGINT` in the
+  * DuckDB oracle byte for byte.
+  */
+case class Base60Hash(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "base60_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Base60Hash.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Base60Hash.compute($v);")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): Base60Hash =
+    copy(child = newChild)
+}
+
+object Base60Hash {
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = digest.get().digest(s.getBytes)
+    val be =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> 4
+  }
 }
