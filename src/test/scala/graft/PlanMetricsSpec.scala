@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Measured shuffle costs behind the scale-design claims: not just which
+  * exchanges exist (PlanShapeSpec), but how many records they carried.
+  */
+class PlanMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("write-time bucketing removes the fact-table shuffle, measured in records") {
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force shuffle joins: at this fixture size the plain join would
+    // auto-broadcast, hiding the exchange that exists at fact-fact scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (nPlain, plain) = PlanMetrics.measure(
+        Relational.revenueByStatus(spark, sf))
+      val (nBucketed, bucketed) = PlanMetrics.measure(
+        Relational.revenueByStatusBucketed(spark, sf))
+      assert(nPlain == nBucketed)
+      // plain: both fact tables cross the wire; bucketed: only the
+      // 3-group aggregate partials do
+      val lineitemRows = Tables.load(spark, sf, "lineitem").count()
+      assert(plain.recordsWritten > lineitemRows,
+        s"plain join should shuffle the fact tables: $plain")
+      assert(bucketed.recordsWritten < 200,
+        s"bucketed join should shuffle only agg partials: $bucketed")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("bloom pre-filter cuts the probe side's shuffled records") {
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force shuffle joins so probe-side pruning is visible on the wire
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cust = Tables.load(spark, sf, "customer")
+        .filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+      val orders = Tables.load(spark, sf, "orders")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.join(cust, $"o_custkey" === $"c_custkey")
+          .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_cnt"))
+      val (nPlain, plain) = PlanMetrics.measure(agg(orders))
+      val pruned = orders
+        .crossJoin(broadcast(Relational.bloomBuild(cust, $"c_custkey")))
+        .filter(Relational.bloomMightContain($"o_custkey", $"bloom"))
+        .drop("bloom")
+      val (nBloom, bloom) = PlanMetrics.measure(agg(pruned))
+      assert(nPlain == nBloom)
+      assert(bloom.recordsWritten < plain.recordsWritten,
+        s"bloom should cut shuffled records: $bloom vs $plain")
+      // ~1/5 segment selectivity on the probe side; the customer side,
+      // agg partials and the bloom build ride along as fixed costs at
+      // this fixture size (the ratio sharpens as the fact side grows)
+      assert(bloom.recordsWritten.toDouble / plain.recordsWritten < 0.75,
+        s"bloom pruning too weak: $bloom vs $plain")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("curation chain shuffles only survivor fingerprints") {
+    val docs = Tables.load(spark, sf, "documents")
+    val (kept, stats) = PlanMetrics.measure(
+      operators.Curation.curate(docs, "en", 0.7))
+    val total = docs.count()
+    assert(stats.exchanges == 1, s"expected the single dedup exchange: $stats")
+    // the exchange carries survivors (plus nothing else) — strictly fewer
+    // than the corpus when the filters drop anything
+    assert(stats.recordsWritten < total, s"stats=$stats total=$total")
+    assert(stats.recordsWritten >= kept, s"stats=$stats kept=$kept")
+  }
+}
