@@ -141,6 +141,22 @@ object OracleSqlGen {
               (SELECT doc_id, md5(${norm("text")}) AS fp FROM survivors)
               GROUP BY fp) k ON s.doc_id = k.doc_id"""
 
+  /** Mirrors CorpusOps.corpusStats: per-source datasheet from the same
+    * sub-oracles (language-ID and quality CTEs re-used verbatim; the
+    * token total sums the quality oracle's n_bpeish_tokens column).
+    */
+  def corpusStatsSql: String =
+    s"""WITH j AS (
+          SELECT d.source, q.quality, q.n_bpeish_tokens, lid.pred_lang
+          FROM documents d
+          JOIN ($languageIdSql) lid ON d.doc_id = lid.doc_id
+          JOIN ($qualitySql) q ON d.doc_id = q.doc_id)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_bpeish_tokens) AS BIGINT) AS total_tokens,
+          round(quantile_cont(quality, 0.5), 4) AS p50_quality,
+          CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        FROM j GROUP BY source"""
+
   /** Mirrors CorpusOps.assemble — the composed curate → quota → split
     * chain, built from the same sub-oracles ([[languageIdSql]],
     * [[qualitySql]], [[hexCellSql]]) the per-stage queries use.

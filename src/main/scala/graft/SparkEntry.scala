@@ -130,6 +130,9 @@ object SparkEntry {
     // scoring + dedup keep-one, quality carried through) → per-source
     // quota (rank-limit pushdown) → split label; two exchanges total
     "corpus_assemble" -> q((s, d) => CorpusOps.assemble(Tables.load(s, d, "documents"))),
+    // the per-source corpus datasheet: one fused scoring projection, one
+    // grouped aggregate (per-source partials only on the wire)
+    "corpus_stats" -> q((s, d) => CorpusOps.corpusStats(Tables.load(s, d, "documents"))),
     // URL/email/digit-run scrub with per-pattern counts; spans injected
     // deterministically from base columns (the synthetic corpus has none)
     // so the query is data-effective AND oracle-checkable
@@ -389,6 +392,7 @@ object SparkEntry {
     "corpus_pack_shards" -> OracleSqlGen.packShardsSql(1000L),
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
     "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
+    "corpus_stats" -> OracleSqlGen.corpusStatsSql,
     "text_scrub" -> OracleSqlGen.textScrubSql,
     "text_bm25" -> OracleSqlGen.bm25TopKSql(),
     "text_hash_embedding" -> OracleSqlGen.hashEmbeddingSketchSql(64),

@@ -198,6 +198,24 @@ object CorpusOps {
     * shard_id mirrors the oracle's `floor(CAST(cum AS DOUBLE) / budget)`
     * IEEE-op-for-op, and cumulative token counts sit far below 2^53.
     */
+  /** The corpus DATASHEET: per-source document counts, token totals,
+    * median quality and language share — the summary every corpus ships
+    * with. One scan-fused scoring projection
+    * ([[TextAnalysis.withPredLangAndQuality]]) and ONE grouped aggregate;
+    * the exchange carries per-source partials only. The exact median is
+    * the oracle-checkable choice at test scale — at 100 TB swap
+    * `percentile` for `approx_percentile` (same plan, bounded memory),
+    * as [[Relational.orderValueQuantiles]] documents.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    TextAnalysis.withPredLangAndQuality(docs)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(bpeishTokenCount(col("text"))).as("total_tokens"),
+        round(percentile(col("quality"), lit(0.5)), 4).as("p50_quality"),
+        sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"))
+
   /** The COMPOSED batch corpus-assembly chain, one plan end to end:
     * language+quality curation (scan-fused scoring, generator-guarded
     * survivors, dedup keep-one — same shape as [[Curation.curate]] but

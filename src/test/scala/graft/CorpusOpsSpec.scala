@@ -131,6 +131,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("corpusStats: one exchange, per-source partials only") {
+    val docs = Tables.load(spark, sf, "documents")
+    val (n, stats) = PlanMetrics.measure(CorpusOps.corpusStats(docs))
+    val sources = docs.select($"source").distinct().count()
+    assert(n == sources)
+    assert(stats.exchanges == 1, s"stats=$stats")
+    // the exchange carries per-(partition, source) partials, not rows
+    assert(stats.recordsWritten < docs.count(), s"stats=$stats")
+    // counts are consistent: n_docs sums to the corpus, n_en <= n_docs
+    val agg = CorpusOps.corpusStats(docs)
+      .agg(sum($"n_docs"), max($"n_en" <= $"n_docs"))
+      .as[(Long, Boolean)].head()
+    assert(agg._1 == docs.count() && agg._2)
+  }
+
   test("assemble composes curate, quota and split consistently") {
     val docs = Tables.load(spark, sf, "documents")
     val out = CorpusOps.assemble(docs).collect()
