@@ -315,7 +315,11 @@ object Pipelines {
             sorted.foreach { t =>
               open match {
                 case Some(s) if t - s.end_ms <= gapMs =>
-                  open = Some(s.copy(end_ms = math.max(s.end_ms, t),
+                  // a cross-batch late event (within the watermark
+                  // allowance) can predate the open session's start —
+                  // the merge must extend the session backwards too
+                  open = Some(s.copy(start_ms = math.min(s.start_ms, t),
+                    end_ms = math.max(s.end_ms, t),
                     n_events = s.n_events + 1))
                 case Some(s) =>
                   closed += s

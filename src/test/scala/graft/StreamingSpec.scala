@@ -391,4 +391,27 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains(UserSession(1L, t0 + 100000, t0 + 100000, 1L)), s"got=$got")
     } finally q.stop()
   }
+
+  test("sessionization merges a cross-batch late event backwards into the session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val mem = MemoryStream[UserEvent]
+    val q = Pipelines.startMemorySink(
+      Pipelines.userSessions(mem.toDS(), gapMs = 30000L, delay = "1 minute").toDF(),
+      "sessions_late_t", OutputMode.Append)
+    try {
+      val t0 = 1000000L
+      mem.addData(UserEvent(1, t0 + 20000))
+      q.processAllAvailable()
+      // late (allowed by the 1 min delay) and OLDER than the open start:
+      // must extend the session backwards, not leave start at t0+20000
+      mem.addData(UserEvent(1, t0))
+      q.processAllAvailable()
+      // breach the gap so the merged session closes in-batch
+      mem.addData(UserEvent(1, t0 + 200000))
+      q.processAllAvailable()
+      val got = spark.table("sessions_late_t").as[UserSession].collect().toSet
+      assert(got == Set(UserSession(1L, t0, t0 + 20000, 2L)), s"got=$got")
+    } finally q.stop()
+  }
 }
