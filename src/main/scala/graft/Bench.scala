@@ -45,7 +45,11 @@ object Bench {
       Tables.load(spark, sfDir, "lineitem").count()
     } catch { case _: Throwable => () }
 
+    // optional comma-separated name filter for local iteration (the
+    // driver never sets it — full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // failed queries report -1, not a healthy-looking fast duration
     def timed(name: String, fn: SparkEntry.Q): Double = {
       val q0 = System.nanoTime()

@@ -467,20 +467,52 @@ object OracleSqlGen {
     s"""${toksCte()},
         sh AS (SELECT doc_id, ${shingles(n)} AS shingles FROM t)"""
 
-  /** Char-shingle `sh` CTE chain, mirroring Dedup.charShingled. */
+  /** The 62-bit rolling-hash gram key of a gram-string expression `g`,
+    * evaluated as the DIRECT per-position polynomial (the rolling update in
+    * [[graft.functions.CharGramHashes]] is the same value by modular
+    * arithmetic): h_j = (Σ_k ascii(g[k]) · B_j^(n-1-k)) mod P, key =
+    * h1·2³¹ + h2. Power-of-base literals come from [[DetHash.gramPow]] —
+    * the same constants the Spark expression uses, so the key cannot
+    * drift. ascii() equals the hashed byte on the normalized (pure-ASCII)
+    * text. Every term < 2⁴¹ — no BIGINT overflow.
+    */
+  private def gramKeyExpr(g: String, n: Int): String = {
+    def poly(b: Long): String = (0 until n).map { k =>
+      s"ascii(substr($g, ${k + 1}, 1))::BIGINT * ${DetHash.gramPow(b, n - 1 - k)}"
+    }.mkString("(", " + ", s") % $P")
+    s"(${poly(DetHash.GramB1)}) * 2147483648 + (${poly(DetHash.GramB2)})"
+  }
+
+  /** Char-shingle `sh` CTE chain, mirroring Dedup.charShingled: distinct
+    * 62-bit gram KEYS (BIGINT), not gram strings.
+    */
   private def charShCte(n: Int): String =
-    s"""WITH sh AS (SELECT doc_id,
-        list_distinct(list_filter(
-          list_transform(
-            generate_series(1, greatest(len(nrm) - ${n - 1}, 1)),
-            i -> substr(nrm, i, $n)),
-          s -> len(s) = $n)) AS shingles
-        FROM (SELECT doc_id, ${norm("text")} AS nrm FROM documents))"""
+    s"""WITH g AS (SELECT doc_id,
+          list_filter(
+            list_transform(
+              generate_series(1, greatest(len(nrm) - ${n - 1}, 1)),
+              i -> substr(nrm, i, $n)),
+            s -> len(s) = $n) AS grams
+        FROM (SELECT doc_id, ${norm("text")} AS nrm FROM documents)),
+        sh AS (SELECT doc_id,
+          list_distinct(list_transform(grams, s -> ${gramKeyExpr("s", n)})) AS shingles
+        FROM g)"""
 
   private def sigCteOver(shCte: String): String =
     s"""$shCte,
         hsx AS (SELECT doc_id, shingles,
           list_transform(shingles, s -> ${base60("s")} % $P) AS hs FROM sh),
+        sig AS (SELECT doc_id, shingles,
+          ${sigExprs.zipWithIndex.map { case (e, i) => s"$e AS s$i" }.mkString(",\n          ")}
+        FROM hsx)"""
+
+  /** [[sigCteOver]] for a `sh` CTE whose shingles are ALREADY BIGINT gram
+    * keys: base hash = key mod P, mirroring Dedup.signaturesOverHashes.
+    */
+  private def sigCteOverHashes(shCte: String): String =
+    s"""$shCte,
+        hsx AS (SELECT doc_id, shingles,
+          list_transform(shingles, h -> h % $P) AS hs FROM sh),
         sig AS (SELECT doc_id, shingles,
           ${sigExprs.zipWithIndex.map { case (e, i) => s"$e AS s$i" }.mkString(",\n          ")}
         FROM hsx)"""
@@ -516,7 +548,7 @@ object OracleSqlGen {
     val matches = (0 until Dedup.NumHashes)
       .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""${sigCteOver(charShCte(n))},
+    s"""${sigCteOverHashes(charShCte(n))},
         bands AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig
                   WHERE len(shingles) > 0),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -553,15 +585,11 @@ object OracleSqlGen {
                     JOIN sh sb ON cand.b = sb.doc_id)
         SELECT a, b, round(jac, 4) AS jaccard_sim FROM j WHERE jac >= $threshold"""
 
-  /** Char n-gram jaccard pairs, mirroring Dedup.charJaccardPairs. */
+  /** Char n-gram jaccard pairs, mirroring Dedup.charJaccardPairs (over
+    * the 62-bit gram keys — see [[gramKeyExpr]]).
+    */
   def charJaccardPairsSql(n: Int, threshold: Double): String =
-    s"""WITH sh AS (SELECT doc_id,
-          list_distinct(list_filter(
-            list_transform(
-              generate_series(1, greatest(len(nrm) - ${n - 1}, 1)),
-              i -> substr(nrm, i, $n)),
-            s -> len(s) = $n)) AS shingles
-          FROM (SELECT doc_id, ${norm("text")} AS nrm FROM documents)),
+    s"""${charShCte(n)},
         posting AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
         pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sza, y.sz AS szb,
             count(*) AS inter

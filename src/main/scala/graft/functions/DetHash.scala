@@ -51,6 +51,26 @@ object DetHash {
   def minhashA(i: Int): Long = base60(s"minhash_a_$i") % (P - 1) + 1
   def minhashB(i: Int): Long = base60(s"minhash_b_$i") % P
 
+  /** Polynomial rolling-hash bases for char-gram keys
+    * ([[CharGramHashes]]) — md5-derived like every other engine constant,
+    * so the oracle-SQL builder shares them and cannot drift. In
+    * [256, P−1]: larger than the byte alphabet and small enough that
+    * every rolling product stays < 2⁶² (see the overflow audit in
+    * [[CharGramHashes]]).
+    */
+  val GramB1: Long = base60("chargram_b1") % (P - 256) + 256
+  val GramB2: Long = base60("chargram_b2") % (P - 256) + 256
+
+  /** b^k mod P — the per-position power-of-base literals the oracle SQL
+    * inlines for the direct (non-rolling) per-gram polynomial.
+    */
+  def gramPow(b: Long, k: Int): Long = {
+    var r = 1L
+    var i = 0
+    while (i < k) { r = r * b % P; i += 1 }
+    r
+  }
+
   /** ±1 hyperplane weight for (plane, dim) — random-hyperplane LSH for
     * embeddings (sign-random-projection).
     */

@@ -229,7 +229,7 @@ object Dedup {
     // substitutes a filter's column references through every projection
     // unconditionally, which would re-inline the whole shingling pipeline
     // below the scan fan-out (measured 13× on this query).
-    val bands = signaturesOver(charShingled(docs, n))
+    val bands = signaturesOverHashes(charShingled(docs, n))
       .select(col("doc_id"), col("sig"),
         explode_outer(when(size(col("shingles")) > 0, bandKeys(col("sig"))))
           .as("bk"))
@@ -247,10 +247,29 @@ object Dedup {
       .distinct()
   }
 
-  /** (doc_id, shingles) for char n-grams of the normalized text. */
+  /** (doc_id, shingles) for char n-grams of the normalized text — shingles
+    * are 62-bit ROLLING-HASH KEYS ([[graft.functions.CharGramHashes]]), not
+    * gram strings: one fused scan pass per document, zero per-gram string
+    * allocation. Everything downstream (inverted-index joins, df counts,
+    * minhash) is narrower too — 8-byte longs instead of n-char strings on
+    * every exchange. The DuckDB oracle computes the identical keys from
+    * `ascii(substr(...))` polynomials over the same [[graft.functions.DetHash]]
+    * base constants.
+    */
   def charShingled(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), normalizeText(col("text")).as("norm"))
-      .select(col("doc_id"), charShinglesFromNorm(col("norm"), n).as("shingles"))
+    docs.select(col("doc_id"),
+      graft.functions.CharGramHashes.column(
+        normalizeText(col("text")), n).as("shingles"))
+
+  /** [[signaturesOver]] for ALREADY-HASHED shingles (array<long> gram keys):
+    * the minhash base hash is the key mod P — no md5 in the loop at all.
+    */
+  private def signaturesOverHashes(sh: DataFrame): DataFrame =
+    sh
+      .withColumn("hs", transform(col("shingles"), h => pmod(h, lit(DetHash.P))))
+      .select(col("doc_id"), col("shingles"),
+        graft.functions.MinHashSlots.column(
+          col("hs"), minhashAs, minhashBs, DetHash.P).as("sig"))
 
   private def lshPairsOver(sh: DataFrame, threshold: Double): DataFrame = {
     // explode_outer for the same InferFiltersFromGenerate reason as in
