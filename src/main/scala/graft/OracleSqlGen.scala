@@ -682,12 +682,48 @@ object OracleSqlGen {
         FROM wb, q WHERE vec_id <> $qid AND bucket = qb
         ORDER BY cos_sim DESC, vec_id ASC LIMIT $k"""
 
-  /** Mirrors Similarity.ivfTopK: rank-1 centroid assignment + top-nprobe
-    * list probe, all tie-broken by centroid id.
+  /** The trained-centroid CTE chain (final K-row relation named `c`),
+    * mirroring Similarity.ivfCentroids: seed = vec_id < K, `iters` Lloyd
+    * rounds. The centroid update sums 2²⁰-QUANTIZED coordinates as
+    * BIGINTs (floor(x·2²⁰ + 0.5) — Similarity.QuantScale), so the sum is
+    * order-independent in both engines and the mean is one IEEE division
+    * of exactly-representable operands; assignment ranks by the same
+    * sequential-fold cosine as the Spark plan; empty clusters keep their
+    * previous centroid (LEFT JOIN + coalesce).
     */
-  def ivfTopKSql(qid: Long, k: Int, numCentroids: Int, nprobe: Int, dims: Int): String =
-    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+  private def ivfCentsCtes(numCentroids: Int, iters: Int, dims: Int): String = {
+    val seed =
+      s"""c0 AS (SELECT vec_id AS c_id,
+            list_transform(embedding, x -> x::DOUBLE) AS c_emb
           FROM embeddings WHERE vec_id < $numCentroids),
+        dg AS (SELECT unnest(generate_series(1, $dims)) AS dim)"""
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, embedding, c_id FROM (
+            SELECT e.vec_id, e.embedding, cc.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosine("e.embedding", "cc.c_emb", dims)} DESC, cc.c_id ASC) AS rn
+            FROM embeddings e CROSS JOIN c${i - 1} cc) WHERE rn = 1),
+        u$i AS (SELECT c_id, dim,
+            sum(CAST(floor(embedding[dim]::DOUBLE * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+            count(*) AS n
+          FROM a$i CROSS JOIN dg GROUP BY c_id, dim),
+        m$i AS (SELECT c_id,
+            list(sq::DOUBLE / (n * 1048576)::DOUBLE ORDER BY dim) AS c_emb
+          FROM u$i GROUP BY c_id),
+        c$i AS (SELECT p.c_id, coalesce(m$i.c_emb, p.c_emb) AS c_emb
+          FROM c${i - 1} p LEFT JOIN m$i USING (c_id))"""
+    }
+    (seed +: rounds).mkString(",\n        ") +
+      s",\n        c AS (SELECT c_id, c_emb FROM c$iters)"
+  }
+
+  /** Mirrors Similarity.ivfTopK: trained centroids ([[ivfCentsCtes]]),
+    * rank-1 centroid assignment + top-nprobe list probe, all tie-broken
+    * by centroid id.
+    */
+  def ivfTopKSql(qid: Long, k: Int, numCentroids: Int, nprobe: Int, dims: Int,
+                 iters: Int = 2): String =
+    s"""WITH ${ivfCentsCtes(numCentroids, iters, dims)},
         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),
         asg AS (SELECT vec_id, label, embedding, c_id FROM (
             SELECT e.vec_id, e.label, e.embedding, c.c_id,

@@ -198,35 +198,95 @@ object Similarity {
 
   // -------------------------------------------------------------- IVF
 
-  /** Deterministic coarse quantizer: the embeddings of vec_id < K serve as
-    * centroids (a training-free stand-in — production swaps in offline
-    * k-means centroids; every downstream plan is unchanged). Returned as a
-    * ONE-ROW frame holding the sorted centroid array, so it broadcasts and
-    * assignment needs no shuffle at any corpus size.
+  /** Quantization scale for centroid-training coordinate sums: 2²⁰. A
+    * coordinate becomes `floor(x·2²⁰ + 0.5)` — an exact integer in both
+    * engines (a float's 24-bit mantissa shifted 20 bits still fits a
+    * double exactly, and `floor` rounds identically everywhere, unlike
+    * banker's-vs-half-up `round` ambiguity). Integer sums are
+    * ORDER-INDEPENDENT, which is what makes a distributed k-means
+    * oracle-checkable at all: `sum(double)` varies with partitioning /
+    * merge order, `sum(bigint)` cannot. The mean back-conversion
+    * `sq / (n·2²⁰)` is one correctly-rounded IEEE division of two exactly
+    * representable operands (|sq| ≤ n·2²⁰ stays < 2⁵³ for n < 2³³ — at
+    * larger corpora train on a deterministic sample, which production
+    * k-means does anyway).
     */
-  def ivfCentroids(emb: DataFrame, numCentroids: Int = 16): DataFrame =
-    emb.filter(col("vec_id") < numCentroids)
-      .agg(sort_array(collect_list(struct(
-        col("vec_id").as("c_id"), col("embedding").as("c_emb")))).as("cents"))
+  private val QuantScale = 1048576L
+
+  /** The best-centroid fold: max cosine, ties → lowest centroid id (the
+    * array is sorted by c_id and the comparison is strict, so the first
+    * maximum wins). Shared by assignment at train and query time.
+    */
+  private def bestCentroid(cents: Column, v: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(-1L).as("c_id"), lit(-2.0).as("sim")),
+      (acc, c) => {
+        val s = cosineSimilarity(v, c.getField("c_emb"))
+        when(s > acc.getField("sim"),
+          struct(c.getField("c_id").as("c_id"), s.as("sim"))).otherwise(acc)
+      },
+      acc => acc.getField("c_id"))
+
+  /** One-row (sorted array) form of a K-row centroid frame — broadcasts,
+    * so assignment needs no shuffle at any corpus size.
+    */
+  private def centsRow(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(
+      col("c_id"), col("c_emb")))).as("cents"))
+
+  /** Deterministic TRAINED coarse quantizer: `iters` rounds of Lloyd's
+    * k-means, seeded with the embeddings of vec_id < K (iters = 0 ⇒ the
+    * round-4 training-free stand-in). Returned as a ONE-ROW frame holding
+    * the sorted centroid array.
+    *
+    * Reproducibility (the DuckDB oracle runs the IDENTICAL training):
+    * assignment is the [[bestCentroid]] fold (pure per-row doubles);
+    * the centroid update sums 2²⁰-quantized coordinates as INTEGERS
+    * ([[QuantScale]]) so no float-summation order can drift between
+    * engines or between partitionings; empty clusters keep their previous
+    * centroid. Per round: one broadcast of K·dims doubles + one
+    * (c_id, dim) shuffle of integer partial sums — map-side combined,
+    * K·dims groups, corpus-size-independent exchange width.
+    */
+  def ivfCentroids(emb: DataFrame, numCentroids: Int = 16,
+                   iters: Int = 2): DataFrame = {
+    var cents = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centsRow(cents)))
+        .select(bestCentroid(col("cents"), col("embedding")).as("c_id"),
+          col("embedding"))
+      val sums = assigned
+        .select(col("c_id"), posexplode(col("embedding")))
+        .select(col("c_id"), (col("pos") + 1).as("dim"),
+          floor(col("col").cast("double") * lit(QuantScale.toDouble) + lit(0.5)).as("q"))
+        .groupBy(col("c_id"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      val means = sums.groupBy(col("c_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"),
+            (col("sq").cast("double") / (col("n") * lit(QuantScale)).cast("double")).as("m")))),
+          _.getField("m")).as("c_emb"))
+      cents = cents.as("prev").join(means.as("upd"), Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("upd.c_emb"), col("prev.c_emb")).as("c_emb"))
+    }
+    centsRow(cents)
+  }
 
   /** IVF assignment: each vector → centroid with max cosine (ties → lowest
     * centroid id). Pure per-row fold over the broadcast centroid array —
     * zero shuffles; the assigned list id is the natural write-time
     * partition key for the corpus.
     */
-  def ivfAssign(emb: DataFrame, numCentroids: Int = 16): DataFrame = {
-    val best = aggregate(
-      col("cents"),
-      struct(lit(-1L).as("c_id"), lit(-2.0).as("sim")),
-      (acc, c) => {
-        val s = cosineSimilarity(col("embedding"), c.getField("c_emb"))
-        when(s > acc.getField("sim"),
-          struct(c.getField("c_id").as("c_id"), s.as("sim"))).otherwise(acc)
-      },
-      acc => acc.getField("c_id"))
-    emb.crossJoin(broadcast(ivfCentroids(emb, numCentroids)))
-      .select(col("vec_id"), col("label"), col("embedding"), best.as("c_id"))
-  }
+  def ivfAssign(emb: DataFrame, numCentroids: Int = 16,
+                iters: Int = 2): DataFrame =
+    emb.crossJoin(broadcast(ivfCentroids(emb, numCentroids, iters)))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        bestCentroid(col("cents"), col("embedding")).as("c_id"))
 
   /** The PERSISTED IVF index: embeddings written `partitionBy(c_id)` —
     * one directory per inverted list, the write-time twin of
@@ -234,13 +294,13 @@ object Similarity {
     * partition key. Same ensure-once + per-session-path discipline.
     */
   def partitionedIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                          numCentroids: Int = 16): DataFrame =
+                          numCentroids: Int = 16, iters: Int = 2): DataFrame =
     Similarity.synchronized {
       val tag = java.lang.Long.toHexString(
         graft.functions.DetHash.base60(dir) & 0xffffffffL)
-      val name = s"graft_ivf_c${numCentroids}_$tag"
+      val name = s"graft_ivf_c${numCentroids}_k${iters}_$tag"
       graft.Tables.ensurePersisted(spark, name) { path =>
-        ivfAssign(graft.Tables.load(spark, dir, "embeddings"), numCentroids)
+        ivfAssign(graft.Tables.load(spark, dir, "embeddings"), numCentroids, iters)
           // int partition column: directory values read back as int
           .withColumn("c_id", col("c_id").cast("int"))
           .repartition(col("c_id"))
@@ -261,8 +321,9 @@ object Similarity {
     */
   def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
                          qid: Long = 0L, k: Int = 20,
-                         numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val idx = partitionedIvfIndex(spark, dir, numCentroids)
+                         numCentroids: Int = 16, nprobe: Int = 4,
+                         iters: Int = 2): DataFrame = {
+    val idx = partitionedIvfIndex(spark, dir, numCentroids, iters)
     val emb = graft.Tables.load(spark, dir, "embeddings")
     val cmp = (l: Column, r: Column) => {
       val sl = cosineSimilarity(col("q_embedding"), l.getField("c_emb"))
@@ -274,7 +335,7 @@ object Similarity {
     }
     val probe = emb.filter(col("vec_id") === qid)
       .select(col("embedding").as("q_embedding"))
-      .crossJoin(broadcast(ivfCentroids(emb, numCentroids)))
+      .crossJoin(broadcast(ivfCentroids(emb, numCentroids, iters)))
       .select(col("q_embedding"),
         explode(transform(slice(array_sort(col("cents"), cmp), 1, nprobe),
           _.getField("c_id"))).as("list_id"))
@@ -291,7 +352,8 @@ object Similarity {
     * Recall grows with nprobe (nprobe = numCentroids ⇒ exact search).
     */
   def ivfTopK(emb: DataFrame, qid: Long = 0L, k: Int = 20,
-              numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+              numCentroids: Int = 16, nprobe: Int = 4,
+              iters: Int = 2): DataFrame = {
     val cmp = (l: Column, r: Column) => {
       val sl = cosineSimilarity(col("q_embedding"), l.getField("c_emb"))
       val sr = cosineSimilarity(col("q_embedding"), r.getField("c_emb"))
@@ -302,11 +364,11 @@ object Similarity {
     }
     val q = emb.filter(col("vec_id") === qid)
       .select(col("embedding").as("q_embedding"))
-      .crossJoin(broadcast(ivfCentroids(emb, numCentroids)))
+      .crossJoin(broadcast(ivfCentroids(emb, numCentroids, iters)))
       .select(col("q_embedding"),
         transform(slice(array_sort(col("cents"), cmp), 1, nprobe),
           _.getField("c_id")).as("q_lists"))
-    ivfAssign(emb, numCentroids)
+    ivfAssign(emb, numCentroids, iters)
       .filter(col("vec_id") =!= qid)
       .crossJoin(broadcast(q))
       .filter(array_contains(col("q_lists"), col("c_id")))

