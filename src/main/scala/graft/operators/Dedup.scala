@@ -551,6 +551,19 @@ object Dedup {
                             planesPerBand: Int = 16, dims: Int = 64,
                             threshold: Double = 0.35): DataFrame = {
     require(planesPerBand < 48, "band bucket must fit the long band-key encoding")
+    // SINGLE-EVALUATION embedding subplan: the operator reads `emb` four
+    // times (banded-x, banded-y, verify-a, verify-b). Left as-is, Catalyst
+    // plants four independent copies of the embedding subtree — harmless
+    // for a parquet column, but when `emb` is DERIVED (semanticPairs'
+    // hash-embed of the raw corpus) that is 4× the dominant CPU of the
+    // whole query at any scale. One repartition(vec_id) makes every copy
+    // canonically identical ABOVE an exchange, so ReuseExchange computes
+    // the embedding once and the other three consumers read its shuffle
+    // files (PlanShapeSpec pins the ReusedExchange). The verify sides pay
+    // no new exchange: alias-aware output partitioning lets the a/b joins
+    // consume the (vec_id) distribution directly.
+    val embP = emb.select(col("vec_id"), col("embedding"))
+      .repartition(col("vec_id"))
     // all band keys in ONE fused native expression (SrpBandKeys) instead
     // of bands×planesPerBand literal-array dot subtrees — bit-identical
     // math, ~4× on this query, and the hyperplane constants still come
@@ -559,13 +572,13 @@ object Dedup {
       p => DetHash.hyperplane(p, dims))
     val bandKeys = graft.functions.VectorMath.srpBandKeys(
       col("embedding"), planeMatrix, planesPerBand)
-    val banded = emb.select(col("vec_id"), explode_outer(bandKeys).as("bk"))
+    val banded = embP.select(col("vec_id"), explode_outer(bandKeys).as("bk"))
     val cand = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
-    val va = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val vb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val va = embP.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val vb = embP.select(col("vec_id").as("b"), col("embedding").as("eb"))
     cand.join(va, "a").join(vb, "b")
       .select(col("a"), col("b"),
         // zero-safe: an all-zero vector (possible for derived hash

@@ -120,13 +120,18 @@ object Similarity {
       p => DetHash.hyperplane(p, dims))
     val bandKeys = graft.functions.VectorMath.srpBandKeys(
       col("embedding"), planeMatrix, planesPerBand)
-    val banded = emb.select(col("vec_id"), explode_outer(bandKeys).as("bk"))
+    // single-evaluation embedding subplan: same ReuseExchange discipline
+    // (and rationale) as [[Dedup.embeddingNearDupPairs]] — the corpus is
+    // scanned/derived once, all four consumers read the (vec_id) shuffle
+    val embP = emb.select(col("vec_id"), col("embedding"))
+      .repartition(col("vec_id"))
+    val banded = embP.select(col("vec_id"), explode_outer(bandKeys).as("bk"))
     val cand = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
-    val va = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val vb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val va = embP.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val vb = embP.select(col("vec_id").as("b"), col("embedding").as("eb"))
     cand.join(va, "a").join(vb, "b")
       .select(col("a"), col("b"),
         round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos_sim"))

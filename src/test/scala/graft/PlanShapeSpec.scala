@@ -100,6 +100,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("array_intersect"))
   }
 
+  test("semantic pairs embeds the corpus ONCE (ReusedExchange, not 4 subtrees)") {
+    // the operator reads the derived embedding frame four times (two band
+    // sides + two verify sides); without the in-operator repartition each
+    // consumer would re-run hash_embed_counts over the whole corpus — 4×
+    // the dominant CPU at scale. The executed plan must show a single
+    // evaluation with the other consumers as ReusedExchange readers.
+    val df = Dedup.semanticPairs(Tables.load(spark, sf, "documents"), 8, 16, 64, 0.95)
+    df.collect() // AQE finalizes reuse decisions at execution
+    // the adaptive toString appends the pre-execution "Initial Plan"
+    // (whose subtrees are NOT deduplicated) — assert on the final part
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val evals = "hash_embed_counts".r.findAllIn(p).size
+    assert(evals == 1, s"expected 1 hash_embed_counts evaluation, got $evals:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"expected the embedding exchange to be reused:\n$p")
+  }
+
   test("banded SRP near-dup never degrades to a cross join") {
     val p = plan(Dedup.embeddingNearDupPairs(
       Tables.load(spark, sf, "embeddings"), 16, 16, 64, 0.35))
