@@ -429,25 +429,41 @@ object Relational {
     }.reduce(_ && _)
   }
 
+  /** Bloom width derived from the BUILD side's key count: m = 8·n bits,
+    * which at the fixed 3 probe hashes gives FPR = (1−e^(−3/8))³ ≈ 3 %.
+    * A fixed width is the silent failure mode of bloom pre-filters: at
+    * 100× the key count the FPR → 1 and the filter degrades to a no-op
+    * that still pays its build and probe cost. Floored at 1024 words
+    * (the old fixed default, so small dims keep their margin) and capped
+    * at 2²⁴ words = 128 MB — past that the build side is not a "small
+    * dim" and bloom pruning is the wrong tool.
+    */
+  def bloomWords(n: Long): Int = {
+    val c = math.min(n, 1L << 27) // pre-clamp: (n + 7) must not overflow
+    math.min(math.max(1024L, (c + 7) / 8), 1L << 24).toInt
+  }
+
   /** Fact-side Bloom pruning ahead of a selective join — runtime
     * row-level filtering made explicit. The segment-filtered customer
     * keys build a bloom ([[bloomBuild]]); the orders scan probes it
     * BEFORE the join, so ~(1 − selectivity) of the fact rows never reach
     * the join's exchange. At 100 TB that is the difference between
     * shuffling the whole fact table and shuffling the ~20 % that can
-    * match; the bloom itself stays `words`·8 bytes regardless of scale.
-    * False positives only cost wasted probe rows — the join result is
-    * bit-identical to the unfiltered plan, which is exactly what the
-    * oracle checks.
+    * match. The width comes from a cheap count of the already-filtered
+    * dim side ([[bloomWords]]) so the FPR stays ~3 % at any dim
+    * cardinality instead of saturating. False positives only cost wasted
+    * probe rows — the join result is bit-identical to the unfiltered
+    * plan, which is exactly what the oracle checks.
     */
   def revenueByPriorityBloom(spark: SparkSession, dir: String,
                              segment: String = "AUTOMOBILE"): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
       .filter(col("c_mktsegment") === segment)
       .select(col("c_custkey"))
+    val words = bloomWords(cust.count())
     val pruned = Tables.load(spark, dir, "orders")
-      .crossJoin(broadcast(bloomBuild(cust, col("c_custkey"))))
-      .filter(bloomMightContain(col("o_custkey"), col("bloom")))
+      .crossJoin(broadcast(bloomBuild(cust, col("c_custkey"), words)))
+      .filter(bloomMightContain(col("o_custkey"), col("bloom"), words))
       .drop("bloom")
     pruned.join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderpriority"))

@@ -43,6 +43,25 @@ class SketchAndBloomSpec extends SparkSpec {
     assert(survivors - matching < total / 10)
   }
 
+  test("bloom width tracks the build side: floor, ~8 bits/key growth, cap") {
+    import Relational.bloomWords
+    assert(bloomWords(0) == 1024 && bloomWords(6000) == 1024) // sf0.1 regime
+    assert(bloomWords(1000000) == 125000) // 8 bits/key past the floor
+    assert(bloomWords(100000000) == 12500000)
+    assert(bloomWords(Long.MaxValue) == (1 << 24)) // broadcast-sanity cap
+    // a filter sized by the formula keeps pruning at 100x the keys the old
+    // fixed default was tuned for: no false negatives, real rejection
+    val keys = (0L until 50000L).map(Tuple1(_)).toDF("k")
+    val w = bloomWords(50000)
+    val bloom = Relational.bloomBuild(keys, $"k", w)
+    val probes = (0L until 100000L).map(Tuple1(_)).toDF("k")
+      .crossJoin(broadcast(bloom))
+      .filter(Relational.bloomMightContain($"k", $"bloom", w))
+      .count()
+    assert(probes >= 50000, "false negative: a member was rejected")
+    assert(probes <= 55000, s"FPR blown: $probes of 100000 passed") // ~3% target on the 50k non-members
+  }
+
   test("bloom probe runs before the join in the plan (xxhash64 pre-filter)") {
     val df = Relational.revenueByPriorityBloom(spark, sf)
     df.collect()
