@@ -438,34 +438,55 @@ object Dedup {
     * list until fixpoint — each round, every node takes the min of its
     * own label and its neighbours'. Converges in O(component diameter)
     * rounds; near-dup components are tiny and shallow in practice, so the
-    * driver-side loop runs 2-4 rounds. Each round is one shuffle of
-    * (node, label) pairs — the standard large-scale connected-components
-    * formulation on DataFrames; intermediates are localCheckpointed so
-    * lineage doesn't grow with iterations. Deterministic (min over ids),
-    * so oracle-checkable against a recursive-CTE transitive closure.
+    * driver-side loop runs 2-4 rounds. Each round is ONE job and one
+    * shuffle of (node, label) pairs — the standard large-scale
+    * connected-components formulation on DataFrames; the convergence test
+    * rides the SAME job as an `observe()` metric (a CollectMetrics
+    * accumulator over the changed-label count), not a second join+count
+    * over the round's output. Deterministic (min over ids), so
+    * oracle-checkable against a recursive-CTE transitive closure.
+    *
+    * Fault tolerance: intermediates are checkpointed each round so lineage
+    * doesn't grow with iterations. The default `localCheckpoint` stores
+    * blocks on EXECUTORS — fine single-box, but an executor loss
+    * mid-propagation kills the job (lineage is truncated; there is no
+    * recompute path). At 100 TB pass `checkpointDir` to write round
+    * boundaries to reliable storage instead (HDFS/S3), which survives
+    * node loss at the cost of one distributed write per round.
     */
-  def clusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+  def clusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val edges = minhashLshPairs(docs, n, threshold).select(col("a"), col("b"))
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true) // edges reused every round: compute LSH once
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).localCheckpoint(true)
+    val sym = save( // edges reused every round: compute LSH once
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+    var labels = save(docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val neighborMin = sym
         .join(labels, sym("b") === labels("doc_id"))
         .groupBy(sym("a").as("doc_id"))
         .agg(min(col("cluster_id")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val metric = s"clusters_round_$round"
+      val observed = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+            .as("cluster_id"),
+          (coalesce(col("n_min"), col("cluster_id")) < col("cluster_id"))
+            .cast("long").as("chg"))
+        .observe(metric, sum(col("chg")).as("changed"))
+      val next = save(observed) // the checkpoint job fills the metric
+      changed = Option(observed.queryExecution.observedMetrics(metric).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next
     }
-    labels
+    labels.select(col("doc_id"), col("cluster_id"))
   }
 
   // -------------------------------------------------------------------

@@ -101,6 +101,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels(30L) == 30L)
     // cluster labels are a fixpoint: relabeling again changes nothing
     assert(labels.size == 4)
+    // reliable-checkpoint mode (the 100 TB fault-tolerance path: round
+    // boundaries written to storage instead of executor-local blocks)
+    // produces the identical labeling
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val reliable = Dedup.clusters(chain, 3, 0.8, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == labels)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("fused MinHashSlots is bit-identical to the per-permutation form") {
