@@ -157,6 +157,33 @@ object OracleSqlGen {
           CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
         FROM j GROUP BY source"""
 
+  /** Mirrors CorpusOps.corpusStatsScalable: the datasheet with the
+    * histogram-grid median (same scoring CTEs; the median is pure integer
+    * cumulative-count logic over 1/grid quality cells, then one exact
+    * division — no quantile_cont, no engine-specific sketch).
+    */
+  def corpusStatsScalableSql(grid: Int): String =
+    s"""WITH j AS (
+          SELECT d.source, q.quality, q.n_bpeish_tokens, lid.pred_lang
+          FROM documents d
+          JOIN ($languageIdSql) lid ON d.doc_id = lid.doc_id
+          JOIN ($qualitySql) q ON d.doc_id = q.doc_id),
+        base AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(n_bpeish_tokens) AS BIGINT) AS total_tokens,
+          CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+          FROM j GROUP BY source),
+        h AS (SELECT source, CAST(floor(quality * $grid) AS BIGINT) AS cell,
+          count(*) AS cnt FROM j GROUP BY 1, 2),
+        c AS (SELECT source, cell,
+          sum(cnt) OVER (PARTITION BY source ORDER BY cell) AS cum,
+          sum(cnt) OVER (PARTITION BY source) AS total FROM h),
+        m AS (SELECT source,
+          min(CASE WHEN cum * 2 >= total THEN cell END) AS mcell
+          FROM c GROUP BY source)
+        SELECT base.source, n_docs, total_tokens,
+          round(mcell::DOUBLE / $grid, 4) AS p50q_grid, n_en
+        FROM base JOIN m ON base.source = m.source"""
+
   /** Mirrors CorpusOps.assemble — the composed curate → quota → split
     * chain, built from the same sub-oracles ([[languageIdSql]],
     * [[qualitySql]], [[hexCellSql]]) the per-stage queries use.

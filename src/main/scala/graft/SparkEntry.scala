@@ -133,6 +133,10 @@ object SparkEntry {
     // the per-source corpus datasheet: one fused scoring projection, one
     // grouped aggregate (per-source partials only on the wire)
     "corpus_stats" -> q((s, d) => CorpusOps.corpusStats(Tables.load(s, d, "documents"))),
+    // the registered 100 TB variant: histogram-grid median, bounded agg
+    // state (Spark's `percentile` buffers every group member; DuckDB's
+    // approx_quantile would never hash-match — this is exact in both)
+    "corpus_stats_scalable" -> q((s, d) => CorpusOps.corpusStatsScalable(Tables.load(s, d, "documents"))),
     // URL/email/digit-run scrub with per-pattern counts; spans injected
     // deterministically from base columns (the synthetic corpus has none)
     // so the query is data-effective AND oracle-checkable
@@ -393,6 +397,7 @@ object SparkEntry {
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
     "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
     "corpus_stats" -> OracleSqlGen.corpusStatsSql,
+    "corpus_stats_scalable" -> OracleSqlGen.corpusStatsScalableSql(10000),
     "text_scrub" -> OracleSqlGen.textScrubSql,
     "text_bm25" -> OracleSqlGen.bm25TopKSql(),
     "text_hash_embedding" -> OracleSqlGen.hashEmbeddingSketchSql(64),

@@ -203,9 +203,9 @@ object CorpusOps {
     * with. One scan-fused scoring projection
     * ([[TextAnalysis.withPredLangAndQuality]]) and ONE grouped aggregate;
     * the exchange carries per-source partials only. The exact median is
-    * the oracle-checkable choice at test scale — at 100 TB swap
-    * `percentile` for `approx_percentile` (same plan, bounded memory),
-    * as [[Relational.orderValueQuantiles]] documents.
+    * the oracle-checkable choice at test scale — the REGISTERED 100 TB
+    * path is [[corpusStatsScalable]], whose histogram median bounds the
+    * aggregation state while staying oracle-exact.
     */
   def corpusStats(docs: DataFrame): DataFrame =
     TextAnalysis.withPredLangAndQuality(docs)
@@ -215,6 +215,46 @@ object CorpusOps {
         sum(bpeishTokenCount(col("text"))).as("total_tokens"),
         round(percentile(col("quality"), lit(0.5)), 4).as("p50_quality"),
         sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"))
+
+  /** [[corpusStats]]' REGISTERED scale variant: same datasheet, but the
+    * median comes from a fixed-grid HISTOGRAM instead of `percentile`.
+    *
+    * Why it exists: Spark's `percentile` buffers every group member's
+    * value in the aggregation state — per-source memory grows linearly
+    * with the corpus, which is precisely what must not happen at 100 TB.
+    * `approx_percentile` bounds the memory but its t-digest is
+    * engine-specific (DuckDB's approx_quantile will never hash-match), so
+    * it cannot be oracle-checked. This formulation gets BOTH: quality is
+    * bucketed to a 1/`grid` lattice (histogram agg state ≤ grid cells per
+    * source, exchange bounded by sources × grid), and the reported median
+    * is the smallest cell whose cumulative count covers half the group —
+    * deterministic integer logic that DuckDB reproduces exactly, with
+    * quantization error ≤ 1/grid by construction. The running sum windows
+    * over the HISTOGRAM (≤ grid rows per source), never the corpus.
+    */
+  def corpusStatsScalable(docs: DataFrame, grid: Int = 10000): DataFrame = {
+    val scored = TextAnalysis.withPredLangAndQuality(docs)
+    val base = scored.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(bpeishTokenCount(col("text"))).as("total_tokens"),
+        sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val hist = scored
+      .groupBy(col("source"),
+        floor(col("quality") * grid).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w.orderBy(col("cell"))))
+      .withColumn("total", sum(col("cnt")).over(w))
+    val med = hist
+      .groupBy(col("source"))
+      .agg(min(when(col("cum") * 2 >= col("total"), col("cell"))).as("mcell"))
+      .select(col("source"),
+        round(col("mcell").cast("double") / grid, 4).as("p50q_grid"))
+    base.join(med, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("p50q_grid"), col("n_en"))
+  }
 
   /** The COMPOSED batch corpus-assembly chain, one plan end to end:
     * language+quality curation (scan-fused scoring, generator-guarded

@@ -146,6 +146,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(agg._1 == docs.count() && agg._2)
   }
 
+  test("corpusStatsScalable: grid median within 1/grid of the exact median") {
+    val docs = Tables.load(spark, sf, "documents")
+    val exact = CorpusOps.corpusStats(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("p50_quality")).toMap
+    val rows = CorpusOps.corpusStatsScalable(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val g = r.getAs[Double]("p50q_grid")
+      // lower cell edge of the median bucket: within one lattice step
+      // below the interpolated exact median
+      assert(g <= exact(s) + 1e-9 && g >= exact(s) - 1.0 / 10000 - 1e-9,
+        s"source=$s grid=$g exact=${exact(s)}")
+    }
+    // and the non-median columns agree with the exact datasheet
+    val base = CorpusOps.corpusStats(docs)
+      .select($"source", $"n_docs", $"total_tokens", $"n_en")
+    val scal = CorpusOps.corpusStatsScalable(docs)
+      .select($"source", $"n_docs", $"total_tokens", $"n_en")
+    assert(base.exceptAll(scal).isEmpty && scal.exceptAll(base).isEmpty)
+  }
+
   test("assemble composes curate, quota and split consistently") {
     val docs = Tables.load(spark, sf, "documents")
     val out = CorpusOps.assemble(docs).collect()
