@@ -18,6 +18,14 @@ case class UserEventTimed(user_id: Long, ts_ms: Long, ts: java.sql.Timestamp)
 /** A closed user session: [start, end] with its event count. */
 case class UserSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
+/** [[Pipelines.userSessions]] state: every session still inside the
+  * watermark horizon — the open one and any gap-breached sessions whose
+  * `end + gap` the watermark has not passed yet (a late event could still
+  * legally merge into them, so emitting earlier would allow overlapping
+  * sessions in append output).
+  */
+case class SessionBuffer(sessions: Seq[UserSession])
+
 /** Streaming topologies of the reference pipeline, Spark-native.
   *
   * The reference runs four ksqlDB persistent queries over Kafka topics and
@@ -279,60 +287,70 @@ object Pipelines {
 
   /** Event-time SESSIONIZATION via flatMapGroupsWithState — the
     * full-control custom-state API (vs [[userRunningState]]'s
-    * one-in-one-out mapGroupsWithState): per user, consecutive events
-    * within `gapMs` merge into one session; a session CLOSES either when
-    * a later in-batch event breaches the gap, or when the WATERMARK
-    * passes session-end + gap (EventTimeTimeout — no new data needed:
-    * the state store times the session out and emits it). Append mode:
-    * only closed, immutable sessions reach the sink.
+    * one-in-one-out mapGroupsWithState): per user, events within `gapMs`
+    * of a session's nearest edge merge into it (late events extend it
+    * BACKWARDS; a late event bridging two sessions merges them — true
+    * session-window semantics). Append mode: a session is emitted ONLY
+    * once the WATERMARK passes its `end + gap`, because until then a
+    * still-admissible late event could legally merge into it — emitting
+    * on the in-batch gap breach (the pre-round-6 behavior) could put two
+    * OVERLAPPING sessions for one user into append output. Gap-breached
+    * sessions therefore wait in state ([[SessionBuffer]]) and leave via
+    * EventTimeTimeout (or inline, when the batch's watermark has already
+    * passed them — a timeout timestamp must stay above the watermark).
     *
-    * State is one open session per active user — bounded by active-user
-    * cardinality, evicted by timeout, partitioned by key like any keyed
-    * aggregation. The per-trigger sort is over ONE user's events in ONE
-    * micro-batch (bounded by trigger interval, not stream length).
+    * State is the open session plus the gap-breached sessions inside the
+    * watermark horizon — bounded by active-user cardinality times the
+    * sessions one user can start within `delay` (eviction is by
+    * watermark, exactly like a windowed aggregation's state). The
+    * per-trigger sort is over ONE user's events in ONE micro-batch
+    * (bounded by trigger interval, not stream length).
     */
   def userSessions(events: org.apache.spark.sql.Dataset[UserEvent],
                    gapMs: Long = 1800000L,
                    delay: String = "1 minute"): org.apache.spark.sql.Dataset[UserSession] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    // emit everything the watermark has sealed; keep (and re-arm the
+    // timeout for) the rest
+    def release(state: GroupState[SessionBuffer], wm: Long,
+                sessions: Seq[UserSession]): Iterator[UserSession] = {
+      val (ripe, rest) = sessions.partition(_.end_ms + gapMs <= wm)
+      if (rest.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(SessionBuffer(rest))
+        state.setTimeoutTimestamp(rest.map(_.end_ms).min + gapMs)
+      }
+      ripe.sortBy(s => (s.start_ms, s.end_ms)).iterator
+    }
+
     events
       .withColumn("ts", timestamp_millis(col("ts_ms")))
       .withWatermark("ts", delay)
       .as[UserEventTimed]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserSession, UserSession](
+      .flatMapGroupsWithState[SessionBuffer, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[UserEventTimed], state: GroupState[UserSession]) =>
+        (user: Long, rows: Iterator[UserEventTimed], state: GroupState[SessionBuffer]) =>
+          val wm = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
-            val done = state.get
-            state.remove()
-            Iterator(done)
+            release(state, wm, state.get.sessions)
           } else {
-            val sorted = rows.map(_.ts_ms).toArray.sorted
-            val closed = Seq.newBuilder[UserSession]
-            var open = state.getOption
-            sorted.foreach { t =>
-              open match {
-                case Some(s) if t - s.end_ms <= gapMs =>
-                  // a cross-batch late event (within the watermark
-                  // allowance) can predate the open session's start —
-                  // the merge must extend the session backwards too
-                  open = Some(s.copy(start_ms = math.min(s.start_ms, t),
-                    end_ms = math.max(s.end_ms, t),
-                    n_events = s.n_events + 1))
-                case Some(s) =>
-                  closed += s
-                  open = Some(UserSession(user, t, t, 1L))
-                case None =>
-                  open = Some(UserSession(user, t, t, 1L))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end_ms + gapMs)
-            }
-            closed.result().iterator
+            // events join as 1-element sessions, then one sorted fold
+            // merges every chain of sessions whose gap-windows touch
+            val prev = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+            val merged = (prev ++ rows.map(e => UserSession(user, e.ts_ms, e.ts_ms, 1L)))
+              .sortBy(s => (s.start_ms, s.end_ms))
+              .foldLeft(List.empty[UserSession]) { (acc, s) =>
+                acc match {
+                  case h :: t if s.start_ms - h.end_ms <= gapMs =>
+                    UserSession(user, h.start_ms, math.max(h.end_ms, s.end_ms),
+                      h.n_events + s.n_events) :: t
+                  case _ => s :: acc
+                }
+              }.reverse
+            release(state, wm, merged)
           }
       }
   }

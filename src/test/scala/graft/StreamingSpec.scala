@@ -375,13 +375,18 @@ class StreamingSpec extends SparkSpec {
       mem.addData(UserEvent(1, t0), UserEvent(1, t0 + 10000))
       q.processAllAvailable()
       assert(spark.table("sessions_t").isEmpty)
-      // 90 s later: breaches the 30 s gap in-batch → first session closes
+      // 90 s later: breaches the 30 s gap. The session emits within the
+      // same processAllAvailable — not because of the breach, but because
+      // this batch pushes the watermark (t0+90000) past end+gap and the
+      // no-data micro-batch fires the event-time timeout. Emission is
+      // WATERMARK-gated: see the late-merge test for the case where the
+      // watermark has not sealed the breached session yet.
       mem.addData(UserEvent(1, t0 + 100000))
       q.processAllAvailable()
       assert(spark.table("sessions_t").as[UserSession].collect().toSet ==
         Set(UserSession(1L, t0, t0 + 10000, 2L)))
-      // watermark rides a far-future event past end+gap; the EXTRA batch
-      // lets the updated watermark fire the event-time timeout
+      // watermark rides a far-future event past the OPEN session's
+      // end+gap; the extra batch lets the timeout fire
       mem.addData(UserEvent(2, t0 + 200000))
       q.processAllAvailable()
       mem.addData(UserEvent(2, t0 + 201000))
@@ -407,11 +412,100 @@ class StreamingSpec extends SparkSpec {
       // must extend the session backwards, not leave start at t0+20000
       mem.addData(UserEvent(1, t0))
       q.processAllAvailable()
-      // breach the gap so the merged session closes in-batch
+      // breach the gap, then ride the watermark past end+gap and give the
+      // event-time timeout a batch to fire (append emits only once the
+      // watermark seals the session)
       mem.addData(UserEvent(1, t0 + 200000))
       q.processAllAvailable()
+      mem.addData(UserEvent(2, t0 + 400000))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, t0 + 401000))
+      q.processAllAvailable()
       val got = spark.table("sessions_late_t").as[UserSession].collect().toSet
-      assert(got == Set(UserSession(1L, t0, t0 + 20000, 2L)), s"got=$got")
+      assert(got.contains(UserSession(1L, t0, t0 + 20000, 2L)), s"got=$got")
     } finally q.stop()
+  }
+
+  test("sessionization: a late event merges into a gap-breached session (no overlap)") {
+    // the append-mode anomaly this guards: emitting a session on the
+    // in-batch gap breach lets a still-admissible late event (within
+    // gapMs of the emitted end) start a SECOND session overlapping the
+    // first. Breached sessions must wait in state until the watermark
+    // passes end+gap.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val mem = MemoryStream[UserEvent]
+    val q = Pipelines.startMemorySink(
+      Pipelines.userSessions(mem.toDS(), gapMs = 30000L, delay = "1 minute").toDF(),
+      "sessions_merge_t", OutputMode.Append)
+    try {
+      val t0 = 1000000L
+      mem.addData(UserEvent(1, t0 + 20000))
+      q.processAllAvailable()
+      // breaches the 30 s gap: [t0+20000] is now pending-closed
+      mem.addData(UserEvent(1, t0 + 100000))
+      q.processAllAvailable()
+      assert(spark.table("sessions_merge_t").isEmpty)
+      // late (watermark is t0+40000) but within gapMs of the pending
+      // session's end -> must MERGE into it, not open a third session
+      mem.addData(UserEvent(1, t0 + 45000))
+      q.processAllAvailable()
+      // ride the watermark past everything and let the timeout fire
+      mem.addData(UserEvent(2, t0 + 400000))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, t0 + 401000))
+      q.processAllAvailable()
+      val got = spark.table("sessions_merge_t").as[UserSession].collect()
+        .filter(_.user_id == 1L).toSet
+      assert(got == Set(
+        UserSession(1L, t0 + 20000, t0 + 45000, 2L),
+        UserSession(1L, t0 + 100000, t0 + 100000, 1L)), s"got=$got")
+      // sessions of one user are separated by more than the gap
+      val sorted = got.toSeq.sortBy(_.start_ms)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b.start_ms - a.end_ms > 30000L, s"$a overlaps $b")
+        case _ => ()
+      }
+    } finally q.stop()
+  }
+
+  test("sessionization runs unchanged on the RocksDB state store provider") {
+    // the 100 TB stateful path: the default HDFS-backed store keeps every
+    // key in executor memory; RocksDB spills to local disk. The provider
+    // is config, not code — this pins that the pipeline actually runs on
+    // it and emits the same sessions.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserEvent]
+    val q = Pipelines.startMemorySink(
+      Pipelines.userSessions(mem.toDS(), gapMs = 30000L, delay = "10 seconds").toDF(),
+      "sessions_rocks_t", OutputMode.Append)
+    try {
+      val t0 = 1000000L
+      mem.addData(UserEvent(1, t0), UserEvent(1, t0 + 10000))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, t0 + 100000))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, t0 + 200000))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, t0 + 201000))
+      q.processAllAvailable()
+      val got = spark.table("sessions_rocks_t").as[UserSession].collect().toSet
+      assert(got.contains(UserSession(1L, t0, t0 + 10000, 2L)), s"got=$got")
+      assert(got.contains(UserSession(1L, t0 + 100000, t0 + 100000, 1L)), s"got=$got")
+      // and it really ran on RocksDB
+      assert(q.lastProgress.stateOperators.head.customMetrics
+        .containsKey("rocksdbFilesCopied"), "RocksDB metrics absent")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }
