@@ -408,6 +408,19 @@ object AvroCodec {
     GraftShim.column(AvroDecodeEvolving(GraftShim.expression(c), readerSchema,
       writerSchemas))
 
+  /** [[avroDecodeEvolving]] with the writer schemas RESOLVED from a
+    * [[SchemaRegistryClient]] at plan-build time — the live-registry
+    * entry point (HTTP client or the static test registry, same call).
+    * `ids` is the known writer-version set for the topic; ids the
+    * registry cannot resolve are dropped (records framed with them decode
+    * to null rows, the same contract as an unknown id at runtime).
+    */
+  def avroDecodeEvolving(c: Column, readerSchema: StructType,
+                         registry: SchemaRegistryClient,
+                         ids: Seq[Int]): Column =
+    avroDecodeEvolving(c, readerSchema,
+      ids.flatMap(id => registry.schemaById(id).map(id -> _)).toMap)
+
   /** The reference customer topic's wire schema (`make_fake_data.py:54-62`
     * field order; date/timestamp as their Avro logical-type primitives).
     * Fields are nullable — Connect's JDBC source emits optional columns as

@@ -180,8 +180,15 @@ class AvroCodecSpec extends SparkSpec {
         Some(99)).as("value"))
     val garbage = Seq(Array[Byte](0x00, 0, 0, 0, 8, 0x42)).toDF("value")
 
+    // the decode resolves its writer map through the SchemaRegistryClient
+    // seam — the same call a live HttpSchemaRegistry would serve. Id 99 is
+    // requested but unknown to the registry: dropped from the map, so its
+    // records decode to null rows like any runtime-unknown id.
+    val registry: graft.functions.SchemaRegistryClient =
+      graft.functions.StaticRegistry(writers)
     val decoded = recsV1.union(recsV2).union(unknown).union(garbage)
-      .select(AvroCodec.avroDecodeEvolving(col("value"), v2, writers).as("r"))
+      .select(AvroCodec.avroDecodeEvolving(col("value"), v2, registry,
+        Seq(7, 8, 99)).as("r"))
       .select(col("r.*"))
     val rows = decoded.collect().map(_.toSeq).toSet
     assert(rows == Set(
@@ -274,6 +281,43 @@ class AvroCodecSpec extends SparkSpec {
       b.foreach(v => assert(back.getBinary(4).toSeq == v.toSeq))
       assert(back.getBoolean(5) == bo)
     }
+  }
+
+  test("avro-json schema translation: primitives, null-unions, logical carriers") {
+    import graft.functions.AvroSchemaJson
+    import org.apache.spark.sql.types._
+    val got = AvroSchemaJson.toStructType(
+      """{"type":"record","name":"customers","fields":[
+        {"name":"nome","type":"string"},
+        {"name":"email","type":["null","string"]},
+        {"name":"nascimento","type":{"type":"int","logicalType":"date"}},
+        {"name":"dt_update","type":["null",
+          {"type":"long","logicalType":"timestamp-millis"}]},
+        {"name":"score","type":"double"}]}""")
+    assert(got == StructType(Seq(
+      StructField("nome", StringType, nullable = false),
+      StructField("email", StringType, nullable = true),
+      StructField("nascimento", IntegerType, nullable = false),
+      StructField("dt_update", LongType, nullable = true),
+      StructField("score", DoubleType, nullable = false))))
+    // shapes the binary codec cannot decode are rejected at translation
+    intercept[IllegalArgumentException] {
+      AvroSchemaJson.toStructType(
+        """{"type":"record","name":"x","fields":[
+          {"name":"tags","type":{"type":"array","items":"string"}}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      AvroSchemaJson.toStructType("""{"type":"enum","name":"x","symbols":["A"]}""")
+    }
+  }
+
+  test("http registry: unreachable endpoint fails fast, never null-decodes") {
+    // no live registry exists in the sandbox (env-gated binding); the
+    // contract under transport failure is THROW — a plan must not be
+    // silently built with an empty writer map
+    val reg = new graft.functions.HttpSchemaRegistry(
+      "http://127.0.0.1:1", timeoutMs = 500L)
+    intercept[Exception] { reg.schemaById(1) }
   }
 
   test("decode stays inside whole-stage codegen") {
