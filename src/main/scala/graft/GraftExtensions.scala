@@ -32,6 +32,18 @@ object GraftSqlFunctions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  /** Arity guard for every SQL builder: a clean analysis-time error with
+    * the expected signature instead of the builder's raw
+    * IndexOutOfBoundsException when called with the wrong argument count
+    * (same error style as kmv_sketch's literal check).
+    */
+  private def arity(sig: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      if (args.length == n) b(args)
+      else throw new IllegalArgumentException(
+        s"$sig expects $n arguments, got ${args.length}")
+
   /** ksqlDB DATETOSTRING: epoch-days INT → formatted string (handles
     * negative pre-1970 days; reference README.md:221-224).
     */
@@ -83,22 +95,22 @@ object GraftSqlFunctions {
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("zorder_key",
       info("zorder_key", "zorder_key(x, y) - 32-bit Morton key interleaving two 16-bit dims"),
-      zorderKey _),
+      arity("zorder_key(x, y)", 2)(zorderKey)),
     ("kmv_sketch",
       info("kmv_sketch", "kmv_sketch(hash, k) - ascending array of the k smallest distinct hashes (KMV distinct sketch)"),
-      kmvSketch _),
+      arity("kmv_sketch(hash, k)", 2)(kmvSketch)),
     ("datetostring",
       info("datetostring", "datetostring(epochDays, fmt) - format epoch-days int as date string"),
-      dateToString _),
+      arity("datetostring(epochDays, fmt)", 2)(dateToString)),
     ("timestamptostring",
       info("timestamptostring", "timestamptostring(epochMillis, fmt) - format epoch-millis long as timestamp string"),
-      timestampToString _),
+      arity("timestamptostring(epochMillis, fmt)", 2)(timestampToString)),
     ("vector_dot",
       info("vector_dot", "vector_dot(a, b) - sequential dot product of two float/double arrays"),
-      (args: Seq[Expression]) => VectorDot(args.head, args(1))),
+      arity("vector_dot(a, b)", 2)(args => VectorDot(args.head, args(1)))),
     ("cosine_similarity",
       info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two float/double arrays"),
-      cosine _))
+      arity("cosine_similarity(a, b)", 2)(cosine)))
 
   /** Register all engine functions on a live session. */
   def install(spark: SparkSession): Unit =

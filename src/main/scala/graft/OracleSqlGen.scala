@@ -477,6 +477,7 @@ object OracleSqlGen {
         s AS (SELECT h FROM h ORDER BY h LIMIT $k)
         SELECT count(*) AS n_sketch, max(h) AS kth_hash,
           CASE WHEN count(*) < $k THEN count(*)::DOUBLE
+               WHEN max(h) = 0 THEN count(*)::DOUBLE
                ELSE round(${(k - 1).toDouble} * 1152921504606846976.0 / max(h)::DOUBLE, 4) END AS est_distinct
         FROM s"""
 

@@ -315,7 +315,11 @@ object Relational {
     * ([[graft.functions.KmvSketchAgg]] — bounded k-long state per map
     * task, one fixed-size sketch per partition on the exchange), then the
     * (k−1)/r_k estimate. When the sketch isn't full the key count is
-    * below k and the "estimate" is exact by definition. Contrast
+    * below k and the "estimate" is exact by definition. A kth hash of 0
+    * (only possible if md5's first 60 bits are all zero AND that key is
+    * the minimum of a full sketch — practically unreachable, but the
+    * division is unguarded without it) also falls back to the exact
+    * count instead of yielding Infinity. Contrast
     * [[approxDistinctUsers]]: HLL++ is cheaper per byte but its sketch is
     * engine-specific — this one is bit-reproducible in the DuckDB oracle.
     */
@@ -327,7 +331,11 @@ object Relational {
         size(col("ks")).cast("long").as("n_sketch"),
         when(size(col("ks")) === 0, lit(null).cast("long"))
           .otherwise(element_at(col("ks"), size(col("ks")))).as("kth_hash"),
+        // branch order matters: element_at(ks, k) is only safe once the
+        // first (size < k) branch has failed
         when(size(col("ks")) < k, size(col("ks")).cast("double"))
+          .when(element_at(col("ks"), lit(k)) === 0L,
+            size(col("ks")).cast("double"))
           .otherwise(round(
             lit((k - 1).toDouble * math.pow(2, 60)) /
               element_at(col("ks"), lit(k)).cast("double"), 4))

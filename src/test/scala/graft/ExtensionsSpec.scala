@@ -29,6 +29,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(ks == Seq(10L, 20L, 40L))
   }
 
+  test("wrong arity yields a clean signature error, not IndexOutOfBounds") {
+    GraftSqlFunctions.install(spark)
+    for (bad <- Seq(
+      "SELECT zorder_key(1)",
+      "SELECT kmv_sketch(h) FROM (SELECT 1L AS h)",
+      "SELECT datetostring(0)",
+      "SELECT vector_dot(array(1.0F))",
+      "SELECT cosine_similarity(array(1.0F), array(1.0F), array(1.0F))")) {
+      val e = intercept[Exception] { spark.sql(bad).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("expects 2 arguments")),
+        s"$bad -> ${e.getMessage}")
+    }
+  }
+
   test("the reference jovens query text runs as spark.sql over a view") {
     GraftSqlFunctions.install(spark)
     // custstream in wire format: nascimento epoch-days INT, dt_update millis
