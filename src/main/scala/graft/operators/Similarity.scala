@@ -282,6 +282,37 @@ object Similarity {
     centsRow(cents)
   }
 
+  /** The trained centroids PERSISTED as a K-row table (c_id, c_emb) —
+    * built once per (dir, K, iters) with the same ensure-once discipline
+    * as the ANN/IVF indexes. Training is deterministic, so the persisted
+    * values equal an in-query training run exactly; every query over the
+    * same corpus then reads K rows instead of re-running Lloyd rounds
+    * over the corpus (at 100 TB, training is an offline build step, not
+    * per-probe work — this is that boundary made explicit).
+    */
+  def ivfCentroidsTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        numCentroids: Int = 16, iters: Int = 2): DataFrame =
+    Similarity.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_ivfcents_c${numCentroids}_k${iters}_$tag"
+      val cents = graft.Tables.ensurePersisted(spark, name) { path =>
+        ivfCentroids(graft.Tables.load(spark, dir, "embeddings"),
+          numCentroids, iters)
+          .select(explode(col("cents")).as("c"))
+          .select(col("c.c_id"), col("c.c_emb"))
+          .coalesce(1)
+          .write.option("path", path).mode("overwrite").saveAsTable(name)
+      }
+      centsRow(cents)
+    }
+
+  /** [[ivfAssign]] against an ALREADY-TRAINED one-row centroid frame. */
+  def ivfAssignWith(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        bestCentroid(col("cents"), col("embedding")).as("c_id"))
+
   /** IVF assignment: each vector → centroid with max cosine (ties → lowest
     * centroid id). Pure per-row fold over the broadcast centroid array —
     * zero shuffles; the assigned list id is the natural write-time
@@ -289,9 +320,7 @@ object Similarity {
     */
   def ivfAssign(emb: DataFrame, numCentroids: Int = 16,
                 iters: Int = 2): DataFrame =
-    emb.crossJoin(broadcast(ivfCentroids(emb, numCentroids, iters)))
-      .select(col("vec_id"), col("label"), col("embedding"),
-        bestCentroid(col("cents"), col("embedding")).as("c_id"))
+    ivfAssignWith(emb, ivfCentroids(emb, numCentroids, iters))
 
   /** The PERSISTED IVF index: embeddings written `partitionBy(c_id)` —
     * one directory per inverted list, the write-time twin of
@@ -305,7 +334,8 @@ object Similarity {
         graft.functions.DetHash.base60(dir) & 0xffffffffL)
       val name = s"graft_ivf_c${numCentroids}_k${iters}_$tag"
       graft.Tables.ensurePersisted(spark, name) { path =>
-        ivfAssign(graft.Tables.load(spark, dir, "embeddings"), numCentroids, iters)
+        ivfAssignWith(graft.Tables.load(spark, dir, "embeddings"),
+          ivfCentroidsTable(spark, dir, numCentroids, iters))
           // int partition column: directory values read back as int
           .withColumn("c_id", col("c_id").cast("int"))
           .repartition(col("c_id"))
@@ -338,9 +368,11 @@ object Similarity {
         .when(l.getField("c_id") > r.getField("c_id"), 1)
         .otherwise(0)
     }
+    // probe centroids come from the PERSISTED table — training ran once
+    // at index-build time, not per query
     val probe = emb.filter(col("vec_id") === qid)
       .select(col("embedding").as("q_embedding"))
-      .crossJoin(broadcast(ivfCentroids(emb, numCentroids, iters)))
+      .crossJoin(broadcast(ivfCentroidsTable(spark, dir, numCentroids, iters)))
       .select(col("q_embedding"),
         explode(transform(slice(array_sort(col("cents"), cmp), 1, nprobe),
           _.getField("c_id"))).as("list_id"))
@@ -358,7 +390,23 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, qid: Long = 0L, k: Int = 20,
               numCentroids: Int = 16, nprobe: Int = 4,
-              iters: Int = 2): DataFrame = {
+              iters: Int = 2): DataFrame =
+    ivfTopKOver(emb, ivfCentroids(emb, numCentroids, iters), qid, k, nprobe)
+
+  /** [[ivfTopK]] over the PERSISTED centroids of a corpus directory —
+    * identical rows (training is deterministic), but Lloyd rounds ran
+    * once at table-build time instead of inside every probe. This is the
+    * serving-path form; the generic-`emb` [[ivfTopK]] trains in-query.
+    */
+  def ivfTopKCached(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    qid: Long = 0L, k: Int = 20,
+                    numCentroids: Int = 16, nprobe: Int = 4,
+                    iters: Int = 2): DataFrame =
+    ivfTopKOver(graft.Tables.load(spark, dir, "embeddings"),
+      ivfCentroidsTable(spark, dir, numCentroids, iters), qid, k, nprobe)
+
+  private def ivfTopKOver(emb: DataFrame, cents: DataFrame, qid: Long,
+                          k: Int, nprobe: Int): DataFrame = {
     val cmp = (l: Column, r: Column) => {
       val sl = cosineSimilarity(col("q_embedding"), l.getField("c_emb"))
       val sr = cosineSimilarity(col("q_embedding"), r.getField("c_emb"))
@@ -369,11 +417,11 @@ object Similarity {
     }
     val q = emb.filter(col("vec_id") === qid)
       .select(col("embedding").as("q_embedding"))
-      .crossJoin(broadcast(ivfCentroids(emb, numCentroids, iters)))
+      .crossJoin(broadcast(cents))
       .select(col("q_embedding"),
         transform(slice(array_sort(col("cents"), cmp), 1, nprobe),
           _.getField("c_id")).as("q_lists"))
-    ivfAssign(emb, numCentroids, iters)
+    ivfAssignWith(emb, cents)
       .filter(col("vec_id") =!= qid)
       .crossJoin(broadcast(q))
       .filter(array_contains(col("q_lists"), col("c_id")))
