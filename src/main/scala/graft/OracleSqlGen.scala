@@ -157,6 +157,40 @@ object OracleSqlGen {
           CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
         FROM j GROUP BY source"""
 
+  /** N-gram OCCURRENCE list over the `tk` column — [[shingles]] minus the
+    * distinct (repetition signals measure multiplicity).
+    */
+  private def gramOccSql(n: Int): String =
+    s"""CASE WHEN len(tk) < $n THEN []::VARCHAR[]
+       ELSE list_transform(generate_series(0, len(tk) - $n),
+         i -> array_to_string(list_slice(tk, i + 1, i + $n), ' ')) END"""
+      .replaceAll("\n\\s*", " ")
+
+  /** Mirrors TextAnalysis.repetitionSignals. The top-2-gram multiplicity
+    * is counted directly per distinct gram here (equality-based), where
+    * the Spark side counts the longest equal-run after a sort — the same
+    * integer under any collation, so the ratio is bit-identical.
+    */
+  def repetitionSignalsSql: String =
+    s"""WITH t AS (SELECT doc_id,
+          list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+            l -> len(l) > 0) AS ln,
+          ${toks(norm("text"))} AS tk
+        FROM documents),
+        g AS (SELECT doc_id, ln, ${gramOccSql(2)} AS g2, ${gramOccSql(3)} AS g3 FROM t),
+        r AS (SELECT doc_id,
+          CAST(len(ln) AS BIGINT) AS n_lines,
+          round(CASE WHEN len(ln) = 0 THEN 0.0
+            ELSE (len(ln) - len(list_distinct(ln)))::DOUBLE / len(ln)::DOUBLE END, 6) AS dup_line_frac,
+          round(CASE WHEN len(g2) = 0 THEN 0.0
+            ELSE list_max(list_transform(list_distinct(g2),
+              d -> len(list_filter(g2, x -> x = d))))::DOUBLE / len(g2)::DOUBLE END, 6) AS top_2gram_frac,
+          round(CASE WHEN len(g3) = 0 THEN 0.0
+            ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)::DOUBLE END, 6) AS dup_3gram_frac
+        FROM g)
+        SELECT *, (dup_line_frac > 0.30 OR top_2gram_frac > 0.20
+          OR dup_3gram_frac > 0.18) AS repetitive FROM r"""
+
   /** Mirrors CorpusOps.corpusStatsScalable: the datasheet with the
     * histogram-grid median (same scoring CTEs; the median is pure integer
     * cumulative-count logic over 1/grid quality cells, then one exact

@@ -106,6 +106,9 @@ object SparkEntry {
     // --- text analysis (documents) ---
     "text_language_id" -> q((s, d) => TextAnalysis.languageId(Tables.load(s, d, "documents"))),
     "text_quality" -> q((s, d) => TextAnalysis.qualityScores(Tables.load(s, d, "documents"))),
+    // Gopher-style repetition filters: integer-count ratios only, fully
+    // scan-fused (zero exchanges at any corpus size)
+    "text_repetition" -> q((s, d) => TextAnalysis.repetitionSignals(Tables.load(s, d, "documents"))),
     "text_token_histogram" -> q((s, d) => TextAnalysis.tokenHistogram(Tables.load(s, d, "documents"))),
     "text_fingerprints" -> q((s, d) => TextAnalysis.fingerprints(Tables.load(s, d, "documents"))),
     "text_winnow_fp" -> q((s, d) => TextAnalysis.winnowingFingerprints(Tables.load(s, d, "documents"))),
@@ -388,6 +391,7 @@ object SparkEntry {
     // same constants the Spark plans use — see OracleSqlGen.
     "text_language_id" -> OracleSqlGen.languageIdSql,
     "text_quality" -> OracleSqlGen.qualitySql,
+    "text_repetition" -> OracleSqlGen.repetitionSignalsSql,
     "text_token_histogram" -> OracleSqlGen.tokenHistogramSql,
     "text_fingerprints" -> OracleSqlGen.fingerprintsSql,
     "text_winnow_fp" -> OracleSqlGen.winnowingSql(5, 4),

@@ -412,6 +412,82 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** N-gram OCCURRENCE list (duplicates kept — the repetition signals
+    * measure multiplicity, where [[graft.functions.GraftFunctions.shinglesFromTokens]]
+    * deliberately dedups). Unlike the shingle generator, a document
+    * shorter than `n` tokens yields NO grams: a single short remainder
+    * would read as multiplicity 1-of-1 and flag every tiny document as
+    * maximally repetitive.
+    */
+  private def gramOccurrences(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Maximum multiplicity in a string array, computed as the longest run
+    * of equal values after a sort — equal strings are adjacent under ANY
+    * total order, so the result is collation-independent (the DuckDB
+    * oracle counts multiplicity directly per distinct gram; both are the
+    * same integer). O(n log n) per row, one pass, no per-distinct rescan.
+    */
+  private def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher/MassiveText-style REPETITION quality signals — the standard
+    * pre-training filters for boilerplate and degenerate generation
+    * (fraction of duplicate lines, dominance of the most common 2-gram,
+    * excess duplicate 3-grams). A 100 TB corpus pays these per document:
+    * every signal here is a scan-fused per-row projection over the
+    * document's own arrays — ZERO exchanges at any corpus size.
+    *
+    * Oracle-exactness: every signal is a ratio of two INTEGER counts
+    * (line counts, distinct counts, multiplicities) rounded once — no
+    * libm, no float accumulation, so DuckDB reproduces each value bit
+    * for bit. Duplicate fractions are EXCESS fractions
+    * ((occurrences − distinct) / occurrences): equality-based, no
+    * cross-engine collation dependence.
+    *
+    * Thresholds for the `repetitive` flag follow the Gopher paper's
+    * shape (dup-line > 0.30 or top-2-gram > 0.20 or dup-3-gram > 0.18);
+    * at these settings natural prose passes and templated/looping text
+    * trips (spec carries crafted cases).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val frames = docs
+      .select(col("doc_id"), lines.as("ln"),
+        tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("doc_id"), col("ln"),
+        gramOccurrences(col("tk"), 2).as("g2"),
+        gramOccurrences(col("tk"), 3).as("g3"))
+    def excessFrac(arr: Column): Column =
+      when(size(arr) === 0, lit(0.0))
+        .otherwise((size(arr) - size(array_distinct(arr))).cast("double")
+          / size(arr).cast("double"))
+    val top2 = when(size(col("g2")) === 0, lit(0.0))
+      .otherwise(maxMultiplicity(col("g2")).cast("double")
+        / size(col("g2")).cast("double"))
+    frames.select(
+      col("doc_id"),
+      size(col("ln")).cast("long").as("n_lines"),
+      round(excessFrac(col("ln")), 6).as("dup_line_frac"),
+      round(top2, 6).as("top_2gram_frac"),
+      round(excessFrac(col("g3")), 6).as("dup_3gram_frac"))
+      .withColumn("repetitive",
+        col("dup_line_frac") > 0.30 || col("top_2gram_frac") > 0.20
+          || col("dup_3gram_frac") > 0.18)
+  }
+
   def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     import graft.functions.DetHash
     docs

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** [[graft.operators.TextAnalysis.repetitionSignals]] — Gopher-style
+  * repetition filters. Crafted cases pin the signal definitions
+  * (excess-duplicate fractions, top-2-gram dominance) and that natural
+  * prose passes while templated/looping text trips the flag.
+  */
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def signals(texts: (Long, String)*) =
+    TextAnalysis.repetitionSignals(
+      texts.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .withColumn("source", lit("s")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("duplicate lines: excess fraction counts repeats, trims whitespace") {
+    val m = signals(
+      (1L, "click here to win\nsome real content\nclick here to win  \nmore content"),
+      (2L, "alpha\nbravo\ncharlie"))
+    // doc 1: 4 non-empty lines, 3 distinct (trimmed dup) -> 1/4
+    assert(m(1L).getAs[Long]("n_lines") == 4L)
+    assert(m(1L).getAs[Double]("dup_line_frac") == 0.25)
+    assert(m(2L).getAs[Double]("dup_line_frac") == 0.0)
+  }
+
+  test("top 2-gram dominance catches a degenerate loop") {
+    val loop = Seq.fill(30)("buy now").mkString(" ") // "buy now buy now ..."
+    val m = signals((1L, loop), (2L, "the quick brown fox jumps over the lazy dog today"))
+    // 60 tokens -> 59 2-gram occurrences; "buy now" appears 30, "now buy" 29
+    assert(m(1L).getAs[Double]("top_2gram_frac") > 0.5)
+    assert(m(1L).getAs[Boolean]("repetitive"))
+    assert(m(2L).getAs[Double]("top_2gram_frac") <= 0.2)
+    assert(!m(2L).getAs[Boolean]("repetitive"))
+  }
+
+  test("duplicate 3-grams: excess fraction over occurrences") {
+    val m = signals(
+      (1L, "one two three four one two three four one two three four"),
+      (2L, "every token here is entirely different from all the others"))
+    // 12 tokens -> 10 3-gram occurrences, 4 distinct -> 6/10
+    assert(m(1L).getAs[Double]("dup_3gram_frac") == 0.6)
+    assert(m(2L).getAs[Double]("dup_3gram_frac") == 0.0)
+  }
+
+  test("empty and single-token docs yield zeros, not division errors") {
+    val m = signals((1L, ""), (2L, "word"))
+    for (id <- Seq(1L, 2L)) {
+      assert(m(id).getAs[Double]("dup_line_frac") == 0.0)
+      assert(m(id).getAs[Double]("dup_3gram_frac") == 0.0)
+      assert(!m(id).getAs[Boolean]("repetitive"))
+    }
+    // a lone token yields NO 2-grams (no full window) — a short-remainder
+    // gram would read as multiplicity 1-of-1 and flag the doc
+    assert(m(2L).getAs[Double]("top_2gram_frac") == 0.0)
+  }
+
+  test("max multiplicity equals the direct per-distinct count") {
+    // the Spark side counts the longest equal-run after a sort; pin it
+    // against a brute-force multiplicity count on the same data
+    val texts = Seq(
+      (1L, "a b a b a c d c"),
+      (2L, "x y z x y z x y"),
+      (3L, "solo"))
+    val got = signals(texts: _*)
+    texts.foreach { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val g2 =
+        if (toks.length < 2) Seq.empty[String]
+        else (0 to toks.length - 2).map(i => toks.slice(i, i + 2).mkString(" "))
+      val expect =
+        if (g2.isEmpty) 0.0
+        else {
+          val top = g2.groupBy(identity).values.map(_.size).max
+          val raw = top.toDouble / g2.size
+          math.rint(raw * 1e6) / 1e6
+        }
+      assert(got(id).getAs[Double]("top_2gram_frac") == expect, s"doc $id")
+    }
+  }
+}
