@@ -39,10 +39,14 @@ object GraftSqlFunctions {
     */
   private def arity(sig: String, n: Int)(
       b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    arityIn(sig, Set(n))(b)
+
+  private def arityIn(sig: String, ns: Set[Int])(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
     args =>
-      if (args.length == n) b(args)
+      if (ns.contains(args.length)) b(args)
       else throw new IllegalArgumentException(
-        s"$sig expects $n arguments, got ${args.length}")
+        s"$sig expects ${ns.toSeq.sorted.mkString(" or ")} arguments, got ${args.length}")
 
   /** ksqlDB DATETOSTRING: epoch-days INT → formatted string (handles
     * negative pre-1970 days; reference README.md:221-224).
@@ -52,12 +56,18 @@ object GraftSqlFunctions {
       Cast(DateFromUnixDate(Cast(args.head, IntegerType)), TimestampType),
       args(1))
 
-  /** ksqlDB TIMESTAMPTOSTRING: epoch-millis BIGINT → formatted string
-    * (zone pinned by spark.sql.session.timeZone, the reference passes
-    * 'UTC' explicitly).
+  /** ksqlDB TIMESTAMPTOSTRING: epoch-millis BIGINT → formatted string.
+    * The reference's 3-arg form names the zone explicitly
+    * (`TIMESTAMPTOSTRING(dt_update, 'yyyy-MM-dd HH:mm:ss.SSS', 'UTC')`,
+    * README.md:212) — the session zone is pinned UTC, so the optional
+    * third argument shifts the RENDERED wall-clock to the named zone
+    * (identity for 'UTC').
     */
-  private def timestampToString(args: Seq[Expression]): Expression =
-    DateFormatClass(MillisToTimestamp(Cast(args.head, LongType)), args(1))
+  private def timestampToString(args: Seq[Expression]): Expression = {
+    val ts = MillisToTimestamp(Cast(args.head, LongType))
+    val zoned = if (args.length == 3) FromUTCTimestamp(ts, args(2)) else ts
+    DateFormatClass(zoned, args(1))
+  }
 
   private def cosine(args: Seq[Expression]): Expression = {
     val (a, b) = (args.head, args(1))
@@ -103,8 +113,8 @@ object GraftSqlFunctions {
       info("datetostring", "datetostring(epochDays, fmt) - format epoch-days int as date string"),
       arity("datetostring(epochDays, fmt)", 2)(dateToString)),
     ("timestamptostring",
-      info("timestamptostring", "timestamptostring(epochMillis, fmt) - format epoch-millis long as timestamp string"),
-      arity("timestamptostring(epochMillis, fmt)", 2)(timestampToString)),
+      info("timestamptostring", "timestamptostring(epochMillis, fmt[, zone]) - format epoch-millis long as timestamp string"),
+      arityIn("timestamptostring(epochMillis, fmt[, zone])", Set(2, 3))(timestampToString)),
     ("vector_dot",
       info("vector_dot", "vector_dot(a, b) - sequential dot product of two float/double arrays"),
       arity("vector_dot(a, b)", 2)(args => VectorDot(args.head, args(1)))),

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[KsqlDdl]] — the reference's ksqlDB statements, run VERBATIM (text
+  * from `/root/reference/README.md:186-277`, ksql> prompts removed).
+  * The reference user's entire interactive surface: topic-bound stream,
+  * push query, two CSAS, one windowed CTAS, SHOW STREAMS.
+  */
+class KsqlDdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val topicFrame =
+    sources.FakeData.toEpochRecords(sources.FakeData.customers(spark, 300))
+
+  private def newSession() = KsqlDdl.session(spark,
+    t => if (t == "psg-customers") Some(topicFrame) else None)
+
+  test("the README statement sequence runs end to end") {
+    val ks = newSession()
+
+    // README.md:186
+    ks.execute("create stream custstream WITH (kafka_topic='psg-customers', value_format='AVRO');")
+
+    // README.md:203 — push query (EMIT CHANGES stripped, 3-arg zone form)
+    val push = ks.execute(
+      """select nome, telefone, email,
+        |DATETOSTRING(nascimento, 'yyyy-MM-dd') as dt_nascimento,
+        |TIMESTAMPTOSTRING(dt_update, 'yyyy-MM-dd HH:mm:ss.SSS', 'UTC') as dt_updt_conv
+        |from custstream emit changes;""".stripMargin)
+    val row = push.limit(1).collect()(0)
+    assert(row.getAs[String]("dt_nascimento").matches("""\d{4}-\d{2}-\d{2}"""))
+    assert(row.getAs[String]("dt_updt_conv")
+      .matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}"""))
+
+    // README.md:233-239 — CSAS jovens
+    ks.execute(
+      """create stream jovens WITH (kafka_topic='jovens', value_format='AVRO') AS
+        |select nome, sexo, telefone, email, profissao,
+        |DATETOSTRING(nascimento, 'yyyy-MM-dd') as dt_nascimento,
+        |TIMESTAMPTOSTRING(dt_update, 'yyyy-MM-dd HH:mm:ss.SSS', 'UTC') as dt_updt
+        |from custstream
+        |WHERE DATETOSTRING(nascimento, 'yyyy-MM-dd') >= '2000-01-01'
+        |emit changes;""".stripMargin)
+    val jovens = spark.table("jovens")
+    assert(jovens.filter($"dt_nascimento" < "2000-01-01").isEmpty)
+    // the filter is effective, not vacuous, and ROWTIME propagated
+    assert(jovens.count() > 0 && jovens.count() < topicFrame.count())
+    assert(jovens.columns.contains("ROWTIME"))
+
+    // README.md:258-265 — CSAS idadeclass (CASE WHEN)
+    ks.execute(
+      """create stream idadeclass WITH (kafka_topic='idadeclass', value_format='AVRO') AS
+        |select nome, telefone, email, profissao,
+        |CASE
+        |WHEN DATETOSTRING(nascimento, 'yyyy-MM-dd') >= '2000-01-01' THEN 'JOVEM'
+        |ELSE 'ADULTO' END AS idadecat,
+        |TIMESTAMPTOSTRING(dt_update, 'yyyy-MM-dd HH:mm:ss.SSS', 'UTC') as dt_updt
+        |from custstream
+        |emit changes;""".stripMargin)
+    val cls = spark.table("idadeclass")
+    assert(cls.count() == topicFrame.count())
+    assert(cls.select("idadecat").distinct().as[String].collect().toSet
+      .subsetOf(Set("JOVEM", "ADULTO")))
+
+    // README.md:271-277 — windowed CTAS over the DERIVED stream
+    ks.execute(
+      """create table idadecont WITH (kafka_topic='idadecont', value_format='AVRO') AS
+        |select idadecat, count(idadecat) as contagem
+        |from idadeclass
+        |window tumbling (size 30 seconds)
+        |group by idadecat
+        |emit changes;""".stripMargin)
+    val cont = spark.table("idadecont")
+    // counts partition the corpus; every window is 30 s wide and aligned
+    assert(cont.agg(sum($"contagem")).as[Long].head() == topicFrame.count())
+    val widths = cont
+      .select((unix_timestamp($"window_end") - unix_timestamp($"window_start")).as("w"))
+      .distinct().as[Long].collect().toSeq
+    assert(widths == Seq(30L), s"widths=$widths")
+
+    // README.md:192 — show streams lists all four
+    val names = ks.execute("show streams;")
+      .select("stream_name").as[String].collect().toSet
+    assert(names == Set("CUSTSTREAM", "JOVENS", "IDADECLASS", "IDADECONT"))
+  }
+
+  test("the translation is mode-agnostic: CSAS over a streaming view streams") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    mem.toDF().toDF("nome", "dt_update").createOrReplaceTempView("live_topic")
+    val ks = KsqlDdl.session(spark,
+      t => if (t == "live") Some(spark.table("live_topic")) else None)
+    ks.execute("create stream livestream WITH (kafka_topic='live', value_format='AVRO');")
+    val derived = ks.execute(
+      "create stream liveout WITH (kafka_topic='liveout', value_format='AVRO') AS " +
+        "select nome, TIMESTAMPTOSTRING(dt_update, 'yyyy-MM-dd') as d " +
+        "from livestream emit changes;")
+    assert(derived.isStreaming, "CSAS over a streaming source must stay streaming")
+  }
+
+  test("unknown topics and unsupported statements fail loudly") {
+    val ks = newSession()
+    intercept[IllegalArgumentException] {
+      ks.execute("create stream x WITH (kafka_topic='nope', value_format='AVRO');")
+    }
+    intercept[IllegalArgumentException] { ks.execute("drop stream custstream;") }
+  }
+}
