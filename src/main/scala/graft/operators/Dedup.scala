@@ -195,6 +195,66 @@ object Dedup {
       concat_ws(":", parts.map(_.cast("string")): _*)
     }: _*)
 
+  /** Adds the minhash `sig` and an exploded band key `bk` while KEEPING
+    * every existing column — streaming probes need their event-time
+    * column to ride along, and a post-hoc join-back would be a
+    * stream-stream self-join. Empty docs produce one null band key,
+    * dropped by any equi-join. The intermediate columns fan out
+    * multi-referenced at each step, so CollapseProject cannot re-inline
+    * the tokenizer into per-shingle lambdas (the measured-10× trap
+    * [[shingled]] documents).
+    */
+  def withBandedSignature(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("__tk", tokens(normalizeText(col("text"))))
+      .withColumn("__sh", shinglesFromTokens(col("__tk"), n))
+      .withColumn("__hs", transform(col("__sh"),
+        s => pmod(DetHash.base60(s), lit(DetHash.P))))
+      .withColumn("sig", graft.functions.MinHashSlots.column(
+        col("__hs"), minhashAs, minhashBs, DetHash.P))
+      .withColumn("bk",
+        explode_outer(when(size(col("__sh")) > 0, bandKeys(col("sig")))))
+      .drop("__tk", "__sh", "__hs")
+
+  /** (doc_id, sig, bk) — one row per band key, the joinable LSH form of a
+    * corpus (shared by the persisted band index and the streaming
+    * near-dup filter).
+    */
+  def bandedSignatures(docs: DataFrame, n: Int = 3): DataFrame =
+    withBandedSignature(docs, n).select(col("doc_id"), col("sig"), col("bk"))
+
+  /** The PERSISTED LSH band index: every corpus document's band keys and
+    * minhash signature, written `bucketBy(bk)` once per sf-dir — the
+    * near-dup twin of [[fingerprintIndex]]. A probe (batch or stream)
+    * joins it on bk with NO exchange on the index side at any corpus
+    * size; the signature rides along so candidate verification is a
+    * constant-work slot comparison, no re-shingling of the corpus.
+    */
+  def lshBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   n: Int = 3, buckets: Int = 32): DataFrame =
+    Dedup.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_lshidx_n${n}_b$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        bandedSignatures(graft.Tables.load(spark, dir, "documents"), n)
+          .filter(col("bk").isNotNull)
+          .write.bucketBy(buckets, "bk")
+          .option("path", path)
+          .mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** Signature-estimate similarity: matching minhash slots / NumHashes —
+    * the constant-work candidate verifier shared by [[charLshPairs]] and
+    * the streaming near-dup filter.
+    */
+  def sigEstimate(sigA: Column, sigB: Column): Column =
+    round(
+      aggregate(
+        zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, m) => acc + m).cast("double") / NumHashes, 4)
+
   /** LSH candidate pairs (a < b), verified with exact jaccard on the
     * shingle sets; emits pairs with jaccard >= threshold.
     *

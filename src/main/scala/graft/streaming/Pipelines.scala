@@ -219,6 +219,43 @@ object Pipelines {
       Seq("fp"), eventTimeCol, delay)
   }
 
+  /** Streaming NEAR-dup flagging — the LSH face of
+    * [[streamingIncrementalIngest]]: each arriving document is checked
+    * against the PERSISTED corpus band index
+    * ([[graft.operators.Dedup.lshBandIndex]]) and emitted as
+    * (doc_id, matched_doc_id, est_sim) for every corpus document whose
+    * minhash-signature estimate clears `threshold`. Exact dedup catches
+    * byte-identical re-crawls; THIS catches the boilerplate variants a
+    * training pipeline actually drowns in, at ingest time.
+    *
+    * Scale shape: the stream side computes signatures per row
+    * (scan-fused) and explodes Bands band keys; the stream-static join
+    * probes the index ON ITS BUCKETED KEY with zero streaming state for
+    * the corpus side — the accumulated 100 TB participates as an on-disk
+    * index, never as state, exactly like the exact-dedup ingest path.
+    * Verification is the constant-work signature-slot estimate
+    * ([[graft.operators.Dedup.sigEstimate]] — no corpus re-shingling, no
+    * gram arrays on the wire); the only stateful operator is the final
+    * watermark-bounded per-(doc, match) dedup (a doc sharing several
+    * band keys with the same corpus doc must flag once).
+    */
+  def streamingNearDupMatches(docs: DataFrame, index: DataFrame,
+                              eventTimeCol: String, delay: String,
+                              n: Int = 3,
+                              threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.withBandedSignature(docs, n)
+      .select(col("doc_id"), col(eventTimeCol), col("sig"), col("bk"))
+      .join(index.select(col("bk"),
+        col("doc_id").as("matched_doc_id"), col("sig").as("m_sig")), Seq("bk"))
+      .select(col("doc_id"), col("matched_doc_id"),
+        Dedup.sigEstimate(col("sig"), col("m_sig")).as("est_sim"),
+        col(eventTimeCol))
+      .filter(col("est_sim") >= threshold)
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("doc_id", "matched_doc_id"))
+  }
+
   /** The north-star COMPOSITION: corpus curation ON the stream — an
     * incremental documents frame (the `graft-jdbc` DSv2 source in
     * production, any streaming frame in tests) → join-free

@@ -469,6 +469,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags arrivals against the persisted LSH band index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val sf = "/root/testdata/sf0.001"
+    val index = operators.Dedup.lshBandIndex(spark, sf)
+    // a known corpus document, re-arriving with case/punct noise: same
+    // normalized shingles -> identical signature -> est 1.0
+    val corpusDoc = Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.length($"text") > 50)
+      .select($"doc_id", $"text")
+      .orderBy($"doc_id").limit(1).collect()(0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingNearDupMatches(stream, index, "ts", "1 minute",
+        n = 3, threshold = 0.9),
+      "neardup_t", OutputMode.Append)
+    try {
+      val ts = new java.sql.Timestamp(1000000L)
+      mem.addData(
+        (900001L, corpusDoc.getString(1).toUpperCase + "!!", ts),
+        (900002L, "zxqv wkjh plmn qrst uvwx yzab cdef ghij klmn opqr", ts))
+      q.processAllAvailable()
+      // the same pair arriving again inside the watermark stays deduped
+      mem.addData((900001L, corpusDoc.getString(1).toUpperCase + "??", ts))
+      q.processAllAvailable()
+      val got = spark.table("neardup_t")
+        .select($"doc_id", $"matched_doc_id", $"est_sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // the re-arrival matched its corpus original at estimate 1.0, once
+      assert(got.count(m => m._1 == 900001L
+        && m._2 == corpusDoc.getLong(0) && m._3 == 1.0) == 1, s"got=${got.toSeq}")
+      // the novel document matched nothing
+      assert(!got.exists(_._1 == 900002L), s"got=${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionization runs unchanged on the RocksDB state store provider") {
     // the 100 TB stateful path: the default HDFS-backed store keeps every
     // key in executor memory; RocksDB spills to local disk. The provider
