@@ -622,6 +622,31 @@ object OracleSqlGen {
         SELECT a, b, est_sim FROM est WHERE est_sim >= $threshold"""
   }
 
+  /** Mirrors Dedup.indexedNearDupMatches: the new batch (doc_id % 10 >= 8)
+    * banded against the corpus slice (doc_id % 10 < 8), verified by the
+    * signature-slot estimate. The oracle doesn't model the persisted
+    * bucketed index (physical layout); values must equal this plain
+    * cross-slice formulation. Empty-shingle docs never band (same guard
+    * as the Spark side's generator expression).
+    */
+  def indexedNearDupSql(n: Int, threshold: Double): String = {
+    val matches = (0 until Dedup.NumHashes)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""${sigCteOver(wordShCte(n))},
+        bands AS (SELECT doc_id, unnest([$bandKeysSql]) AS bk FROM sig
+                  WHERE len(shingles) > 0),
+        cand AS (SELECT DISTINCT nw.doc_id AS doc_id, ol.doc_id AS matched_doc_id
+          FROM bands nw JOIN bands ol ON nw.bk = ol.bk
+          WHERE nw.doc_id % 10 >= 8 AND ol.doc_id % 10 < 8),
+        est AS (SELECT cand.doc_id, cand.matched_doc_id,
+          round(($matches)::DOUBLE / ${Dedup.NumHashes}, 4) AS est_sim
+          FROM cand JOIN sig sa ON cand.doc_id = sa.doc_id
+                    JOIN sig sb ON cand.matched_doc_id = sb.doc_id)
+        SELECT doc_id, matched_doc_id, est_sim FROM est
+        WHERE est_sim >= $threshold"""
+  }
+
   private def lshPairsSqlOver(shCte: String, threshold: Double): String = {
     val bandKeys = bandKeysSql
     s"""${sigCteOver(shCte)},

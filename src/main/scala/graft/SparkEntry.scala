@@ -161,6 +161,9 @@ object SparkEntry {
     // daily-append dedup: new batch anti-joined against the persisted
     // BUCKETED fingerprint index — only the batch ever shuffles
     "dedup_incremental" -> q((s, d) => Dedup.incrementalIngest(s, d)),
+    // near-dup twin of dedup_incremental: the batch probes the persisted
+    // LSH band index (read pre-bucketed), signature-estimate verified
+    "dedup_indexed_matches" -> q((s, d) => Dedup.indexedNearDupMatches(s, d, 3, 0.8)),
     "dedup_minhash_sigs" -> q((s, d) => Dedup.minhashSignaturesStr(Tables.load(s, d, "documents"))),
     "dedup_lsh_pairs" -> q((s, d) => Dedup.minhashLshPairs(Tables.load(s, d, "documents"), 3, 0.8)),
     "dedup_jaccard_pairs" -> q((s, d) => Dedup.jaccardPairs(Tables.load(s, d, "documents"), 3, 0.8)),
@@ -411,6 +414,7 @@ object SparkEntry {
     "dedup_exact_groups" -> OracleSqlGen.exactGroupsSql,
     "dedup_exact" -> OracleSqlGen.exactDedupSql,
     "dedup_incremental" -> OracleSqlGen.incrementalIngestSql,
+    "dedup_indexed_matches" -> OracleSqlGen.indexedNearDupSql(3, 0.8),
     "dedup_minhash_sigs" -> OracleSqlGen.minhashSigSql(3),
     "dedup_lsh_pairs" -> OracleSqlGen.lshPairsSql(3, 0.8),
     "dedup_jaccard_pairs" -> OracleSqlGen.jaccardPairsSql(3, 0.8),

@@ -245,6 +245,30 @@ object Dedup {
       }
     }
 
+  /** Batch probe of the persisted band index — the near-dup twin of
+    * [[incrementalIngest]]: today's batch (doc_id % 10 >= 8) flagged
+    * against the accumulated corpus slice (doc_id % 10 < 8) by banded
+    * minhash + signature estimate. The index side reads PRE-BUCKETED on
+    * bk (a Filter on top of a bucketed scan keeps its distribution), so
+    * only the batch shuffles into the index layout — the probe cost is
+    * sized by the batch, not the corpus.
+    */
+  def indexedNearDupMatches(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, n: Int = 3,
+                            threshold: Double = 0.8): DataFrame = {
+    val idx = lshBandIndex(spark, dir, n).filter(col("doc_id") % 10 < 8)
+    val batch = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 >= 8)
+    withBandedSignature(batch, n)
+      .select(col("doc_id"), col("sig"), col("bk"))
+      .join(idx.select(col("bk"), col("doc_id").as("matched_doc_id"),
+        col("sig").as("m_sig")), Seq("bk"))
+      .select(col("doc_id"), col("matched_doc_id"),
+        sigEstimate(col("sig"), col("m_sig")).as("est_sim"))
+      .filter(col("est_sim") >= threshold)
+      .distinct()
+  }
+
   /** Signature-estimate similarity: matching minhash slots / NumHashes —
     * the constant-work candidate verifier shared by [[charLshPairs]] and
     * the streaming near-dup filter.

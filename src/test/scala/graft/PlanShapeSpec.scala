@@ -204,6 +204,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one batch-side exchange, saw $exchanges")
   }
 
+  test("indexed near-dup probe: band index read pre-bucketed, batch shuffles once") {
+    val q = Dedup.indexedNearDupMatches(spark, sf)
+    val p = plan(q)
+    // the persisted band index must be consumed through its bucket layout
+    // even under the slice filter (a Filter keeps the scan's distribution)
+    assert(p.contains("SelectedBucketsCount"),
+      "band index lost its bucketed scan")
+    // batch side into the index layout + the pair distinct — never a
+    // corpus-sized exchange
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected batch-side exchanges only, saw $exchanges")
+  }
+
   test("knn join: banded candidates only — no cartesian or nested-loop join") {
     val p = plan(Similarity.knnJoin(
       Tables.load(spark, sf, "embeddings"), 3, 8, 8, 64))
