@@ -60,6 +60,22 @@ class PlanMetricsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("indexed near-dup probe shuffles batch-sized band rows, never the corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val total = docs.count()
+    val batch = docs.filter($"doc_id" % 10 >= 8).count()
+    val (_, stats) = PlanMetrics.measure(
+      operators.Dedup.indexedNearDupMatches(spark, sf))
+    // wire budget: the batch's band rows into the index layout plus the
+    // candidate-pair distinct — both sized by the BATCH (bands × batch
+    // plus the near-dup pairs), far under even one corpus-sized pass.
+    // The corpus participates through its bucketed on-disk index only.
+    assert(stats.recordsWritten < total,
+      s"probe must not shuffle a corpus-sized relation: $stats total=$total")
+    assert(stats.recordsWritten <= batch * operators.Dedup.Bands * 2,
+      s"probe wire cost should be batch-sized: $stats batch=$batch")
+  }
+
   test("curation chain shuffles only survivor fingerprints") {
     val docs = Tables.load(spark, sf, "documents")
     val (kept, stats) = PlanMetrics.measure(
