@@ -824,6 +824,25 @@ object OracleSqlGen {
         WHERE vec_id <> $qid AND c_id IN (SELECT c_id FROM qtop)
         ORDER BY cos_sim DESC, vec_id ASC LIMIT $k"""
 
+  /** Mirrors Similarity.quantizedTopK: symmetric int8 quantization
+    * (scale = max|x|/127 as ONE division, code = floor(x/scale + 0.5) —
+    * the exact operation order the Spark side uses, so codes agree bit
+    * for bit), then cosine over the integer codes (scales cancel).
+    */
+  def quantizedTopKSql(qid: Long, k: Int, dims: Int): String =
+    s"""WITH s AS (SELECT vec_id, label, embedding,
+          greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) / 127.0 AS scale
+        FROM embeddings),
+        qz AS (SELECT vec_id, label,
+          CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(embedding,
+            x -> CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT)) END AS codes
+        FROM s),
+        q AS (SELECT codes AS qc FROM qz WHERE vec_id = $qid)
+        SELECT vec_id, label, round(${cosine("codes", "qc", dims)}, 4) AS cos_sim
+        FROM qz, q WHERE vec_id <> $qid
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT $k"""
+
   def bucketHistogramSql(planes: Int, dims: Int): String =
     s"""SELECT ${srpBucket("embedding", planes, dims)} AS bucket, count(*) AS cnt
         FROM embeddings GROUP BY 1"""

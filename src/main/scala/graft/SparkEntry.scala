@@ -200,6 +200,9 @@ object SparkEntry {
     "mm_decode_features" -> q((s, d) => Multimodal.decodedFeatures(Tables.load(s, d, "documents"))),
     // --- similarity search (embeddings) ---
     "sim_topk_bruteforce" -> q((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"), 0L, 20)),
+    // int8-quantized storage path: 4x smaller vectors; scales cancel in
+    // cosine so the score is pure integer math (oracle-bit-exact)
+    "sim_topk_quantized" -> q((s, d) => Similarity.quantizedTopK(Tables.load(s, d, "embeddings"), 0L, 20)),
     "sim_ann_topk" -> q((s, d) => Similarity.annTopK(Tables.load(s, d, "embeddings"), 0L, 20, 4, 64)),
     // persisted-index variant: same rows as sim_ann_topk, but the scan is
     // dynamically pruned to the query's bucket directory
@@ -427,6 +430,7 @@ object SparkEntry {
     "mm_resize" -> OracleSqlGen.resizeSql(640, 360),
     "mm_decode_features" -> OracleSqlGen.decodeFeaturesSql(operators.Multimodal.EmbDims),
     "sim_topk_bruteforce" -> OracleSqlGen.bruteForceTopKSql(0L, 20, 64),
+    "sim_topk_quantized" -> OracleSqlGen.quantizedTopKSql(0L, 20, 64),
     "sim_ann_topk" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
     "sim_ann_topk_partitioned" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
     "sim_bucket_histogram" -> OracleSqlGen.bucketHistogramSql(8, 64),

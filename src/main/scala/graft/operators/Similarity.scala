@@ -89,6 +89,51 @@ object Similarity {
     emb.select(srpBucket(col("embedding"), planes, dims).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  // -------------------------------------------------------- int8 quantization
+
+  /** Symmetric per-vector INT8 quantization: scale = max|x|/127, code =
+    * floor(x/scale + 0.5) ∈ [−127, 127] — the standard 4× storage
+    * reduction for embedding stores at scale (a 100 TB float corpus
+    * becomes 25 TB of codes + one scale per vector). Two projections so
+    * the per-vector max materializes once (handing the max expression to
+    * the per-element lambda would re-scan the array per element — the
+    * [[graft.functions.GraftFunctions.shinglesFromTokens]] inlining
+    * hazard). All-zero vectors quantize to all-zero codes.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("label"), col("embedding"),
+        (greatest(array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))), lit(0.0)) / 127.0).as("scale"))
+      .select(col("vec_id"), col("label"), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("embedding"), _ => lit(0L)))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") / col("scale") + 0.5))).as("codes"))
+
+  /** Exact top-k by cosine over the INT8-quantized corpus. The per-vector
+    * scales CANCEL in cosine (cos(s_a·qa, s_b·qb) = cos(qa, qb)), so the
+    * score is integer-dot / (√int · √int) — order-independent integer
+    * sums and one correctly-rounded sqrt per side, bit-exact in the
+    * DuckDB oracle (the same argument as [[Dedup.semanticPairs]]).
+    * Quantization costs recall only through code rounding; the spec pins
+    * recall@k against the float brute force.
+    */
+  def quantizedTopK(emb: DataFrame, qid: Long = 0L, k: Int = 20): DataFrame = {
+    val qz = quantizeInt8(emb)
+    val q = qz.filter(col("vec_id") === qid)
+      .select(col("codes").as("q_codes"))
+    qz.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        // codes ≤ 127 are exact in doubles; the widened dot is the same
+        // integer-valued sum in any order
+        round(cosineSimilarity(col("codes").cast("array<double>"),
+          col("q_codes").cast("array<double>")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---------------------------------------------------------- kNN self-join
 
   /** Approximate kNN SELF-JOIN: for EVERY vector, its top-`k` neighbours

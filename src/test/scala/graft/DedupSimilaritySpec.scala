@@ -232,6 +232,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(seed != kmeans)
   }
 
+  test("int8 quantization: codes bounded, scales cancel, recall near exact") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qz = Similarity.quantizeInt8(emb)
+    // every code fits int8 after symmetric scaling
+    val outOfRange = qz.select(explode($"codes").as("c"))
+      .filter($"c" > 127 || $"c" < -127).count()
+    assert(outOfRange == 0)
+    // recall@20 of the quantized search vs the float brute force: int8
+    // rounding costs a little rank resolution, not the neighbourhood
+    val exact = Similarity.bruteForceTopK(emb, 0L, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = Similarity.quantizedTopK(emb, 0L, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = quant.intersect(exact).size.toDouble / 20
+    assert(recall >= 0.8, s"recall=$recall")
+    // a zero vector quantizes to all-zero codes, no division blowup
+    val z = Similarity.quantizeInt8(
+      Seq((1L, "z", Array.fill(4)(0.0f))).toDF("vec_id", "label", "embedding"))
+      .select($"scale", $"codes").collect()(0)
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Long](1).forall(_ == 0L))
+  }
+
   test("srp bucket histogram partitions all vectors") {
     val total = Similarity.bucketHistogram(vecs, planes = 2, dims = 4)
       .agg(sum("cnt")).as[Long].collect()(0)
