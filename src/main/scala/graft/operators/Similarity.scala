@@ -98,7 +98,9 @@ object Similarity {
     * the per-vector max materializes once (handing the max expression to
     * the per-element lambda would re-scan the array per element — the
     * [[graft.functions.GraftFunctions.shinglesFromTokens]] inlining
-    * hazard). All-zero vectors quantize to all-zero codes.
+    * hazard). All-zero vectors quantize to all-zero codes. Codes are a
+    * real `array<tinyint>` — the storage claim is literal, not narrated
+    * over a wider carrier type.
     */
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb
@@ -109,7 +111,8 @@ object Similarity {
         when(col("scale") === 0.0,
           transform(col("embedding"), _ => lit(0L)))
           .otherwise(transform(col("embedding"),
-            x => floor(x.cast("double") / col("scale") + 0.5))).as("codes"))
+            x => floor(x.cast("double") / col("scale") + 0.5)))
+          .cast("array<byte>").as("codes"))
 
   /** Exact top-k by cosine over the INT8-quantized corpus. The per-vector
     * scales CANCEL in cosine (cos(s_a·qa, s_b·qb) = cos(qa, qb)), so the

@@ -235,7 +235,11 @@ class DedupSimilaritySpec extends SparkSpec {
   test("int8 quantization: codes bounded, scales cancel, recall near exact") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val qz = Similarity.quantizeInt8(emb)
-    // every code fits int8 after symmetric scaling
+    // codes are REAL int8 (tinyint), and symmetric scaling keeps the
+    // cast exact: every value in [-127, 127]
+    assert(qz.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
     val outOfRange = qz.select(explode($"codes").as("c"))
       .filter($"c" > 127 || $"c" < -127).count()
     assert(outOfRange == 0)
@@ -251,7 +255,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val z = Similarity.quantizeInt8(
       Seq((1L, "z", Array.fill(4)(0.0f))).toDF("vec_id", "label", "embedding"))
       .select($"scale", $"codes").collect()(0)
-    assert(z.getDouble(0) == 0.0 && z.getSeq[Long](1).forall(_ == 0L))
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Byte](1).forall(_ == 0))
   }
 
   test("srp bucket histogram partitions all vectors") {
