@@ -350,10 +350,17 @@ object Pipelines {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
     // emit everything the watermark has sealed; keep (and re-arm the
-    // timeout for) the rest
+    // timeout for) the rest. STRICT inequality, uniform with the
+    // event-time-timeout path (which fires only for ts < wm): at
+    // wm == end+gap the session stays one more batch. Measured Spark
+    // 4.1.2 semantics (spec-pinned in the boundary test): the late
+    // filter drops events with ts <= watermark, so an equal-boundary
+    // event can never arrive to merge — strictness is belt-and-braces
+    // against the late-filter watermark lagging the eviction watermark
+    // by one batch, and costs only that one batch of latency.
     def release(state: GroupState[SessionBuffer], wm: Long,
                 sessions: Seq[UserSession]): Iterator[UserSession] = {
-      val (ripe, rest) = sessions.partition(_.end_ms + gapMs <= wm)
+      val (ripe, rest) = sessions.partition(_.end_ms + gapMs < wm)
       if (rest.isEmpty) { if (state.exists) state.remove() }
       else {
         state.update(SessionBuffer(rest))

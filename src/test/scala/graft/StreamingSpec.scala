@@ -469,6 +469,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization: session with end+gap == watermark is NOT released (boundary)") {
+    // The inline release uses STRICT inequality (end+gap < wm), uniform
+    // with the event-time-timeout path (which fires only for ts < wm).
+    // Measured Spark 4.1.2 semantics, pinned here: (a) at wm == end+gap
+    // the session stays in state — a non-strict release would emit it one
+    // batch early; (b) an event at exactly ts == the late-filter watermark
+    // is DROPPED (the filter discards ts <= wm), so the kept session can
+    // never be merged by an equal-boundary event — strictness costs one
+    // batch of latency at the exact boundary and nothing else.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val mem = MemoryStream[UserEvent]
+    val q = Pipelines.startMemorySink(
+      Pipelines.userSessions(mem.toDS(), gapMs = 30000L, delay = "1 minute").toDF(),
+      "sessions_boundary_t", OutputMode.Append)
+    try {
+      val t0 = 1000000L
+      // session A = [t0, t0]
+      mem.addData(UserEvent(1, t0))
+      q.processAllAvailable()
+      // ride the watermark to EXACTLY A.end + gap: wm = t0+90000 - 60000
+      mem.addData(UserEvent(2, t0 + 90000))
+      q.processAllAvailable()
+      // invoke user 1's function while wm == t0+30000 == A.end+gap; a
+      // non-strict release would emit A here. (ts stays <= t0+90000 so the
+      // watermark itself does not advance.)
+      mem.addData(UserEvent(1, t0 + 85000))
+      q.processAllAvailable()
+      assert(spark.table("sessions_boundary_t").isEmpty,
+        "session released inline at end+gap == wm (release must be strict)")
+      // ts == the late-filter watermark: dropped, must NOT merge into A
+      mem.addData(UserEvent(1, t0 + 30000))
+      q.processAllAvailable()
+      // ride the watermark past everything and let timeouts fire
+      mem.addData(UserEvent(2, t0 + 300000))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, t0 + 301000))
+      q.processAllAvailable()
+      val got = spark.table("sessions_boundary_t").as[UserSession].collect()
+        .filter(_.user_id == 1L).toSet
+      assert(got == Set(
+        UserSession(1L, t0, t0, 1L),
+        UserSession(1L, t0 + 85000, t0 + 85000, 1L)), s"got=$got")
+      got.toSeq.sortBy(_.start_ms).sliding(2).foreach {
+        case Seq(a, b) => assert(b.start_ms - a.end_ms > 30000L, s"$a overlaps $b")
+        case _ => ()
+      }
+    } finally q.stop()
+  }
+
   test("streaming near-dup flags arrivals against the persisted LSH band index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
