@@ -31,12 +31,16 @@ final case class StaticRegistry(schemas: Map[Int, StructType])
 
 /** Live Confluent Schema Registry over its public REST surface:
   * `GET {base}/schemas/ids/{id}` returns `{"schema": "<avro json>"}`.
-  * Responses are cached per id (registry ids are immutable by contract).
+  * Successful resolutions are cached per id (registry ids are immutable
+  * by contract). Negative results are NOT cached: a 404 can be a
+  * plan-build racing schema registration — pinning it for the client's
+  * lifetime would silently decode every later record framed with that id
+  * to null; the next lookup simply re-asks.
   *
-  * Env-gated: no registry endpoint exists in the build sandbox, so this
-  * class is exercised only for construction and error behavior here; the
-  * Avro-JSON → StructType translation it shares with any transport is
-  * unit-tested through [[AvroSchemaJson]]. Unknown id (HTTP 404) → None;
+  * Spec-exercised against an in-process JDK HttpServer serving the
+  * Confluent REST surface (AvroCodecSpec) — resolution, 404 + later
+  * registration, malformed payloads, and non-404 error statuses all run
+  * through a real local HTTP round-trip. Unknown id (HTTP 404) → None;
   * transport failures THROW — a plan built against a half-reachable
   * registry must fail fast, not silently decode every record to null.
   */
@@ -65,7 +69,7 @@ final class HttpSchemaRegistry(baseUrl: String,
       case other =>
         throw new IllegalStateException(s"schema registry returned $other for id $id")
     }
-    cache.putIfAbsent(id, out)
+    if (out.isDefined) cache.putIfAbsent(id, out)
     out
   }
 }

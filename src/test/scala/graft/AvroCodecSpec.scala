@@ -320,6 +320,93 @@ class AvroCodecSpec extends SparkSpec {
     intercept[Exception] { reg.schemaById(1) }
   }
 
+  test("http registry: live round-trip against an in-process Confluent REST stub") {
+    // the JDK's own HttpServer serves the Confluent surface
+    // (GET /schemas/ids/{id} → {"schema": "<avro json>"}) on an ephemeral
+    // loopback port — the HTTP code path runs for real, offline.
+    val v1Json =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"nome","type":"string"},
+        |{"name":"dt_update","type":"long"}]}""".stripMargin
+    val v2Json =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"nome","type":"string"},
+        |{"name":"email","type":["null","string"]},
+        |{"name":"dt_update","type":"long"}]}""".stripMargin
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def body(avroJson: String): String = {
+      val node = mapper.createObjectNode()
+      node.put("schema", avroJson) // jackson escapes the embedded JSON
+      mapper.writeValueAsString(node)
+    }
+    val live = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    live.put(7, body(v1Json)); live.put(8, body(v2Json))
+    val hits = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val id = ex.getRequestURI.getPath.split("/").last.toInt
+        hits.merge(id, 1, (a, b) => a + b)
+        val (status, payload) = id match {
+          case 66 => (200, """{"no_schema_field": true}""") // malformed
+          case 77 => (500, "boom") // registry-side failure
+          case i if live.containsKey(i) => (200, live.get(i))
+          case _ => (404, """{"error_code":40403,"message":"Schema not found"}""")
+        }
+        val bytes = payload.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val reg = new graft.functions.HttpSchemaRegistry(base)
+
+      // two writer schemas resolve through real HTTP into StructTypes
+      val v1 = reg.schemaById(7).get
+      val v2 = reg.schemaById(8).get
+      assert(v1 == StructType(Seq(
+        StructField("nome", StringType, nullable = false),
+        StructField("dt_update", LongType, nullable = false))))
+      assert(v2.fieldNames.toSeq == Seq("nome", "email", "dt_update")
+        && v2("email").nullable)
+
+      // ...and drive the same evolving decode the StaticRegistry test runs
+      val recsV1 = Seq(("ana", 1000L)).toDF("nome", "dt_update")
+        .select(AvroCodec.avroEncode(struct(col("nome"), col("dt_update")), v1,
+          Some(7)).as("value"))
+      val recsV2 = Seq(("caio", "c@example.org", 3000L))
+        .toDF("nome", "email", "dt_update")
+        .select(AvroCodec.avroEncode(
+          struct(col("nome"), col("email"), col("dt_update")), v2, Some(8)).as("value"))
+      val rows = recsV1.union(recsV2)
+        .select(AvroCodec.avroDecodeEvolving(col("value"), v2, reg,
+          Seq(7, 8)).as("r"))
+        .select(col("r.*")).collect().map(_.toSeq).toSet
+      assert(rows == Set(
+        Seq("ana", null, 1000L),
+        Seq("caio", "c@example.org", 3000L)))
+
+      // successful resolutions are cached: the repeat lookups above cost
+      // exactly one HTTP hit per id
+      assert(reg.schemaById(7).isDefined && hits.get(7) == 1)
+
+      // 404 is NOT cached: a lookup racing registration recovers
+      assert(reg.schemaById(9).isEmpty)
+      live.put(9, body(v1Json))
+      assert(reg.schemaById(9).contains(v1), "negative result was pinned")
+      assert(hits.get(9) == 2)
+
+      // malformed 200 body and non-404 error status both fail LOUDLY
+      intercept[IllegalArgumentException] { reg.schemaById(66) }
+      intercept[IllegalStateException] { reg.schemaById(77) }
+    } finally server.stop(0)
+  }
+
   test("decode stays inside whole-stage codegen") {
     val cols = wire.fieldNames.map(col).toIndexedSeq
     val q = epochRecords
