@@ -451,26 +451,60 @@ object Relational {
     math.min(math.max(1024L, (c + 7) / 8), 1L << 24).toInt
   }
 
+  /** The built bloom PERSISTED per (dir, segment) as a ONE-row table
+    * (words int, bloom map<int,long>) with the ensure-once discipline of
+    * the ANN/IVF index tables: the dim-side count ([[bloomWords]]) and the
+    * build aggregation run once at table build, not ahead of every query
+    * — a probe reads one row instead of re-counting + re-folding the dim.
+    * The width rides in the row (it parameterizes the probe hashes, so
+    * the plan builder needs it before the bloom itself is ever
+    * evaluated); the in-process memo makes repeat plan builds free.
+    */
+  private val bloomWidthMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+
+  def segmentBloomTable(spark: SparkSession, dir: String,
+                        segment: String): (Int, DataFrame) =
+    Relational.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(s"$dir#$segment") & 0xffffffffL)
+      val name = s"graft_bloom_$tag"
+      val tbl = Tables.ensurePersisted(spark, name) { path =>
+        val cust = Tables.load(spark, dir, "customer")
+          .filter(col("c_mktsegment") === segment)
+          .select(col("c_custkey"))
+        val words = bloomWords(cust.count())
+        bloomBuild(cust, col("c_custkey"), words)
+          .select(lit(words).as("words"), col("bloom"))
+          .coalesce(1)
+          .write.option("path", path).mode("overwrite").saveAsTable(name)
+      }
+      val words = bloomWidthMemo.computeIfAbsent((dir, segment),
+        _ => tbl.select(col("words")).first().getInt(0))
+      (words, tbl.select(col("bloom")))
+    }
+
   /** Fact-side Bloom pruning ahead of a selective join — runtime
     * row-level filtering made explicit. The segment-filtered customer
     * keys build a bloom ([[bloomBuild]]); the orders scan probes it
     * BEFORE the join, so ~(1 − selectivity) of the fact rows never reach
     * the join's exchange. At 100 TB that is the difference between
     * shuffling the whole fact table and shuffling the ~20 % that can
-    * match. The width comes from a cheap count of the already-filtered
-    * dim side ([[bloomWords]]) so the FPR stays ~3 % at any dim
-    * cardinality instead of saturating. False positives only cost wasted
-    * probe rows — the join result is bit-identical to the unfiltered
-    * plan, which is exactly what the oracle checks.
+    * match. The bloom and its width come from the PERSISTED per-(dir,
+    * segment) table ([[segmentBloomTable]]) — sized by a dim count at
+    * build time so the FPR stays ~3 % at any dim cardinality, and never
+    * rebuilt per query. False positives only cost wasted probe rows —
+    * the join result is bit-identical to the unfiltered plan, which is
+    * exactly what the oracle checks.
     */
   def revenueByPriorityBloom(spark: SparkSession, dir: String,
                              segment: String = "AUTOMOBILE"): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
       .filter(col("c_mktsegment") === segment)
       .select(col("c_custkey"))
-    val words = bloomWords(cust.count())
+    val (words, bloom) = segmentBloomTable(spark, dir, segment)
     val pruned = Tables.load(spark, dir, "orders")
-      .crossJoin(broadcast(bloomBuild(cust, col("c_custkey"), words)))
+      .crossJoin(broadcast(bloom))
       .filter(bloomMightContain(col("o_custkey"), col("bloom"), words))
       .drop("bloom")
     pruned.join(cust, col("o_custkey") === col("c_custkey"))

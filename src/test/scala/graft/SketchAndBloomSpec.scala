@@ -62,6 +62,20 @@ class SketchAndBloomSpec extends SparkSpec {
     assert(probes <= 55000, s"FPR blown: $probes of 100000 passed") // ~3% target on the 50k non-members
   }
 
+  test("segment bloom persists once: width from the dim count, one-row table") {
+    val (w1, bloom1) = Relational.segmentBloomTable(spark, sf, "AUTOMOBILE")
+    val n = Tables.load(spark, sf, "customer")
+      .filter($"c_mktsegment" === "AUTOMOBILE").count()
+    assert(w1 == Relational.bloomWords(n), "persisted width drifts from the dim count")
+    assert(bloom1.count() == 1)
+    // second call reuses the catalog table (ensure-once) — same width,
+    // same single row, and the table is visible in the catalog
+    val (w2, bloom2) = Relational.segmentBloomTable(spark, sf, "AUTOMOBILE")
+    assert(w2 == w1 && bloom2.count() == 1)
+    assert(spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_bloom_")))
+  }
+
   test("bloom probe runs before the join in the plan (xxhash64 pre-filter)") {
     val df = Relational.revenueByPriorityBloom(spark, sf)
     df.collect()
