@@ -48,9 +48,10 @@ object KsqlDdl {
     private val registry =
       new scala.collection.mutable.LinkedHashMap[String, StreamInfo]
 
-    private val createRe =
-      """(?is)^\s*create\s+(stream|table)\s+(\w+)\s+with\s*\(([^)]*)\)\s*(?:as\s+(.+?))?\s*;?\s*$""".r
+    private val createHeadRe =
+      """(?is)^\s*create\s+(stream|table)\s+(\w+)\s+with\s*\(""".r
     private val showRe = """(?is)^\s*show\s+(streams|topics)\s*;?\s*$""".r
+    private val printRe = """(?is)^\s*print\s+'?([\w.-]+)'?\s*;?\s*$""".r
     private val selectRe = """(?is)^\s*select\s+.*$""".r
     private val emitRe = """(?is)\s+emit\s+changes\s*;?\s*$"""
     private val windowRe =
@@ -58,44 +59,79 @@ object KsqlDdl {
     private val groupByRe = """(?is)\bgroup\s+by\s+""".r
 
     /** Execute one statement; returns the statement's frame (query result,
-      * the newly registered stream/table, or the SHOW listing).
+      * the newly registered stream/table, or the SHOW/PRINT frame).
       */
     def execute(statement: String): DataFrame = statement match {
+      case showRe(what) if what.equalsIgnoreCase("topics") =>
+        // the reference CLI's listing shape (README.md:155-162): topic
+        // name + partition geometry. Offline, topics are whatever the
+        // registry has bound; partitions mirror the reference's
+        // single-partition defaults (BASELINE.md).
+        import spark.implicits._
+        registry.values.map(_.topic).toSeq.distinct.sorted
+          .map(t => (t, 1, 1))
+          .toDF("kafka_topic", "partitions", "partition_replicas")
       case showRe(_) =>
         import spark.implicits._
         registry.values.toSeq
           .map(s => (s.name.toUpperCase, s.topic, s.valueFormat.toUpperCase, s.derived))
           .toDF("stream_name", "kafka_topic", "value_format", "derived")
-      case createRe(kind, name, props, as) =>
-        val p = parseProps(props)
-        val topic = p.getOrElse("kafka_topic",
-          throw new IllegalArgumentException(s"missing kafka_topic in: $props"))
-        val fmt = p.getOrElse("value_format", "AVRO")
-        val df = Option(as) match {
-          case None => // bind a source topic
-            val src = topics(topic).getOrElse(throw new IllegalArgumentException(
-              s"unknown topic '$topic'"))
-            withRowtime(src)
-          case Some(select) => // CSAS / CTAS
-            val translated = translateSelect(select)
-            val out = spark.sql(translated)
-            // propagate ROWTIME through un-windowed derived streams
-            // (ksqlDB does implicitly; windowed tables have no row time)
-            if (kind.equalsIgnoreCase("stream")
-              && !out.columns.contains("ROWTIME")
-              && sourceHasRowtime(select))
-              spark.sql(translateSelect(appendRowtime(select)))
-            else out
-        }
-        df.createOrReplaceTempView(name)
-        registry.put(name.toLowerCase,
-          StreamInfo(name.toLowerCase, topic, fmt, Option(as).isDefined))
+      case printRe(topic) =>
+        // `print <topic>;` (README.md:180) — the CLI's raw topic tail,
+        // mapped to the console sink: streaming frames start a console
+        // writeStream (caller manages the handle via spark.streams);
+        // batch views print a bounded head. Either way the topic's frame
+        // is returned for further composition.
+        val df = topics(topic).getOrElse(throw new IllegalArgumentException(
+          s"unknown topic '$topic'"))
+        if (df.isStreaming)
+          df.writeStream.format("console").option("truncate", "false").start()
+        else df.show(20, truncate = false)
         df
+      case s if createHeadRe.findFirstMatchIn(s).isDefined =>
+        executeCreate(s)
       case s if selectRe.pattern.matcher(s).matches() =>
         spark.sql(translateSelect(s))
       case other =>
         throw new IllegalArgumentException(
           s"unsupported ksql statement: ${other.take(60)}")
+    }
+
+    private def executeCreate(statement: String): DataFrame = {
+      val head = createHeadRe.findFirstMatchIn(statement).get
+      val (kind, name) = (head.group(1), head.group(2))
+      val (p, remainder) = scanProps(statement, head.end)
+      val as = remainder.trim.stripSuffix(";").trim match {
+        case "" => None
+        case rest if rest.toLowerCase.startsWith("as") &&
+          rest.length > 2 && Character.isWhitespace(rest.charAt(2)) =>
+          Some(rest.substring(3).trim)
+        case rest => throw new IllegalArgumentException(
+          s"unexpected text after WITH clause: ${rest.take(60)}")
+      }
+      val topic = p.getOrElse("kafka_topic",
+        throw new IllegalArgumentException(s"missing kafka_topic in: $statement"))
+      val fmt = p.getOrElse("value_format", "AVRO")
+      val df = as match {
+        case None => // bind a source topic
+          val src = topics(topic).getOrElse(throw new IllegalArgumentException(
+            s"unknown topic '$topic'"))
+          withRowtime(src)
+        case Some(select) => // CSAS / CTAS
+          val translated = translateSelect(select)
+          val out = spark.sql(translated)
+          // propagate ROWTIME through un-windowed derived streams
+          // (ksqlDB does implicitly; windowed tables have no row time)
+          if (kind.equalsIgnoreCase("stream")
+            && !out.columns.contains("ROWTIME")
+            && sourceHasRowtime(select))
+            spark.sql(translateSelect(appendRowtime(select)))
+          else out
+      }
+      df.createOrReplaceTempView(name)
+      registry.put(name.toLowerCase,
+        StreamInfo(name.toLowerCase, topic, fmt, as.isDefined))
+      df
     }
 
     /** The translated Spark SQL text for a ksqlDB select (exposed for
@@ -119,11 +155,46 @@ object KsqlDdl {
       }
     }
 
-    private def parseProps(props: String): Map[String, String] =
-      props.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'")
+    /** Quote-aware scan of the WITH(...) property list starting at `from`
+      * (the character after the opening paren). Legal ksqlDB property
+      * values are single-quoted string literals that may contain commas,
+      * parens and doubled-quote escapes (`''`) — the things a naive
+      * regex/split mis-parses. Returns the parsed props and the statement
+      * remainder after the closing paren (empty or `AS SELECT ...`).
+      * Malformed input fails LOUDLY with the offending text.
+      */
+    private def scanProps(s: String, from: Int): (Map[String, String], String) = {
+      val parts = scala.collection.mutable.ListBuffer[String]()
+      val cur = new StringBuilder
+      var i = from
+      var inQ = false
+      var close = -1
+      while (i < s.length && close < 0) {
+        val c = s.charAt(i)
+        c match {
+          case '\'' => inQ = !inQ; cur += c
+          case ',' if !inQ => parts += cur.toString; cur.clear()
+          case ')' if !inQ => parts += cur.toString; close = i
+          case _ => cur += c
+        }
+        i += 1
+      }
+      if (close < 0 || inQ) throw new IllegalArgumentException(
+        s"unterminated WITH property list: ${s.substring(from).take(60)}")
+      val props = parts.iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+        val eq = kv.indexOf('=')
+        if (eq <= 0) throw new IllegalArgumentException(
+          s"malformed WITH property (expected key='value'): '$kv'")
+        kv.substring(0, eq).trim.toLowerCase -> unquote(kv.substring(eq + 1).trim)
       }.toMap
+      (props, s.substring(close + 1))
+    }
+
+    /** Strip a single-quoted literal's quotes and fold `''` escapes. */
+    private def unquote(v: String): String =
+      if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+        v.substring(1, v.length - 1).replace("''", "'")
+      else v
 
     private def withRowtime(df: DataFrame): DataFrame =
       if (df.columns.contains("ROWTIME")) df

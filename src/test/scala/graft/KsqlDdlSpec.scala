@@ -107,4 +107,52 @@ class KsqlDdlSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { ks.execute("drop stream custstream;") }
   }
+
+  test("WITH properties: quoted commas, parens and '' escapes parse; junk fails loudly") {
+    val ks = newSession()
+    // legal ksqlDB just outside the README subset: a property value
+    // containing a comma, a closing paren, and a doubled-quote escape —
+    // all inside one quoted literal. The naive comma/regex split broke
+    // on every one of these.
+    val df = ks.execute(
+      """create stream esc WITH (kafka_topic='psg-customers',
+        |timestamp_format='yyyy-MM-dd, HH:mm (''z'')', value_format='AVRO');""".stripMargin)
+    assert(df.columns.nonEmpty)
+    assert(ks.streams.exists(_.name == "esc"))
+    // malformed pairs are rejected with the offending text, not MatchError
+    val e1 = intercept[IllegalArgumentException] {
+      ks.execute("create stream bad WITH (kafka_topic='t', oops);")
+    }
+    assert(e1.getMessage.contains("oops"))
+    // unterminated quote/paren is loud too
+    intercept[IllegalArgumentException] {
+      ks.execute("create stream bad2 WITH (kafka_topic='t;")
+    }
+    // text after the WITH clause that isn't AS SELECT is rejected
+    intercept[IllegalArgumentException] {
+      ks.execute("create stream bad3 WITH (kafka_topic='psg-customers') bogus;")
+    }
+  }
+
+  test("show topics lists topic geometry, distinct from show streams") {
+    val ks = newSession()
+    ks.execute("create stream custstream WITH (kafka_topic='psg-customers', value_format='AVRO');")
+    ks.execute(
+      "create stream j2 WITH (kafka_topic='jovens2', value_format='AVRO') AS " +
+        "select nome from custstream emit changes;")
+    val topics = ks.execute("show topics;")
+    assert(topics.columns.toSeq == Seq("kafka_topic", "partitions", "partition_replicas"))
+    assert(topics.select("kafka_topic").as[String].collect().toSet
+      == Set("psg-customers", "jovens2"))
+    // and show streams keeps its own (different) shape
+    assert(ks.execute("show streams;").columns.toSeq
+      == Seq("stream_name", "kafka_topic", "value_format", "derived"))
+  }
+
+  test("print <topic> tails the topic (README.md:180) and returns its frame") {
+    val ks = newSession()
+    val df = ks.execute("print psg-customers;")
+    assert(df.count() == topicFrame.count())
+    intercept[IllegalArgumentException] { ks.execute("print no-such-topic;") }
+  }
 }
