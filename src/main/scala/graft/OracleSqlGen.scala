@@ -546,16 +546,18 @@ object OracleSqlGen {
   }
 
   /** Char-shingle `sh` CTE chain, mirroring Dedup.charShingled: distinct
-    * 62-bit gram KEYS (BIGINT), not gram strings.
+    * 62-bit gram KEYS (BIGINT), not gram strings. `pre` prepends extra
+    * CTEs (e.g. the skewed fixture) and `src` names the doc relation.
     */
-  private def charShCte(n: Int): String =
-    s"""WITH g AS (SELECT doc_id,
+  private def charShCte(n: Int, src: String = "documents",
+                        pre: String = ""): String =
+    s"""WITH ${pre}g AS (SELECT doc_id,
           list_filter(
             list_transform(
               generate_series(1, greatest(len(nrm) - ${n - 1}, 1)),
               i -> substr(nrm, i, $n)),
             s -> len(s) = $n) AS grams
-        FROM (SELECT doc_id, ${norm("text")} AS nrm FROM documents)),
+        FROM (SELECT doc_id, ${norm("text")} AS nrm FROM $src)),
         sh AS (SELECT doc_id,
           list_distinct(list_transform(grams, s -> ${gramKeyExpr("s", n)})) AS shingles
         FROM g)"""
@@ -602,15 +604,29 @@ object OracleSqlGen {
   def lshPairsSql(n: Int, threshold: Double): String =
     lshPairsSqlOver(wordShCte(n), threshold)
 
+  /** Mirrors Dedup.charLshPairs over the SKEWED stress fixture
+    * (Dedup.skewedDocs): every fifth doc gets the shared boilerplate
+    * prefix, rebuilt here as a pure SQL derivation of (doc_id, text).
+    */
+  def charLshPairsSkewedSql(n: Int, threshold: Double): String =
+    charLshPairsSql(n, threshold, src = "skew",
+      pre = s"""skew AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN '${graft.operators.Dedup.SkewBoiler} ' || text
+                ELSE text END AS text
+           FROM documents),
+        """)
+
   /** Mirrors Dedup.charLshPairs: banded candidates + signature-slot
     * estimate.
     */
-  def charLshPairsSql(n: Int, threshold: Double): String = {
+  def charLshPairsSql(n: Int, threshold: Double, src: String = "documents",
+                      pre: String = ""): String = {
     val bandKeys = bandKeysSql
     val matches = (0 until Dedup.NumHashes)
       .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""${sigCteOverHashes(charShCte(n))},
+    s"""${sigCteOverHashes(charShCte(n, src, pre))},
         bands AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig
                   WHERE len(shingles) > 0),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -778,7 +794,11 @@ object OracleSqlGen {
     * sequential-fold cosine as the Spark plan; empty clusters keep their
     * previous centroid (LEFT JOIN + coalesce).
     */
-  private def ivfCentsCtes(numCentroids: Int, iters: Int, dims: Int): String = {
+  private def ivfCentsCtes(numCentroids: Int, iters: Int, dims: Int,
+                           sampleMod: Int = 1): String = {
+    // sampleMod mirrors Similarity.ivfCentroids: Lloyd rounds train on
+    // the vec_id % sampleMod == 0 slice only
+    val trainFilter = if (sampleMod > 1) s" WHERE e.vec_id % $sampleMod = 0" else ""
     val seed =
       s"""c0 AS (SELECT vec_id AS c_id,
             list_transform(embedding, x -> x::DOUBLE) AS c_emb
@@ -789,7 +809,7 @@ object OracleSqlGen {
             SELECT e.vec_id, e.embedding, cc.c_id,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY ${cosine("e.embedding", "cc.c_emb", dims)} DESC, cc.c_id ASC) AS rn
-            FROM embeddings e CROSS JOIN c${i - 1} cc) WHERE rn = 1),
+            FROM embeddings e CROSS JOIN c${i - 1} cc$trainFilter) WHERE rn = 1),
         u$i AS (SELECT c_id, dim,
             sum(CAST(floor(embedding[dim]::DOUBLE * 1048576.0 + 0.5) AS BIGINT)) AS sq,
             count(*) AS n
@@ -809,8 +829,8 @@ object OracleSqlGen {
     * by centroid id.
     */
   def ivfTopKSql(qid: Long, k: Int, numCentroids: Int, nprobe: Int, dims: Int,
-                 iters: Int = 2): String =
-    s"""WITH ${ivfCentsCtes(numCentroids, iters, dims)},
+                 iters: Int = 2, sampleMod: Int = 1): String =
+    s"""WITH ${ivfCentsCtes(numCentroids, iters, dims, sampleMod)},
         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),
         asg AS (SELECT vec_id, label, embedding, c_id FROM (
             SELECT e.vec_id, e.label, e.embedding, c.c_id,
@@ -973,6 +993,59 @@ object OracleSqlGen {
         SELECT asset_id, kind, n_bytes, digest, e0::DOUBLE AS emb_0,
           sqrt($norm) AS emb_norm FROM e"""
   }
+
+  /** The image fixture's dimension derivation (mirrors
+    * Multimodal.imageAssets — same salts, same mods).
+    */
+  private def imageDimsCte: String = {
+    import graft.operators.Multimodal.{ImgWMod, ImgWMin, ImgHMod, ImgHMin}
+    s"""WITH dims AS (SELECT doc_id AS asset_id,
+        CAST(${mh("iw")} % $ImgWMod + $ImgWMin AS INTEGER) AS w,
+        CAST(${mh("ih")} % $ImgHMod + $ImgHMin AS INTEGER) AS h
+        FROM documents)"""
+  }
+
+  /** Per-channel pixel-sum terms from the closed-form pixel formula
+    * (mirrors Multimodal.pixelR/G/B over coordinate columns `x`, `y`).
+    */
+  private def pixelSums: String =
+    s"""CAST(sum((x*7 + y*11 + asset_id) % 256) AS BIGINT) AS r_sum,
+        CAST(sum((x*13 + y*3 + 2*asset_id) % 256) AS BIGINT) AS g_sum,
+        CAST(sum((x*1 + y*17 + 5*asset_id) % 256) AS BIGINT) AS b_sum"""
+
+  /** Mirrors Multimodal.decodeImageStats — but where the engine DECODES
+    * real PNG/BMP bytes (javax.imageio) and sums the raster, the oracle
+    * recomputes the same sums from the closed-form pixel formula the
+    * fixture was generated from. Lossless 24-bit codecs make the two
+    * derivations exactly equal: a hash match here proves a real
+    * bytes→pixels decode happened on the engine side.
+    */
+  def imageDecodeSql: String =
+    s"""$imageDimsCte,
+        xs AS (SELECT asset_id, w, h,
+          unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS x FROM dims),
+        px AS (SELECT asset_id, w, h, x,
+          unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y FROM xs)
+        SELECT asset_id, w AS width, h AS height,
+        $pixelSums
+        FROM px GROUP BY asset_id, w, h"""
+
+  /** Mirrors Multimodal.resampleImageStats: nearest-neighbour source
+    * coordinate sx = x·w / tw (integer floor) into the same pixel formula.
+    */
+  def imageResampleSql(tw: Int, th: Int): String =
+    s"""$imageDimsCte,
+        xs AS (SELECT asset_id, w, h,
+          unnest(generate_series(0, ${tw - 1})) AS tx FROM dims),
+        tpx AS (SELECT asset_id, tx,
+          unnest(generate_series(0, ${th - 1})) AS ty FROM xs),
+        px AS (SELECT t.asset_id,
+          CAST(t.tx * d.w // $tw AS BIGINT) AS x,
+          CAST(t.ty * d.h // $th AS BIGINT) AS y
+          FROM tpx t JOIN dims d ON t.asset_id = d.asset_id)
+        SELECT asset_id, $tw AS width, $th AS height,
+        $pixelSums
+        FROM px GROUP BY asset_id"""
 
   /** Mirrors Similarity.knnJoin: the same banded-SRP candidate generation
     * as [[embeddingNearDupSql]] but DIRECTED (a ≠ b, both orientations),

@@ -96,6 +96,11 @@ object SparkEntry {
     }),
     "pivot_user_events" -> q((s, d) => Relational.userEventPivot(Tables.load(s, d, "events"))),
     "dedup_char_lsh" -> q((s, d) => Dedup.charLshPairs(Tables.load(s, d, "documents"), 5, 0.8)),
+    // ADVERSARIAL fixture: 20% of docs share a boilerplate prefix, so the
+    // band buckets of that slice become a clique (candidates explode
+    // quadratically in the slice) while verified output stays small — the
+    // bench row proves the signature-estimate verify absorbs the skew
+    "dedup_char_lsh_skewed" -> q((s, d) => Dedup.charLshPairs(Dedup.skewedDocs(Tables.load(s, d, "documents")), 5, 0.8)),
     // --- temporal: as-of join, session windows, hopping windows ---
     "asof_attribution" -> q((s, d) => Temporal.purchaseAttribution(Tables.load(s, d, "events"))),
     "session_counts" -> q((s, d) => Temporal.sessionCounts(Tables.load(s, d, "events"))),
@@ -198,6 +203,15 @@ object SparkEntry {
       Multimodal.resize(Multimodal.assetsFromDocuments(Tables.load(s, d, "documents")), 640, 360)
         .select(col("asset_id"), col("kind"), col("meta.width").as("width"), col("meta.height").as("height"))),
     "mm_decode_features" -> q((s, d) => Multimodal.decodedFeatures(Tables.load(s, d, "documents"))),
+    // REAL image decode: the persisted fixture holds actual PNG/BMP bytes
+    // (deterministic pixels); the engine decodes them with javax.imageio
+    // and sums the raster — the oracle recomputes the sums from the
+    // closed-form pixel formula (lossless codecs ⇒ exactly equal)
+    "mm_image_decode" -> q((s, d) =>
+      Multimodal.decodeImageStats(Multimodal.imageAssetsTable(s, d)).toDF()),
+    // real pixel resample on the decoded raster (nearest-neighbour 16x12)
+    "mm_image_resample" -> q((s, d) =>
+      Multimodal.resampleImageStats(Multimodal.imageAssetsTable(s, d), 16, 12).toDF()),
     // --- similarity search (embeddings) ---
     "sim_topk_bruteforce" -> q((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"), 0L, 20)),
     // int8-quantized storage path: 4x smaller vectors; scales cancel in
@@ -214,6 +228,10 @@ object SparkEntry {
     // persisted IVF index: same rows as sim_ivf_topk, the scan reads
     // nprobe of numCentroids list directories via dynamic pruning
     "sim_ivf_topk_partitioned" -> q((s, d) => Similarity.ivfTopKPartitioned(s, d, 0L, 20, 16, 4)),
+    // SAMPLED training: Lloyd rounds see only the deterministic
+    // vec_id % 4 == 0 slice (the prescribed form past ~2^33 training
+    // rows); the oracle trains the identical slice
+    "sim_ivf_topk_sampled" -> q((s, d) => Similarity.ivfTopKSampled(Tables.load(s, d, "embeddings"), 0L, 20, 16, 4, 2, 4)),
     // approximate kNN SELF-join: every vector's top-3 neighbours from
     // banded-SRP candidates, exact-cosine ranked per vector
     "sim_knn_join" -> q((s, d) => Similarity.knnJoin(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
@@ -388,6 +406,7 @@ object SparkEntry {
          count(*) FILTER (event_type = 'error') AS error
          FROM events GROUP BY user_id""",
     "dedup_char_lsh" -> OracleSqlGen.charLshPairsSql(5, 0.8),
+    "dedup_char_lsh_skewed" -> OracleSqlGen.charLshPairsSkewedSql(5, 0.8),
     "dedup_char_jaccard_pairs" -> OracleSqlGen.charJaccardPairsSql(7, 0.9),
     "asof_attribution" -> OracleSqlGen.asofAttributionSql,
     "session_counts" -> OracleSqlGen.sessionCountsSql(5),
@@ -429,6 +448,8 @@ object SparkEntry {
     "mm_frame_sample" -> OracleSqlGen.frameSampleSql(10000L),
     "mm_resize" -> OracleSqlGen.resizeSql(640, 360),
     "mm_decode_features" -> OracleSqlGen.decodeFeaturesSql(operators.Multimodal.EmbDims),
+    "mm_image_decode" -> OracleSqlGen.imageDecodeSql,
+    "mm_image_resample" -> OracleSqlGen.imageResampleSql(16, 12),
     "sim_topk_bruteforce" -> OracleSqlGen.bruteForceTopKSql(0L, 20, 64),
     "sim_topk_quantized" -> OracleSqlGen.quantizedTopKSql(0L, 20, 64),
     "sim_ann_topk" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
@@ -436,6 +457,7 @@ object SparkEntry {
     "sim_bucket_histogram" -> OracleSqlGen.bucketHistogramSql(8, 64),
     "sim_ivf_topk" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
     "sim_ivf_topk_partitioned" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
+    "sim_ivf_topk_sampled" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64, 2, 4),
     "sim_knn_join" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
   )
 }

@@ -331,6 +331,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Skewed stress fixture: every fifth document gets a shared ~250-char
+    * boilerplate PREFIX — the hot-gram/boilerplate-heavy corpus shape
+    * (site headers, license blocks, templated pages) that stresses every
+    * LSH path: the 20 % slice shares most of its grams, so its band
+    * buckets go from O(1) occupancy to a clique and the candidate set
+    * explodes quadratically IN THAT SLICE, while true near-dup pairs stay
+    * rare (the distinct suffixes keep jaccard below threshold for
+    * unrelated docs). Lower-case ASCII words only, so [[normalizeText]]
+    * is the identity on it in both engines; the derivation is a pure
+    * function of (doc_id, text), so the oracle builds the identical
+    * fixture in SQL.
+    */
+  val SkewBoiler: String =
+    Seq.fill(5)("standard boilerplate header all terms and conditions apply")
+      .mkString(" ")
+
+  def skewedDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(SkewBoiler + " "), col("text")))
+        .otherwise(col("text")))
+
   /** (doc_id, shingles) for char n-grams of the normalized text — shingles
     * are 62-bit ROLLING-HASH KEYS ([[graft.functions.CharGramHashes]]), not
     * gram strings: one fused scan pass per document, zero per-gram string
@@ -537,6 +559,17 @@ object Dedup {
     * recompute path). At 100 TB pass `checkpointDir` to write round
     * boundaries to reliable storage instead (HDFS/S3), which survives
     * node loss at the cost of one distributed write per round.
+    *
+    * Bounds, stated plainly: the driver loop is O(diameter) SEQUENTIAL
+    * jobs — each round blocks on its checkpoint action before the next
+    * can plan. Fine for near-dup graphs (shallow components); on an
+    * adversarial long-chain component the wall-clock is diameter ×
+    * per-round latency, and the remedy is an algorithmic switch (pointer
+    * doubling / large-star-small-star, O(log d) rounds), not tuning this
+    * loop. Note also that with `checkpointDir` set, `df.checkpoint(true)`
+    * executes the plan twice (eager action + the reliable write job), so
+    * the `changed` metric can double-count: it is used as SIGN-ONLY here
+    * (loop-termination test), never as an exact changed-row count.
     */
   def clusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                checkpointDir: Option[String] = None): DataFrame = {

@@ -80,16 +80,60 @@ object Multimodal {
       emb(0).toDouble, norm)
   }
 
+  /** REAL decode for the formats `javax.imageio` ships with (png/bmp):
+    * feature dims 0-2 are the decoded channel means affinely mapped to
+    * [-1, 1], the rest 0 — a stand-in feature map over REAL pixels.
+    * Returns None when the bytes don't decode (caller falls back).
+    */
+  private def decodeOneImage(assetId: Long, kind: String,
+                             content: Array[Byte]): Option[AssetFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val digest = {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(content)
+        d.map(b => f"$b%02x").mkString
+      }
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val emb = Array(rs, gs, bs).map(s => (s.toDouble / n / 127.5 - 1.0).toFloat)
+      val norm = math.sqrt(
+        emb.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble))
+      Some(AssetFeatures(assetId, kind, content.length.toLong, digest,
+        emb(0).toDouble, norm))
+    }
+  }
+
   /** Decode stage: per-partition batch iteration over the typed Dataset —
     * the Scala analog of a vectorized-batch decode UDF. One codec init per
     * partition (the `iter =>` scope), streaming through rows without
-    * materializing the partition.
+    * materializing the partition. Formats with a REAL JDK codec (png/bmp)
+    * decode actual pixels ([[decodeOneImage]]); everything else falls back
+    * to the deterministic stub — the stub is the fallback, not the path.
     */
   def decodeFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { iter =>
-      // [codec/session init would go here — once per partition]
-      iter.map(a => decodeOneStub(a.asset_id, a.kind, a.content))
+      // [heavier codec/session init would go here — once per partition]
+      iter.map { a =>
+        (a.meta.format match {
+          case "png" | "bmp" => decodeOneImage(a.asset_id, a.kind, a.content)
+          case _ => None
+        }).getOrElse(decodeOneStub(a.asset_id, a.kind, a.content))
+      }
     }
   }
 
@@ -137,4 +181,162 @@ object Multimodal {
       sum(length(col("content")).cast("long")).as("total_bytes"),
       avg(col("meta.width").cast("double")).as("avg_width"),
       avg(col("meta.duration_ms").cast("double")).as("avg_duration_ms"))
+
+  // --------------------------------------------------- real image codec
+
+  /** REAL image assets: deterministic RGB pixels (closed-form per
+    * (asset_id, x, y) — [[pixelR]]/[[pixelG]]/[[pixelB]]) encoded to
+    * actual PNG/BMP bytes by `javax.imageio` at fixture-build time, then
+    * DECODED (bytes → pixels) by [[decodeImageStats]]. Both codecs are
+    * lossless for 24-bit RGB, so the decoded channel sums equal the
+    * closed form — which is what lets DuckDB oracle-check a real binary
+    * decode it cannot perform itself: the oracle recomputes the sums
+    * from the formula, the engine recomputes them from the bytes.
+    */
+  case class ImageAsset(asset_id: Long, format: String, content: Array[Byte])
+
+  /** Decoded per-image stats: dimensions read from the DECODED image
+    * (not metadata) + per-channel pixel sums.
+    */
+  case class ImagePixelStats(asset_id: Long, width: Int, height: Int,
+                             r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** The shared pixel formula (engine generates + re-derives from decoded
+    * bytes; OracleSqlGen renders the same arithmetic in SQL). All terms
+    * non-negative, so `%` == pmod in both engines.
+    */
+  def pixelR(id: Long, x: Int, y: Int): Int = ((x * 7L + y * 11L + id) % 256L).toInt
+  def pixelG(id: Long, x: Int, y: Int): Int = ((x * 13L + y * 3L + 2L * id) % 256L).toInt
+  def pixelB(id: Long, x: Int, y: Int): Int = ((x * 1L + y * 17L + 5L * id) % 256L).toInt
+
+  /** Image dimension bounds — small enough that a 100 TB corpus of these
+    * is decode-bound, not allocation-bound; SQL mirrors the same md5
+    * derivation (OracleSqlGen.imageDimsCte).
+    */
+  val ImgWMod = 48; val ImgWMin = 16 // width  ∈ [16, 63]
+  val ImgHMod = 32; val ImgHMin = 16 // height ∈ [16, 47]
+
+  /** Fixture build: one REAL encoded image per document — even asset_id →
+    * PNG, odd → BMP (both `javax.imageio` writers ship in the JDK). The
+    * encode runs in `mapPartitions` with one encoder lookup per partition;
+    * at production scale this stage is the write side of an image-ingest
+    * pipeline (embarrassingly parallel, no shuffle).
+    */
+  def imageAssets(docs: DataFrame): Dataset[ImageAsset] = {
+    import docs.sparkSession.implicits._
+    def h(salt: String) =
+      DetHash.base60(concat(lit(salt + ":"), col("doc_id").cast("string")))
+    docs.select(col("doc_id"),
+      (pmod(h("iw"), lit(ImgWMod)) + ImgWMin).cast("int").as("w"),
+      (pmod(h("ih"), lit(ImgHMod)) + ImgHMin).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { iter =>
+        iter.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (pixelR(id, x, y) << 16) | (pixelG(id, x, y) << 8) | pixelB(id, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val bos = new java.io.ByteArrayOutputStream()
+          if (!javax.imageio.ImageIO.write(img, fmt, bos))
+            throw new IllegalStateException(s"no JDK ImageIO writer for $fmt")
+          ImageAsset(id, fmt, bos.toByteArray)
+        }
+      }
+  }
+
+  /** The image fixture PERSISTED per corpus directory (ensure-once, same
+    * discipline as the ANN indexes) — decode queries then measure DECODE,
+    * not encode+decode.
+    */
+  def imageAssetsTable(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.synchronized {
+      val tag = java.lang.Long.toHexString(DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_imgassets_$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        imageAssets(graft.Tables.load(spark, dir, "documents"))
+          .write.option("path", path).mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** The REAL decode pass: `javax.imageio` reads the container format from
+    * the bytes themselves (no per-row format dispatch needed), dimensions
+    * and channel sums come from the DECODED raster. Undecodable payloads
+    * are DROPPED, not thrown (a 100 TB corpus always contains corrupt
+    * files; spec-pinned) — callers needing an audit trail anti-join the
+    * output against the input ids.
+    */
+  def decodeImageStats(assets: DataFrame): Dataset[ImagePixelStats] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (rs, gs, bs) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImagePixelStats(id, w, h, rs, gs, bs))
+          }
+        }
+      }
+  }
+
+  /** REAL pixel resample: decode, nearest-neighbour sample to a fixed
+    * `tw`×`th` grid (srcX = x·w / tw, integer floor — the same mapping the
+    * oracle renders in SQL), and report the resampled image's channel
+    * sums. Upgrades [[resize]] (metadata-only scale-to-fit) to actual
+    * pixel work on the decoded raster.
+    */
+  def resampleImageStats(assets: DataFrame, tw: Int = 16, th: Int = 12): Dataset[ImagePixelStats] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (rs, gs, bs) = (0L, 0L, 0L)
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) {
+                val p = img.getRGB(x * w / tw, y * h / th)
+                rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImagePixelStats(id, tw, th, rs, gs, bs))
+          }
+        }
+      }
+  }
 }

@@ -303,12 +303,21 @@ object Similarity {
     * K·dims groups, corpus-size-independent exchange width.
     */
   def ivfCentroids(emb: DataFrame, numCentroids: Int = 16,
-                   iters: Int = 2): DataFrame = {
+                   iters: Int = 2, sampleMod: Int = 1): DataFrame = {
+    // sampleMod > 1: train on the deterministic `vec_id % sampleMod == 0`
+    // slice — the scale path once integer coordinate sums would near the
+    // 2⁶³ bound (n ≳ 2³³ rows: quantized coords are < 2²¹, so a full-corpus
+    // sum of 2³³ of them can reach 2⁵⁴·dims) and, more practically, once a
+    // training pass over the full corpus stops paying for itself. The
+    // slice is a pure function of vec_id, so the oracle trains the
+    // IDENTICAL slice; assignment/probing always covers every vector.
+    val train = if (sampleMod > 1)
+      emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0) else emb
     var cents = emb.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("c_id"),
         col("embedding").cast("array<double>").as("c_emb"))
     for (_ <- 1 to iters) {
-      val assigned = emb.select(col("vec_id"), col("embedding"))
+      val assigned = train.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(centsRow(cents)))
         .select(bestCentroid(col("cents"), col("embedding")).as("c_id"),
           col("embedding"))
@@ -440,6 +449,19 @@ object Similarity {
               numCentroids: Int = 16, nprobe: Int = 4,
               iters: Int = 2): DataFrame =
     ivfTopKOver(emb, ivfCentroids(emb, numCentroids, iters), qid, k, nprobe)
+
+  /** [[ivfTopK]] with SAMPLED centroid training: Lloyd rounds see only
+    * the deterministic `vec_id % sampleMod == 0` slice (assignment and
+    * probing still cover every vector). This is the prescribed form past
+    * n ≈ 2³³ training rows — the quantized integer sums stay far from
+    * overflow and the training pass touches 1/sampleMod of the corpus.
+    * Recall vs full-corpus training is spec-pinned (DedupSimilaritySpec).
+    */
+  def ivfTopKSampled(emb: DataFrame, qid: Long = 0L, k: Int = 20,
+                     numCentroids: Int = 16, nprobe: Int = 4,
+                     iters: Int = 2, sampleMod: Int = 4): DataFrame =
+    ivfTopKOver(emb, ivfCentroids(emb, numCentroids, iters, sampleMod),
+      qid, k, nprobe)
 
   /** [[ivfTopK]] over the PERSISTED centroids of a corpus directory —
     * identical rows (training is deterministic), but Lloyd rounds ran

@@ -230,6 +230,29 @@ class DedupSimilaritySpec extends SparkSpec {
     val seed = Similarity.ivfCentroids(emb, 4, iters = 0).collect()(0).toString
     val kmeans = Similarity.ivfCentroids(emb, 4, iters = 2).collect()(0).toString
     assert(seed != kmeans)
+
+    // SAMPLED training: mod 3 is coprime to the id layout (id = j·4 + c),
+    // so the slice keeps ~1/3 of EVERY cluster (mod 2/4 would alias onto
+    // the cluster index and drop whole clusters — exactly the kind of
+    // sampling hazard the deterministic slice makes visible). A third of
+    // each cluster still recenters the per-list structure: recall holds
+    // the same bar as full-corpus training.
+    def recallSampled(k: Int, sampleMod: Int): Double = {
+      val qid = 7L
+      val brute = Similarity.bruteForceTopK(emb, qid, k)
+        .select("vec_id").as[Long].collect().toSet
+      val ivf = Similarity.ivfTopKSampled(emb, qid, k, numCentroids = 4,
+          nprobe = 1, iters = 2, sampleMod = sampleMod)
+        .select("vec_id").as[Long].collect().toSet
+      ivf.intersect(brute).size.toDouble / k
+    }
+    val sampled = recallSampled(10, 3)
+    assert(sampled >= 0.9, s"sampled-training recall too low: $sampled (full=$trained)")
+    // and the sampled training really saw a different (smaller) train set
+    val full = Similarity.ivfCentroids(emb, 4, iters = 2).collect()(0).toString
+    val third = Similarity.ivfCentroids(emb, 4, iters = 2, sampleMod = 3)
+      .collect()(0).toString
+    assert(full != third, "sampleMod did not change the training slice")
   }
 
   test("int8 quantization: codes bounded, scales cancel, recall near exact") {
