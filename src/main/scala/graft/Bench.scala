@@ -1,17 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Three passes over every registered query:
+/** Benchmark main. Five passes over every registered query:
   *
   *  1. COLD sequential (pool=1): first execution of each plan, charged
   *     its one-time janino/codegen compilation (~1-9 s for the big fused
   *     plans — constant work, amortized to nothing at 100 TB). Reported
   *     under `queries_cold` for visibility, NOT as the headline.
-  *  2. WARM sequential (pool=1): second execution of the same plans —
-  *     per-row work only, free of both compilation and scheduler
-  *     contention. These are `queries` (headline per-query numbers, the
-  *     ones to compare round over round) and sum ≈ `seq_total`.
-  *  3. CONCURRENT drain (pool=6): batch throughput. One tiny query alone
+  *  2-4. WARM sequential ×3 (pool=1): repeated execution of the same
+  *     plans — per-row work only. The headline `queries` map is the
+  *     PER-QUERY MIN across the three passes (round 6 lost a day to
+  *     seven untouched queries "regressing" 1.3-2.1× on a contended
+  *     box; one noisy pass can no longer masquerade as a regression).
+  *     `seq_total` is the fastest whole-pass wall-clock. All three raw
+  *     passes land in BENCH_DETAIL.json, alongside the box's 1-minute
+  *     load average sampled before and after (`load_avg`) so a
+  *     contended run is visible in the artifact itself.
+  *  5. CONCURRENT drain (pool=6): batch throughput. One tiny query alone
   *     cannot saturate local[32] (small shuffle stages leave cores idle
   *     between tasks), so the drain wall-clock `value` is the honest
   *     engine-throughput metric, directly comparable to earlier rounds.
@@ -58,13 +63,27 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
     }
 
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
+
     // pass 1: cold sequential (codegen compile included — reported apart)
     val cold = named.map { case (name, fn) => name -> timed(name, fn) }
 
-    // pass 2: warm sequential — the headline per-query numbers
-    val s0 = System.nanoTime()
-    val seq = named.map { case (name, fn) => name -> timed(name, fn) }
-    val seqTotal = (System.nanoTime() - s0) / 1e9
+    // passes 2-4: warm sequential ×3 — headline = per-query MIN, so a
+    // transient box-contention spike in one pass cannot read as a
+    // regression of an untouched query
+    val warmPasses = (1 to 3).map { _ =>
+      val s0 = System.nanoTime()
+      val run = named.map { case (name, fn) => name -> timed(name, fn) }
+      (run, (System.nanoTime() - s0) / 1e9)
+    }
+    val seq = named.indices.map { i =>
+      val ts = warmPasses.map(_._1(i)._2).filter(_ >= 0)
+      named(i)._1 -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    val seqTotal = warmPasses.map(_._2).min
 
     // pass 3: concurrent drain (plans/codegen warm from passes 1-2, so
     // this measures scheduling + execution throughput, not compilation)
@@ -88,9 +107,16 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
 
     // full-precision detail artifact (not size-constrained)
+    val loadEnd = loadAvg
+    val warmRuns = warmPasses.zipWithIndex
+      .map { case ((run, total), i) =>
+        s""""warm_pass_${i + 1}":{"total":$total,"queries":${jsonMap(run)}}""" }
+      .mkString(",")
     val detail =
       s"""{"sf":"$sfDir","drain_total":$drainTotal,"seq_total":$seqTotal,
+         |"load_avg_start":$loadStart,"load_avg_end":$loadEnd,
          |"queries_warm":${jsonMap(seq)},
+         |$warmRuns,
          |"queries_cold":${jsonMap(cold)},
          |"queries_drain":${jsonMap(drain)}}""".stripMargin
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
@@ -99,7 +125,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
 
-    println(s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(seq, ms)},"seq_total":${ms(seqTotal)},"headline":"warm (cold in BENCH_DETAIL.json)","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(seq, ms)},"seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},"headline":"warm min-of-3 (passes in BENCH_DETAIL.json)","sf":"$sfDir"}""")
     spark.stop()
   }
 }
