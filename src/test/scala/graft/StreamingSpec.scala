@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.ReferenceQueries
 import graft.sources.FakeData
-import graft.streaming.{Pipelines, UserEvent, UserSession}
+import graft.streaming.{Pipelines, UserEvent, UserRunning, UserSession}
 
 /** Customer row as it appears on the decoded stream (SURVEY.md §1.2). */
 case class Cust(nome: String, telefone: String, email: String,
@@ -588,6 +588,42 @@ class StreamingSpec extends SparkSpec {
       // and it really ran on RocksDB
       assert(q.lastProgress.stateOperators.head.customMetrics
         .containsKey("rocksdbFilesCopied"), "RocksDB metrics absent")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("transformWithState (arbitrary state v2) matches the v1 running aggregate") {
+    // the successor API to mapGroupsWithState: named state variables with
+    // their own encoders from a StatefulProcessorHandle. Built on the
+    // RocksDB provider's changelog — set it like the session test does.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserEvent]
+    val q = Pipelines.startMemorySink(
+      Pipelines.userRunningStateV2(mem.toDS()).toDF(),
+      "running_v2_t", OutputMode.Update)
+    try {
+      mem.addData(UserEvent(1, 100), UserEvent(1, 50), UserEvent(2, 10))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, 200), UserEvent(3, 5))
+      q.processAllAvailable()
+      // per user, the LAST update-mode row is the running total — exactly
+      // what the v1 operator emits for the same inputs
+      val got = spark.table("running_v2_t").as[UserRunning].collect()
+        .groupBy(_.user_id).map { case (_, rows) => rows.maxBy(_.n_events) }.toSet
+      assert(got == Set(
+        UserRunning(1L, 3L, 200L),
+        UserRunning(2L, 1L, 10L),
+        UserRunning(3L, 1L, 5L)), s"got=$got")
     } finally {
       q.stop()
       prev match {
