@@ -611,7 +611,9 @@ object OracleSqlGen {
   def charLshPairsSkewedSql(n: Int, threshold: Double): String =
     charLshPairsSql(n, threshold, src = "skew",
       pre = s"""skew AS (SELECT doc_id,
-           CASE WHEN doc_id % 5 = 0
+           CASE WHEN doc_id % 10 = 0
+                THEN '${graft.operators.Dedup.SkewBoiler} ' || CAST((doc_id // 10) % 2 AS VARCHAR)
+                WHEN doc_id % 5 = 0
                 THEN '${graft.operators.Dedup.SkewBoiler} ' || text
                 ELSE text END AS text
            FROM documents),
@@ -1006,12 +1008,14 @@ object OracleSqlGen {
   }
 
   /** Per-channel pixel-sum terms from the closed-form pixel formula
-    * (mirrors Multimodal.pixelR/G/B over coordinate columns `x`, `y`).
+    * (mirrors Multimodal.pixelR/G/B over coordinate columns `x`, `y`;
+    * `key` is the formula's id term — asset_id for stills, the
+    * per-frame key for video frames).
     */
-  private def pixelSums: String =
-    s"""CAST(sum((x*7 + y*11 + asset_id) % 256) AS BIGINT) AS r_sum,
-        CAST(sum((x*13 + y*3 + 2*asset_id) % 256) AS BIGINT) AS g_sum,
-        CAST(sum((x*1 + y*17 + 5*asset_id) % 256) AS BIGINT) AS b_sum"""
+  private def pixelSums(key: String = "asset_id"): String =
+    s"""CAST(sum((x*7 + y*11 + $key) % 256) AS BIGINT) AS r_sum,
+        CAST(sum((x*13 + y*3 + 2*$key) % 256) AS BIGINT) AS g_sum,
+        CAST(sum((x*1 + y*17 + 5*$key) % 256) AS BIGINT) AS b_sum"""
 
   /** Mirrors Multimodal.decodeImageStats — but where the engine DECODES
     * real PNG/BMP bytes (javax.imageio) and sums the raster, the oracle
@@ -1027,7 +1031,7 @@ object OracleSqlGen {
         px AS (SELECT asset_id, w, h, x,
           unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y FROM xs)
         SELECT asset_id, w AS width, h AS height,
-        $pixelSums
+        ${pixelSums()}
         FROM px GROUP BY asset_id, w, h"""
 
   /** Mirrors Multimodal.resampleImageStats: nearest-neighbour source
@@ -1044,8 +1048,52 @@ object OracleSqlGen {
           CAST(t.ty * d.h // $th AS BIGINT) AS y
           FROM tpx t JOIN dims d ON t.asset_id = d.asset_id)
         SELECT asset_id, $tw AS width, $th AS height,
-        $pixelSums
+        ${pixelSums()}
         FROM px GROUP BY asset_id"""
+
+  /** Mirrors Multimodal.decodeAudioStats: where the engine parses a REAL
+    * WAV container and decodes 16-bit PCM frames, the oracle recomputes
+    * the integer sample statistics from the closed-form sample formula
+    * (Multimodal.audioSample) — lossless PCM makes them exactly equal.
+    */
+  def audioDecodeSql: String = {
+    import graft.operators.Multimodal.{AudNMod, AudNMin}
+    s"""WITH adim AS (SELECT doc_id AS asset_id,
+          CAST(${mh("ns")} % $AudNMod + $AudNMin AS INTEGER) AS n
+          FROM documents),
+        sm AS (SELECT asset_id, n,
+          unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM adim),
+        v AS (SELECT asset_id, n,
+          ((i * 2003 + asset_id * 31) % 65536) - 32768 AS s FROM sm)
+        SELECT asset_id, CAST(n AS BIGINT) AS n_samples,
+          CAST(sum(s) AS BIGINT) AS sample_sum,
+          CAST(sum(abs(s)) AS BIGINT) AS abs_sum,
+          CAST(sum(s * s) AS BIGINT) AS energy
+        FROM v GROUP BY asset_id, n"""
+  }
+
+  /** Mirrors Multimodal.decodeFrameStats: the sampled frames' channel
+    * sums from the per-frame pixel key k = asset_id·131 + f.
+    */
+  def videoFramesSql(stride: Int): String = {
+    import graft.operators.Multimodal.{VidFMod, VidFMin, VidWMod, VidWMin, VidHMod, VidHMin}
+    s"""WITH vdim AS (SELECT doc_id AS asset_id,
+          CAST(${mh("nf")} % $VidFMod + $VidFMin AS INTEGER) AS nf,
+          CAST(${mh("vw")} % $VidWMod + $VidWMin AS INTEGER) AS w,
+          CAST(${mh("vh")} % $VidHMod + $VidHMin AS INTEGER) AS h
+          FROM documents),
+        fr AS (SELECT asset_id, w, h,
+          unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f FROM vdim),
+        sf AS (SELECT asset_id, CAST(f AS INTEGER) AS frame_idx, w, h,
+          asset_id * 131 + f AS k FROM fr WHERE f % $stride = 0),
+        xs AS (SELECT asset_id, frame_idx, w, h, k,
+          unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS x FROM sf),
+        px AS (SELECT asset_id, frame_idx, w, h, k, x,
+          unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y FROM xs)
+        SELECT asset_id, frame_idx, w AS width, h AS height,
+        ${pixelSums("k")}
+        FROM px GROUP BY asset_id, frame_idx, w, h"""
+  }
 
   /** Mirrors Similarity.knnJoin: the same banded-SRP candidate generation
     * as [[embeddingNearDupSql]] but DIRECTED (a ≠ b, both orientations),

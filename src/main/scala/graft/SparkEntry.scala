@@ -96,10 +96,12 @@ object SparkEntry {
     }),
     "pivot_user_events" -> q((s, d) => Relational.userEventPivot(Tables.load(s, d, "events"))),
     "dedup_char_lsh" -> q((s, d) => Dedup.charLshPairs(Tables.load(s, d, "documents"), 5, 0.8)),
-    // ADVERSARIAL fixture: 20% of docs share a boilerplate prefix, so the
-    // band buckets of that slice become a clique (candidates explode
-    // quadratically in the slice) while verified output stays small — the
-    // bench row proves the signature-estimate verify absorbs the skew
+    // ADVERSARIAL fixture, two tiers: 10% of docs are NEAR-IDENTICAL
+    // (band buckets collapse to one hot bucket per band — a true clique
+    // whose quadratic pair set is the correct output) and another 10%
+    // carry the same boilerplate as a prefix on real text (candidate
+    // pressure without output). The bench row proves the hot-bucket
+    // O(m²) join and the quadratic emit don't blow up the runtime
     "dedup_char_lsh_skewed" -> q((s, d) => Dedup.charLshPairs(Dedup.skewedDocs(Tables.load(s, d, "documents")), 5, 0.8)),
     // --- temporal: as-of join, session windows, hopping windows ---
     "asof_attribution" -> q((s, d) => Temporal.purchaseAttribution(Tables.load(s, d, "events"))),
@@ -212,6 +214,14 @@ object SparkEntry {
     // real pixel resample on the decoded raster (nearest-neighbour 16x12)
     "mm_image_resample" -> q((s, d) =>
       Multimodal.resampleImageStats(Multimodal.imageAssetsTable(s, d), 16, 12).toDF()),
+    // REAL WAV decode: AudioSystem parses the RIFF container and streams
+    // 16-bit PCM frames; integer sample stats vs the closed-form oracle
+    "mm_audio_decode" -> q((s, d) =>
+      Multimodal.decodeAudioStats(Multimodal.audioAssetsTable(s, d)).toDF()),
+    // frame-sampled video decode: custom demux (no JDK video container),
+    // REAL per-frame PNG decode; skipped frames skip cheaply (no decode)
+    "mm_video_frames" -> q((s, d) =>
+      Multimodal.decodeFrameStats(Multimodal.videoAssetsTable(s, d), 2).toDF()),
     // --- similarity search (embeddings) ---
     "sim_topk_bruteforce" -> q((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"), 0L, 20)),
     // int8-quantized storage path: 4x smaller vectors; scales cancel in
@@ -450,6 +460,8 @@ object SparkEntry {
     "mm_decode_features" -> OracleSqlGen.decodeFeaturesSql(operators.Multimodal.EmbDims),
     "mm_image_decode" -> OracleSqlGen.imageDecodeSql,
     "mm_image_resample" -> OracleSqlGen.imageResampleSql(16, 12),
+    "mm_audio_decode" -> OracleSqlGen.audioDecodeSql,
+    "mm_video_frames" -> OracleSqlGen.videoFramesSql(2),
     "sim_topk_bruteforce" -> OracleSqlGen.bruteForceTopKSql(0L, 20, 64),
     "sim_topk_quantized" -> OracleSqlGen.quantizedTopKSql(0L, 20, 64),
     "sim_ann_topk" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),

@@ -331,17 +331,21 @@ object Dedup {
       .distinct()
   }
 
-  /** Skewed stress fixture: every fifth document gets a shared ~250-char
-    * boilerplate PREFIX — the hot-gram/boilerplate-heavy corpus shape
-    * (site headers, license blocks, templated pages) that stresses every
-    * LSH path: the 20 % slice shares most of its grams, so its band
-    * buckets go from O(1) occupancy to a clique and the candidate set
-    * explodes quadratically IN THAT SLICE, while true near-dup pairs stay
-    * rare (the distinct suffixes keep jaccard below threshold for
-    * unrelated docs). Lower-case ASCII words only, so [[normalizeText]]
-    * is the identity on it in both engines; the derivation is a pure
-    * function of (doc_id, text), so the oracle builds the identical
-    * fixture in SQL.
+  /** Skewed stress fixture — the hot-gram/boilerplate-heavy corpus shape
+    * (site headers, license blocks, templated pages) in two tiers:
+    *
+    *  - `doc_id % 10 == 0` (10 %): NEAR-IDENTICAL — the whole text is the
+    *    shared boilerplate plus a one-character variant suffix, so this
+    *    tier's band buckets collapse to a single hot bucket per band (a
+    *    true clique: the band self-join does O(m²) work inside the
+    *    bucket and the quadratic pair set is the CORRECT output).
+    *  - other `doc_id % 5 == 0` (10 %): boilerplate PREFIX on the real
+    *    text — hot shared grams, but distinct bodies keep pairwise
+    *    jaccard below threshold (candidate pressure without output).
+    *
+    * Lower-case ASCII words only, so [[normalizeText]] is the identity
+    * on it in both engines; the derivation is a pure function of
+    * (doc_id, text), so the oracle builds the identical fixture in SQL.
     */
   val SkewBoiler: String =
     Seq.fill(5)("standard boilerplate header all terms and conditions apply")
@@ -349,8 +353,11 @@ object Dedup {
 
   def skewedDocs(docs: DataFrame): DataFrame =
     docs.withColumn("text",
-      when(pmod(col("doc_id"), lit(5)) === 0,
-        concat(lit(SkewBoiler + " "), col("text")))
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(lit(SkewBoiler + " "),
+          expr("pmod(doc_id div 10, 2)").cast("string")))
+        .when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(SkewBoiler + " "), col("text")))
         .otherwise(col("text")))
 
   /** (doc_id, shingles) for char n-grams of the normalized text — shingles

@@ -140,6 +140,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageStats(junk.union(one)).collect().length == 1)
   }
 
+  test("audio fixture: real WAV containers, lossless PCM decode round-trip") {
+    val auds = Multimodal.audioAssets(docs).collect().sortBy(_.asset_id)
+    assert(auds.length == 5)
+    // RIFF/WAVE magic proves a real container, not raw PCM
+    auds.foreach { a =>
+      assert(new String(a.content.take(4), "US-ASCII") == "RIFF")
+      assert(new String(a.content.slice(8, 12), "US-ASCII") == "WAVE")
+      assert(a.n_samples >= Multimodal.AudNMin)
+    }
+    val stats = Multimodal.decodeAudioStats(Multimodal.audioAssets(docs).toDF())
+      .collect().map(s => s.asset_id -> s).toMap
+    assert(stats.size == 5)
+    stats.values.foreach { s =>
+      var (sum, abs, energy) = (0L, 0L, 0L)
+      for (i <- 0 until s.n_samples.toInt) {
+        val v = Multimodal.audioSample(s.asset_id, i)
+        sum += v; abs += math.abs(v); energy += v.toLong * v
+      }
+      assert((s.sample_sum, s.abs_sum, s.energy) == ((sum, abs, energy)),
+        s"decoded PCM drifts from generated samples for asset ${s.asset_id}")
+    }
+    // junk bytes are dropped, not thrown
+    import spark.implicits._
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("asset_id", "content")
+    assert(Multimodal.decodeAudioStats(junk).collect().isEmpty)
+  }
+
+  test("video fixture: per-frame PNG decode, stride skips frames without decoding") {
+    val vids = Multimodal.videoAssets(docs).collect().sortBy(_.asset_id)
+    assert(vids.length == 5 && vids.forall(_.n_frames >= Multimodal.VidFMin))
+    val frames = Multimodal.decodeFrameStats(
+      Multimodal.videoAssets(docs).toDF(), stride = 2).collect()
+    val byAsset = frames.groupBy(_.asset_id)
+    vids.foreach { v =>
+      val fs = byAsset(v.asset_id).sortBy(_.frame_idx)
+      // only even frame indices sampled, count = ceil(n/2)
+      assert(fs.map(_.frame_idx).toSeq == (0 until v.n_frames by 2).toSeq)
+      fs.foreach { s =>
+        assert(s.width == v.width && s.height == v.height)
+        val k = Multimodal.frameKey(v.asset_id, s.frame_idx)
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        for (y <- 0 until s.height; x <- 0 until s.width) {
+          rs += Multimodal.pixelR(k, x, y)
+          gs += Multimodal.pixelG(k, x, y)
+          bs += Multimodal.pixelB(k, x, y)
+        }
+        assert((s.r_sum, s.g_sum, s.b_sum) == ((rs, gs, bs)),
+          s"decoded frame ${s.frame_idx} of asset ${v.asset_id} drifts")
+      }
+    }
+    // stride=1 decodes every frame
+    val all = Multimodal.decodeFrameStats(
+      Multimodal.videoAssets(docs).toDF(), stride = 1).collect()
+    assert(all.length == vids.map(_.n_frames).sum)
+  }
+
   test("decodeFeatures dispatches png/bmp to the REAL codec, stub as fallback") {
     val img = Multimodal.imageAssets(docs).collect()
       .find(_.asset_id == 0L).get // png (even id)

@@ -76,6 +76,34 @@ class PlanMetricsSpec extends SparkSpec {
       s"probe wire cost should be batch-sized: $stats batch=$batch")
   }
 
+  test("skewed corpus: the near-identical clique emits its quadratic truth, wire stays bounded") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sf, "documents")
+    val skew = Dedup.skewedDocs(docs)
+    val m = docs.filter($"doc_id" % 10 === 0).count()
+    val clique = m * (m - 1) / 2
+    assert(m >= 4, s"fixture too small for a clique: m=$m")
+    // the near-identical tier is a true clique: ALL of its pairs are
+    // found (its band buckets collapse to one hot bucket per band, the
+    // O(m²) work happens inside the bucket join) and emitted — the
+    // quadratic output is the CORRECT answer for near-identical docs
+    val found = Dedup.charLshPairs(skew, 5, 0.8)
+      .filter($"a" % 10 === 0 && $"b" % 10 === 0).count()
+    assert(found == clique, s"clique pairs: found $found of $clique")
+    // wire cost: band rows (n × Bands, same as the unskewed run) plus
+    // passing pairs (≤ Bands duplicates into the distinct) — the hot
+    // bucket's quadratic join happens INSIDE a task, never on an exchange
+    val (_, plain) = PlanMetrics.measure(Dedup.charLshPairs(docs, 5, 0.8))
+    val (vSkew, skewStats) = PlanMetrics.measure(Dedup.charLshPairs(skew, 5, 0.8))
+    // the output is clique-dominated (tier docs REPLACED their text, so
+    // some unskewed pairs legitimately disappear — only the clique bound
+    // is monotone)
+    assert(vSkew >= clique)
+    assert(skewStats.recordsWritten <=
+      plain.recordsWritten + (Dedup.Bands + 1) * vSkew,
+      s"skew leaked onto the wire: $skewStats vs $plain (pairs=$vSkew)")
+  }
+
   test("curation chain shuffles only survivor fingerprints") {
     val docs = Tables.load(spark, sf, "documents")
     val (kept, stats) = PlanMetrics.measure(
