@@ -83,9 +83,12 @@ final case class ArrayChunkFetcher(rows: IndexedSeq[Row]) extends ChunkFetcher {
   * is bounded by the planner at ~`rowsPerPartition` rows, so the
   * per-task materialization here is small by construction.
   *
-  * Untestable in this sandbox (no database; the SQL itself is
-  * golden-tested and the planner/reader path is spec-driven through
-  * [[ArrayChunkFetcher]]).
+  * Spec-exercised against an in-process `java.sql.Driver` serving the
+  * engine's own range grammar over in-memory tables (GraftMemJdbcSpec —
+  * the java.sql twin of the schema-registry HTTP stub): the
+  * DriverManager → Statement → ResultSet path here runs for real,
+  * offline, including the composite tiebreak boundary, NULL-timestamp
+  * exclusion and connection hygiene.
   */
 final case class JdbcRangeFetcher(url: String, table: String,
                                   props: Map[String, String]) extends ChunkFetcher {
