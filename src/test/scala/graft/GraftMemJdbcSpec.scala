@@ -34,9 +34,18 @@ object GraftMemJdbc {
           throw new UnsupportedOperationException(s"graftmem jdbc: ${miss._1}"))
       }).asInstanceOf[T]
 
-  // ------------------------------------------------- rangeSql evaluation
+  // ------------------------------------------------- statement grammar
 
-  private val fromRe = """(?s)SELECT \* FROM (\w+) WHERE (.*) ORDER BY (.*)""".r
+  // the three statement families the engine emits:
+  //  1. rangeSql:  SELECT * FROM t WHERE <bounds> ORDER BY ...
+  //  2. chunkSql via spark.read.jdbc — Spark wraps the subquery:
+  //     SELECT <cols|*> FROM (SELECT * FROM t WHERE ... ORDER BY ...
+  //     [LIMIT n]) __graft_chunk [WHERE 1=0]   (1=0 is the schema probe)
+  private val outerRe =
+    """(?s)^SELECT\s+(.*?)\s+FROM\s+\((.*)\)\s+__graft_chunk(?:\s+WHERE\s+\(?1=0\)?)?\s*$""".r
+  private val probeRe = """(?s).*WHERE\s+\(?1=0\)?\s*$""".r
+  private val fromRe =
+    """(?s)^SELECT \* FROM (\w+) WHERE (.*) ORDER BY (.*?)(?: LIMIT (\d+))?\s*$""".r
   private val lowerCompositeRe =
     """\((\w+) > TIMESTAMP '([^']+)' OR \(\1 = TIMESTAMP '\2' AND (\w+) > (\d+)\)\)""".r
   private val upperCompositeRe =
@@ -44,9 +53,11 @@ object GraftMemJdbc {
   private val lowerPlainRe = """(\w+) > TIMESTAMP '([^']+)'""".r
   private val upperPlainRe = """(\w+) <= TIMESTAMP '([^']+)'""".r
 
-  /** Evaluate one recognized range statement against the registry. */
-  private def run(sql: String): (StructType, IndexedSeq[Row]) = sql.trim match {
-    case fromRe(table, where, order) =>
+  /** Evaluate one inner (unwrapped) range statement. The upper bound is
+    * optional here: chunkSql omits it when no delay interval is set.
+    */
+  private def evalInner(sql: String): (StructType, IndexedSeq[Row]) = sql.trim match {
+    case fromRe(table, where, order, limit) =>
       val (schema, rows) = tables.getOrElse(table,
         throw new java.sql.SQLException(s"graftmem: unknown table '$table'"))
       val tsCol = order.split(",")(0).trim.split(" ")(0)
@@ -64,21 +75,73 @@ object GraftMemJdbc {
       val upper =
         upperCompositeRe.findFirstMatchIn(where)
           .map(m => JdbcOffset(Timestamp.valueOf(m.group(2)), Some(m.group(4).toLong)))
-          .getOrElse(upperPlainRe.findFirstMatchIn(where)
-            .map(m => JdbcOffset(Timestamp.valueOf(m.group(2)), None))
-            .getOrElse(throw new java.sql.SQLException(
-              s"graftmem: unrecognized statement: $sql")))
+          .orElse(upperPlainRe.findFirstMatchIn(where)
+            .map(m => JdbcOffset(Timestamp.valueOf(m.group(2)), None)))
+      if (lower.isEmpty && upper.isEmpty && !where.contains("IS NOT NULL"))
+        throw new java.sql.SQLException(s"graftmem: unrecognized statement: $sql")
       val composite = idIdx.isDefined
+      // absent upper bound (chunkSql without a delay interval) → +inf key
+      val hi = upper.getOrElse(
+        JdbcOffset(new Timestamp(Long.MaxValue), idCol.map(_ => Long.MaxValue)))
       val selected = rows.filter { r =>
         val ts = if (r.isNullAt(tsIdx)) null else r.getTimestamp(tsIdx)
         val id = idIdx.filterNot(r.isNullAt).map(r.getLong)
-        graft.sources.ChunkFetcher.inRange(ts, id, lower, upper, composite)
+        graft.sources.ChunkFetcher.inRange(ts, id, lower, hi, composite)
       }.sortBy { r =>
         (r.getTimestamp(tsIdx).getTime, idIdx.map(r.getLong).getOrElse(0L))
       }
-      (schema, selected)
+      val limited = Option(limit).map(n => selected.take(n.toInt)).getOrElse(selected)
+      (schema, limited)
     case other => throw new java.sql.SQLException(
       s"graftmem: unrecognized statement: $other")
+  }
+
+  /** Evaluate any recognized statement (wrapped or bare). */
+  private def run(sql: String): (StructType, IndexedSeq[Row]) = sql.trim match {
+    case outerRe(cols, inner) =>
+      val (schema, rows) = evalInner(inner)
+      val probe = probeRe.pattern.matcher(sql.trim).matches()
+      if (cols.trim == "*") (schema, if (probe) IndexedSeq.empty else rows)
+      else {
+        val names = cols.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        val idx = names.map(schema.fieldIndex)
+        val projected = StructType(idx.map(schema.fields))
+        val prows =
+          if (probe) IndexedSeq.empty
+          else rows.map(r => Row.fromSeq(idx.toIndexedSeq.map(r.get)))
+        (projected, prows)
+      }
+    case _ => evalInner(sql)
+  }
+
+  /** ResultSetMetaData over a StructType — what Spark's JDBC relation
+    * reads to resolve the frame schema from the WHERE 1=0 probe.
+    */
+  private def metaData(schema: StructType): java.sql.ResultSetMetaData = {
+    def sqlType(dt: DataType): (Int, String, Int) = dt match {
+      case LongType => (java.sql.Types.BIGINT, "BIGINT", 19)
+      case IntegerType => (java.sql.Types.INTEGER, "INTEGER", 10)
+      case StringType => (java.sql.Types.VARCHAR, "VARCHAR", 255)
+      case TimestampType => (java.sql.Types.TIMESTAMP, "TIMESTAMP", 29)
+      case DoubleType => (java.sql.Types.DOUBLE, "DOUBLE", 17)
+      case BooleanType => (java.sql.Types.BOOLEAN, "BOOLEAN", 1)
+      case DateType => (java.sql.Types.DATE, "DATE", 10)
+      case BinaryType => (java.sql.Types.BINARY, "BINARY", 0)
+      case other => throw new java.sql.SQLException(s"graftmem: no sql type for $other")
+    }
+    def at(a: Array[AnyRef]) = schema(a(0).asInstanceOf[Integer] - 1)
+    proxy(classOf[java.sql.ResultSetMetaData]) {
+      case ("getColumnCount", _) => Int.box(schema.length)
+      case ("getColumnLabel", a) => at(a).name
+      case ("getColumnName", a) => at(a).name
+      case ("getColumnType", a) => Int.box(sqlType(at(a).dataType)._1)
+      case ("getColumnTypeName", a) => sqlType(at(a).dataType)._2
+      case ("getPrecision", a) => Int.box(sqlType(at(a).dataType)._3)
+      case ("getScale", _) => Int.box(0)
+      case ("isSigned", _) => java.lang.Boolean.TRUE
+      case ("isNullable", _) =>
+        Int.box(java.sql.ResultSetMetaData.columnNullable)
+    }
   }
 
   private def resultSet(schema: StructType, rows: IndexedSeq[Row]): java.sql.ResultSet = {
@@ -90,6 +153,8 @@ object GraftMemJdbc {
       v.asInstanceOf[AnyRef]
     }
     proxy(classOf[java.sql.ResultSet]) {
+      case ("getMetaData", _) => metaData(schema)
+      case ("isClosed", _) => java.lang.Boolean.FALSE
       case ("next", _) =>
         cursor += 1; java.lang.Boolean.valueOf(cursor < rows.length)
       case ("wasNull", _) => java.lang.Boolean.valueOf(wasNull)
@@ -120,33 +185,108 @@ object GraftMemJdbc {
       case ("executeQuery", a) =>
         val (schema, rows) = run(a(0).asInstanceOf[String])
         resultSet(schema, rows)
-      case ("close", _) => null
+      case ("setQueryTimeout", _) | ("setFetchSize", _) | ("close", _) => null
+      case ("isClosed", _) => java.lang.Boolean.FALSE
     }
 
-  private def connection(): java.sql.Connection = {
+  // table-exists probe (Spark's write path): SELECT 1 FROM t WHERE 1=0
+  private val existsRe = """(?s)^SELECT \S+ FROM (\w+) WHERE 1=0\s*$""".r
+  // Spark's generated append statement: INSERT INTO t ("a","b") VALUES (?,?)
+  private val insertRe =
+    """(?s)^INSERT INTO (\w+) \(([^)]*)\) VALUES \([?,\s]*\)\s*$""".r
+
+  /** Spark's JDBC relation prepares its statements (schema probe, scan,
+    * table-exists, batched INSERT) instead of using plain statements —
+    * the sql rides the prepare call; INSERT adds parameter binding and
+    * batch state.
+    */
+  private def prepared(sql: String): java.sql.PreparedStatement = sql.trim match {
+    case existsRe(table) =>
+      proxy(classOf[java.sql.PreparedStatement]) {
+        case ("executeQuery", _) =>
+          val (schema, _) = tables.getOrElse(table,
+            throw new java.sql.SQLException(s"graftmem: unknown table '$table'"))
+          resultSet(schema, IndexedSeq.empty)
+        case ("setQueryTimeout", _) | ("close", _) => null
+      }
+    case insertRe(table, colList) =>
+      val (schema, _) = tables.getOrElse(table,
+        throw new java.sql.SQLException(s"graftmem: unknown table '$table'"))
+      val names = colList.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      require(names.toSeq == schema.fieldNames.toSeq,
+        s"graftmem: insert columns $colList != table schema")
+      val params = new Array[Any](names.length)
+      val batch = scala.collection.mutable.ArrayBuffer[Row]()
+      def bind(a: Array[AnyRef]): AnyRef = {
+        params(a(0).asInstanceOf[Integer] - 1) = a(1); null
+      }
+      val setters = Set("setLong", "setString", "setTimestamp", "setInt",
+        "setDouble", "setBoolean", "setDate", "setBytes", "setBigDecimal")
+      proxy(classOf[java.sql.PreparedStatement]) {
+        case (m, a) if setters(m) => bind(a)
+        case ("setNull", a) => params(a(0).asInstanceOf[Integer] - 1) = null; null
+        case ("addBatch", _) =>
+          batch += Row.fromSeq(params.toIndexedSeq); null
+        case ("executeBatch", _) =>
+          val n = batch.length
+          tables.updateWith(table)(_.map { case (s, rs) => (s, rs ++ batch) })
+          batch.clear()
+          Array.fill(n)(1)
+        case ("setQueryTimeout", _) | ("clearParameters", _) | ("close", _) => null
+      }
+    case _ =>
+      proxy(classOf[java.sql.PreparedStatement]) {
+        case ("executeQuery", _) =>
+          val (schema, rows) = run(sql)
+          resultSet(schema, rows)
+        case ("setQueryTimeout", _) | ("setFetchSize", _) | ("close", _) => null
+        case ("isClosed", _) => java.lang.Boolean.FALSE
+        case ("getMetaData", _) => metaData(run(sql)._1)
+      }
+  }
+
+  private def databaseMetaData(): java.sql.DatabaseMetaData =
+    proxy(classOf[java.sql.DatabaseMetaData]) {
+      case ("supportsTransactions", _) => java.lang.Boolean.TRUE
+      case ("supportsDataManipulationTransactionsOnly", _) => java.lang.Boolean.FALSE
+      case ("supportsTransactionIsolationLevel", _) => java.lang.Boolean.TRUE
+      case ("getDatabaseProductName", _) => "graftmem"
+    }
+
+  private[graft] def connection(): java.sql.Connection = {
     opened.incrementAndGet()
     proxy(classOf[java.sql.Connection]) {
       case ("createStatement", _) => statement()
+      case ("prepareStatement", a) => prepared(a(0).asInstanceOf[String])
       case ("close", _) => closed.incrementAndGet(); null
       case ("isClosed", _) => java.lang.Boolean.FALSE
+      case ("setAutoCommit", _) | ("commit", _) | ("rollback", _) |
+           ("setTransactionIsolation", _) => null
+      case ("getAutoCommit", _) => java.lang.Boolean.TRUE
+      case ("getMetaData", _) => databaseMetaData()
     }
   }
 
-  /** java.sql.Driver is small enough to implement directly. */
-  object MemDriver extends java.sql.Driver {
-    override def acceptsURL(url: String): Boolean =
-      url != null && url.startsWith(Prefix)
-    override def connect(url: String, info: Properties): java.sql.Connection =
-      if (!acceptsURL(url)) null else connection()
-    override def getMajorVersion: Int = 1
-    override def getMinorVersion: Int = 0
-    override def getPropertyInfo(url: String, info: Properties) = Array.empty
-    override def jdbcCompliant(): Boolean = false
-    override def getParentLogger =
-      throw new java.sql.SQLFeatureNotSupportedException()
-  }
+  lazy val ensureRegistered: Unit =
+    DriverManager.registerDriver(new GraftMemDriver)
+}
 
-  lazy val ensureRegistered: Unit = DriverManager.registerDriver(MemDriver)
+/** TOP-LEVEL driver class: Spark resolves the driver by
+  * `DriverManager.getDriver(url).getClass.getCanonicalName` and then
+  * `Class.forName`s that name — which only round-trips for a class whose
+  * canonical and binary names coincide (a nested Scala object's do not).
+  */
+class GraftMemDriver extends java.sql.Driver {
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith(GraftMemJdbc.Prefix)
+  override def connect(url: String, info: Properties): java.sql.Connection =
+    if (!acceptsURL(url)) null else GraftMemJdbc.connection()
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def getPropertyInfo(url: String, info: Properties) = Array.empty
+  override def jdbcCompliant(): Boolean = false
+  override def getParentLogger =
+    throw new java.sql.SQLFeatureNotSupportedException()
 }
 
 class GraftMemJdbcSpec extends SparkSpec {
@@ -205,6 +345,58 @@ class GraftMemJdbcSpec extends SparkSpec {
     val after = (GraftMemJdbc.opened.get, GraftMemJdbc.closed.get)
     assert(after._1 - before._1 == 2)
     assert(after._2 - before._2 == 2, "connection leak")
+  }
+
+  test("jdbcChunkSource polls through spark.read.jdbc against the in-process driver") {
+    // the PRODUCTION driver-side path: every chunk is one remote
+    // statement (bounds + ORDER BY + LIMIT inlined as a dbtable
+    // subquery), resolved through Spark's V1 JDBC relation — schema
+    // probe (WHERE 1=0 + ResultSetMetaData) and scan both execute
+    // against the in-process driver
+    val src = IncrementalJdbc.jdbcChunkSource(spark, url, "customers",
+      new Properties(), "dt_update", Some("id"))
+    val inc = new IncrementalJdbc(src, maxRowsPerPoll = 2)
+    // chunked backfill: 2 + 2 + 1 rows in (ts, id) order, NULL ts absent
+    val polls = Iterator.continually(inc.poll().collect().map(_.getLong(0)).toSeq)
+      .takeWhile(_.nonEmpty).toVector
+    assert(polls == Vector(Seq(1L, 2L), Seq(3L, 4L), Seq(6L)),
+      s"polls=$polls")
+    assert(inc.currentOffset.contains(JdbcOffset(ts(40), Some(6L))))
+    // schema came through the JDBC metadata probe, not a guess
+    val schemaGot = src.chunk(None, None, Some(1)).schema
+    assert(schemaGot.fieldNames.toSeq == Seq("id", "nome", "dt_update"))
+    assert(schemaGot("dt_update").dataType == TimestampType)
+  }
+
+  test("graft-jdbc STREAM runs end-to-end over the in-process driver (url path)") {
+    // the full production wiring with zero seams: readStream url option →
+    // jdbcChunkSource → spark.read.jdbc keys probe on the driver +
+    // JdbcRangeFetcher range statements on the tasks, all against the
+    // in-process java.sql driver
+    GraftMemJdbc.register("stream_tbl", schema, rows.take(4)) // 1,2,3,4
+    val q = graft.streaming.Pipelines.startMemorySink(
+      spark.readStream.format("graft-jdbc")
+        .option("url", url)
+        .option("table", "stream_tbl")
+        .option("incrementingColumn", "id")
+        .load(),
+      "graftmem_stream_t")
+    try {
+      q.processAllAvailable()
+      val first = spark.table("graftmem_stream_t").collect().map(_.getLong(0)).toSet
+      assert(first == Set(1L, 2L, 3L, 4L), s"got=$first")
+      // mid-stream inserts arrive through the K5 WRITE path — appendJdbc
+      // drives Spark's batched INSERT statements through the same driver
+      import spark.implicits._
+      IncrementalJdbc.appendJdbc(
+        Seq((7L, "gui", ts(50)), (8L, "hana", ts(60)))
+          .toDF("id", "nome", "dt_update"),
+        url, "stream_tbl", new Properties())
+      q.processAllAvailable()
+      val all = spark.table("graftmem_stream_t").collect().map(_.getLong(0)).toSeq
+      assert(all.sorted == Seq(1L, 2L, 3L, 4L, 7L, 8L),
+        s"exactly-once violated: $all")
+    } finally q.stop()
   }
 
   test("statements outside the engine's grammar fail loudly (stub, not a database)") {
