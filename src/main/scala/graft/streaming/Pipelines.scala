@@ -322,6 +322,25 @@ object Pipelines {
       }
   }
 
+  /** The session merge shared by BOTH sessionization APIs: events join
+    * as 1-element sessions, then one sorted fold merges every chain of
+    * sessions whose gap-windows touch (late events extend backwards; a
+    * bridging event merges two pending sessions).
+    */
+  private[streaming] def mergeSessions(user: Long, prev: Seq[UserSession],
+                                       eventTs: Iterator[Long],
+                                       gapMs: Long): Seq[UserSession] =
+    (prev ++ eventTs.map(t => UserSession(user, t, t, 1L)))
+      .sortBy(s => (s.start_ms, s.end_ms))
+      .foldLeft(List.empty[UserSession]) { (acc, s) =>
+        acc match {
+          case h :: t if s.start_ms - h.end_ms <= gapMs =>
+            UserSession(user, h.start_ms, math.max(h.end_ms, s.end_ms),
+              h.n_events + s.n_events) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+
   /** [[userRunningState]] on `transformWithState` — Spark 4's arbitrary
     * stateful processing v2 (the API that supersedes
     * mapGroupsWithState): named state variables from a
@@ -360,6 +379,69 @@ object Pipelines {
       .transformWithState(new RunningStateProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** [[userSessions]] on `transformWithState` — the v2 twin of the
+    * flatMapGroupsWithState sessionization, same watermark-gated append
+    * semantics (STRICT release gate, sessions wait in state until the
+    * watermark passes end+gap) expressed in the v2 vocabulary: the
+    * pending-session buffer is a named [[org.apache.spark.sql.streaming.ListState]]
+    * instead of an opaque case-class blob, and the close condition is an
+    * explicit EVENT-TIME TIMER (re-armed at min(end)+gap on every
+    * invocation) instead of a GroupState timeout. The merge fold is
+    * literally shared with v1 ([[mergeSessions]]), so the two APIs
+    * cannot drift semantically; the spec runs the v1 scenarios against
+    * v2 and asserts identical emissions.
+    */
+  class SessionProcessorV2(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEventTimed, UserSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var buf: ListState[UserSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[UserSession]("sessions",
+        org.apache.spark.sql.Encoders.product[UserSession], TTLConfig.NONE)
+
+    /** Same strict gate as v1's release; state + timer rebuilt from the
+      * surviving sessions (one timer per key at min(end)+gap).
+      */
+    private def release(wm: Long, sessions: Seq[UserSession]): Iterator[UserSession] = {
+      val (ripe, rest) = sessions.partition(_.end_ms + gapMs < wm)
+      buf.clear()
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (rest.nonEmpty) {
+        buf.put(rest.toArray)
+        getHandle.registerTimer(rest.map(_.end_ms).min + gapMs)
+      }
+      ripe.sortBy(s => (s.start_ms, s.end_ms)).iterator
+    }
+
+    private def pending: Seq[UserSession] =
+      if (buf.exists()) buf.get().toSeq else Seq.empty
+
+    override def handleInputRows(user: Long, rows: Iterator[UserEventTimed],
+                                 timers: TimerValues): Iterator[UserSession] =
+      release(timers.getCurrentWatermarkInMs(),
+        Pipelines.mergeSessions(user, pending, rows.map(_.ts_ms), gapMs))
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[UserSession] =
+      release(timers.getCurrentWatermarkInMs(), pending)
+  }
+
+  def userSessionsV2(events: org.apache.spark.sql.Dataset[UserEvent],
+                     gapMs: Long = 1800000L,
+                     delay: String = "1 minute"): org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", delay)
+      .as[UserEventTimed]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorV2(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** Event-time SESSIONIZATION via flatMapGroupsWithState — the
@@ -421,20 +503,9 @@ object Pipelines {
           if (state.hasTimedOut) {
             release(state, wm, state.get.sessions)
           } else {
-            // events join as 1-element sessions, then one sorted fold
-            // merges every chain of sessions whose gap-windows touch
             val prev = state.getOption.map(_.sessions).getOrElse(Seq.empty)
-            val merged = (prev ++ rows.map(e => UserSession(user, e.ts_ms, e.ts_ms, 1L)))
-              .sortBy(s => (s.start_ms, s.end_ms))
-              .foldLeft(List.empty[UserSession]) { (acc, s) =>
-                acc match {
-                  case h :: t if s.start_ms - h.end_ms <= gapMs =>
-                    UserSession(user, h.start_ms, math.max(h.end_ms, s.end_ms),
-                      h.n_events + s.n_events) :: t
-                  case _ => s :: acc
-                }
-              }.reverse
-            release(state, wm, merged)
+            release(state, wm, Pipelines.mergeSessions(user, prev,
+              rows.map(_.ts_ms), gapMs))
           }
       }
   }

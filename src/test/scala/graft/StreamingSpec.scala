@@ -597,6 +597,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionization on transformWithState (v2): same emissions as v1") {
+    // the v1 scenarios — watermark-gated emission, timeout close,
+    // cross-batch late merge into a pending session — replayed on the
+    // ListState + event-time-timer processor (RocksDB provider, which
+    // the v2 operator requires)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserEvent]
+    val q = Pipelines.startMemorySink(
+      Pipelines.userSessionsV2(mem.toDS(), gapMs = 30000L, delay = "1 minute").toDF(),
+      "sessions_v2_t", OutputMode.Append)
+    try {
+      val t0 = 1000000L
+      mem.addData(UserEvent(1, t0 + 20000))
+      q.processAllAvailable()
+      // gap breached: the session is pending, NOT emitted (append gate)
+      mem.addData(UserEvent(1, t0 + 100000))
+      q.processAllAvailable()
+      assert(spark.table("sessions_v2_t").isEmpty)
+      // late event within gap of the pending session's end: MERGES it
+      mem.addData(UserEvent(1, t0 + 45000))
+      q.processAllAvailable()
+      // ride the watermark past everything; event-time timers close all
+      mem.addData(UserEvent(2, t0 + 400000))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, t0 + 401000))
+      q.processAllAvailable()
+      val got = spark.table("sessions_v2_t").as[UserSession].collect()
+        .filter(_.user_id == 1L).toSet
+      assert(got == Set(
+        UserSession(1L, t0 + 20000, t0 + 45000, 2L),
+        UserSession(1L, t0 + 100000, t0 + 100000, 1L)), s"got=$got")
+      got.toSeq.sortBy(_.start_ms).sliding(2).foreach {
+        case Seq(a, b) => assert(b.start_ms - a.end_ms > 30000L, s"$a overlaps $b")
+        case _ => ()
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState (arbitrary state v2) matches the v1 running aggregate") {
     // the successor API to mapGroupsWithState: named state variables with
     // their own encoders from a StatefulProcessorHandle. Built on the
