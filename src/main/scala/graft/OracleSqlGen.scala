@@ -703,6 +703,91 @@ object OracleSqlGen {
         SELECT a, b, round(inter::DOUBLE / (sza + szb - inter)::DOUBLE, 4) AS jaccard_sim
         FROM pairs WHERE inter::DOUBLE / (sza + szb - inter)::DOUBLE >= $threshold"""
 
+  /** Mirrors Dedup.dupSpans: positional n-gram keys per document (the
+    * direct per-position polynomial equals the Spark side's rolling
+    * update — see [[gramKeyExpr]]; at n = 30 each position sums 30 terms
+    * < 2³⁸ each, far from BIGINT overflow), keys occurring more than once
+    * corpus-wide mark their positions duplicated, and a gaps-and-islands
+    * window merges runs into maximal spans. Positions are 1-based here
+    * and 0-based Spark-side; both emit 1-based inclusive char spans.
+    */
+  def dupSpansSql(n: Int): String =
+    s"""WITH d AS (SELECT doc_id, ${norm("text")} AS nrm FROM documents),
+        g AS (SELECT doc_id, unnest(generate_series(1, len(nrm) - ${n - 1})) AS pos, nrm
+          FROM d WHERE len(nrm) >= $n),
+        gk AS (SELECT doc_id, pos, ${gramKeyExpr(s"substr(nrm, pos, $n)", n)} AS key FROM g),
+        dup AS (SELECT key FROM gk GROUP BY key HAVING count(*) > 1),
+        dp AS (SELECT doc_id, pos FROM gk WHERE key IN (SELECT key FROM dup)),
+        isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          CAST(max(pos) + ${n - 1} AS BIGINT) AS span_end,
+          count(*) AS n_grams
+        FROM isl GROUP BY doc_id, grp"""
+
+  /** Mirrors Dedup.substringRemoved: the dupSpans derivation runs as a
+    * shadowed subquery, then a lag() window rebuilds the kept segments —
+    * each span contributes the gap since the previous span's end (span
+    * ends are strictly increasing per doc; overlapping CHAR spans from
+    * near-adjacent position islands clamp to a 0-length segment, exactly
+    * the Spark fold's greatest(_, 0)) — and the tail past the last span
+    * closes the doc. Untouched docs pass through via the left join.
+    */
+  def substringRemovedSql(n: Int): String =
+    s"""WITH d AS (SELECT doc_id, ${norm("text")} AS nrm FROM documents),
+        spans AS (SELECT * FROM (${dupSpansSql(n)})),
+        seg AS (SELECT doc_id, span_start, span_end,
+          coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS prev_end
+          FROM spans),
+        pieces AS (SELECT seg.doc_id,
+            string_agg(substr(d.nrm, (prev_end + 1)::INT,
+              greatest(span_start - prev_end - 1, 0)::INT), '' ORDER BY span_start) AS head,
+            max(span_end) AS last_end, count(*) AS n_spans
+          FROM seg JOIN d ON seg.doc_id = d.doc_id GROUP BY seg.doc_id),
+        joined AS (SELECT d.doc_id, d.nrm,
+            CASE WHEN p.doc_id IS NULL THEN d.nrm
+                 ELSE coalesce(p.head, '') || substr(d.nrm, (p.last_end + 1)::INT) END AS text_kept,
+            coalesce(p.n_spans, 0) AS n_spans
+          FROM d LEFT JOIN pieces p ON d.doc_id = p.doc_id)
+        SELECT doc_id, text_kept,
+          (len(nrm) - len(text_kept))::BIGINT AS chars_removed,
+          n_spans::BIGINT AS n_spans
+        FROM joined"""
+
+  /** Mirrors Dedup.withInjectedParagraphs + Dedup.paragraphDedup: the
+    * injected paragraph fixture rebuilt as a pure SQL derivation (token
+    * chunks of [[graft.operators.Dedup.ParaWords]] words, header every
+    * third doc, footer every seventh), then global keep-first at
+    * paragraph granularity over the SAME (doc_id, idx) total order and
+    * in-order reassembly. DuckDB's lockstep multi-unnest zips (idx,
+    * para) exactly like Spark's posexplode.
+    */
+  def paragraphDedupSql: String = {
+    import graft.operators.Dedup.{ParaWords, ParaHeader, ParaFooter}
+    val sep = "chr(10) || chr(10)"
+    s"""${toksCte()},
+        fix AS (SELECT doc_id,
+          (CASE WHEN doc_id % 3 = 0 THEN '$ParaHeader' || $sep ELSE '' END)
+          || array_to_string(list_transform(
+               generate_series(0, (len(tk) - 1) // $ParaWords),
+               i -> array_to_string(list_slice(tk, i * $ParaWords + 1, i * $ParaWords + $ParaWords), ' ')),
+             $sep)
+          || (CASE WHEN doc_id % 7 = 0 THEN $sep || '$ParaFooter' ELSE '' END) AS text
+          FROM t),
+        p AS (SELECT doc_id,
+            unnest(generate_series(0, len(parts) - 1)) AS idx,
+            unnest(parts) AS para
+          FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM fix)),
+        r AS (SELECT doc_id, idx, para,
+            row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rk
+          FROM p)
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN rk = 1 THEN para END, $sep ORDER BY idx), '') AS text_kept,
+          count(CASE WHEN rk = 1 THEN 1 END) AS kept,
+          count(CASE WHEN rk > 1 THEN 1 END) AS dropped
+        FROM r GROUP BY doc_id"""
+  }
+
   /** Mirrors Dedup.clusters: the SAME LSH pair derivation as
     * lshPairsSql feeds a recursive-CTE transitive closure; every doc's
     * cluster id is the min doc_id reachable over near-dup edges. The

@@ -103,6 +103,16 @@ object SparkEntry {
     // pressure without output). The bench row proves the hot-bucket
     // O(m²) join and the quadratic emit don't blow up the runtime
     "dedup_char_lsh_skewed" -> q((s, d) => Dedup.charLshPairs(Dedup.skewedDocs(Tables.load(s, d, "documents")), 5, 0.8)),
+    // substring-level dedup (Lee et al. 2021): maximal corpus-duplicated
+    // 30-char runs per document, merged gaps-and-islands style
+    "dedup_substring_spans" -> q((s, d) => Dedup.dupSpans(Tables.load(s, d, "documents"), 30)),
+    // the destructive half: cut every corpus-duplicated 30-char run and
+    // emit the cleaned corpus (untouched docs pass through)
+    "dedup_substring_removed" -> q((s, d) => Dedup.substringRemoved(Tables.load(s, d, "documents"), 30)),
+    // paragraph-level keep-first dedup over the injected-paragraph
+    // fixture (the corpus is a flat word stream — structure is a pure
+    // function of (doc_id, text), same discipline as text_scrub)
+    "dedup_paragraphs" -> q((s, d) => Dedup.paragraphDedup(Dedup.withInjectedParagraphs(Tables.load(s, d, "documents")))),
     // --- temporal: as-of join, session windows, hopping windows ---
     "asof_attribution" -> q((s, d) => Temporal.purchaseAttribution(Tables.load(s, d, "events"))),
     "session_counts" -> q((s, d) => Temporal.sessionCounts(Tables.load(s, d, "events"))),
@@ -417,6 +427,9 @@ object SparkEntry {
          FROM events GROUP BY user_id""",
     "dedup_char_lsh" -> OracleSqlGen.charLshPairsSql(5, 0.8),
     "dedup_char_lsh_skewed" -> OracleSqlGen.charLshPairsSkewedSql(5, 0.8),
+    "dedup_substring_spans" -> OracleSqlGen.dupSpansSql(30),
+    "dedup_substring_removed" -> OracleSqlGen.substringRemovedSql(30),
+    "dedup_paragraphs" -> OracleSqlGen.paragraphDedupSql,
     "dedup_char_jaccard_pairs" -> OracleSqlGen.charJaccardPairsSql(7, 0.9),
     "asof_attribution" -> OracleSqlGen.asofAttributionSql,
     "session_counts" -> OracleSqlGen.sessionCountsSql(5),

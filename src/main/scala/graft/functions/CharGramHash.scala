@@ -69,6 +69,95 @@ case class CharGramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL sibling of [[CharGramHashes]]: the key of EVERY n-gram
+  * window in position order, duplicates kept — `posexplode` over the
+  * result yields the (position, gram-key) stream that substring-level
+  * duplicate detection ([[graft.operators.Dedup.dupSpans]]) needs, where
+  * the distinct form would erase both the positions and the within-doc
+  * repeats that define a duplicated span.
+  *
+  * Same rolling update, constants and 62-bit packing as
+  * [[CharGramHashes]] (one multiply-add + one slide per window, no
+  * per-gram allocation); the DuckDB oracle computes the identical key
+  * per position from the direct `ascii()` polynomial, so a (negligible,
+  * 2⁻⁶²-scale) hash collision would affect both engines identically and
+  * the oracle comparison stays bit-exact regardless.
+  *
+  * The window may be wider than [[CharGramHashes]]'s 8 (duplicated-SPAN
+  * detection wants grams long enough to be meaningful — Lee et al. 2021
+  * use 50-token windows; we bound at 64 chars): the rolling products stay
+  * < 2⁶² for any n (h < P, B < P), and the oracle's per-position direct
+  * polynomial sums n terms each < 2³⁸ — at n = 64 that is < 2⁴⁴, far from
+  * wrapping signed 64-bit in either engine.
+  */
+case class CharGramPosKeys(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1 && n <= 64, "gram width must be in [1, 64]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_pos_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CharGramPosKeys.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CharGramPosKeys.compute($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramPosKeys =
+    copy(child = newChild)
+}
+
+object CharGramPosKeys {
+
+  /** Column API: every rolling char-gram key of a normalized string, in
+    * position order (index i = gram starting at 0-based char i).
+    */
+  def column(norm: Column, n: Int): Column =
+    GraftShim.column(CharGramPosKeys(GraftShim.expression(norm), n))
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = len - n + 1
+    val p = DetHash.P
+    val b1 = DetHash.GramB1
+    val b2 = DetHash.GramB2
+    val pow1 = DetHash.gramPow(b1, n - 1)
+    val pow2 = DetHash.gramPow(b2, n - 1)
+    val out = new Array[Long](m)
+
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < n) { // first window
+      val c = bytes(i) & 0xff
+      h1 = (h1 * b1 + c) % p
+      h2 = (h2 * b2 + c) % p
+      i += 1
+    }
+    var w = 0
+    while (w < m) {
+      out(w) = (h1 << 31) + h2
+      if (w + 1 < m) { // slide: drop bytes(w), add bytes(w + n)
+        val cOut = bytes(w) & 0xff
+        val cIn = bytes(w + n) & 0xff
+        h1 = (((h1 - cOut * pow1) % p + p) % p * b1 + cIn) % p
+        h2 = (((h2 - cOut * pow2) % p + p) % p * b2 + cIn) % p
+      }
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object CharGramHashes {
 
   /** Column API: distinct rolling char-gram keys of a normalized string. */

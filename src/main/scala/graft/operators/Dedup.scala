@@ -448,6 +448,174 @@ object Dedup {
   def charJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8): DataFrame =
     jaccardPairsOver(charShingled(docs, n), threshold)
 
+  // -------------------------------------------------------------------
+  // Duplicated-substring spans (exact substring-level dedup)
+  // -------------------------------------------------------------------
+
+  /** Maximal DUPLICATED SUBSTRING spans: for every document, the maximal
+    * runs of positions whose n-char window occurs more than once in the
+    * whole corpus (within-doc repeats count). This is the substring-level
+    * dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"): document-level dedup misses the pervasive
+    * long shared runs (boilerplate, licenses, quoted passages) that
+    * substring-level removal targets — the output spans are exactly the
+    * regions a span-removal pass would cut.
+    *
+    * Formulation: positional rolling n-gram keys
+    * ([[graft.functions.CharGramPosKeys]], one fused pass, no per-gram
+    * strings) → posexplode to (doc, pos, key) → duplicated keys =
+    * count > 1 group → semi-join positions back → classic
+    * gaps-and-islands merge per doc (pos − row_number) → one row per
+    * maximal span. A position stream replaces the suffix array of the
+    * paper's exact variant; any duplicated substring of length ≥ n is
+    * covered by duplicated n-windows, so the merged islands are exactly
+    * the maximal duplicated regions at resolution n.
+    *
+    * Scale shape: the (doc, pos, key) stream is O(corpus bytes) — that is
+    * inherent to substring-level dedup (the paper's suffix array is the
+    * same size) — but nothing wider than 24 bytes ever shuffles, the
+    * duplicate-key aggregation combines map-side (hot keys collapse
+    * before the wire), and the island merge shuffles only the duplicated
+    * positions (a few % of the stream) partitioned by doc. The corpus is
+    * scanned and gram-hashed twice (once per branch; the count branch
+    * prunes to `text` alone, so the exchanges differ and don't reuse) —
+    * deliberate: re-running the fused rolling hash is CPU-linear and far
+    * cheaper than persisting or shuffling the full position stream to
+    * share one evaluation. Spans are 1-based char offsets into the
+    * NORMALIZED text, inclusive.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 30): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      posexplode(graft.functions.CharGramPosKeys.column(
+        normalizeText(col("text")), n)).as(Seq("pos", "key")))
+    val dupKeys = grams.groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .select(col("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams
+      .join(dupKeys, Seq("key"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((min(col("pos")) + 1).cast("long").as("span_start"),
+        (max(col("pos")) + n).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Substring-level dedup APPLIED: every character covered by a
+    * corpus-duplicated n-window ([[dupSpans]]) is cut from the (normalized)
+    * text; the survivors are the segments no span-removal pass would touch.
+    * This is the destructive half of Lee et al. 2021 — [[dupSpans]] finds
+    * the regions, this emits the cleaned corpus.
+    *
+    * Two position-islands less than n positions apart have OVERLAPPING
+    * char spans (island ends stretch n−1 chars past their last position),
+    * so the excision fold clamps each kept-segment length at 0 and walks
+    * a monotone cursor (span ends are strictly increasing across a doc's
+    * islands); the result is removal of the exact char-span UNION.
+    *
+    * Scale shape: cost is [[dupSpans]] plus one broadcast-or-shuffle join
+    * of the span list (a few rows per affected doc) back to the corpus
+    * and a per-row linear splice — no new wide exchange. Output:
+    * (doc_id, text_kept, chars_removed, n_spans); untouched docs pass
+    * through with 0/0.
+    */
+  def substringRemoved(docs: DataFrame, n: Int = 30): DataFrame = {
+    val spans = dupSpans(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("spans"))
+    val zero = struct(lit(1L).as("pos"), lit("").as("acc"))
+    docs.select(col("doc_id"), normalizeText(col("text")).as("nrm"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nrm"),
+        when(col("spans").isNull, col("nrm")).otherwise(
+          aggregate(col("spans"), zero,
+            (st, sp) => struct(
+              (sp.getField("span_end") + 1).as("pos"),
+              concat(st.getField("acc"),
+                col("nrm").substr(st.getField("pos").cast("int"),
+                  greatest(sp.getField("span_start") - st.getField("pos"), lit(0L))
+                    .cast("int"))).as("acc")),
+            st => concat(st.getField("acc"),
+              col("nrm").substr(st.getField("pos").cast("int"),
+                greatest(length(col("nrm")) - st.getField("pos") + 1, lit(0))
+                  .cast("int"))))).as("text_kept"),
+        coalesce(size(col("spans")), lit(0)).cast("long").as("n_spans"))
+      .withColumn("chars_removed",
+        (length(col("nrm")) - length(col("text_kept"))).cast("long"))
+      .select(col("doc_id"), col("text_kept"), col("chars_removed"), col("n_spans"))
+  }
+
+  // -------------------------------------------------------------------
+  // Paragraph-level dedup (CCNet / RefinedWeb shape)
+  // -------------------------------------------------------------------
+
+  /** Paragraph fixture: the synthetic corpus is a flat word stream (no
+    * newlines), so paragraph structure is INJECTED as a pure function of
+    * (doc_id, text) — the same discipline as
+    * [[graft.operators.TextAnalysis.withInjectedSpans]]: chunk the token
+    * stream into fixed [[ParaWords]]-word paragraphs joined by "\n\n",
+    * then plant shared boilerplate paragraphs (every third doc gets a
+    * header paragraph, every seventh a footer) so cross-document
+    * duplicate paragraphs exist by construction. The oracle rebuilds the
+    * identical fixture in SQL.
+    */
+  val ParaWords: Int = 12
+  val ParaHeader: String =
+    "shared site header navigation about contact terms privacy"
+  val ParaFooter: String =
+    "copyright notice all rights reserved powered by engine"
+
+  def withInjectedParagraphs(docs: DataFrame): DataFrame = {
+    val tk = tokens(normalizeText(col("text")))
+    // (size-1) div ParaWords chunks; floor == integer division on the
+    // non-negative sizes here (the corpus has no empty documents)
+    val chunks = transform(
+      sequence(lit(0), floor((size(tk) - 1) / lit(ParaWords)).cast("int")),
+      i => concat_ws(" ", slice(tk, i * lit(ParaWords) + lit(1), lit(ParaWords))))
+    val body = array_join(chunks, "\n\n")
+    docs.withColumn("text", concat(
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(ParaHeader + "\n\n"))
+        .otherwise(lit("")),
+      body,
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("\n\n" + ParaFooter))
+        .otherwise(lit(""))))
+  }
+
+  /** Paragraph-level KEEP-FIRST dedup (the CCNet / RefinedWeb line-level
+    * pass, at paragraph granularity): split each document on blank lines,
+    * keep only the globally FIRST occurrence of every distinct paragraph
+    * (first = smallest (doc_id, paragraph index)), and reassemble each
+    * document from its surviving paragraphs in order. Duplicate
+    * boilerplate (headers, footers, templated blocks) survives exactly
+    * once, in the earliest document that carries it.
+    *
+    * Scale shape: two shuffles, both inherent — (paragraph → winner) for
+    * the global rank and (doc → reassembly); rows are single paragraphs
+    * throughout, never whole documents, and the rank's window input is
+    * bounded per paragraph-value by that paragraph's occurrence count.
+    * Output: (doc_id, text kept, paragraphs kept/dropped).
+    */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val paras = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n\n")).as(Seq("idx", "para")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("para")).orderBy(col("doc_id"), col("idx"))
+    paras
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("rk") === 1,
+            struct(col("idx"), col("para"))))),
+          s => s.getField("para")), "\n\n").as("text_kept"),
+        count(when(col("rk") === 1, lit(1))).as("kept"),
+        count(when(col("rk") > 1, lit(1))).as("dropped"))
+      .select(col("doc_id"), col("text_kept"), col("kept"), col("dropped"))
+  }
+
   /** Exact jaccard-threshold pairs with PREFIX FILTERING (AllPairs /
     * PPJoin): under any global total order of grams, two sets with
     * jaccard >= t must share a gram inside both sets' first

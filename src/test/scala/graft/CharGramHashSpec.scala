@@ -42,6 +42,29 @@ class CharGramHashSpec extends SparkSpec {
       assert(fusedKeys(t, n) == composedKeys(t, n), s"text='$t' n=$n")
   }
 
+  test("positional keys: every window in order, duplicates kept, wide n ok") {
+    import graft.functions.CharGramPosKeys
+    def posKeys(text: String, n: Int): Seq[Long] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(CharGramPosKeys.column(GraftFunctions.normalizeText(col("text")), n)
+          .as("ks"))
+        .collect()(0).getSeq[Long](0)
+    def composedPos(text: String, n: Int): Seq[Long] = {
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      (0 to norm.length - n).map(i => CharGramHashes.gramKey(norm.substring(i, i + n)))
+    }
+    val texts = Seq(
+      "abcabcabc", // repeated windows must repeat in the output
+      "the quick brown fox jumps over the lazy dog",
+      "short", "ab", "")
+    for (t <- texts; n <- Seq(3, 7, 30))
+      assert(posKeys(t, n) == composedPos(t, n), s"text='$t' n=$n")
+    // n beyond CharGramHashes' 8-gram bound: rolling == direct polynomial
+    val wide = "a1 b2 c3 d4 e5 f6 g7 h8 i9 j0 k1 l2 m3 n4"
+    assert(posKeys(wide, 40) == composedPos(wide, 40))
+    assertThrows[IllegalArgumentException](CharGramPosKeys.column(col("text"), 65))
+  }
+
   test("property: random alphanumeric strings match the composed form") {
     val gen = for {
       len <- Gen.choose(0, 60)

@@ -14,6 +14,120 @@ class DedupSimilaritySpec extends SparkSpec {
     (4L, "", "en", "s4")
   ).toDF("doc_id", "text", "lang", "source")
 
+  test("dup spans: maximal corpus-duplicated runs, vs brute-force reference") {
+    // two docs share a long run (cross-doc dup), one doc repeats a run
+    // internally (within-doc dup), one doc is unique, one is empty
+    val spanDocs = Seq(
+      (0L, "shared boilerplate licence text here then unique alpha tail"),
+      (1L, "shared boilerplate licence text here then unique bravo end"),
+      (2L, "entirely singular content nothing repeated anywhere else"),
+      (3L, "repeat me twice okay repeat me twice okay"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val n = 10
+    val got = Dedup.dupSpans(spanDocs, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // brute-force reference: a position is duplicated iff its n-char
+    // window occurs > 1 times corpus-wide; islands merge greedily
+    val norm = Seq(
+      0L -> "shared boilerplate licence text here then unique alpha tail",
+      1L -> "shared boilerplate licence text here then unique bravo end",
+      2L -> "entirely singular content nothing repeated anywhere else",
+      3L -> "repeat me twice okay repeat me twice okay",
+      4L -> "")
+    val allGrams = norm.flatMap { case (_, t) =>
+      (0 to t.length - n).map(i => t.substring(i, i + n)) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expect = norm.flatMap { case (id, t) =>
+      val dupPos = (0 to t.length - n).filter(i => allGrams(t.substring(i, i + n)) > 1)
+      dupPos.foldLeft(List.empty[(Long, Long, Long, Long)]) {
+        case ((d, s, e, g) :: rest, p) if p + 1 + n - 1 <= e + 1 =>
+          (d, s, math.max(e, p + n).toLong, g + 1) :: rest
+        case (acc, p) => (id, p + 1L, p + n.toLong, 1L) :: acc
+      }
+    }.toSet
+    assert(got == expect, s"got=$got expect=$expect")
+    // sanity on the scenario itself: docs 0/1 have exactly one span over
+    // the shared prefix, doc 2 none, doc 3's repeats are found
+    assert(got.count(_._1 == 0L) == 1 && got.count(_._1 == 1L) == 1)
+    assert(!got.exists(_._1 == 2L) && got.exists(_._1 == 3L))
+  }
+
+  test("substring removal: cuts exactly the span union, clamps overlaps") {
+    // docs 0/1 share a long prefix (cross-doc dup); doc 2 is untouched;
+    // doc 3 has two position-islands THREE positions apart — its prefix
+    // duplicated by doc 4 and its window at position 3 duplicated by
+    // doc 5 — whose char spans (1,10) and (4,13) OVERLAP, so the
+    // excision must clamp, cutting the union once (not double-cutting
+    // or going negative)
+    val n = 10
+    val docs = Seq(
+      (0L, "shared boilerplate licence text goes here alpha unique tail"),
+      (1L, "shared boilerplate licence text goes here bravo other close"),
+      (2L, "totally singular content without any repetition at all"),
+      (3L, "abcdefghijklmnopqrstuvwx"),
+      (4L, "abcdefghij"),
+      (5L, "defghijklm")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringRemoved(docs, n)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // brute-force reference: chars covered by any >1-occurrence n-window
+    val norm = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = norm.values.flatMap(t =>
+      (0 to t.length - n).map(i => t.substring(i, i + n)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    for ((id, t) <- norm) {
+      val cut = Array.fill(t.length)(false)
+      for (i <- 0 to t.length - n if counts(t.substring(i, i + n)) > 1;
+           j <- i until i + n) cut(j) = true
+      val kept = t.zipWithIndex.collect { case (c, i) if !cut(i) => c }.mkString
+      assert(got(id)._1 == kept, s"doc $id")
+      assert(got(id)._2 == cut.count(identity).toLong, s"doc $id removed")
+    }
+    assert(got(2L) == ((norm(2L), 0L, 0L))) // untouched passes through
+    // the overlap really happened: two spans whose widths sum to 20 but
+    // whose union is 13 chars — clamp exercised, no double-cut
+    assert(got(3L) == (("nopqrstuvwx", 13L, 2L)))
+    val spans3 = Dedup.dupSpans(docs, n).filter($"doc_id" === 3L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(spans3 == Set((1L, 10L), (4L, 13L)))
+    assert(got(4L)._1 == "" && got(5L)._1 == "") // fully-duplicated docs empty
+  }
+
+  test("paragraph dedup: global keep-first, in-order reassembly, counts") {
+    val paraDocs = Seq(
+      (0L, "alpha one\n\nshared block"),
+      (1L, "shared block\n\nbravo two"), // shared block first-occurred in doc 0
+      (2L, "shared block"),              // fully boilerplate → emptied
+      (3L, "delta four\n\ndelta four")   // within-doc dup: second dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(paraDocs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("alpha one\n\nshared block", 2L, 0L)))
+    assert(got(1L) == (("bravo two", 1L, 1L)))
+    assert(got(2L) == (("", 0L, 1L)))
+    assert(got(3L) == (("delta four", 1L, 1L)))
+  }
+
+  test("injected paragraphs: 12-word chunks, header every 3rd, footer every 7th") {
+    val src = Seq(
+      (0L, Seq.fill(25)("w").zipWithIndex.map { case (w, i) => s"$w$i" }.mkString(" "), "en", "s"),
+      (1L, "just a few words", "en", "s"),
+      (7L, "another body here", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.withInjectedParagraphs(src)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val p0 = got(0L).split("\n\n")
+    assert(p0.head == Dedup.ParaHeader && got(0L).endsWith(Dedup.ParaFooter))
+    // 25 words → chunks of 12/12/1, plus header+footer (doc 0 ≡ 0 mod 3 and 7)
+    assert(p0.length == 5 && p0(1).split(" ").length == 12 && p0(3).split(" ").length == 1)
+    assert(got(1L) == "just a few words") // 1 mod 3, 1 mod 7: untouched
+    assert(got(7L) == "another body here\n\n" + Dedup.ParaFooter)
+  }
+
   test("exact dedup groups case/punct variants; keeps min doc_id") {
     val groups = Dedup.exactGroups(docs).collect()
     assert(groups.length == 4) // {0,1} merge; 2,3,4 singletons
