@@ -247,6 +247,20 @@ object OracleSqlGen {
     s"""SELECT CAST(floor(len(${toks("text")})::DOUBLE / 32) AS BIGINT) * 32 AS bucket,
         count(*) AS cnt FROM documents GROUP BY 1"""
 
+  /** Mirrors TextAnalysis.tokenRarity: distinct tokens per doc, corpus
+    * document frequencies, re-aggregated per doc. Tokenless docs drop out
+    * of both engines identically (no unnest rows / no explode rows). The
+    * mean is one IEEE divide + half-up round on both sides.
+    */
+  def tokenRaritySql: String =
+    s"""${toksCte()},
+        d AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM t),
+        f AS (SELECT tok, count(*) AS df FROM d GROUP BY tok)
+        SELECT doc_id, count(*) AS n_distinct, min(df) AS min_df,
+          CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          round(sum(df)::DOUBLE / count(*)::DOUBLE, 4) AS mean_df
+        FROM d JOIN f USING (tok) GROUP BY doc_id"""
+
   /** Mirrors TextAnalysis.hashEmbeddingSketch: feature-hash dims/signs by
     * bit operations on the 60-bit md5 hash (integer-only — no double
     * division anywhere), signed counts per dim, zero-sum dims dropped,
@@ -524,9 +538,13 @@ object OracleSqlGen {
       s"coalesce(list_min(list_transform(hs, h -> (h * $a + $b) % $P)), $P)"
     }
 
-  /** Word-shingle `sh` CTE chain (defines sh(doc_id, shingles)). */
-  private def wordShCte(n: Int): String =
-    s"""${toksCte()},
+  /** Word-shingle `sh` CTE chain (defines sh(doc_id, shingles)). `pre`
+    * prepends fixture CTEs and `src` names the doc relation, mirroring
+    * [[charShCte]].
+    */
+  private def wordShCte(n: Int, src: String = "documents",
+                        pre: String = ""): String =
+    s"""WITH ${pre}t AS (SELECT doc_id, ${toks(norm("text"))} AS tk FROM $src),
         sh AS (SELECT doc_id, ${shingles(n)} AS shingles FROM t)"""
 
   /** The 62-bit rolling-hash gram key of a gram-string expression `g`,
@@ -794,8 +812,31 @@ object OracleSqlGen {
     * fixpoint of Spark's min-label propagation equals the min over the
     * transitive closure, so both engines agree exactly.
     */
-  def clustersSql(n: Int, threshold: Double): String = {
-    val body = s"""${sigCte(n)},
+  def clustersSql(n: Int, threshold: Double): String =
+    clustersSqlOver(sigCte(n), threshold)
+
+  /** Mirrors Dedup.clustersPointerJump over the CHAIN stress fixture
+    * (Dedup.chainedDocs): even docs rebuilt as sliding `tok{j}` windows
+    * in SQL, then the identical closure — pointer jumping reaches the
+    * same min-label fixpoint as plain propagation, so ONE oracle serves
+    * both loop shapes.
+    */
+  def clustersChainSql(n: Int, threshold: Double): String = {
+    import graft.operators.Dedup.{ChainWindow, ChainStride}
+    val pre = s"""chain AS (SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN array_to_string(list_transform(
+                       generate_series((doc_id // 2) * $ChainStride,
+                         (doc_id // 2) * $ChainStride + ${ChainWindow - 1}),
+                       j -> 'tok' || CAST(j AS VARCHAR)), ' ')
+                ELSE text END AS text
+           FROM documents),
+        """
+    clustersSqlOver(sigCteOver(wordShCte(n, "chain", pre)), threshold)
+  }
+
+  private def clustersSqlOver(sigCteStr: String, threshold: Double): String = {
+    val body = s"""$sigCteStr,
         bands AS (SELECT doc_id, unnest([$bandKeysSql]) AS bk FROM sig),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
           FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),

@@ -127,6 +127,9 @@ object SparkEntry {
     // scan-fused (zero exchanges at any corpus size)
     "text_repetition" -> q((s, d) => TextAnalysis.repetitionSignals(Tables.load(s, d, "documents"))),
     "text_token_histogram" -> q((s, d) => TextAnalysis.tokenHistogram(Tables.load(s, d, "documents"))),
+    // corpus document-frequency rarity signals (rarest-token df, hapax
+    // count, mean df) per document
+    "text_token_rarity" -> q((s, d) => TextAnalysis.tokenRarity(Tables.load(s, d, "documents"))),
     "text_fingerprints" -> q((s, d) => TextAnalysis.fingerprints(Tables.load(s, d, "documents"))),
     "text_winnow_fp" -> q((s, d) => TextAnalysis.winnowingFingerprints(Tables.load(s, d, "documents"))),
     // the composed curation chain: language filter -> quality filter ->
@@ -193,6 +196,10 @@ object SparkEntry {
     // transitive near-dup clusters: min-label propagation to fixpoint
     // over the LSH pair graph (oracle: recursive-CTE transitive closure)
     "dedup_clusters" -> q((s, d) => Dedup.clusters(Tables.load(s, d, "documents"), 3, 0.8)),
+    // adversarial long-chain component (diameter ~N/4) on the O(log d)
+    // pointer-jumping loop — the plain O(d) loop would take ~60 rounds
+    // at sf0.01 where this takes ~8
+    "dedup_clusters_chain" -> q((s, d) => Dedup.clustersPointerJump(Dedup.chainedDocs(Tables.load(s, d, "documents")), 3, 0.8)),
     // 16 bands x 16 planes/band: each band's buckets stay tiny (population
     // ∝ n/65536 — near-linear self-join at any scale) and the union over
     // bands recovers recall. threshold=0.35 sized to the testdata's cosine
@@ -441,6 +448,7 @@ object SparkEntry {
     "text_quality" -> OracleSqlGen.qualitySql,
     "text_repetition" -> OracleSqlGen.repetitionSignalsSql,
     "text_token_histogram" -> OracleSqlGen.tokenHistogramSql,
+    "text_token_rarity" -> OracleSqlGen.tokenRaritySql,
     "text_fingerprints" -> OracleSqlGen.fingerprintsSql,
     "text_winnow_fp" -> OracleSqlGen.winnowingSql(5, 4),
     "curate_corpus" -> OracleSqlGen.curateSql("en", 0.7),
@@ -465,6 +473,7 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> OracleSqlGen.jaccardPairsSql(3, 0.8),
     "dedup_simhash" -> OracleSqlGen.simhashSql,
     "dedup_clusters" -> OracleSqlGen.clustersSql(3, 0.8),
+    "dedup_clusters_chain" -> OracleSqlGen.clustersChainSql(3, 0.8),
     "dedup_embedding_pairs" -> OracleSqlGen.embeddingNearDupSql(16, 16, 64, 0.35),
     "dedup_semantic_pairs" -> OracleSqlGen.semanticPairsSql(8, 16, 64, 0.95),
     "mm_asset_stats" -> OracleSqlGen.assetStatsSql,

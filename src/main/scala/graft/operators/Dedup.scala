@@ -781,6 +781,94 @@ object Dedup {
     labels.select(col("doc_id"), col("cluster_id"))
   }
 
+  /** Chain stress fixture: EVEN doc_ids become sliding windows over a
+    * synthetic token stream — chain doc c (= doc_id/2) holds tokens
+    * `tok{c·2} … tok{c·2+39}`. Consecutive chain docs share 36 of 40
+    * distinct 3-gram shingles (jaccard = 0.90), docs two apart 34 of 42
+    * (≈ 0.81 — also an edge, which makes connectivity robust to a
+    * deterministically missed band collision), three apart 32 of 44
+    * (≈ 0.73, below threshold) — the LSH pair graph over the even docs
+    * is a double-linked PATH of diameter ≈ N/4, the adversarial
+    * long-chain component the [[clusters]] scaladoc warns about. Odd
+    * docs keep their real text (disjoint vocabulary — no cross edges).
+    * Pure function of (doc_id, text); the oracle rebuilds it in SQL.
+    */
+  val ChainWindow = 40
+  val ChainStride = 2
+
+  def chainedDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat_ws(" ", transform(
+          sequence((col("doc_id") / 2).cast("long") * ChainStride,
+            (col("doc_id") / 2).cast("long") * ChainStride + (ChainWindow - 1)),
+          j => concat(lit("tok"), j))))
+        .otherwise(col("text")))
+
+  /** [[clusters]] with POINTER JUMPING — the O(log diameter) round bound
+    * the plain loop's scaladoc prescribes for adversarial long-chain
+    * components. Each round every node takes
+    * `min(L(v), L(L(v)), min over neighbours' L(u))`: the `L(L(v))`
+    * term (a self-join of the label table on `cluster_id = doc_id`,
+    * well-defined because labels only ever take existing doc_id values)
+    * halves every label-pointer chain per round, so a diameter-d path
+    * converges in O(log d) rounds instead of O(d) — on the
+    * [[chainedDocs]] fixture at 5 000 docs that is ~12 sequential jobs
+    * instead of ~600. Same fixpoint as [[clusters]] (the jump term
+    * only shortcuts toward an already-reachable label, never off the
+    * component), same min-label output, same recursive-CTE oracle; the
+    * price is one extra (node,label) hash join per round, which is why
+    * the plain variant remains the default for shallow near-dup graphs.
+    * Convergence rides the checkpoint job as a sign-only `observe()`
+    * metric, exactly like [[clusters]].
+    */
+  def clustersPointerJump(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                          checkpointDir: Option[String] = None): DataFrame =
+    clustersPointerJumpWithRounds(docs, n, threshold, checkpointDir)._1
+
+  private[graft] def clustersPointerJumpWithRounds(
+      docs: DataFrame, n: Int, threshold: Double,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = docs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val edges = minhashLshPairs(docs, n, threshold).select(col("a"), col("b"))
+    val sym = save(
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+    var labels = save(docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      val neighborMin = sym
+        .join(labels, sym("b") === labels("doc_id"))
+        .groupBy(sym("a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val jump = labels
+        .select(col("doc_id").as("jd"), col("cluster_id").as("j_min"))
+      val metric = s"clusters_pj_round_$round"
+      val observed = labels
+        .join(jump, labels("cluster_id") === jump("jd"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("j_min"), col("cluster_id")).as("j_min"))
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("j_min"),
+            coalesce(col("n_min"), col("cluster_id"))).as("next_id"),
+          (least(col("j_min"), coalesce(col("n_min"), col("cluster_id")))
+            < col("cluster_id")).cast("long").as("chg"))
+        .select(col("doc_id"), col("next_id").as("cluster_id"), col("chg"))
+        .observe(metric, sum(col("chg")).as("changed"))
+      val next = save(observed)
+      changed = Option(observed.queryExecution.observedMetrics(metric).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next
+    }
+    (labels.select(col("doc_id"), col("cluster_id")), round)
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

@@ -328,6 +328,34 @@ object TextAnalysis {
     docs.select((floor(tokenCount(col("text")) / 32) * 32).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** Per-document TOKEN RARITY signals from corpus-wide document
+    * frequencies — the "does this doc lean on vocabulary nobody else
+    * uses" quality axis (OOV-ish gibberish and boilerplate sit at the
+    * two extremes of df): for each doc over its DISTINCT tokens, the
+    * rarest token's df, the count of hapax tokens (df = 1 corpus-wide),
+    * and the mean df. All integer counts except the final mean, which is
+    * one IEEE divide + half-up round in both engines — bit-exact.
+    *
+    * Scale shape: two inherent shuffles — (token → df) with map-side
+    * combine (wire cost = vocabulary, not token stream) and the doc
+    * re-aggregation; the df join is token-keyed and AQE-broadcastable
+    * when the vocabulary is small. Nothing wider than (doc_id, token,
+    * df) ever shuffles.
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val toksD = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(normalizeText(col("text"))))).as("tok"))
+    val df = toksD.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    toksD.join(df, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        min(col("df")).as("min_df"),
+        sum((col("df") === 1).cast("long")).as("hapax"),
+        round(sum(col("df")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("mean_df"))
+  }
+
   /** Fingerprint + duplicate-group size per document. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))

@@ -231,6 +231,38 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pointer-jump clusters: same fixpoint, O(log d) rounds on a chain") {
+    // same labeling as the plain loop on an ordinary shallow graph
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val shallow = Seq(
+      (10L, base, "en", "s"), (11L, base.toUpperCase, "en", "s"),
+      (12L, base + " kilo", "en", "s"),
+      (30L, "totally unrelated words about engines and planners", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val plain = Dedup.clusters(shallow, 3, 0.8).as[(Long, Long)].collect().toMap
+    val pj = Dedup.clustersPointerJump(shallow, 3, 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(pj == plain)
+
+    // a 24-doc double-linked chain (the chainedDocs construction on even
+    // ids 0,2,…,46): one component labeled 0, found in ~log2(diameter)
+    // rounds where plain propagation needs ~diameter
+    val chainDocs = Dedup.chainedDocs(
+      (0L until 48L by 2).map(i => (i, "placeholder", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"))
+    // fixture sanity: even docs really are token windows
+    val t0 = chainDocs.filter($"doc_id" === 4L).collect()(0).getString(1)
+    assert(t0.startsWith("tok4 tok5") && t0.split(" ").length == Dedup.ChainWindow)
+    val (labelsDf, rounds) =
+      Dedup.clustersPointerJumpWithRounds(chainDocs, 3, 0.8, None)
+    val labels = labelsDf.as[(Long, Long)].collect().toMap
+    assert(labels.size == 24 && labels.values.forall(_ == 0L),
+      s"chain did not collapse: ${labels.toSeq.sorted}")
+    // diameter is ~11 hops (±1/±2 edges over 24 nodes); the jump loop
+    // must beat plain propagation's round count decisively
+    assert(rounds <= 7, s"pointer jumping took $rounds rounds")
+  }
+
   test("fused MinHashSlots is bit-identical to the per-permutation form") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val fused = Dedup.minhashSignatures(docs)

@@ -81,4 +81,23 @@ class RepetitionSpec extends SparkSpec {
       assert(got(id).getAs[Double]("top_2gram_frac") == expect, s"doc $id")
     }
   }
+
+  test("token rarity: df over distinct tokens, hapax count, exact mean") {
+    // dfs: shared=3, alpha=2, beta=1, gamma=1, delta=2, "shared shared"
+    // in doc 3 counts once (distinct within doc)
+    val docs = Seq(
+      (1L, "shared alpha beta"),
+      (2L, "shared alpha delta"),
+      (3L, "shared shared gamma delta"),
+      (4L, "")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    val got = TextAnalysis.tokenRarity(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((3L, 1L, 1L, 2.0)))    // dfs {3,2,1}
+    assert(got(2L) == ((3L, 2L, 0L, 2.3333))) // dfs {3,2,2}, 7/3 rounded
+    assert(got(3L) == ((3L, 1L, 1L, 2.0)))    // dfs {3,1,2}
+    assert(!got.contains(4L)) // tokenless docs drop out (matches oracle)
+  }
 }
