@@ -683,6 +683,46 @@ object OracleSqlGen {
         WHERE est_sim >= $threshold"""
   }
 
+  /** Mirrors Dedup.fuzzyDecontaminate: banded cross-slice candidates
+    * (train % 20 ≠ 0 vs eval % 20 = 0), signature-slot estimate,
+    * per-train aggregation over DISTINCT eval matches.
+    */
+  def fuzzyDecontaminateSql(n: Int, threshold: Double): String = {
+    val matches = (0 until Dedup.NumHashes)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""${sigCteOver(wordShCte(n))},
+        bands AS (SELECT doc_id, unnest([$bandKeysSql]) AS bk FROM sig
+                  WHERE len(shingles) > 0),
+        cand AS (SELECT DISTINCT tr.doc_id AS doc_id, ev.doc_id AS eval_doc_id
+          FROM bands tr JOIN bands ev ON tr.bk = ev.bk
+          WHERE tr.doc_id % 20 <> 0 AND ev.doc_id % 20 = 0),
+        est AS (SELECT cand.doc_id, cand.eval_doc_id,
+          round(($matches)::DOUBLE / ${Dedup.NumHashes}, 4) AS est_sim
+          FROM cand JOIN sig sa ON cand.doc_id = sa.doc_id
+                    JOIN sig sb ON cand.eval_doc_id = sb.doc_id)
+        SELECT doc_id, count(*) AS n_eval_matches, max(est_sim) AS max_sim
+        FROM est WHERE est_sim >= $threshold GROUP BY doc_id"""
+  }
+
+  /** Mirrors Dedup.clusterRepresentatives: the clusters closure as a
+    * shadowed subquery, token counts joined on, and the per-cluster
+    * winner picked by (n_tokens DESC, doc_id) — the same total order as
+    * the Spark side's max_by struct.
+    */
+  def clusterRepsSql(n: Int, threshold: Double): String =
+    s"""WITH lab AS (SELECT * FROM (${clustersSql(n, threshold)})),
+        q AS (SELECT doc_id, len(${toks(norm("text"))})::BIGINT AS n_tokens
+          FROM documents),
+        j AS (SELECT lab.cluster_id, lab.doc_id, q.n_tokens,
+            row_number() OVER (PARTITION BY lab.cluster_id
+              ORDER BY q.n_tokens DESC, lab.doc_id) AS rk,
+            count(*) OVER (PARTITION BY lab.cluster_id) AS cluster_size
+          FROM lab JOIN q ON lab.doc_id = q.doc_id)
+        SELECT cluster_id, doc_id AS keep_doc_id, n_tokens,
+          CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM j WHERE rk = 1"""
+
   private def lshPairsSqlOver(shCte: String, threshold: Double): String = {
     val bandKeys = bandKeysSql
     s"""${sigCteOver(shCte)},
@@ -1196,6 +1236,31 @@ object OracleSqlGen {
           CAST(sum(abs(s)) AS BIGINT) AS abs_sum,
           CAST(sum(s * s) AS BIGINT) AS energy
         FROM v GROUP BY asset_id, n"""
+  }
+
+  /** Mirrors Multimodal.decodeAudioAutocorr: lag autocorrelations and
+    * energy from the closed-form samples as LIST operations (1-based
+    * list indexing; empty lag window → coalesce 0).
+    */
+  def audioAutocorrSql: String = {
+    import graft.operators.Multimodal.{AudNMod, AudNMin}
+    def acExpr(lag: Int): String =
+      s"""coalesce(list_sum(list_transform(
+            generate_series(1, CAST(n - $lag AS BIGINT)),
+            j -> ls[CAST(j AS INTEGER)] * ls[CAST(j + $lag AS INTEGER)])), 0)"""
+    s"""WITH adim AS (SELECT doc_id AS asset_id,
+          CAST(${mh("ns")} % $AudNMod + $AudNMin AS INTEGER) AS n
+          FROM documents),
+        lists AS (SELECT asset_id, n,
+          list_transform(generate_series(0, CAST(n - 1 AS BIGINT)),
+            i -> ((i * 2003 + asset_id * 31) % 65536) - 32768) AS ls
+          FROM adim)
+        SELECT asset_id, CAST(n AS BIGINT) AS n_samples,
+          CAST(${acExpr(0)} AS BIGINT) AS energy,
+          CAST(${acExpr(1)} AS BIGINT) AS ac1,
+          CAST(${acExpr(8)} AS BIGINT) AS ac8,
+          CAST(${acExpr(64)} AS BIGINT) AS ac64
+        FROM lists"""
   }
 
   /** Mirrors Multimodal.decodeFrameStats: the sampled frames' channel

@@ -200,6 +200,12 @@ object SparkEntry {
     // pointer-jumping loop — the plain O(d) loop would take ~60 rounds
     // at sf0.01 where this takes ~8
     "dedup_clusters_chain" -> q((s, d) => Dedup.clustersPointerJump(Dedup.chainedDocs(Tables.load(s, d, "documents")), 3, 0.8)),
+    // one surviving doc per near-dup cluster, chosen by token count
+    // (RefinedWeb keep-the-longest policy), not min id
+    "dedup_cluster_reps" -> q((s, d) => Dedup.clusterRepresentatives(Tables.load(s, d, "documents"), 3, 0.8)),
+    // LSH-level train/eval decontamination: near-dup leakage that shares
+    // few exact 8-grams still surfaces via signature similarity
+    "corpus_decontaminate_fuzzy" -> q((s, d) => Dedup.fuzzyDecontaminate(Tables.load(s, d, "documents"), 3, 0.8)),
     // 16 bands x 16 planes/band: each band's buckets stay tiny (population
     // ∝ n/65536 — near-linear self-join at any scale) and the union over
     // bands recovers recall. threshold=0.35 sized to the testdata's cosine
@@ -235,6 +241,10 @@ object SparkEntry {
     // 16-bit PCM frames; integer sample stats vs the closed-form oracle
     "mm_audio_decode" -> q((s, d) =>
       Multimodal.decodeAudioStats(Multimodal.audioAssetsTable(s, d)).toDF()),
+    // temporal features over decoded samples: lag autocorrelations +
+    // energy, integer-exact vs the closed-form oracle
+    "mm_audio_autocorr" -> q((s, d) =>
+      Multimodal.decodeAudioAutocorr(Multimodal.audioAssetsTable(s, d)).toDF()),
     // frame-sampled video decode: custom demux (no JDK video container),
     // REAL per-frame PNG decode; skipped frames skip cheaply (no decode)
     "mm_video_frames" -> q((s, d) =>
@@ -474,6 +484,8 @@ object SparkEntry {
     "dedup_simhash" -> OracleSqlGen.simhashSql,
     "dedup_clusters" -> OracleSqlGen.clustersSql(3, 0.8),
     "dedup_clusters_chain" -> OracleSqlGen.clustersChainSql(3, 0.8),
+    "dedup_cluster_reps" -> OracleSqlGen.clusterRepsSql(3, 0.8),
+    "corpus_decontaminate_fuzzy" -> OracleSqlGen.fuzzyDecontaminateSql(3, 0.8),
     "dedup_embedding_pairs" -> OracleSqlGen.embeddingNearDupSql(16, 16, 64, 0.35),
     "dedup_semantic_pairs" -> OracleSqlGen.semanticPairsSql(8, 16, 64, 0.95),
     "mm_asset_stats" -> OracleSqlGen.assetStatsSql,
@@ -483,6 +495,7 @@ object SparkEntry {
     "mm_image_decode" -> OracleSqlGen.imageDecodeSql,
     "mm_image_resample" -> OracleSqlGen.imageResampleSql(16, 12),
     "mm_audio_decode" -> OracleSqlGen.audioDecodeSql,
+    "mm_audio_autocorr" -> OracleSqlGen.audioAutocorrSql,
     "mm_video_frames" -> OracleSqlGen.videoFramesSql(2),
     "sim_topk_bruteforce" -> OracleSqlGen.bruteForceTopKSql(0L, 20, 64),
     "sim_topk_quantized" -> OracleSqlGen.quantizedTopKSql(0L, 20, 64),

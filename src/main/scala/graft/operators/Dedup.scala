@@ -269,6 +269,63 @@ object Dedup {
       .distinct()
   }
 
+  /** FUZZY decontamination: train documents whose minhash signature
+    * near-matches any EVAL document — the LSH-level generalization of
+    * [[graft.operators.CorpusOps.decontaminate]]'s exact-gram overlap
+    * (paraphrased or lightly-edited benchmark leakage shares few exact
+    * 8-grams but keeps a high jaccard). Eval slice = deterministic
+    * `doc_id % 20 == 0` (5 %), train = the rest; output one row per
+    * CONTAMINATED train doc with its distinct eval-match count and the
+    * strongest signature-estimate similarity.
+    *
+    * Scale shape: Catalyst pushes each slice filter BELOW the banded
+    * subplan, so the two branches tokenize/minhash DISJOINT row sets —
+    * every document's signature is computed exactly once across the
+    * query, with no extra full-corpus exchange (a shared
+    * repartition+ReusedExchange would shuffle text+sig for everything
+    * instead; scan-level slicing is strictly cheaper — PlanShapeSpec
+    * pins the pushed slice filters). The band join shuffles each slice
+    * by bk once; the per-train aggregation is the only other shuffle.
+    * Candidate volume is bands × bucket occupancy, never train × eval.
+    */
+  def fuzzyDecontaminate(docs: DataFrame, n: Int = 3,
+                         threshold: Double = 0.8): DataFrame = {
+    val banded = withBandedSignature(docs, n)
+      .select(col("doc_id"), col("sig"), col("bk"))
+    val evalB = banded.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("bk"), col("doc_id").as("eval_doc_id"), col("sig").as("e_sig"))
+    banded.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .join(evalB, Seq("bk"))
+      .select(col("doc_id"), col("eval_doc_id"),
+        sigEstimate(col("sig"), col("e_sig")).as("est_sim"))
+      .filter(col("est_sim") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("eval_doc_id")).as("n_eval_matches"),
+        max(col("est_sim")).as("max_sim"))
+  }
+
+  /** Cluster REPRESENTATIVES: the curation step [[clusters]] exists for —
+    * one surviving document per near-dup cluster, chosen by QUALITY
+    * (most tokens, ties to the smaller doc_id) rather than min id: the
+    * RefinedWeb-style "keep the longest copy" policy at cluster
+    * granularity. One `max_by` shuffle over (cluster_id, small struct)
+    * on top of the cluster labeling.
+    */
+  def clusterRepresentatives(docs: DataFrame, n: Int = 3,
+                             threshold: Double = 0.8): DataFrame = {
+    val labels = clusters(docs, n, threshold)
+    val quality = docs.select(col("doc_id"),
+      size(tokens(normalizeText(col("text")))).cast("long").as("n_tokens"))
+    labels.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col("doc_id"), col("n_tokens")),
+          struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("w"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("w.doc_id").as("keep_doc_id"),
+        col("w.n_tokens").as("n_tokens"), col("cluster_size"))
+  }
+
   /** Signature-estimate similarity: matching minhash slots / NumHashes —
     * the constant-work candidate verifier shared by [[charLshPairs]] and
     * the streaming near-dup filter.

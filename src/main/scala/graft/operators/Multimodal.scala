@@ -417,6 +417,59 @@ object Multimodal {
       }
   }
 
+  /** Temporal FEATURE EXTRACTION over real-decoded audio: lag
+    * autocorrelations (lags 1, 8, 64) plus energy — the
+    * periodicity/smoothness signals a speech-vs-noise or silence filter
+    * keys on, computed from the DECODED samples (full RIFF parse + PCM
+    * frame decode, same real-codec path as [[decodeAudioStats]]).
+    * Integer products throughout (|s| < 2¹⁵, n < 5·10³ ⇒ sums < 2⁴³) so
+    * the DuckDB oracle recomputes every value exactly from the
+    * closed-form samples. Lags past the clip length yield 0. One
+    * asset's samples materialize at a time inside `mapPartitions` —
+    * O(clip) memory, the per-partition-codec shape of the whole
+    * multimodal pillar.
+    */
+  case class AudioAutocorr(asset_id: Long, n_samples: Long, energy: Long,
+                           ac1: Long, ac8: Long, ac64: Long)
+
+  def decodeAudioAutocorr(assets: DataFrame): Dataset[AudioAutocorr] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+          if (ais == null) None
+          else {
+            val le = !ais.getFormat.isBigEndian
+            val pcm = ais.readAllBytes()
+            val n = pcm.length / 2
+            val s = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val (lo, hi) = if (le) (pcm(2 * i) & 0xff, pcm(2 * i + 1).toInt)
+                             else (pcm(2 * i + 1) & 0xff, pcm(2 * i).toInt)
+              s(i) = (hi << 8) | lo
+              i += 1
+            }
+            def ac(lag: Int): Long = {
+              var acc = 0L; var j = 0
+              while (j + lag < n) { acc += s(j).toLong * s(j + lag); j += 1 }
+              acc
+            }
+            Some(AudioAutocorr(id, n.toLong, ac(0), ac(1), ac(8), ac(64)))
+          }
+        }
+      }
+  }
+
   // ----------------------------------------- real per-frame video decode
 
   /** Video assets: a length-prefixed sequence of REAL PNG frames. There

@@ -263,6 +263,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rounds <= 7, s"pointer jumping took $rounds rounds")
   }
 
+  test("cluster representatives: longest doc wins its cluster, sizes right") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val corpus = Seq(
+      (10L, base, "en", "s"),
+      (11L, base + " kilo", "en", "s"),        // near-dup of 10, LONGER -> wins
+      (30L, "totally unrelated words about engines and planners", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val reps = Dedup.clusterRepresentatives(corpus, 3, 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(reps(10L) == ((11L, 11L, 2L))) // cluster 10: keep 11 (11 tokens)
+    assert(reps(30L) == ((30L, 7L, 1L)))  // singleton keeps itself
+  }
+
+  test("fuzzy decontamination: near-dup of an eval doc flagged, eval excluded") {
+    // doc 20 is "eval" (20 % 20 == 0); doc 21 normalizes to the same
+    // text (signature-identical, est 1.0); doc 23 is unrelated
+    val evalText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (20L, evalText, "en", "s"),
+      (21L, evalText.toUpperCase, "en", "s"),
+      (23L, "completely different content with no overlap whatsoever at all here now", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.fuzzyDecontaminate(corpus, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // only the near-dup train doc flags; the eval doc itself never
+    // appears on the train side of the output
+    assert(got == List((21L, 1L, 1.0)))
+  }
+
   test("fused MinHashSlots is bit-identical to the per-permutation form") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val fused = Dedup.minhashSignatures(docs)

@@ -167,6 +167,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudioStats(junk).collect().isEmpty)
   }
 
+  test("audio autocorrelation: decoded-sample lags match the closed form") {
+    val feats = Multimodal.decodeAudioAutocorr(
+      Multimodal.audioAssets(docs).toDF())
+      .collect().map(s => s.asset_id -> s).toMap
+    assert(feats.size == 5)
+    feats.values.foreach { f =>
+      val n = f.n_samples.toInt
+      val s = (0 until n).map(i => Multimodal.audioSample(f.asset_id, i))
+      def ac(lag: Int): Long =
+        (0 until n - lag).map(j => s(j).toLong * s(j + lag)).sum
+      assert((f.energy, f.ac1, f.ac8, f.ac64) == ((ac(0), ac(1), ac(8), ac(64))),
+        s"autocorr drifts from generated samples for asset ${f.asset_id}")
+      // Cauchy-Schwarz bounds every lag by the energy; the sawtooth
+      // samples (period ≈ 65536/2003 ≈ 32.7) are strongly lag-1
+      // correlated, which is exactly what the feature should expose
+      assert(math.abs(f.ac1) <= f.energy && math.abs(f.ac64) <= f.energy)
+      assert(f.ac1 > 0, "sawtooth signal must show positive lag-1 correlation")
+    }
+    import spark.implicits._
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("asset_id", "content")
+    assert(Multimodal.decodeAudioAutocorr(junk).collect().isEmpty)
+  }
+
   test("video fixture: per-frame PNG decode, stride skips frames without decoding") {
     val vids = Multimodal.videoAssets(docs).collect().sortBy(_.asset_id)
     assert(vids.length == 5 && vids.forall(_.n_frames >= Multimodal.VidFMin))

@@ -117,6 +117,22 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the embedding exchange to be reused:\n$p")
   }
 
+  test("fuzzy decontamination signatures each slice once, below the filter") {
+    // the slice filters must push BELOW the minhash subplan: two
+    // evaluations over DISJOINT row sets (train/eval), so no document is
+    // signatured twice and no full-corpus exchange is added. A plan with
+    // the filters stuck above one shared subtree would minhash the whole
+    // corpus and then throw 95 % / 5 % away on each side.
+    val df = Dedup.fuzzyDecontaminate(Tables.load(spark, sf, "documents"), 3, 0.8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val evals = "minhash_slots".r.findAllIn(p).size
+    assert(evals == 2, s"expected 2 disjoint-slice minhash evaluations, got $evals:\n$p")
+    // each evaluation sits above a scan-adjacent pmod slice filter
+    assert("pmod\\(doc_id".r.findAllIn(p).size >= 2, s"slice filters not pushed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("banded SRP near-dup never degrades to a cross join") {
     val p = plan(Dedup.embeddingNearDupPairs(
       Tables.load(spark, sf, "embeddings"), 16, 16, 64, 0.35))
