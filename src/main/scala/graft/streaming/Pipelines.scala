@@ -256,6 +256,40 @@ object Pipelines {
       .dropDuplicatesWithinWatermark(Seq("doc_id", "matched_doc_id"))
   }
 
+  /** Streaming SIMILARITY ALERTS — the ANN twin of
+    * [[streamingNearDupMatches]]: a stream of query vectors probes the
+    * PERSISTED partitioned ANN index
+    * ([[graft.operators.Similarity.partitionedAnnIndex]]) by SRP bucket
+    * and emits every index vector whose exact cosine clears the
+    * threshold, deduped per (query, match) within the watermark.
+    *
+    * Scale shape: the stream side computes its bucket scan-fused per
+    * row; the stream-static equi-join keeps ZERO streaming state for
+    * the corpus — the accumulated index participates from disk, exactly
+    * like the near-dup and exact-ingest paths, and candidate volume per
+    * query is its bucket's occupancy (~n/2^planes), never the corpus.
+    * The only stateful operator is the watermark-bounded dedup.
+    */
+  def streamingAnnMatches(queries: DataFrame, index: DataFrame,
+                          eventTimeCol: String, delay: String,
+                          planes: Int = 4, dims: Int = 64,
+                          threshold: Double = 0.6): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.GraftFunctions
+    queries
+      .withColumn("q_bucket",
+        Similarity.srpBucket(col("embedding"), planes, dims).cast("int"))
+      .join(index.select(col("bucket"), col("vec_id").as("match_vec_id"),
+        col("embedding").as("m_embedding")), col("q_bucket") === col("bucket"))
+      .select(col("q_id"), col("match_vec_id"),
+        round(GraftFunctions.cosineSimilarity(
+          col("embedding"), col("m_embedding")), 4).as("cos_sim"),
+        col(eventTimeCol))
+      .filter(col("cos_sim") >= threshold)
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("q_id", "match_vec_id"))
+  }
+
   /** The north-star COMPOSITION: corpus curation ON the stream — an
     * incremental documents frame (the `graft-jdbc` DSv2 source in
     * production, any streaming frame in tests) → join-free

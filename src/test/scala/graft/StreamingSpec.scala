@@ -557,6 +557,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN alerts probe the persisted index, dedupe in-watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val sf = "/root/testdata/sf0.001"
+    val index = operators.Similarity.partitionedAnnIndex(spark, sf, 4, 64)
+    // a known corpus vector arriving as a query: same bucket, cosine 1.0
+    val q0 = Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" === 0L).select($"embedding")
+      .collect()(0).getSeq[Float](0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("q_id", "embedding", "ts")
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingAnnMatches(stream, index, "ts", "1 minute",
+        planes = 4, dims = 64, threshold = 0.99),
+      "ann_alerts_t", OutputMode.Append)
+    try {
+      val ts = new java.sql.Timestamp(1000000L)
+      mem.addData((7001L, q0, ts))
+      q.processAllAvailable()
+      // the same query re-arriving inside the watermark stays deduped
+      mem.addData((7001L, q0, ts))
+      q.processAllAvailable()
+      val got = spark.table("ann_alerts_t")
+        .select($"q_id", $"match_vec_id", $"cos_sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.count(m => m._1 == 7001L && m._2 == 0L && m._3 == 1.0) == 1,
+        s"got=${got.toSeq}")
+      assert(got.forall(_._3 >= 0.99)) // nothing below the gate leaks
+    } finally q.stop()
+  }
+
   test("sessionization runs unchanged on the RocksDB state store provider") {
     // the 100 TB stateful path: the default HDFS-backed store keeps every
     // key in executor memory; RocksDB spills to local disk. The provider
