@@ -269,6 +269,9 @@ object SparkEntry {
     // vec_id % 4 == 0 slice (the prescribed form past ~2^33 training
     // rows); the oracle trains the identical slice
     "sim_ivf_topk_sampled" -> q((s, d) => Similarity.ivfTopKSampled(Tables.load(s, d, "embeddings"), 0L, 20, 16, 4, 2, 4)),
+    // index maintenance: today's batch assigned with the persisted
+    // centroids and unioned with yesterday's lists — append == rebuild
+    "sim_ivf_incremental" -> q((s, d) => Similarity.ivfIncrementalTopK(s, d, 0L, 20, 16, 4)),
     // approximate kNN SELF-join: every vector's top-3 neighbours from
     // banded-SRP candidates, exact-cosine ranked per vector
     "sim_knn_join" -> q((s, d) => Similarity.knnJoin(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
@@ -505,6 +508,7 @@ object SparkEntry {
     "sim_ivf_topk" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
     "sim_ivf_topk_partitioned" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
     "sim_ivf_topk_sampled" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64, 2, 4),
+    "sim_ivf_incremental" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
     "sim_knn_join" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
   )
 }

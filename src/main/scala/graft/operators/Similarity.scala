@@ -414,9 +414,68 @@ object Similarity {
   def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
                          qid: Long = 0L, k: Int = 20,
                          numCentroids: Int = 16, nprobe: Int = 4,
+                         iters: Int = 2): DataFrame =
+    ivfProbeOver(partitionedIvfIndex(spark, dir, numCentroids, iters),
+      graft.Tables.load(spark, dir, "embeddings"),
+      ivfCentroidsTable(spark, dir, numCentroids, iters), qid, k, nprobe)
+
+  /** The persisted IVF index of YESTERDAY's corpus slice
+    * (vec_id % 10 < 8) — the incremental-maintenance stand-in, list
+    * layout and centroids identical to [[partitionedIvfIndex]].
+    */
+  def ivfSliceIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    numCentroids: Int = 16, iters: Int = 2): DataFrame =
+    Similarity.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_ivfslice_c${numCentroids}_k${iters}_$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        ivfAssignWith(
+          graft.Tables.load(spark, dir, "embeddings")
+            .filter(pmod(col("vec_id"), lit(10)) < 8),
+          ivfCentroidsTable(spark, dir, numCentroids, iters))
+          .withColumn("c_id", col("c_id").cast("int"))
+          .repartition(col("c_id"))
+          .write.partitionBy("c_id")
+          .option("path", path)
+          .mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** INDEX MAINTENANCE without retraining: today's batch
+    * (vec_id % 10 >= 8) is assigned on the fly with the SAME persisted
+    * centroids and unioned with yesterday's persisted lists
+    * ([[ivfSliceIndex]]) — no retrain, no index rebuild; a production
+    * pipeline appends the assigned batch to the list directories
+    * instead of re-deriving them. Because assignment is a pure function
+    * of (vector, centroids), the union is VALUE-identical to the
+    * monolithic index, so the oracle is the plain full-corpus IVF probe
+    * — what this query additionally proves is that the append path
+    * cannot drift from a rebuild. The probed list ids prune the
+    * persisted side's scan; the batch side is batch-sized.
+    */
+  def ivfIncrementalTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         qid: Long = 0L, k: Int = 20,
+                         numCentroids: Int = 16, nprobe: Int = 4,
                          iters: Int = 2): DataFrame = {
-    val idx = partitionedIvfIndex(spark, dir, numCentroids, iters)
+    val cents = ivfCentroidsTable(spark, dir, numCentroids, iters)
     val emb = graft.Tables.load(spark, dir, "embeddings")
+    val old = ivfSliceIndex(spark, dir, numCentroids, iters)
+      .select(col("vec_id"), col("label"), col("embedding"), col("c_id"))
+    val batch = ivfAssignWith(
+      emb.filter(pmod(col("vec_id"), lit(10)) >= 8), cents)
+      .withColumn("c_id", col("c_id").cast("int"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("c_id"))
+    ivfProbeOver(old.unionByName(batch), emb, cents, qid, k, nprobe)
+  }
+
+  /** The shared nprobe probe: rank the persisted centroids by cosine to
+    * the query, explode the top-nprobe list ids into a broadcast frame,
+    * equi-join on the index's list id (partition-pruning when the index
+    * side is a partitioned table), exact top-k within the probed lists.
+    */
+  private def ivfProbeOver(idx: DataFrame, emb: DataFrame, cents: DataFrame,
+                           qid: Long, k: Int, nprobe: Int): DataFrame = {
     val cmp = (l: Column, r: Column) => {
       val sl = cosineSimilarity(col("q_embedding"), l.getField("c_emb"))
       val sr = cosineSimilarity(col("q_embedding"), r.getField("c_emb"))
@@ -429,7 +488,7 @@ object Similarity {
     // at index-build time, not per query
     val probe = emb.filter(col("vec_id") === qid)
       .select(col("embedding").as("q_embedding"))
-      .crossJoin(broadcast(ivfCentroidsTable(spark, dir, numCentroids, iters)))
+      .crossJoin(broadcast(cents))
       .select(col("q_embedding"),
         explode(transform(slice(array_sort(col("cents"), cmp), 1, nprobe),
           _.getField("c_id"))).as("list_id"))

@@ -354,6 +354,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("ivf incremental: batch append equals the monolithic rebuild") {
+    // the slice index + on-the-fly batch assignment must return row-for-
+    // row what the full persisted index returns — append cannot drift
+    val dir = "/root/testdata/sf0.001"
+    val inc = Similarity.ivfIncrementalTopK(spark, dir, 0L, 20, 16, 4)
+      .collect().map(r => (r.getLong(0), r.get(1), r.getDouble(2))).toSeq
+    val full = Similarity.ivfTopKPartitioned(spark, dir, 0L, 20, 16, 4)
+      .collect().map(r => (r.getLong(0), r.get(1), r.getDouble(2))).toSeq
+    assert(inc == full)
+    // the batch side is genuinely present: a batch vector (vec_id%10>=8)
+    // can appear in results; at minimum the union covers the corpus
+    val n = Similarity.ivfSliceIndex(spark, dir, 16, 2).count() +
+      graft.Tables.load(spark, dir, "embeddings")
+        .filter($"vec_id" % 10 >= 8).count()
+    assert(n == graft.Tables.load(spark, dir, "embeddings").count())
+  }
+
   test("ivf ann: restricted probe returns a rank-preserving subset") {
     // iters = 0 (seed centroids): the expectations below pin the probe
     // MECHANICS to the fixture's hand-built geometry; training would move
