@@ -435,6 +435,61 @@ object OracleSqlGen {
           CAST(floor(cum::DOUBLE / $budgetTokens.0) AS BIGINT) AS shard_id
         FROM c"""
 
+  /** Mirrors CorpusOps.chunkMap: the packShards running sum, each doc
+    * exploded onto the chunk range it spans (generate_series is inclusive
+    * in both engines), slice geometry in pure BIGINT arithmetic.
+    */
+  def chunkMapSql(chunkTokens: Long): String =
+    s"""WITH s AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT doc_id, n_tok,
+          coalesce(sum(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM s),
+        x AS (SELECT doc_id, n_tok, cum,
+          unnest(generate_series(
+            CAST(floor(cum::DOUBLE / $chunkTokens.0) AS BIGINT),
+            CAST(floor((cum + n_tok - 1)::DOUBLE / $chunkTokens.0) AS BIGINT))) AS chunk_id
+          FROM c WHERE n_tok > 0)
+        SELECT chunk_id, doc_id,
+          CAST(greatest(cum, chunk_id * $chunkTokens) - chunk_id * $chunkTokens AS BIGINT) AS off_in_chunk,
+          CAST(greatest(cum, chunk_id * $chunkTokens) - cum AS BIGINT) AS tok_from,
+          CAST(least(cum + n_tok, chunk_id * $chunkTokens + $chunkTokens)
+            - greatest(cum, chunk_id * $chunkTokens) AS BIGINT) AS n_toks
+        FROM x"""
+
+  /** Mirrors CorpusOps.mixCorpusTemperature: per-source token mass, rate
+    * = sqrt(min/tok) (both operations IEEE-correctly-rounded, so the
+    * rates agree bit-for-bit), threshold rendered with the identical
+    * floor(rate·2³²)→8-hex-digit construction, compared against the same
+    * md5 cell. `::DOUBLE` casts force double arithmetic everywhere a bare
+    * DuckDB literal would otherwise be DECIMAL.
+    */
+  def mixCorpusTemperatureSql(salt: String = "mixt"): String =
+    s"""WITH t AS (SELECT source,
+          sum(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS tok
+          FROM documents GROUP BY source),
+        r AS (SELECT source,
+          sqrt((SELECT min(tok) FROM t)::DOUBLE / tok::DOUBLE) AS rate FROM t),
+        thr AS (SELECT source,
+          CASE WHEN rate >= 1.0 THEN 'g'
+               ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+          END AS t FROM r)
+        SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+        WHERE ${hexCellSql(salt)} < thr.t"""
+
+  /** Mirrors CorpusOps.shuffleShards: 60-bit md5 rank ([[base60]]), shard
+    * by modulus, dense in-shard position by (rank, doc_id).
+    */
+  def shuffleShardsSql(shards: Int, salt: String = "shuffle"): String =
+    s"""WITH h AS (SELECT doc_id, ${base60(s"'$salt:' || doc_id")} AS h
+          FROM documents)
+        SELECT doc_id, h % $shards AS shard,
+          CAST(row_number() OVER (PARTITION BY h % $shards
+            ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM h"""
+
   // --------------------------------------------------------------- dedup
 
   /** DetHash.base60 in DuckDB: 15 md5 hex chars → 60-bit BIGINT. */
@@ -1011,6 +1066,49 @@ object OracleSqlGen {
         FROM asg, q
         WHERE vec_id <> $qid AND c_id IN (SELECT c_id FROM qtop)
         ORDER BY cos_sim DESC, vec_id ASC LIMIT $k"""
+
+  /** Mirrors Similarity.semDedup: trained centroids ([[ivfCentsCtes]]),
+    * rank-1 assignment, pairwise cosine WITHIN each cluster only,
+    * keep-first duplicate rule (a vector is a dup iff a same-cluster
+    * partner with smaller vec_id clears the threshold).
+    */
+  def semDedupSql(numCentroids: Int, iters: Int, dims: Int,
+                  threshold: Double): String =
+    s"""WITH ${ivfCentsCtes(numCentroids, iters, dims)},
+        asg AS (SELECT vec_id, embedding, c_id FROM (
+            SELECT e.vec_id, e.embedding, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosine("e.embedding", "c.c_emb", dims)} DESC, c.c_id ASC) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1)
+        SELECT b.vec_id AS vec_id, b.c_id AS c_id,
+          min(a.vec_id) AS dup_of, count(*) AS n_dups
+        FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        WHERE ${cosine("a.embedding", "b.embedding", dims)} > $threshold::DOUBLE
+        GROUP BY b.vec_id, b.c_id"""
+
+  /** Mirrors Similarity.prunePrototypes: rank-1 assignment KEEPING the
+    * winning cosine as proto_sim, per-cluster prototypicality rank, drop
+    * the ceil(|cluster| · dropFrac) most central members. The `::DOUBLE`
+    * on dropFrac forces the same IEEE multiply Spark runs (a bare DuckDB
+    * decimal literal would round cnt·frac differently at exact-integer
+    * products).
+    */
+  def prunePrototypesSql(numCentroids: Int, iters: Int, dims: Int,
+                         dropFrac: Double): String =
+    s"""WITH ${ivfCentsCtes(numCentroids, iters, dims)},
+        asg AS (SELECT vec_id, c_id, proto_sim FROM (
+            SELECT e.vec_id, c.c_id,
+              ${cosine("e.embedding", "c.c_emb", dims)} AS proto_sim,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosine("e.embedding", "c.c_emb", dims)} DESC, c.c_id ASC) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+        rk AS (SELECT vec_id, c_id, proto_sim,
+            CAST(row_number() OVER (PARTITION BY c_id
+              ORDER BY proto_sim DESC, vec_id ASC) AS BIGINT) AS rk,
+            count(*) OVER (PARTITION BY c_id) AS cnt
+          FROM asg)
+        SELECT vec_id, c_id, rk, round(proto_sim, 4) AS proto_sim
+        FROM rk WHERE rk > ceil(cnt::DOUBLE * $dropFrac::DOUBLE)"""
 
   /** Mirrors Similarity.quantizedTopK: symmetric int8 quantization
     * (scale = max|x|/127 as ONE division, code = floor(x/scale + 0.5) —

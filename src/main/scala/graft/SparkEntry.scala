@@ -146,6 +146,18 @@ object SparkEntry {
     // token-budget shard packing via two-phase distributed prefix sum
     // (oracle computes the same running sum with one global window)
     "corpus_pack_shards" -> q((s, d) => CorpusOps.packShards(Tables.load(s, d, "documents"), 1000L, 32)),
+    // GPT-style concat-and-chunk dataloader map: which token slices of
+    // which docs make up each fixed 512-token training sequence (same
+    // prefix sum as pack_shards + a bounded per-doc chunk explode)
+    "corpus_chunk_map" -> q((s, d) => CorpusOps.chunkMap(Tables.load(s, d, "documents"), 512L, 32)),
+    // temperature (α=1/2) domain rebalancing with DATA-DERIVED rates:
+    // sqrt(min_tok/tok_s) per source, threshold built in-plan (sqrt is
+    // correctly rounded in both engines, so rates agree bit-for-bit)
+    "corpus_mix_temperature" -> q((s, d) => CorpusOps.mixCorpusTemperature(Tables.load(s, d, "documents"))),
+    // deterministic global shuffle into dataloader shards: md5 rank →
+    // shard = rank mod 8 + dense in-shard position, reproducible on any
+    // cluster size (no rand(), no sampled range boundaries)
+    "corpus_shuffle" -> q((s, d) => CorpusOps.shuffleShards(Tables.load(s, d, "documents"), 8)),
     // exact top-quota-per-source by quality: rank-limit pushdown
     // (WindowGroupLimit) prunes map-side, so no reducer sees a whole source
     "corpus_quota_sample" -> q((s, d) => CorpusOps.quotaSample(Tables.load(s, d, "documents"), 25)),
@@ -275,6 +287,14 @@ object SparkEntry {
     // approximate kNN SELF-join: every vector's top-3 neighbours from
     // banded-SRP candidates, exact-cosine ranked per vector
     "sim_knn_join" -> q((s, d) => Similarity.knnJoin(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
+    // SemDeDup (arXiv:2303.09540): pairwise cosine only WITHIN each
+    // trained IVF cluster — candidate volume Σ|cluster|²/2, never n²/2;
+    // keep-first rule; reuses the persisted centroid table
+    "corpus_semdedup" -> q((s, d) => Similarity.semDedup(s, d, 16, 2, 0.4)),
+    // SSL-prototypes / D4 density pruning: drop the 20% most
+    // centroid-hugging members of every cluster (zero-shuffle assignment
+    // + per-cluster window; the one exchange is cluster-width-bounded)
+    "corpus_prune_prototypes" -> q((s, d) => Similarity.prunePrototypes(s, d, 16, 2, 0.2)),
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
@@ -469,6 +489,9 @@ object SparkEntry {
     "corpus_mix" -> OracleSqlGen.mixCorpusSql(),
     "corpus_decontaminate" -> OracleSqlGen.decontaminateSql(8, 0.05),
     "corpus_pack_shards" -> OracleSqlGen.packShardsSql(1000L),
+    "corpus_chunk_map" -> OracleSqlGen.chunkMapSql(512L),
+    "corpus_mix_temperature" -> OracleSqlGen.mixCorpusTemperatureSql(),
+    "corpus_shuffle" -> OracleSqlGen.shuffleShardsSql(8),
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
     "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
     "corpus_stats" -> OracleSqlGen.corpusStatsSql,
@@ -510,5 +533,7 @@ object SparkEntry {
     "sim_ivf_topk_sampled" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64, 2, 4),
     "sim_ivf_incremental" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
     "sim_knn_join" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
+    "corpus_semdedup" -> OracleSqlGen.semDedupSql(16, 2, 64, 0.4),
+    "corpus_prune_prototypes" -> OracleSqlGen.prunePrototypesSql(16, 2, 64, 0.2),
   )
 }

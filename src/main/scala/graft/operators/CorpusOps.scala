@@ -293,7 +293,18 @@ object CorpusOps {
   }
 
   def packShards(docs: DataFrame, budgetTokens: Long = 1000L,
-                 numParts: Int = 32): DataFrame = {
+                 numParts: Int = 32): DataFrame =
+    tokenSpans(docs, numParts)
+      .select(col("doc_id"), col("n_tok"),
+        floor(col("start").cast("double")
+          / budgetTokens.toDouble).cast("long").as("shard_id"))
+
+  /** The documents' GLOBAL token positions: (doc_id, n_tok, start) where
+    * `start` is the exclusive running token sum in doc_id order — the
+    * two-phase distributed prefix sum described on [[packShards]],
+    * factored out so the shard packer and the chunk map share it.
+    */
+  private def tokenSpans(docs: DataFrame, numParts: Int): DataFrame = {
     val sized = docs
       .select(col("doc_id"), bpeishTokenCount(col("text")).as("n_tok"))
     val withPid = sized.crossJoin(broadcast(
@@ -316,7 +327,111 @@ object CorpusOps {
       .select(col("pid"), col("offset"))
     withLocal.join(broadcast(offsets), Seq("pid"))
       .select(col("doc_id"), col("n_tok"),
-        floor((col("offset") + col("cum_local")).cast("double")
-          / budgetTokens.toDouble).cast("long").as("shard_id"))
+        (col("offset") + col("cum_local")).as("start"))
   }
+
+  /** The DATALOADER CHUNK MAP: concatenate the corpus in doc_id order and
+    * cut it into fixed `chunkTokens`-token context windows (the GPT-style
+    * "concat and chunk" batching that packs documents back to back,
+    * splitting a document across a chunk boundary rather than padding).
+    * One row per (chunk, document) overlap:
+    * (chunk_id, doc_id, off_in_chunk, tok_from, n_toks) — "chunk c
+    * carries `n_toks` tokens of doc d, starting at the doc's token
+    * `tok_from`, landing at chunk offset `off_in_chunk`". [[packShards]]
+    * answers "which shard does each WHOLE document go to"; this answers
+    * the finer dataloader question "which token slices make up each
+    * training sequence".
+    *
+    * Shape: the [[tokenSpans]] two-phase prefix sum (no single-reducer
+    * stage), then a pure per-row explode of each document onto the chunks
+    * it touches — `sequence(first, last)` is at most `n_tok/chunkTokens+1`
+    * long, so the fan-out is Σ tokens / chunkTokens extra rows overall,
+    * all integer arithmetic (exact in both engines; `floor(double)` on
+    * token counts ≪ 2⁵³).
+    */
+  def chunkMap(docs: DataFrame, chunkTokens: Long = 512L,
+               numParts: Int = 32): DataFrame = {
+    val c = chunkTokens.toDouble
+    tokenSpans(docs, numParts)
+      // a zero-token document occupies no span and maps to no chunk
+      .filter(col("n_tok") > 0)
+      .withColumn("chunk_id", explode(sequence(
+        floor(col("start").cast("double") / c).cast("long"),
+        floor((col("start") + col("n_tok") - 1).cast("double") / c).cast("long"))))
+      .withColumn("cstart", col("chunk_id") * chunkTokens)
+      .withColumn("from_tok", greatest(col("start"), col("cstart")))
+      .select(
+        col("chunk_id"), col("doc_id"),
+        (col("from_tok") - col("cstart")).as("off_in_chunk"),
+        (col("from_tok") - col("start")).as("tok_from"),
+        (least(col("start") + col("n_tok"), col("cstart") + chunkTokens)
+          - col("from_tok")).as("n_toks"))
+  }
+
+  /** TEMPERATURE-rebalanced domain mixing at α = 1/2 (the multinomial
+    * temperature-sampling rule of multilingual/multi-domain training —
+    * Lample & Conneau 2019, arXiv:1901.07291 §3.1 — realized as a
+    * deterministic DOWNSAMPLE): a domain with token mass `tok_s` keeps
+    * each document with probability `sqrt(min_tok / tok_s)`, so kept
+    * token mass ∝ √tok_s — small domains are flattened up relative to
+    * large ones, and the smallest domain keeps everything (rate 1 ⇒
+    * upsampling is the dataloader's epoch knob, not a row copy). α = 1/2
+    * specifically because `sqrt` is IEEE-correctly-rounded in every
+    * engine — `pow(x, α)` for general α is not, and the rate feeds a
+    * reproducibility-critical threshold.
+    *
+    * Unlike [[mixCorpus]]'s operator-literal weights, the rates here are
+    * DATA-DERIVED, so the keep threshold is computed in-plan: floor(rate
+    * · 2³²) rendered as 8 lower-case hex digits (the [[hexThreshold]]
+    * construction as a Column), compared against the same md5 cell. Two
+    * passes over the corpus (token-mass aggregate, then the filter) —
+    * inherent, as the rates are a global property; at 100 TB the first
+    * pass is the per-source row of the corpus datasheet ([[corpusStats]])
+    * a pipeline maintains anyway. The per-source frame is tiny and
+    * broadcast; the filter itself fuses into the scan.
+    */
+  def mixCorpusTemperature(docs: DataFrame,
+                           salt: String = "mixt"): DataFrame = {
+    val bySrc = docs
+      .select(col("source"), bpeishTokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("tok"))
+    val rates = bySrc.crossJoin(broadcast(bySrc.agg(min(col("tok")).as("min_tok"))))
+      .select(col("source"),
+        sqrt(col("min_tok").cast("double") / col("tok").cast("double")).as("rate"))
+    val thr = when(col("rate") >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(floor(col("rate") * lit(4294967296.0))
+        .cast("long"))), 8, "0"))
+    docs.join(broadcast(rates.select(col("source"), thr.as("thr"))), Seq("source"))
+      .filter(hexCell(col("doc_id"), salt) < col("thr"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Deterministic GLOBAL SHUFFLE into dataloader shards: each document
+    * gets a 60-bit md5 rank, shard = rank mod `shards`, and a dense
+    * in-shard position by rank order — the "shuffle once, then stream
+    * shards sequentially" layout step (each worker reads its shard in
+    * `pos` order and sees a reproducible random permutation of the
+    * corpus). Re-running on the same corpus reproduces the identical
+    * permutation on any cluster size; changing `salt` is a fresh epoch's
+    * reshuffle.
+    *
+    * Shape: one shuffle (by `shard`) + a per-shard window for `pos`.
+    * Each shard ranks on its own reducer, so `shards` is sized so a
+    * shard fits a worker — at 100 TB that is thousands of shards, which
+    * is exactly what the dataloader wants anyway (shard count = read
+    * parallelism). The md5 rank makes shard membership AND order a pure
+    * function of doc_id — no `rand()`, no sampled RangePartitioner
+    * boundaries, nothing run-order-dependent.
+    */
+  def shuffleShards(docs: DataFrame, shards: Int = 8,
+                    salt: String = "shuffle"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        conv(substring(md5(concat(lit(salt + ":"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
 }

@@ -559,4 +559,93 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  // -------------------------------------------------------------------
+  // Embedding-space corpus pruning over the IVF clustering
+  // -------------------------------------------------------------------
+
+  /** The persisted centroids as a K-row (c_id, c_emb) frame — the
+    * exploded twin of [[ivfCentroidsTable]]'s one-row array form, for
+    * consumers that join per-cluster rather than folding per row.
+    */
+  private def centroidRows(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, numCentroids: Int,
+                           iters: Int): DataFrame =
+    ivfCentroidsTable(spark, dir, numCentroids, iters)
+      .select(explode(col("cents")).as("c"))
+      .select(col("c.c_id"), col("c.c_emb"))
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): pairwise cosine is evaluated only WITHIN each
+    * coarse cluster of the trained IVF quantizer, never across the
+    * corpus. A vector is reported as a duplicate iff some SAME-CLUSTER
+    * vector with a smaller vec_id sits above the threshold — the
+    * keep-first rule every other keep-one dedup in this engine uses.
+    * Output: (vec_id, c_id, dup_of = smallest such partner, n_dups).
+    *
+    * Scale shape — the whole point of the method: the only shuffle is
+    * the equi-join on `c_id`, so candidate generation is Σ|cluster|²/2,
+    * not n²/2. At 100 TB the cluster count K scales with the corpus
+    * (the paper runs ~100k clusters via the same k-means) so each list
+    * stays worker-sized; here K = numCentroids of the shared persisted
+    * quantizer, and assignment itself is the zero-shuffle broadcast
+    * fold ([[ivfAssignWith]]). Cross-cluster near-dups are invisible by
+    * construction — that recall loss is the documented trade the paper
+    * measures, not a bug. Training runs ONCE per corpus directory
+    * ([[ivfCentroidsTable]]); probes of any threshold reuse it.
+    */
+  def semDedup(spark: org.apache.spark.sql.SparkSession, dir: String,
+               numCentroids: Int = 16, iters: Int = 2,
+               threshold: Double = 0.4): DataFrame = {
+    val asg = ivfAssignWith(graft.Tables.load(spark, dir, "embeddings"),
+        ivfCentroidsTable(spark, dir, numCentroids, iters))
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+    val a = asg.select(col("c_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = asg.select(col("c_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    a.join(b, Seq("c_id"))
+      .filter(col("a_id") < col("b_id") &&
+        cosineSimilarity(col("a_emb"), col("b_emb")) > threshold)
+      .groupBy(col("b_id"), col("c_id"))
+      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+      .select(col("b_id").as("vec_id"), col("c_id"), col("dup_of"),
+        col("n_dups"))
+  }
+
+  /** Prototype / density pruning (the SSL-Prototypes baseline of Sorscher
+    * et al. 2022, arXiv:2206.14486, as applied to LLM data in D4,
+    * Tirumala et al. 2023, arXiv:2308.12284): within each IVF cluster,
+    * rank members by cosine to their OWN centroid (most prototypical
+    * first, ties → lowest vec_id) and drop the top `dropFrac` — the most
+    * redundant, cluster-center-hugging examples. Output: the SURVIVORS
+    * (vec_id, c_id, rk, proto_sim rounded).
+    *
+    * Scale shape: centroid lookup is a K-row broadcast onto the
+    * zero-shuffle assignment fold, so the single exchange is the
+    * per-cluster window — each cluster ranks on its own reducer, input
+    * bounded by cluster width (K scales with the corpus, as in
+    * [[semDedup]]). The drop count `ceil(|cluster| * dropFrac)` is
+    * derived in-window from `count(*) over` — no second pass.
+    */
+  def prunePrototypes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      numCentroids: Int = 16, iters: Int = 2,
+                      dropFrac: Double = 0.2): DataFrame = {
+    val asg = ivfAssignWith(graft.Tables.load(spark, dir, "embeddings"),
+        ivfCentroidsTable(spark, dir, numCentroids, iters))
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_id"))
+    val scored = asg
+      .join(broadcast(centroidRows(spark, dir, numCentroids, iters)),
+        Seq("c_id"))
+      .select(col("vec_id"), col("c_id"),
+        cosineSimilarity(col("embedding"), col("c_emb")).as("proto_sim"))
+    scored
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("proto_sim").desc, col("vec_id").asc)).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("rk") > ceil(col("cnt").cast("double") * dropFrac))
+      .select(col("vec_id"), col("c_id"), col("rk"),
+        round(col("proto_sim"), 4).as("proto_sim"))
+  }
 }

@@ -195,4 +195,83 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown lost:\n$p")
     assert(!p.contains("Exchange SinglePartition"), "no single-reducer stage")
   }
+
+  test("chunkMap: slices tile every chunk and reassemble every document") {
+    val docs = Tables.load(spark, sf, "documents")
+    val c = 512L
+    val rows = CorpusOps.chunkMap(docs, c, 32).collect()
+    // per chunk: offsets start at 0, slices are contiguous, and every
+    // chunk except the last carries exactly `c` tokens
+    val byChunk = rows.groupBy(_.getAs[Long]("chunk_id"))
+    val lastChunk = byChunk.keys.max
+    byChunk.foreach { case (cid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("off_in_chunk"))
+      assert(sorted.head.getAs[Long]("off_in_chunk") == 0L, s"chunk $cid")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("off_in_chunk") + a.getAs[Long]("n_toks")
+            == b.getAs[Long]("off_in_chunk"), s"gap in chunk $cid")
+        case _ =>
+      }
+      val tot = rs.map(_.getAs[Long]("n_toks")).sum
+      if (cid != lastChunk) assert(tot == c, s"chunk $cid carries $tot")
+      else assert(tot <= c)
+    }
+    // per document: slices cover [0, n_tok) without overlap, in chunk order
+    val nTok = docs.select($"doc_id",
+        graft.functions.GraftFunctions.bpeishTokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (did, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("tok_from"))
+      assert(sorted.head.getAs[Long]("tok_from") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("tok_from") + a.getAs[Long]("n_toks")
+            == b.getAs[Long]("tok_from"), s"doc $did slices not contiguous")
+        case _ =>
+      }
+      assert(sorted.map(_.getAs[Long]("n_toks")).sum == nTok(did))
+    }
+  }
+
+  test("mixCorpusTemperature: smallest domain keeps all; rates follow √ mass") {
+    val docs = Tables.load(spark, sf, "documents")
+    val kept = CorpusOps.mixCorpusTemperature(docs).collect()
+    val keptBySrc = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val tokBySrc = docs.groupBy($"source")
+      .agg(sum(graft.functions.GraftFunctions.bpeishTokenCount($"text")).as("t"))
+      .as[(String, Long)].collect().toMap
+    val nBySrc = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val minSrc = tokBySrc.minBy(_._2)._1
+    // rate 1 for the lightest domain: every one of its documents survives
+    assert(keptBySrc(minSrc) == nBySrc(minSrc))
+    // everything kept is a real document and the result is deterministic
+    assert(kept.length == CorpusOps.mixCorpusTemperature(docs).count())
+    // the heaviest domain is actually thinned (rate < 1 and the md5 cells
+    // at these counts cannot all fall under the threshold)
+    val maxSrc = tokBySrc.maxBy(_._2)._1
+    assert(keptBySrc.getOrElse(maxSrc, 0) < nBySrc(maxSrc),
+      s"heaviest domain $maxSrc not thinned")
+  }
+
+  test("shuffleShards: a reproducible permutation with dense per-shard positions") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = CorpusOps.shuffleShards(docs, 8).collect()
+    assert(out.length == docs.count())
+    assert(out.map(_.getAs[Long]("doc_id")).toSet.size == out.length)
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      assert(sh >= 0 && sh < 8)
+      // positions are dense 1..|shard|
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq
+        == (1L to rs.length.toLong).toSeq, s"shard $sh positions not dense")
+    }
+    // deterministic: a second run is the identical permutation; a new
+    // salt is a different one
+    val again = CorpusOps.shuffleShards(docs, 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      == again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+    val epoch2 = CorpusOps.shuffleShards(docs, 8, "epoch2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(epoch2.toSeq != out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+  }
 }

@@ -509,4 +509,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(p.contains("hash_embed_counts"), "embedding stage lost the fused expression")
     assert(p.contains("srp_band_keys"), "banding lost the fused expression")
   }
+
+  test("semDedup: exactly the within-cluster keep-first duplicates") {
+    val dir = "/root/testdata/sf0.001"
+    val tau = 0.4
+    val out = Similarity.semDedup(spark, dir, 16, 2, tau).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("dup_of"), r.getAs[Long]("n_dups")))
+    assert(out.nonEmpty, "fixture should contain within-cluster near-dups at 0.4")
+    // ground truth from the SAME persisted assignment, brute-forced on
+    // the driver with the identical left-to-right double summation
+    val asg = Similarity.ivfAssignWith(
+        Tables.load(spark, dir, "embeddings"),
+        Similarity.ivfCentroidsTable(spark, dir, 16, 2))
+      .select("vec_id", "c_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    val expected = (for {
+      (bi, bc, bv) <- asg
+      partners = asg.filter { case (ai, ac, av) =>
+        ac == bc && ai < bi && cos(av, bv) > tau }
+      if partners.nonEmpty
+    } yield (bi, bc, partners.map(_._1).min, partners.length.toLong)).toSet
+    assert(out.toSet == expected)
+  }
+
+  test("prunePrototypes: per-cluster drop quota and contiguous surviving ranks") {
+    val dir = "/root/testdata/sf0.001"
+    val surv = Similarity.prunePrototypes(spark, dir, 16, 2, 0.2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("c_id"), r.getAs[Long]("rk")))
+    val sizes = Similarity.ivfAssignWith(
+        Tables.load(spark, dir, "embeddings"),
+        Similarity.ivfCentroidsTable(spark, dir, 16, 2))
+      .groupBy("c_id").count().as[(Long, Long)].collect().toMap
+    assert(surv.nonEmpty)
+    val bySize = surv.groupBy(_._2)
+    // every cluster appears (no cluster is so small it vanishes at 20%)
+    assert(bySize.keySet == sizes.keySet)
+    bySize.foreach { case (cid, rs) =>
+      val cnt = sizes(cid)
+      val dropped = math.ceil(cnt * 0.2).toLong
+      assert(rs.length == cnt - dropped, s"cluster $cid")
+      // survivors are exactly the ranks dropped+1 .. cnt
+      assert(rs.map(_._3).sorted.toSeq == (dropped + 1 to cnt).toSeq,
+        s"cluster $cid ranks not contiguous")
+    }
+    // distinct vectors, each surviving in its own cluster only
+    assert(surv.map(_._1).distinct.length == surv.length)
+  }
 }
