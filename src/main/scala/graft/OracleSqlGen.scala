@@ -280,6 +280,41 @@ object OracleSqlGen {
         FROM c GROUP BY doc_id"""
   }
 
+  /** Mirrors TextAnalysis.domainClassify: the sparse hashed-count chain
+    * (same CTEs as [[hashEmbeddingSketchSql]]) joined against the
+    * classes×dims integer weight matrix rendered as a VALUES relation
+    * from the SAME [[DetHash.classifierWeight]] derivation the Spark
+    * projection inlines as array literals — one source of truth, no
+    * drift. Argmax by (score DESC, cls ASC) row_number; margin from the
+    * lead() runner-up in the same ordering. All integer. Documents whose
+    * counts all cancel have no sparse rows and are absent in both engines.
+    */
+  def domainClassifySql(dims: Int, classes: Int): String = {
+    val shift = java.lang.Integer.numberOfTrailingZeros(dims)
+    val w = (0 until classes).flatMap { c =>
+      (0 until dims).map(d => s"($c,$d,${DetHash.classifierWeight(c, d)})")
+    }.mkString(",")
+    s"""WITH tk AS (SELECT doc_id, unnest(${toks(norm("text"))}) AS t
+          FROM documents),
+        h AS (SELECT doc_id, ${base60("t")} AS h FROM tk),
+        s AS (SELECT doc_id, (h & ${dims - 1}) AS dim,
+          CASE WHEN ((h >> $shift) & 1) = 0 THEN 1 ELSE -1 END AS sgn FROM h),
+        c AS (SELECT doc_id, dim, sum(sgn) AS c FROM s
+          GROUP BY doc_id, dim HAVING sum(sgn) <> 0),
+        w(cls, dim, w) AS (VALUES $w),
+        sc AS (SELECT doc_id, cls, CAST(sum(c * w) AS BIGINT) AS score
+          FROM c JOIN w USING (dim) GROUP BY doc_id, cls),
+        rk AS (SELECT doc_id, cls, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, cls) AS rn,
+          lead(score) OVER (PARTITION BY doc_id
+            ORDER BY score DESC, cls) AS nxt
+          FROM sc)
+        SELECT doc_id, CAST(cls AS INTEGER) AS cls, score,
+          score - nxt AS margin
+        FROM rk WHERE rn = 1"""
+  }
+
   /** Mirrors Dedup.semanticPairs: feature-hash counts (same chain as
     * [[hashEmbeddingSketchSql]]) → banded-SRP candidates → exact-cosine
     * verify, all in sparse form. The ±1 plane weights inline as a VALUES

@@ -130,6 +130,10 @@ object SparkEntry {
     // corpus document-frequency rarity signals (rarest-token df, hapax
     // count, mean df) per document
     "text_token_rarity" -> q((s, d) => TextAnalysis.tokenRarity(Tables.load(s, d, "documents"))),
+    // fastText-shaped linear domain classifier: fused hashed counts ×
+    // integer weight matrix, argmax + margin in one codegen'd projection —
+    // zero exchanges; a trained model swaps the weight literals only
+    "text_domain_classify" -> q((s, d) => TextAnalysis.domainClassify(Tables.load(s, d, "documents"))),
     "text_fingerprints" -> q((s, d) => TextAnalysis.fingerprints(Tables.load(s, d, "documents"))),
     "text_winnow_fp" -> q((s, d) => TextAnalysis.winnowingFingerprints(Tables.load(s, d, "documents"))),
     // the composed curation chain: language filter -> quality filter ->
@@ -482,6 +486,7 @@ object SparkEntry {
     "text_repetition" -> OracleSqlGen.repetitionSignalsSql,
     "text_token_histogram" -> OracleSqlGen.tokenHistogramSql,
     "text_token_rarity" -> OracleSqlGen.tokenRaritySql,
+    "text_domain_classify" -> OracleSqlGen.domainClassifySql(64, 4),
     "text_fingerprints" -> OracleSqlGen.fingerprintsSql,
     "text_winnow_fp" -> OracleSqlGen.winnowingSql(5, 4),
     "curate_corpus" -> OracleSqlGen.curateSql("en", 0.7),

@@ -71,6 +71,14 @@ object DetHash {
     r
   }
 
+  /** Integer linear-classifier weight for (class, dim) — md5-derived in
+    * [-8, 8] like every other engine constant, so the oracle's VALUES
+    * relation renders from this same source of truth and the scores are
+    * integer-exact in both engines ([[graft.operators.TextAnalysis.domainClassify]]).
+    */
+  def classifierWeight(cls: Int, dim: Int): Long =
+    base60(s"dcls_${cls}_$dim") % 17 - 8
+
   /** ±1 hyperplane weight for (plane, dim) — random-hyperplane LSH for
     * embeddings (sign-random-projection).
     */

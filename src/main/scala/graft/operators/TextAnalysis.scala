@@ -537,4 +537,54 @@ object TextAnalysis {
               x => x.isNotNull))),
             _.cast("string"))).as("fp_sig"))
   }
+
+  /** Model-based DOMAIN CLASSIFICATION — the fastText-shaped linear
+    * inference pass every production curation pipeline runs (CCNet's
+    * language filter, the quality classifiers of GPT-3/LLaMA data work):
+    * score(class) = ⟨hashed-count vector, integer weight row⟩, prediction
+    * = argmax with ties to the smaller class id, margin = best − runner-up
+    * (the abstain/confidence knob).
+    *
+    * The weight matrix is a stand-in for trained parameters — md5-derived
+    * integers in [-8, 8] from [[graft.functions.DetHash.classifierWeight]],
+    * the same source of truth the oracle's VALUES relation renders from —
+    * but the INFERENCE SHAPE is the production one: features come from the
+    * fused [[hashEmbeddingCountsFused]] native expression, the classes×dims
+    * dot products and the argmax all happen in one codegen'd per-row
+    * projection, and everything stays integer so the scores are
+    * bit-identical cross-engine. ZERO exchanges at any corpus size; a real
+    * trained model swaps the weight literals, nothing else.
+    *
+    * Documents whose hashed counts all cancel (or empty documents) carry
+    * no signal and are dropped — mirroring the sparse oracle, whose
+    * (doc, dim) groups never form. The drop rides the generator-output
+    * guard (see [[hashEmbeddingSketchFused]]): a plain `.filter` on the
+    * derived array would be substituted below the projection and run the
+    * whole count loop twice per row.
+    */
+  def domainClassify(docs: DataFrame, dims: Int = 64,
+                     classes: Int = 4): DataFrame = {
+    import graft.functions.DetHash
+    require(classes >= 2, "need at least two classes to classify")
+    val kept = hashEmbeddingCountsFused(docs, dims)
+      .select(col("doc_id"),
+        explode(when(exists(col("cnts"), x => x =!= 0L),
+          array(col("cnts")))).as("v"))
+    // ascending (score, classes−cls) structs: the LAST element is the max
+    // score with ties resolved to the SMALLEST class id
+    val scored = kept.select(col("doc_id"), array_sort(
+      array((0 until classes).map { c =>
+        val w = typedLit((0 until dims).map(d => DetHash.classifierWeight(c, d)))
+        struct(
+          aggregate(zip_with(col("v"), w, (x, y) => x * y),
+            lit(0L), (a, x) => a + x).as("score"),
+          lit((classes - c).toLong).as("inv"))
+      }: _*)).as("srt"))
+    scored.select(col("doc_id"),
+      (lit(classes) - element_at(col("srt"), classes).getField("inv"))
+        .cast("int").as("cls"),
+      element_at(col("srt"), classes).getField("score").as("score"),
+      (element_at(col("srt"), classes).getField("score")
+        - element_at(col("srt"), classes - 1).getField("score")).as("margin"))
+  }
 }

@@ -90,4 +90,39 @@ class HashEmbeddingSpec extends SparkSpec {
     assert(cos(v(1L), v(2L)) > 0.9)
     assert(cos(v(1L), v(2L)) > cos(v(1L), v(3L)))
   }
+
+  test("classifier: argmax/tie-break/margin agree with a JVM recomputation") {
+    import graft.functions.DetHash
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val counts = TextAnalysis.hashEmbeddingCountsFused(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = TextAnalysis.domainClassify(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = counts.collect { case (id, v) if v.exists(_ != 0L) =>
+      val scores = (0 until 4).map { c =>
+        (0 until 64).map(dim => v(dim) * DetHash.classifierWeight(c, dim)).sum
+      }
+      val best = scores.zipWithIndex.maxBy { case (s, c) => (s, -c) }
+      val runnerUp = scores.zipWithIndex.filter(_._2 != best._2).map(_._1).max
+      id -> ((best._2, best._1, best._1 - runnerUp))
+    }
+    assert(got.nonEmpty && got == expected)
+    assert(got.values.forall(_._3 >= 0L), "margin is best minus runner-up")
+  }
+
+  test("classifier: all-cancelling and empty documents are absent; one scan, no shuffle") {
+    val d = docs(1L -> "", 2L -> "real content with several words")
+    val rows = TextAnalysis.domainClassify(d).collect().map(_.getLong(0)).toSet
+    assert(rows == Set(2L), "empty doc must be dropped like the sparse oracle")
+    val p = TextAnalysis.domainClassify(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning")
+      && !p.contains("Exchange SinglePartition"),
+      "classifier inference must not shuffle")
+    // the count loop runs ONCE: the fused expression appears only in the
+    // generator's child projection, not re-inlined into the filter
+    assert(p.sliding("hash_embed_counts".length).count(_ == "hash_embed_counts") <= 2,
+      "hash_embed_counts must not be re-inlined per consumer")
+  }
 }
