@@ -23,39 +23,59 @@ object Tables {
     "lineitem", "orders", "events", "documents", "embeddings", "customer", "part")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores ts as TIMESTAMP(NANOS), which Spark has no
-    // native type for — read it as long nanos and truncate to µs
-    // TimestampType. Integer `div` (not `/`, which is double and loses
-    // precision above 2^53 — epoch-nanos are ~1.7e18) keeps this exact.
-    //
-    // nanosAsLong is a SESSION-WIDE flag, so it is restored to its prior
-    // value once the relation is resolved: leaving it set would silently
-    // change how any later TIMESTAMP(NANOS) parquet column is read
-    // elsewhere in the session. Scan execution is unaffected by the
-    // restore — the scan captures its Hadoop conf (including this flag)
-    // when the relation is created, not when the query later runs.
-    // The set→resolve→restore window is serialized under a lock: two
-    // concurrent events loads otherwise race (one restores while the
-    // other is mid-resolution → PARQUET_TYPE_ILLEGAL), which Verify's
-    // 4-way pool hits in practice.
+    // The driver's generator has shipped events.ts in two physical forms
+    // across rounds; normalize both to TimestampType so every downstream
+    // plan sees one schema:
+    //  - timestamp[us] (current): reads natively as TIMESTAMP_NTZ; under
+    //    the engine's pinned UTC session zone the NTZ→TIMESTAMP cast is
+    //    value-identical (and matches what DuckDB sees as naive µs).
+    //  - TIMESTAMP(NANOS) (older rounds): no native Spark type — the plain
+    //    read throws at schema conversion, so fall back to reading long
+    //    nanos under the legacy flag and truncate to µs. Integer `div`
+    //    (not `/`, which is double and loses precision above 2^53 —
+    //    epoch-nanos are ~1.7e18) keeps this exact.
     val raw =
-      if (name == "events") Tables.synchronized {
-        val key = "spark.sql.legacy.parquet.nanosAsLong"
-        val prior = spark.conf.getOption(key)
-        spark.conf.set(key, "true")
+      if (name == "events") {
         try {
-          spark.read.parquet(s"$dir/$name.parquet")
-            .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
-        } finally {
-          prior match {
-            case Some(v) => spark.conf.set(key, v)
-            case None => spark.conf.unset(key)
-          }
-        }
+          spark.read.parquet(s"$dir/$name.parquet").withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(
+              org.apache.spark.sql.types.TimestampType))
+        } catch { case _: Exception => nanosEvents(spark, dir) }
       } else spark.read.parquet(s"$dir/$name.parquet")
     fanOut(spark, dir, name, raw)
   }
+
+  /** Fallback read for older testdata where events.ts is TIMESTAMP(NANOS),
+    * which Spark has no native type for — read it as long nanos under the
+    * legacy flag and truncate to µs TimestampType.
+    *
+    * nanosAsLong is a SESSION-WIDE flag, so it is restored to its prior
+    * value once the relation is resolved: leaving it set would silently
+    * change how any later TIMESTAMP(NANOS) parquet column is read
+    * elsewhere in the session. Scan execution is unaffected by the
+    * restore — the scan captures its Hadoop conf (including this flag)
+    * when the relation is created, not when the query later runs.
+    * The set→resolve→restore window is serialized under a lock: two
+    * concurrent events loads otherwise race (one restores while the
+    * other is mid-resolution → PARQUET_TYPE_ILLEGAL), which Verify's
+    * 4-way pool hits in practice.
+    */
+  private def nanosEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.synchronized {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      } finally {
+        prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
 
   /** The testdata parquet files are one row group each, so a scan yields a
     * single partition and all downstream per-row compute serializes on one
