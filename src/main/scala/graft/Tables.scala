@@ -29,21 +29,47 @@ object Tables {
     //  - timestamp[us] (current): reads natively as TIMESTAMP_NTZ; under
     //    the engine's pinned UTC session zone the NTZ→TIMESTAMP cast is
     //    value-identical (and matches what DuckDB sees as naive µs).
-    //  - TIMESTAMP(NANOS) (older rounds): no native Spark type — the plain
-    //    read throws at schema conversion, so fall back to reading long
-    //    nanos under the legacy flag and truncate to µs. Integer `div`
-    //    (not `/`, which is double and loses precision above 2^53 —
-    //    epoch-nanos are ~1.7e18) keeps this exact.
+    //  - TIMESTAMP(NANOS) (older rounds): no native Spark type. If the
+    //    session-wide nanosAsLong flag happens to be set (another thread
+    //    mid-nanosEvents), the plain read SUCCEEDS with ts as LongType —
+    //    dispatching on the resolved schema (not on whether the read threw)
+    //    keeps that path correct: long nanos are truncated to µs here too.
+    //    Integer `div` (not `/`, which is double and loses precision above
+    //    2^53 — epoch-nanos are ~1.7e18) keeps this exact. Only when the
+    //    flag is unset does the read throw (at schema conversion), and only
+    //    that specific failure falls back to the legacy-flag read; anything
+    //    else (missing file, IO error) propagates as the real root cause.
     val raw =
       if (name == "events") {
+        import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
         try {
-          spark.read.parquet(s"$dir/$name.parquet").withColumn("ts",
-            org.apache.spark.sql.functions.col("ts").cast(
-              org.apache.spark.sql.types.TimestampType))
-        } catch { case _: Exception => nanosEvents(spark, dir) }
+          val df = spark.read.parquet(s"$dir/$name.parquet")
+          df.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            case _ =>
+              df.withColumn("ts",
+                col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          }
+        } catch {
+          case e: Exception if isNanosSchemaError(e) => nanosEvents(spark, dir)
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
     fanOut(spark, dir, name, raw)
   }
+
+  /** True only for the schema-conversion failure Spark raises when a parquet
+    * TIMESTAMP(NANOS) column is read without the legacy nanosAsLong flag
+    * (PARQUET_TYPE_ILLEGAL / "Illegal Parquet type"). Every other failure —
+    * missing file, corrupt footer, IO — must surface as-is, not be masked
+    * by a retry through the legacy path.
+    */
+  private def isNanosSchemaError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("Illegal Parquet type") ||
+        m.contains("TIMESTAMP(NANOS")
+    }
 
   /** Fallback read for older testdata where events.ts is TIMESTAMP(NANOS),
     * which Spark has no native type for — read it as long nanos under the

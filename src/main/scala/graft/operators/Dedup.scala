@@ -798,18 +798,21 @@ object Dedup {
     * adversarial long-chain component the wall-clock is diameter ×
     * per-round latency, and the remedy is an algorithmic switch (pointer
     * doubling / large-star-small-star, O(log d) rounds), not tuning this
-    * loop. Note also that with `checkpointDir` set, `df.checkpoint(true)`
-    * executes the plan twice (eager action + the reliable write job), so
-    * the `changed` metric can double-count: it is used as SIGN-ONLY here
-    * (loop-termination test), never as an exact changed-row count.
+    * loop. With `checkpointDir` set, the round output is persisted before
+    * `checkpoint(true)` so the eager action and the reliable write job
+    * share ONE plan execution — without the cache the plan runs twice and
+    * the `changed` observe() metric double-counts. With the cache the
+    * metric is exact; the loop still only consumes its sign.
     */
   def clusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                checkpointDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+      if (checkpointDir.isDefined) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(true) finally df.unpersist(false)
+      } else df.localCheckpoint(true)
     val edges = minhashLshPairs(docs, n, threshold).select(col("a"), col("b"))
     val sym = save( // edges reused every round: compute LSH once
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
@@ -876,8 +879,9 @@ object Dedup {
     * component), same min-label output, same recursive-CTE oracle; the
     * price is one extra (node,label) hash join per round, which is why
     * the plain variant remains the default for shallow near-dup graphs.
-    * Convergence rides the checkpoint job as a sign-only `observe()`
-    * metric, exactly like [[clusters]].
+    * Convergence rides the checkpoint job as an `observe()` metric,
+    * exactly like [[clusters]] (cached before reliable checkpoint so the
+    * metric accumulates once).
     */
   def clustersPointerJump(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                           checkpointDir: Option[String] = None): DataFrame =
@@ -889,8 +893,10 @@ object Dedup {
     val spark = docs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+      if (checkpointDir.isDefined) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(true) finally df.unpersist(false)
+      } else df.localCheckpoint(true)
     val edges = minhashLshPairs(docs, n, threshold).select(col("a"), col("b"))
     val sym = save(
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
