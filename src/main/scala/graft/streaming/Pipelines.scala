@@ -576,6 +576,31 @@ object Pipelines {
 
   // ------------------------------------------------- kafka (K1/K2 shape)
 
+  /** True iff the spark-sql-kafka connector is loadable. The build sandbox
+    * ships no Kafka artifacts at all — not in `/opt/spark/jars`, not in the
+    * offline coursier cache (probe recorded in `KAFKA_PROBE.md`) — so the
+    * four `format("kafka")` builders below would otherwise fail deep inside
+    * DataSource resolution at `.load()`/`.start()` time with a generic
+    * DATA_SOURCE_NOT_FOUND. Checked eagerly at builder-call time instead,
+    * with an error that names the exact artifacts to add.
+    */
+  def kafkaConnectorAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider",
+        false, getClass.getClassLoader)
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  private def requireKafkaConnector(site: String): Unit =
+    if (!kafkaConnectorAvailable)
+      throw new IllegalStateException(
+        s"$site requires the spark-sql-kafka connector on the classpath: " +
+          "add org.apache.spark:spark-sql-kafka-0-10_2.13 (same version as " +
+          "Spark) and its org.apache.kafka:kafka-clients dependency — e.g. " +
+          "spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:" +
+          org.apache.spark.SPARK_VERSION + ". This build sandbox has no " +
+          "Kafka artifacts (KAFKA_PROBE.md), so the path is untestable here.")
+
   /** The CSAS/CTAS topic record projection — EXACTLY the (key, value)
     * binary columns the Kafka writer ships: value = JSON-encoded row, key
     * = '|'-joined key columns (the reference's changelog key: group key +
@@ -608,13 +633,15 @@ object Pipelines {
     */
   def kafkaSinkWriter(df: DataFrame, topic: String, bootstrapServers: String,
                       keyCols: Seq[String], checkpoint: String,
-                      mode: OutputMode = OutputMode.Append): DataStreamWriter[Row] =
+                      mode: OutputMode = OutputMode.Append): DataStreamWriter[Row] = {
+    requireKafkaConnector("kafkaSinkWriter")
     kafkaRecords(df, keyCols).writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
       .outputMode(mode)
+  }
 
   /** K5 streaming face: append each micro-batch to a JDBC table (the
     * generator's `to_sql(if_exists='append')` as a continuous sink).
@@ -647,7 +674,8 @@ object Pipelines {
     */
   def kafkaJsonSource(spark: SparkSession, topic: String,
                       bootstrapServers: String,
-                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    requireKafkaConnector("kafkaJsonSource")
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -655,6 +683,7 @@ object Pipelines {
       .load()
       .select(from_json(col("value").cast("string"), schema).as("r"))
       .select(col("r.*"))
+  }
 
   /** S2, the reference's actual wire format: Avro binary values
     * (`README.md:186` `value_format='AVRO'`) in Confluent Schema-Registry
@@ -670,7 +699,8 @@ object Pipelines {
   def kafkaAvroSource(spark: SparkSession, topic: String,
                       bootstrapServers: String,
                       wireSchema: org.apache.spark.sql.types.StructType,
-                      confluentFraming: Boolean = true): DataFrame =
+                      confluentFraming: Boolean = true): DataFrame = {
+    requireKafkaConnector("kafkaAvroSource")
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -679,6 +709,7 @@ object Pipelines {
       .select(graft.functions.AvroCodec.avroDecode(
         col("value"), wireSchema, confluentFraming).as("r"))
       .select(col("r.*"))
+  }
 
   /** S2 against a REGISTRY-BACKED topic where records written under
     * evolving schema versions interleave: each record's framed Confluent
@@ -692,7 +723,8 @@ object Pipelines {
   def kafkaAvroSourceEvolving(spark: SparkSession, topic: String,
                               bootstrapServers: String,
                               readerSchema: org.apache.spark.sql.types.StructType,
-                              writerSchemas: Map[Int, org.apache.spark.sql.types.StructType]): DataFrame =
+                              writerSchemas: Map[Int, org.apache.spark.sql.types.StructType]): DataFrame = {
+    requireKafkaConnector("kafkaAvroSourceEvolving")
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -701,4 +733,5 @@ object Pipelines {
       .select(graft.functions.AvroCodec.avroDecodeEvolving(
         col("value"), readerSchema, writerSchemas).as("r"))
       .select(col("r.*"))
+  }
 }
