@@ -472,14 +472,19 @@ object Multimodal {
 
   // ----------------------------------------- real per-frame video decode
 
-  /** Video assets: a length-prefixed sequence of REAL PNG frames. There
-    * is no video demuxer in the JDK, so the CONTAINER is a stand-in
-    * ([int32 frame length][png bytes] repeated — honestly labeled), but
-    * the per-frame codec is the real thing: every sampled frame is
-    * decoded bytes→pixels by `javax.imageio`, which is where the work
-    * is in any frame-sampling pipeline. Frame f of asset `id` uses the
-    * pixel formula keyed by `id·131 + f`, so every frame is distinct
-    * and the oracle recomputes any frame's sums in closed form.
+  /** Video assets: a REAL AVI (RIFF) container — 'hdrl' with
+    * avih/strh/strf headers, '00db' uncompressed 24-bit DIB frame chunks
+    * in the 'movi' list, and an 'idx1' keyframe index — muxed by
+    * [[Avi.mux]] and demuxed back by [[Avi.demux]] (the same RIFF
+    * discipline as the WAV path, one level deeper: nested LISTs and a
+    * per-stream format block). BI_RGB frames are lossless, so the decoded
+    * channel sums equal the closed form and DuckDB can oracle-check a
+    * container parse it cannot perform. Frame f of asset `id` uses the
+    * pixel formula keyed by `id·131 + f`, so every frame is distinct.
+    * The demuxer also decodes 'MJPG'-compressed chunks (JPEG frames via
+    * `javax.imageio`) — the compressed path real MJPEG surveillance/
+    * capture files use — spec-covered, while the fixture stays BI_RGB
+    * for oracle exactness (JPEG is lossy).
     */
   case class VideoAsset(asset_id: Long, content: Array[Byte],
                         n_frames: Int, width: Int, height: Int)
@@ -505,31 +510,25 @@ object Multimodal {
       .as[(Long, Int, Int, Int)]
       .mapPartitions { iter =>
         iter.map { case (id, nf, w, h) =>
-          val bos = new java.io.ByteArrayOutputStream()
-          val out = new java.io.DataOutputStream(bos)
-          var f = 0
-          while (f < nf) {
+          val frames = Array.tabulate(nf) { f =>
             val k = frameKey(id, f)
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val stride = (w * 3 + 3) & ~3 // DIB rows pad to 4 bytes
+            val dib = new Array[Byte](stride * h)
             var y = 0
             while (y < h) {
+              val row = (h - 1 - y) * stride // bottom-up, BGR
               var x = 0
               while (x < w) {
-                img.setRGB(x, y,
-                  (pixelR(k, x, y) << 16) | (pixelG(k, x, y) << 8) | pixelB(k, x, y))
+                dib(row + 3 * x) = pixelB(k, x, y).toByte
+                dib(row + 3 * x + 1) = pixelG(k, x, y).toByte
+                dib(row + 3 * x + 2) = pixelR(k, x, y).toByte
                 x += 1
               }
               y += 1
             }
-            val fb = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", fb)
-            val frame = fb.toByteArray
-            out.writeInt(frame.length)
-            out.write(frame)
-            f += 1
+            dib
           }
-          VideoAsset(id, bos.toByteArray, nf, w, h)
+          VideoAsset(id, Avi.mux(frames.toIndexedSeq, w, h, Avi.BiRgb), nf, w, h)
         }
       }
   }
@@ -545,11 +544,13 @@ object Multimodal {
       }
     }
 
-  /** Frame-sampled REAL decode: demux the container, decode every
-    * `stride`-th frame (plus frame 0) with `javax.imageio`, and report
-    * the decoded dimensions + channel sums per sampled frame — the
-    * keyframe-extraction shape of a video ingest pipeline, where skipped
-    * frames are skipped CHEAPLY (length prefix → skip, no decode).
+  /** Frame-sampled REAL decode: [[Avi.demux]] parses the RIFF structure
+    * (headers + frame chunk offsets) WITHOUT touching frame payloads, so
+    * skipped frames cost nothing — the keyframe-extraction shape of a
+    * video ingest pipeline. Every `stride`-th frame (plus frame 0) is
+    * then decoded bytes→pixels: BI_RGB DIB rows unpacked directly
+    * (bottom-up, stride-padded, BGR), MJPG chunks through the JDK JPEG
+    * codec. Undecodable assets/frames are dropped, like the image path.
     */
   def decodeFrameStats(assets: DataFrame, stride: Int = 2): Dataset[FrameStats] = {
     val spark = assets.sparkSession
@@ -558,40 +559,15 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.flatMap { case (id, bytes) =>
-          val in = new java.io.DataInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val out = scala.collection.mutable.ListBuffer[FrameStats]()
-          var f = 0
-          var ok = true
-          while (ok && in.available() >= 4) {
-            val len = in.readInt()
-            if (len <= 0 || len > in.available()) ok = false
-            else if (f % stride != 0) { in.skipBytes(len); f += 1 }
-            else {
-              val frame = new Array[Byte](len)
-              in.readFully(frame)
-              val img =
-                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
-                catch { case _: java.io.IOException => null }
-              if (img != null) {
-                val (w, h) = (img.getWidth, img.getHeight)
-                var (rs, gs, bs) = (0L, 0L, 0L)
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val p = img.getRGB(x, y)
-                    rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-                    x += 1
-                  }
-                  y += 1
+          Avi.demux(bytes).iterator.flatMap { case (info, frames) =>
+            frames.iterator.zipWithIndex
+              .filter { case (_, f) => f % stride == 0 }
+              .flatMap { case ((off, len), f) =>
+                Avi.decodeFrame(bytes, off, len, info).map {
+                  case (w, h, rs, gs, bs) => FrameStats(id, f, w, h, rs, gs, bs)
                 }
-                out += FrameStats(id, f, w, h, rs, gs, bs)
               }
-              f += 1
-            }
           }
-          out
         }
       }
   }
@@ -631,4 +607,195 @@ object Multimodal {
         }
       }
   }
+}
+
+/** Minimal real AVI (RIFF) muxer + demuxer — the video twin of the WAV
+  * path's RIFF handling (reference pipeline ships payloads as opaque
+  * bytes; SURVEY.md §2.8 multimodal extension). Layout written:
+  *
+  * {{{
+  * RIFF('AVI '
+  *   LIST('hdrl' avih(56) LIST('strl' strh(56,'vids') strf(BITMAPINFOHEADER)))
+  *   LIST('movi' '00db'|'00dc' frame chunks, word-aligned)
+  *   idx1(16-byte keyframe entries))
+  * }}}
+  *
+  * Supported on read: single video stream, BI_RGB 24-bit bottom-up DIB
+  * frames ('00db') and MJPG JPEG frames ('00dc', decoded by
+  * `javax.imageio`). Everything little-endian; malformed containers demux
+  * to None rather than throwing — a 100 TB corpus always has corrupt
+  * files.
+  */
+private[graft] object Avi {
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  val BiRgb = 0 // BITMAPINFOHEADER biCompression for uncompressed DIB
+  val FccMjpg: Int = fourccInt("MJPG")
+
+  def fourccInt(s: String): Int = {
+    val b = s.getBytes("US-ASCII")
+    (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+  }
+
+  private def le(n: Int): ByteBuffer =
+    ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val bb = le(8 + body.length + (body.length & 1)) // RIFF word alignment
+    bb.put(id.getBytes("US-ASCII")); bb.putInt(body.length); bb.put(body)
+    bb.array
+  }
+
+  private def list(typ: String, parts: Array[Byte]*): Array[Byte] =
+    chunk("LIST", typ.getBytes("US-ASCII") ++ parts.flatten)
+
+  /** Mux frame payloads into a complete AVI. `frames` are raw chunk
+    * bodies: stride-padded bottom-up BGR DIBs for [[BiRgb]], whole JPEG
+    * files for [[FccMjpg]].
+    */
+  def mux(frames: IndexedSeq[Array[Byte]], w: Int, h: Int,
+          compression: Int): Array[Byte] = {
+    val nf = frames.length
+    val maxLen = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = {
+      val b = le(56)
+      b.putInt(100000) // µs/frame (10 fps)
+      b.putInt(0); b.putInt(0)
+      b.putInt(0x10) // AVIF_HASINDEX
+      b.putInt(nf); b.putInt(0)
+      b.putInt(1) // one stream
+      b.putInt(maxLen); b.putInt(w); b.putInt(h)
+      b.array // + dwReserved[4] zero-filled
+    }
+    val strh = {
+      val b = le(56)
+      b.put("vids".getBytes("US-ASCII"))
+      b.put((if (compression == BiRgb) "DIB " else "MJPG").getBytes("US-ASCII"))
+      b.putInt(0); b.putInt(0) // flags; wPriority+wLanguage
+      b.putInt(0) // initial frames
+      b.putInt(1); b.putInt(10) // scale/rate = 10 fps
+      b.putInt(0); b.putInt(nf) // start, length (frames)
+      b.putInt(maxLen); b.putInt(-1); b.putInt(0) // sugBuf, quality, sampleSize
+      b.putShort(0); b.putShort(0) // rcFrame left, top
+      b.putShort(w.toShort); b.putShort(h.toShort)
+      b.array
+    }
+    val strf = {
+      val b = le(40) // BITMAPINFOHEADER
+      b.putInt(40); b.putInt(w); b.putInt(h) // biHeight > 0 → bottom-up
+      b.putShort(1); b.putShort(24)
+      b.putInt(compression); b.putInt(maxLen)
+      b.array // pels-per-meter / clrUsed / clrImportant zero-filled
+    }
+    val ckId = if (compression == BiRgb) "00db" else "00dc"
+    val idx1 = {
+      val b = le(16 * nf)
+      var off = 4 // first chunk sits right after the 'movi' fourcc
+      frames.foreach { f =>
+        b.put(ckId.getBytes("US-ASCII"))
+        b.putInt(0x10) // AVIIF_KEYFRAME — every frame self-contained here
+        b.putInt(off); b.putInt(f.length)
+        off += 8 + f.length + (f.length & 1)
+      }
+      b.array
+    }
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih),
+        list("strl", chunk("strh", strh), chunk("strf", strf))) ++
+      list("movi", frames.map(f => chunk(ckId, f)): _*) ++
+      chunk("idx1", idx1))
+  }
+
+  /** The first video stream's format block, as read from 'strf'. */
+  case class VideoInfo(width: Int, height: Int, bitCount: Int, compression: Int)
+
+  /** Parse the container STRUCTURE only: stream format + the (offset,
+    * length) of every frame chunk payload, never touching frame bytes —
+    * that's what makes stride-sampling skip frames for free. Returns
+    * None on anything that isn't a single-video-stream AVI.
+    */
+  def demux(bytes: Array[Byte]): Option[(VideoInfo, IndexedSeq[(Int, Int)])] =
+    try {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def fcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      if (bytes.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") None
+      else {
+        var info: Option[VideoInfo] = None
+        val frames = IndexedSeq.newBuilder[(Int, Int)]
+        var bad = false
+        def walk(start: Int, end: Int): Unit = {
+          var p = start
+          while (!bad && p + 8 <= end) {
+            val id = fcc(p)
+            val len = bb.getInt(p + 4)
+            if (len < 0 || p + 8 + len > end) bad = true
+            else {
+              if (id == "LIST") {
+                val typ = fcc(p + 8)
+                if (typ == "hdrl" || typ == "strl" || typ == "movi")
+                  walk(p + 12, p + 8 + len)
+              } else if (id == "strf" && info.isEmpty && len >= 40) {
+                info = Some(VideoInfo(bb.getInt(p + 12), bb.getInt(p + 16),
+                  bb.getShort(p + 22).toInt, bb.getInt(p + 24)))
+              } else if (id.endsWith("db") || id.endsWith("dc")) {
+                frames += ((p + 8, len))
+              }
+              p += 8 + len + (len & 1)
+            }
+          }
+        }
+        walk(12, math.min(bytes.length, 8 + bb.getInt(4).toLong).toInt)
+        if (bad) None else info.map(i => (i, frames.result()))
+      }
+    } catch { case _: RuntimeException => None }
+
+  /** Decode one frame payload → (width, height, rSum, gSum, bSum).
+    * BI_RGB unpacks the DIB in place (bottom-up rows, 4-byte stride
+    * padding, BGR byte order); anything else goes through `javax.imageio`
+    * (MJPG = plain JPEG per frame). None if the payload doesn't decode.
+    */
+  def decodeFrame(bytes: Array[Byte], off: Int, len: Int,
+                  info: VideoInfo): Option[(Int, Int, Long, Long, Long)] =
+    if (info.compression == BiRgb && info.bitCount == 24 && info.height > 0) {
+      val (w, h) = (info.width, info.height)
+      val stride = (w * 3 + 3) & ~3
+      if (w <= 0 || len < stride * h) None
+      else {
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          val row = off + (h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            bs += bytes(row + 3 * x) & 0xff
+            gs += bytes(row + 3 * x + 1) & 0xff
+            rs += bytes(row + 3 * x + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, rs, gs, bs))
+      }
+    } else {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, len))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, rs, gs, bs))
+      }
+    }
 }

@@ -190,9 +190,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudioAutocorr(junk).collect().isEmpty)
   }
 
-  test("video fixture: per-frame PNG decode, stride skips frames without decoding") {
+  test("video fixture: real AVI container, per-frame DIB decode, free stride skips") {
     val vids = Multimodal.videoAssets(docs).collect().sortBy(_.asset_id)
     assert(vids.length == 5 && vids.forall(_.n_frames >= Multimodal.VidFMin))
+    // the container is a genuine RIFF/AVI: magic, header list, index
+    vids.foreach { v =>
+      assert(new String(v.content, 0, 4, "US-ASCII") == "RIFF")
+      assert(new String(v.content, 8, 4, "US-ASCII") == "AVI ")
+      val (info, frames) = graft.operators.Avi.demux(v.content).get
+      assert(info.width == v.width && info.height == v.height)
+      assert(info.compression == graft.operators.Avi.BiRgb && info.bitCount == 24)
+      assert(frames.length == v.n_frames)
+    }
     val frames = Multimodal.decodeFrameStats(
       Multimodal.videoAssets(docs).toDF(), stride = 2).collect()
     val byAsset = frames.groupBy(_.asset_id)
@@ -217,6 +226,42 @@ class MultimodalSpec extends SparkSpec {
     val all = Multimodal.decodeFrameStats(
       Multimodal.videoAssets(docs).toDF(), stride = 1).collect()
     assert(all.length == vids.map(_.n_frames).sum)
+    // malformed containers demux to nothing instead of throwing
+    import spark.implicits._
+    val junk = Seq((99L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))).toDF("asset_id", "content")
+    assert(Multimodal.decodeFrameStats(junk, 1).collect().isEmpty)
+    val truncated = Seq((98L, vids.head.content.take(40))).toDF("asset_id", "content")
+    assert(Multimodal.decodeFrameStats(truncated, 1).collect().isEmpty)
+  }
+
+  test("MJPG AVI: '00dc' JPEG frame chunks demux and decode through imageio") {
+    import spark.implicits._
+    val (w, h) = (16, 12)
+    val frames = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x + y + f) % 2 == 0) 0xffffff else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val avi = graft.operators.Avi.mux(frames.toIndexedSeq, w, h,
+      graft.operators.Avi.FccMjpg)
+    val (info, idx) = graft.operators.Avi.demux(avi).get
+    assert(info.compression == graft.operators.Avi.FccMjpg && idx.length == 3)
+    val stats = Multimodal.decodeFrameStats(
+      Seq((7L, avi)).toDF("asset_id", "content"), stride = 1)
+      .collect().sortBy(_.frame_idx)
+    // JPEG is lossy: assert the demux/decode contract (count, dims, and
+    // a sane luminance range), not exact sums
+    assert(stats.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    stats.foreach { s =>
+      assert(s.width == w && s.height == h)
+      val maxSum = 255L * w * h
+      assert(s.r_sum > maxSum / 4 && s.r_sum < 3 * maxSum / 4,
+        "checkerboard frame should decode to mid-range channel sums")
+    }
   }
 
   test("decodeFeatures dispatches png/bmp to the REAL codec, stub as fallback") {
