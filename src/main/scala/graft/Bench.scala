@@ -125,6 +125,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
 
+    // streaming micro-bench: per-batch latency/rate of the reference's two
+    // pipeline shapes at its 500 ms poll cadence → STREAM_METRICS.json
+    // (the streaming twin of BENCH_DETAIL; never disturbs the stdout
+    // contract — the headline line below stays LAST)
+    try graft.streaming.StreamMetrics.microBench(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] stream micro-bench failed: ${e.getMessage}") }
+
     println(s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(seq, ms)},"seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},"headline":"warm min-of-3 (passes in BENCH_DETAIL.json)","sf":"$sfDir"}""")
     spark.stop()
   }
