@@ -155,4 +155,73 @@ class KsqlDdlSpec extends SparkSpec {
     assert(df.count() == topicFrame.count())
     intercept[IllegalArgumentException] { ks.execute("print no-such-topic;") }
   }
+
+  test("property: every malformed-statement rejection names the offending text") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // explicit deterministic sampling, same discipline as PropertySpec
+    // (no scalatestplus bridge in the offline cache)
+    def forAllG[A](gen: Gen[A], trials: Int = 12)(body: A => Unit): Unit =
+      (1 to trials).foreach { i =>
+        body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+      }
+    val word = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val ks = newSession()
+    ks.execute("create stream custstream WITH (kafka_topic='psg-customers', value_format='AVRO');")
+    def rejected(stmt: String): String =
+      intercept[IllegalArgumentException](ks.execute(stmt)).getMessage
+
+    // unterminated property list: missing ')' and/or a dangling quote
+    forAllG(Gen.zip(word, word, Gen.oneOf(true, false))) { case (n, t, dangle) =>
+      val stmt =
+        if (dangle) s"create stream $n with (kafka_topic='$t"
+        else s"create stream $n with (kafka_topic='$t', value_format='AVRO'"
+      val m = rejected(stmt)
+      assert(m.contains("unterminated WITH property list") && m.contains(t))
+    }
+    // a property with no '=' names exactly the bad pair, whatever
+    // well-formed neighbours surround it
+    forAllG(Gen.zip(word, word, word)) { case (n, t, bad) =>
+      val m = rejected(s"create stream $n with (kafka_topic='$t', $bad);")
+      assert(m.contains("malformed WITH property") && m.contains(bad))
+    }
+    // trailing text that isn't `AS SELECT` is named (alpha words can't
+    // accidentally satisfy the AS-branch: it needs whitespace at index 2)
+    forAllG(Gen.zip(word, word)) { case (n, junk) =>
+      val m = rejected(s"create stream $n with (kafka_topic='psg-customers') $junk;")
+      assert(m.contains("unexpected text after WITH clause") && m.contains(junk))
+    }
+    // missing kafka_topic echoes the whole statement (the name included)
+    forAllG(word) { n =>
+      val m = rejected(s"create stream $n with (value_format='AVRO');")
+      assert(m.contains("missing kafka_topic") && m.contains(n))
+    }
+    // unknown topics are named in quotes
+    forAllG(Gen.zip(word, word)) { case (n, t) =>
+      val m = rejected(s"create stream $n with (kafka_topic='zz$t');")
+      assert(m.contains(s"unknown topic 'zz$t'"))
+    }
+    // statements outside the grammar echo their own head ("zz" prefix
+    // keeps a random word from colliding with a real statement head)
+    forAllG(Gen.zip(word, word)) { case (h, rest) =>
+      val m = rejected(s"zz$h $rest;")
+      assert(m.contains("unsupported ksql statement") && m.contains(s"zz$h"))
+    }
+    // WINDOW TUMBLING without GROUP BY is rejected, whatever the size
+    forAllG(Gen.choose(1, 600)) { secs =>
+      val m = rejected(
+        s"select count(*) as c from custstream window tumbling (size $secs seconds) emit changes;")
+      assert(m.contains("WINDOW TUMBLING requires a GROUP BY"))
+    }
+    // and the parser never mis-parses LEGAL quote-heavy values: a value
+    // holding commas, parens and '' escapes registers byte-identically
+    forAllG(Gen.zip(word, word, word)) { case (n, a, b) =>
+      val weird = s"$a, ('')$b"
+      ks.execute(s"create stream pr$n WITH (kafka_topic='pr$n', " +
+        s"timestamp_format='${weird.replace("'", "''")}', value_format='AVRO') " +
+        "AS select nome from custstream emit changes;")
+      assert(ks.streams.exists(_.name == s"pr$n"))
+    }
+  }
 }
