@@ -1168,6 +1168,81 @@ object OracleSqlGen {
     s"""SELECT ${srpBucket("embedding", planes, dims)} AS bucket, count(*) AS cnt
         FROM embeddings GROUP BY 1"""
 
+  /** Sequential-fold squared L2 in dimension order — the IEEE operation
+    * sequence of Similarity.l2Dist.
+    */
+  private def l2d(a: String, b: String, n: Int): String =
+    lsum(s"list_transform(generate_series(1, $n), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")
+
+  /** The PQ codebook CTE chain (final relation `bk`: m, c_id, c_emb),
+    * mirroring Similarity.pqCodebooks: all m subspace k-means runs ride
+    * one (m, c_id)-keyed Lloyd chain — seed = subvectors of vec_id < ks,
+    * integer-quantized centroid updates, empty codewords kept, L2
+    * assignment tie-broken by code id.
+    */
+  private def pqBooksCtes(m: Int, ks: Int, iters: Int, dims: Int): String = {
+    val sub = dims / m
+    val seed =
+      s"""mg AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+        sv AS (SELECT e.vec_id, mg.m,
+            list_transform(generate_series(1, $sub), i -> e.embedding[mg.m * $sub + i]::DOUBLE) AS s_emb
+          FROM embeddings e CROSS JOIN mg),
+        b0 AS (SELECT m, vec_id AS c_id, s_emb AS c_emb FROM sv WHERE vec_id < $ks),
+        dg AS (SELECT unnest(generate_series(1, $sub)) AS dim)"""
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT m, c_id, s_emb FROM (
+            SELECT sv.m, sv.s_emb, bb.c_id,
+              row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                ORDER BY ${l2d("sv.s_emb", "bb.c_emb", sub)} ASC, bb.c_id ASC) AS rn
+            FROM sv JOIN b${i - 1} bb ON sv.m = bb.m) WHERE rn = 1),
+        u$i AS (SELECT m, c_id, dim,
+            sum(CAST(floor(s_emb[dim] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+            count(*) AS n
+          FROM a$i CROSS JOIN dg GROUP BY m, c_id, dim),
+        m$i AS (SELECT m, c_id,
+            list(sq::DOUBLE / (n * 1048576)::DOUBLE ORDER BY dim) AS c_emb
+          FROM u$i GROUP BY m, c_id),
+        b$i AS (SELECT p.m, p.c_id, coalesce(m$i.c_emb, p.c_emb) AS c_emb
+          FROM b${i - 1} p LEFT JOIN m$i USING (m, c_id))"""
+    }
+    (seed +: rounds).mkString(",\n        ") +
+      s",\n        bk AS (SELECT m, c_id, c_emb FROM b$iters)"
+  }
+
+  /** Mirrors Similarity.pqTopK: trained codebooks ([[pqBooksCtes]]),
+    * per-(vector, subspace) codeword assignment, the per-query ADC
+    * partial table, and the score folded in subspace order (ordered
+    * `list(... ORDER BY m)` → sequential reduce = Spark's fold), so the
+    * approximate cosine agrees bit for bit.
+    */
+  def pqTopKSql(qid: Long, k: Int, m: Int, ks: Int, iters: Int,
+                dims: Int): String = {
+    val sub = dims / m
+    s"""WITH ${pqBooksCtes(m, ks, iters, dims)},
+        codes AS (SELECT vec_id, m, c_id FROM (
+            SELECT sv.vec_id, sv.m, bk.c_id,
+              row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                ORDER BY ${l2d("sv.s_emb", "bk.c_emb", sub)} ASC, bk.c_id ASC) AS rn
+            FROM sv JOIN bk ON sv.m = bk.m) WHERE rn = 1),
+        q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS q_emb
+          FROM embeddings WHERE vec_id = $qid),
+        adc AS (SELECT bk.m, bk.c_id,
+            ${lsum(s"list_transform(generate_series(1, $sub), i -> q_emb[bk.m * $sub + i] * bk.c_emb[i])")} AS pdot,
+            ${lsum(s"list_transform(generate_series(1, $sub), i -> bk.c_emb[i] * bk.c_emb[i])")} AS pnrm
+          FROM bk, q),
+        sc AS (SELECT c.vec_id,
+            ${lsum("list(a.pdot ORDER BY c.m)")} AS sdot,
+            ${lsum("list(a.pnrm ORDER BY c.m)")} AS snrm
+          FROM codes c JOIN adc a ON c.m = a.m AND c.c_id = a.c_id
+          GROUP BY c.vec_id),
+        qn AS (SELECT sqrt(${lsum(s"list_transform(generate_series(1, $dims), i -> q_emb[i] * q_emb[i])")}) AS nq FROM q)
+        SELECT e.vec_id, e.label,
+          round(sc.sdot / (qn.nq * sqrt(sc.snrm)), 4) AS pq_sim
+        FROM sc JOIN embeddings e USING (vec_id), qn
+        WHERE e.vec_id <> $qid
+        ORDER BY pq_sim DESC, vec_id ASC LIMIT $k"""
+  }
+
   // ------------------------------------------------------------ temporal
 
   private val tsFmt = "%Y-%m-%d %H:%M:%S.%f"

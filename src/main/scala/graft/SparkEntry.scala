@@ -291,6 +291,10 @@ object SparkEntry {
     // approximate kNN SELF-join: every vector's top-3 neighbours from
     // banded-SRP candidates, exact-cosine ranked per vector
     "sim_knn_join" -> q((s, d) => Similarity.knnJoin(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
+    // PRODUCT QUANTIZATION: 16 subspace codebooks (16 codewords each,
+    // trained by the shared integer Lloyd), 16-byte codes per vector
+    // (16x compression), ADC scoring = m table lookups per vector
+    "sim_topk_pq" -> q((s, d) => Similarity.pqTopK(Tables.load(s, d, "embeddings"), 0L, 20, 16, 16, 2, 64)),
     // SemDeDup (arXiv:2303.09540): pairwise cosine only WITHIN each
     // trained IVF cluster — candidate volume Σ|cluster|²/2, never n²/2;
     // keep-first rule; reuses the persisted centroid table
@@ -538,6 +542,7 @@ object SparkEntry {
     "sim_ivf_topk_sampled" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64, 2, 4),
     "sim_ivf_incremental" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
     "sim_knn_join" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
+    "sim_topk_pq" -> OracleSqlGen.pqTopKSql(0L, 20, 16, 16, 2, 64),
     "corpus_semdedup" -> OracleSqlGen.semDedupSql(16, 2, 64, 0.4),
     "corpus_prune_prototypes" -> OracleSqlGen.prunePrototypesSql(16, 2, 64, 0.2),
   )

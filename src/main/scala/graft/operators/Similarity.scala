@@ -648,4 +648,148 @@ object Similarity {
       .select(col("vec_id"), col("c_id"), col("rk"),
         round(col("proto_sim"), 4).as("proto_sim"))
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Sequential-fold squared L2 distance in dimension order — the exact
+    * IEEE operation sequence the DuckDB oracle renders, so codeword
+    * assignment cannot drift between engines.
+    */
+  private def l2Dist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The best-codeword fold within subspace `mi`: min squared-L2, ties →
+    * lowest code id (the books array is (m, c_id)-sorted with exactly
+    * `ks` entries per subspace, and the comparison is strict, so the
+    * first minimum wins). `mi` is a Column so [[pqCodes]] can evaluate
+    * all subspaces in one projection.
+    */
+  private def bestCode(books: Column, mi: Column, ks: Int, s: Column): Column =
+    aggregate(
+      slice(books, mi * ks + 1, lit(ks)),
+      struct(lit(-1L).as("c_id"), lit(Double.MaxValue).as("d")),
+      (acc, c) => {
+        val d = l2Dist(s, c.getField("c_emb"))
+        when(d < acc.getField("d"),
+          struct(c.getField("c_id").as("c_id"), d.as("d"))).otherwise(acc)
+      },
+      acc => acc.getField("c_id"))
+
+  /** Deterministic PRODUCT-QUANTIZATION codebooks (Jégou et al., TPAMI
+    * 2011): the embedding space splits into `m` subspaces of `dims/m`
+    * coordinates and each subspace trains its own `ks`-codeword
+    * quantizer — all `m` k-means runs ride ONE (m, c_id)-keyed Lloyd
+    * loop (the [[ivfCentroids]] discipline: integer-quantized centroid
+    * updates, empty clusters keep their codeword, seed = subvectors of
+    * vec_id < ks), so the DuckDB oracle trains identical codebooks from
+    * one CTE chain. Returned as a one-row frame holding the
+    * (m, c_id)-sorted codeword array — m·ks tiny rows, broadcastable at
+    * any corpus size.
+    *
+    * Scale: PQ is the storage tier BELOW [[quantizeInt8]] — a 64-dim
+    * float vector (256 B) becomes m=8 byte codes (8 B, 32×); the probe
+    * cost per vector drops from a dims-long dot product to m table
+    * lookups. Training cost per round: one broadcast of m·ks·(dims/m)
+    * doubles + one (m, c_id, dim) integer-partial shuffle — map-side
+    * combined, corpus-size-independent width, same as the IVF trainer.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int = 8, ks: Int = 16,
+                  iters: Int = 2, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val subs = emb.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("embedding").cast("array<double>"),
+            i * sub + 1, lit(sub)))))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("s_emb"))
+    var books = subs.filter(col("vec_id") < ks)
+      .select(col("m"), col("vec_id").as("c_id"), col("s_emb").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val row = books.agg(sort_array(collect_list(struct(
+        col("m"), col("c_id"), col("c_emb")))).as("books"))
+      val assigned = subs.crossJoin(broadcast(row))
+        .select(col("m"),
+          bestCode(col("books"), col("m"), ks, col("s_emb")).as("c_id"),
+          col("s_emb"))
+      val sums = assigned
+        .select(col("m"), col("c_id"), posexplode(col("s_emb")))
+        .select(col("m"), col("c_id"), (col("pos") + 1).as("dim"),
+          floor(col("col") * lit(QuantScale.toDouble) + lit(0.5)).as("q"))
+        .groupBy(col("m"), col("c_id"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      val means = sums.groupBy(col("m"), col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+          (col("sq").cast("double") / (col("n") * lit(QuantScale)).cast("double")).as("mn")))),
+          _.getField("mn")).as("c_emb"))
+      books = books.as("prev").join(means.as("upd"), Seq("m", "c_id"), "left")
+        .select(col("m"), col("c_id"),
+          coalesce(col("upd.c_emb"), col("prev.c_emb")).as("c_emb"))
+    }
+    books.agg(sort_array(collect_list(struct(
+      col("m"), col("c_id"), col("c_emb")))).as("books"))
+  }
+
+  /** PQ ENCODE: every vector → `m` codeword ids, all subspaces assigned
+    * in ONE zero-shuffle projection against the broadcast codebooks
+    * (this is the 32× compressed representation a 100 TB embedding
+    * store persists instead of raw floats).
+    */
+  def pqCodes(emb: DataFrame, booksRow: DataFrame, m: Int = 8,
+              ks: Int = 16, dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    emb.crossJoin(broadcast(booksRow))
+      .select(col("vec_id"), col("label"),
+        transform(sequence(lit(0), lit(m - 1)), mi =>
+          bestCode(col("books"), mi, ks,
+            slice(col("embedding").cast("array<double>"), mi * sub + 1,
+              lit(sub)))).as("codes"))
+  }
+
+  /** Σ over subspaces of an ADC-table field, folded in subspace order
+    * (index into the (m, c_id)-sorted table = m·ks + code + 1).
+    */
+  private def adcSum(adc: Column, codes: Column, ks: Int, m: Int,
+                     field: String): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, mi) => acc + element_at(adc,
+        (mi * ks + element_at(codes, mi + 1) + 1).cast("int")).getField(field))
+
+  /** PQ approximate top-k by ASYMMETRIC DISTANCE COMPUTATION: the exact
+    * query vector scores against each corpus vector's RECONSTRUCTION
+    * (the concatenation of its m codewords) — per query, one m·ks
+    * lookup table of (⟨q_m, c⟩, ⟨c, c⟩) partials is built from the
+    * broadcast codebooks, and each corpus vector's score is m table
+    * lookups + m adds instead of a dims-long dot product:
+    * pq_sim = Σ_m ⟨q_m, c_m⟩ / (|q| · √Σ_m ⟨c_m, c_m⟩) — the cosine of
+    * q with the reconstruction (subspaces are disjoint coordinate
+    * blocks, so the reconstruction's cross terms are exactly zero).
+    * Approximate by construction (codes round vectors to codewords);
+    * the spec pins recall@k against the float brute force. Plan shape:
+    * two 1-row broadcasts onto one scan projection →
+    * TakeOrderedAndProject; zero exchanges, no cartesian.
+    */
+  def pqTopK(emb: DataFrame, qid: Long = 0L, k: Int = 20, m: Int = 8,
+             ks: Int = 16, iters: Int = 2, dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    val booksRow = pqCodebooks(emb, m, ks, iters, dims)
+    val q = emb.filter(col("vec_id") === qid)
+      .select(col("embedding").cast("array<double>").as("q_emb"))
+    val adcRow = q.crossJoin(broadcast(booksRow))
+      .select(col("q_emb"),
+        transform(col("books"), b => struct(
+          dotProduct(slice(col("q_emb"), b.getField("m") * sub + 1, lit(sub)),
+            b.getField("c_emb")).as("pdot"),
+          dotProduct(b.getField("c_emb"), b.getField("c_emb")).as("pnrm")))
+          .as("adc"))
+    pqCodes(emb.filter(col("vec_id") =!= qid), booksRow, m, ks, dims)
+      .crossJoin(broadcast(adcRow))
+      .select(col("vec_id"), col("label"),
+        round(adcSum(col("adc"), col("codes"), ks, m, "pdot")
+          / (sqrt(dotProduct(col("q_emb"), col("q_emb")))
+            * sqrt(adcSum(col("adc"), col("codes"), ks, m, "pnrm"))), 4)
+          .as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

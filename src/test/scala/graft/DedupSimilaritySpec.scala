@@ -474,6 +474,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(z.getDouble(0) == 0.0 && z.getSeq[Byte](1).forall(_ == 0))
   }
 
+  test("product quantization: codebook shape, bounded codes, ADC recall") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val books = Similarity.pqCodebooks(emb, 16, 16, 2, 64)
+    // m·ks codewords, (m, c_id)-sorted, each dims/m coordinates wide
+    val bk = books.select(explode($"books").as("b"))
+      .select($"b.m", $"b.c_id", $"b.c_emb").collect()
+    assert(bk.length == 16 * 16)
+    assert(bk.forall(_.getSeq[Double](2).length == 4))
+    assert(bk.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      (for (m <- 0 until 16; c <- 0 until 16) yield (m, c.toLong)))
+    // every vector encodes to exactly m codes in [0, ks) — the literal
+    // 16x compression claim (16 byte-sized codes vs 64 floats)
+    val codes = Similarity.pqCodes(emb, books, 16, 16, 64)
+      .select($"codes").as[Seq[Long]].collect()
+    assert(codes.forall(c => c.length == 16 && c.forall(x => x >= 0 && x < 16)))
+    // ADC top-k: no cartesian (the two broadcasts are 1-row), top-k is a
+    // heap not a global sort, and recall holds against the float brute
+    // force. The corpus is near-random in 64 dims — the hardest case for
+    // coarse quantization (top-20 cosine gaps are tiny), so the bar is
+    // 10x the random baseline (20/500 = 0.04), not the clustered-data
+    // bar the IVF spec uses; measured 0.6 at these params, and the
+    // coarser m=8 tier measures 0.25 on the same data.
+    val pq = Similarity.pqTopK(emb, 0L, 20, 16, 16, 2, 64)
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    val exact = Similarity.bruteForceTopK(emb, 0L, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val got = pq.select("vec_id").as[Long].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / 20
+    assert(recall >= 0.4, s"pq recall@20=$recall")
+  }
+
   test("srp bucket histogram partitions all vectors") {
     val total = Similarity.bucketHistogram(vecs, planes = 2, dims = 4)
       .agg(sum("cnt")).as[Long].collect()(0)
