@@ -1180,6 +1180,10 @@ object OracleSqlGen {
     * integer-quantized centroid updates, empty codewords kept, L2
     * assignment tie-broken by code id.
     */
+  /** CTE names are `p`-prefixed so the chain composes with
+    * [[ivfCentsCtes]] in one WITH clause ([[ivfPqTopKSql]]) without
+    * collisions.
+    */
   private def pqBooksCtes(m: Int, ks: Int, iters: Int, dims: Int): String = {
     val sub = dims / m
     val seed =
@@ -1188,22 +1192,22 @@ object OracleSqlGen {
             list_transform(generate_series(1, $sub), i -> e.embedding[mg.m * $sub + i]::DOUBLE) AS s_emb
           FROM embeddings e CROSS JOIN mg),
         b0 AS (SELECT m, vec_id AS c_id, s_emb AS c_emb FROM sv WHERE vec_id < $ks),
-        dg AS (SELECT unnest(generate_series(1, $sub)) AS dim)"""
+        pdg AS (SELECT unnest(generate_series(1, $sub)) AS dim)"""
     val rounds = (1 to iters).map { i =>
-      s"""a$i AS (SELECT m, c_id, s_emb FROM (
+      s"""pa$i AS (SELECT m, c_id, s_emb FROM (
             SELECT sv.m, sv.s_emb, bb.c_id,
               row_number() OVER (PARTITION BY sv.vec_id, sv.m
                 ORDER BY ${l2d("sv.s_emb", "bb.c_emb", sub)} ASC, bb.c_id ASC) AS rn
             FROM sv JOIN b${i - 1} bb ON sv.m = bb.m) WHERE rn = 1),
-        u$i AS (SELECT m, c_id, dim,
+        pu$i AS (SELECT m, c_id, dim,
             sum(CAST(floor(s_emb[dim] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
             count(*) AS n
-          FROM a$i CROSS JOIN dg GROUP BY m, c_id, dim),
-        m$i AS (SELECT m, c_id,
+          FROM pa$i CROSS JOIN pdg GROUP BY m, c_id, dim),
+        pm$i AS (SELECT m, c_id,
             list(sq::DOUBLE / (n * 1048576)::DOUBLE ORDER BY dim) AS c_emb
-          FROM u$i GROUP BY m, c_id),
-        b$i AS (SELECT p.m, p.c_id, coalesce(m$i.c_emb, p.c_emb) AS c_emb
-          FROM b${i - 1} p LEFT JOIN m$i USING (m, c_id))"""
+          FROM pu$i GROUP BY m, c_id),
+        b$i AS (SELECT p.m, p.c_id, coalesce(pm$i.c_emb, p.c_emb) AS c_emb
+          FROM b${i - 1} p LEFT JOIN pm$i USING (m, c_id))"""
     }
     (seed +: rounds).mkString(",\n        ") +
       s",\n        bk AS (SELECT m, c_id, c_emb FROM b$iters)"
@@ -1240,6 +1244,50 @@ object OracleSqlGen {
           round(sc.sdot / (qn.nq * sqrt(sc.snrm)), 4) AS pq_sim
         FROM sc JOIN embeddings e USING (vec_id), qn
         WHERE e.vec_id <> $qid
+        ORDER BY pq_sim DESC, vec_id ASC LIMIT $k"""
+  }
+
+  /** Mirrors Similarity.ivfPqTopK: the coarse-quantizer chain
+    * ([[ivfCentsCtes]]) routes to nprobe lists, the PQ chain
+    * ([[pqBooksCtes]]) scores ONLY the listed vectors by ADC — the two
+    * trainers compose in one WITH clause.
+    */
+  def ivfPqTopKSql(qid: Long, k: Int, numCentroids: Int, nprobe: Int,
+                   m: Int, ks: Int, iters: Int, dims: Int): String = {
+    val sub = dims / m
+    s"""WITH ${ivfCentsCtes(numCentroids, iters, dims)},
+        ${pqBooksCtes(m, ks, iters, dims)},
+        q AS (SELECT embedding AS qe,
+            list_transform(embedding, x -> x::DOUBLE) AS q_emb
+          FROM embeddings WHERE vec_id = $qid),
+        asg AS (SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosine("e.embedding", "c.c_emb", dims)} DESC, c.c_id ASC) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+        qtop AS (SELECT c_id FROM c, q
+          ORDER BY ${cosine("qe", "c_emb", dims)} DESC, c_id ASC LIMIT $nprobe),
+        listed AS (SELECT vec_id FROM asg
+          WHERE c_id IN (SELECT c_id FROM qtop) AND vec_id <> $qid),
+        codes AS (SELECT vec_id, m, c_id FROM (
+            SELECT sv.vec_id, sv.m, bk.c_id,
+              row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                ORDER BY ${l2d("sv.s_emb", "bk.c_emb", sub)} ASC, bk.c_id ASC) AS rn
+            FROM sv JOIN bk ON sv.m = bk.m
+            WHERE sv.vec_id IN (SELECT vec_id FROM listed)) WHERE rn = 1),
+        adc AS (SELECT bk.m, bk.c_id,
+            ${lsum(s"list_transform(generate_series(1, $sub), i -> q_emb[bk.m * $sub + i] * bk.c_emb[i])")} AS pdot,
+            ${lsum(s"list_transform(generate_series(1, $sub), i -> bk.c_emb[i] * bk.c_emb[i])")} AS pnrm
+          FROM bk, q),
+        sc AS (SELECT cd.vec_id,
+            ${lsum("list(a.pdot ORDER BY cd.m)")} AS sdot,
+            ${lsum("list(a.pnrm ORDER BY cd.m)")} AS snrm
+          FROM codes cd JOIN adc a ON cd.m = a.m AND cd.c_id = a.c_id
+          GROUP BY cd.vec_id),
+        qn AS (SELECT sqrt(${lsum(s"list_transform(generate_series(1, $dims), i -> q_emb[i] * q_emb[i])")}) AS nq FROM q)
+        SELECT e.vec_id, e.label,
+          round(sc.sdot / (qn.nq * sqrt(sc.snrm)), 4) AS pq_sim
+        FROM sc JOIN embeddings e USING (vec_id), qn
         ORDER BY pq_sim DESC, vec_id ASC LIMIT $k"""
   }
 

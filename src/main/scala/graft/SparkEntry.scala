@@ -295,6 +295,10 @@ object SparkEntry {
     // trained by the shared integer Lloyd), 16-byte codes per vector
     // (16x compression), ADC scoring = m table lookups per vector
     "sim_topk_pq" -> q((s, d) => Similarity.pqTopK(Tables.load(s, d, "embeddings"), 0L, 20, 16, 16, 2, 64)),
+    // IVFADC composed: coarse quantizer routes to nprobe lists, PQ codes
+    // + ADC score only the listed vectors — the billion-scale serving
+    // architecture (scan nprobe/K of the corpus at 16x compression)
+    "sim_ivfpq_topk" -> q((s, d) => Similarity.ivfPqTopK(Tables.load(s, d, "embeddings"), 0L, 20, 16, 4, 16, 16, 2, 64)),
     // SemDeDup (arXiv:2303.09540): pairwise cosine only WITHIN each
     // trained IVF cluster — candidate volume Σ|cluster|²/2, never n²/2;
     // keep-first rule; reuses the persisted centroid table
@@ -543,6 +547,7 @@ object SparkEntry {
     "sim_ivf_incremental" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
     "sim_knn_join" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
     "sim_topk_pq" -> OracleSqlGen.pqTopKSql(0L, 20, 16, 16, 2, 64),
+    "sim_ivfpq_topk" -> OracleSqlGen.ivfPqTopKSql(0L, 20, 16, 4, 16, 16, 2, 64),
     "corpus_semdedup" -> OracleSqlGen.semDedupSql(16, 2, 64, 0.4),
     "corpus_prune_prototypes" -> OracleSqlGen.prunePrototypesSql(16, 2, 64, 0.2),
   )

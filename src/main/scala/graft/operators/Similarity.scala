@@ -792,4 +792,61 @@ object Similarity {
       .orderBy(col("pq_sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** IVF + PQ composed (the IVFADC serving architecture — FAISS's
+    * billion-scale default, minus the residual encoding so the oracle
+    * stays one CTE chain): the coarse quantizer ([[ivfCentroids]])
+    * routes the query to its top-`nprobe` inverted lists, and only the
+    * vectors in those lists are scored — by PQ codes + ADC lookups, not
+    * raw floats. At scale the two tiers multiply: the scan touches
+    * nprobe/K of the corpus and each touched vector costs m lookups
+    * against 16× smaller storage. Both tiers train with the shared
+    * integer Lloyd, so the composite stays oracle-hash-exact; recall is
+    * bounded by min(list recall, code resolution) — both spec-pinned
+    * individually, the composition measured against brute force.
+    */
+  def ivfPqTopK(emb: DataFrame, qid: Long = 0L, k: Int = 20,
+                numCentroids: Int = 16, nprobe: Int = 4,
+                m: Int = 16, ks: Int = 16, iters: Int = 2,
+                dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    val cents = ivfCentroids(emb, numCentroids, iters)
+    val booksRow = pqCodebooks(emb, m, ks, iters, dims)
+    val cmp = (l: Column, r: Column) => {
+      val sl = cosineSimilarity(col("q_embedding"), l.getField("c_emb"))
+      val sr = cosineSimilarity(col("q_embedding"), r.getField("c_emb"))
+      when(sl > sr, -1).when(sl < sr, 1)
+        .when(l.getField("c_id") < r.getField("c_id"), -1)
+        .when(l.getField("c_id") > r.getField("c_id"), 1)
+        .otherwise(0)
+    }
+    val probe = emb.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_embedding"),
+        explode(transform(slice(array_sort(col("cents"), cmp), 1, nprobe),
+          _.getField("c_id"))).as("list_id"))
+    val adcRow = emb.filter(col("vec_id") === qid)
+      .select(col("embedding").cast("array<double>").as("q_emb"))
+      .crossJoin(broadcast(booksRow))
+      .select(col("q_emb"),
+        transform(col("books"), b => struct(
+          dotProduct(slice(col("q_emb"), b.getField("m") * sub + 1, lit(sub)),
+            b.getField("c_emb")).as("pdot"),
+          dotProduct(b.getField("c_emb"), b.getField("c_emb")).as("pnrm")))
+          .as("adc"))
+    val listed = ivfAssignWith(emb.filter(col("vec_id") =!= qid), cents)
+      .join(broadcast(probe.select(col("list_id"))),
+        col("c_id") === col("list_id"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    pqCodes(listed, booksRow, m, ks, dims)
+      .crossJoin(broadcast(adcRow))
+      .select(col("vec_id"), col("label"),
+        round(adcSum(col("adc"), col("codes"), ks, m, "pdot")
+          / (sqrt(dotProduct(col("q_emb"), col("q_emb")))
+            * sqrt(adcSum(col("adc"), col("codes"), ks, m, "pnrm"))), 4)
+          .as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

@@ -505,6 +505,18 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = pq.select("vec_id").as[Long].collect().toSet
     val recall = got.intersect(exact).size.toDouble / 20
     assert(recall >= 0.4, s"pq recall@20=$recall")
+    // IVFADC composition: with nprobe = K the coarse tier degenerates
+    // away and the composite must equal the plain PQ scan row for row
+    val full = Similarity.ivfPqTopK(emb, 0L, 20, 16, 16, 16, 16, 2, 64)
+      .collect().map(_.toSeq).toSeq
+    assert(full == pq.collect().map(_.toSeq).toSeq,
+      "full-probe IVFADC drifted from the plain PQ scan")
+    // the restricted probe (scan nprobe/K of the corpus) keeps most of
+    // the compressed neighbourhood
+    val routed = Similarity.ivfPqTopK(emb, 0L, 20, 16, 4, 16, 16, 2, 64)
+      .select("vec_id").as[Long].collect().toSet
+    val routedRecall = routed.intersect(got).size.toDouble / 20
+    assert(routedRecall >= 0.5, s"ivfpq vs pq recall@20=$routedRecall")
   }
 
   test("srp bucket histogram partitions all vectors") {
