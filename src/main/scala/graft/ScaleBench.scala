@@ -188,7 +188,7 @@ object ScaleBench {
     // factors against the right bar (details in the scaladoc above)
     val notes =
       """"notes":{"linear_bar":"scale_x ~ 10 is linear in rows; < 10 is sublinear (fixed overhead amortizing)",
-        |"dedup_char_jaccard_pairs":"exact all-pairs jaccard on a FIXED-vocabulary synthetic corpus: every posting list grows with the corpus, so candidates grow superlinearly even under df-ordered prefix + position filters; real corpora grow vocabulary with size, keeping rare-gram prefixes selective. The exact op is the verification tier; the 100 TB near-dup path is the LSH family (see dedup_char_lsh / dedup_lsh_pairs factors)",
+        |"dedup_char_jaccard_pairs":"exact all-pairs jaccard on a FIXED-vocabulary corpus is the adversarial case (posting lists grow with the corpus). Round 8 measured it at 56x for 10x docs, then fixed it: length-bucketed prefix join keys + a measured-vocabulary bitmap verify (popcount(AND) per candidate instead of a posting-expansion join) brought it to ~5x. The unbounded-vocab posting path remains the default above the bitmap cap",
         |"dedup_clusters_chain":"pointer-jump rounds grow O(log d) with the chain; the factor reflects per-round linear cost x log-rounds",
         |"sim_ivf_topk_sampled":"training slice + probe both bounded; near-flat by design",
         |"mm_video_frames":"decode-bound mapPartitions; flat per-row"}""".stripMargin.replace("\n", " ")

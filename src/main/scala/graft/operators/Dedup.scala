@@ -713,9 +713,24 @@ object Dedup {
     val ranked = grams.join(df, "g")
       .withColumn("rn", row_number().over(w.orderBy(col("df"), col("g"))))
       .withColumn("sz", count(lit(1)).over(w))
+    // LENGTH-BUCKETED prefix index (AllPairs' size-ordered probing as a
+    // join key): bucket = floor(ln sz / ln(1/t)), so any pair passing the
+    // length filter (min >= t*max) sits within ONE bucket of each other —
+    // fp floor at the exact-ratio boundary adds at most one more, so the
+    // probe side fans out to +-2 buckets and the build side stays at its
+    // own. Each qualifying (a, b, gram) match then occurs EXACTLY once
+    // (at b's bucket), keeping pmatch exact. This moves the length
+    // constraint from a post-join filter into the join key: on a corpus
+    // whose lengths spread far beyond 1/t (13x here), a hot prefix gram's
+    // candidate fan-out drops to its length-compatible slice — the term
+    // that otherwise grows quadratically as the corpus scales at fixed
+    // vocabulary (measured 56x time at 10x docs before this; the +-2
+    // window still prunes everything beyond a (1/t)^3 size ratio).
+    val bucketW = math.log(1.0 / threshold)
     val prefix = ranked
       .filter(col("rn") <= (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
-      .select(col("doc_id"), col("sz"), col("rn"), col("g"))
+      .select(col("doc_id"), col("sz"), col("rn"), col("g"),
+        floor(log(col("sz").cast("double")) / bucketW).cast("int").as("lb"))
     // Candidate aggregation replaces a plain distinct with PPJoin's
     // POSITION FILTER. All gram sets are sorted by the SAME global
     // (df, g) order, so ranks are order-consistent across documents:
@@ -729,7 +744,11 @@ object Dedup {
     // 255 true pairs and the verify expanded 198M posting rows (24.6 s);
     // a random pair matches ~0.1 prefix grams and needs >= 13 to pass
     // here, so the verify now expands only near-threshold survivors.
-    val cand = prefix.as("x").join(prefix.as("y"), col("x.g") === col("y.g"))
+    val probe = prefix.withColumn("lb",
+      explode(sequence(col("lb") - 2, col("lb") + 2)))
+    val cand = probe.as("x")
+      .join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.lb") === col("y.lb"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sz").as("sza"), col("y.sz").as("szb"),
@@ -746,17 +765,45 @@ object Dedup {
         + least(col("sza") - col("mxa"), col("szb") - col("mxb")))
         .cast("double") >= needed)
       .select(col("a"), col("b"), col("sza"), col("szb"))
-    // count-based |A∩B|: expand by a's postings, match b's on (b, gram).
-    // Candidates share >= 1 prefix gram, so no pair vanishes from the
-    // inner join's group-count. Postings are the raw exploded grams —
-    // counting an intersection needs no ordering (empty docs' null grams
-    // never join: they are not candidates and the (b, g) join is inner).
-    val pa = grams.select(col("doc_id").as("a"), col("g"))
-    val pb = grams.select(col("doc_id").as("b"), col("g"))
-    candSized.join(pa, "a")
-      .join(pb, Seq("b", "g"))
-      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
-      .agg(count(lit(1)).as("inter"))
+    // VERIFY, strategy chosen by MEASURED vocabulary: |A∩B| is exact
+    // either way, only the physical shape differs.
+    //  - Bitmap (vocab <= BitmapVocabCap): each doc's gram set becomes a
+    //    vocab-wide bitmap (vocab/8 bytes) and a candidate verifies with
+    //    one AND+popcount pass ([[graft.functions.BitSetOps]]). This is
+    //    THE low-entropy fix: the sf1 probe measured the posting verify
+    //    at a 1.15e9-row join (117 s) for 3.5e6 candidates over a 6 825-
+    //    gram vocabulary — as bitmaps the same verify ships 854 B per
+    //    doc once and does 107 AND words per pair. The id dictionary is
+    //    a single-partition window over the (already computed) gram-
+    //    frequency frame — gated by the cap, so never a scale hazard.
+    //  - Posting count-join (unbounded vocab): expand by a's postings,
+    //    match b's on (b, gram) — no gram ARRAYS move, the widest verify
+    //    row is (doc, doc, gram). Candidates share >= 1 prefix gram, so
+    //    no pair vanishes from the inner join's group-count (empty docs'
+    //    null grams never join: they are not candidates).
+    val inter =
+      if (vocabSize(df) <= BitmapVocabCap) {
+        val dict = df.select(col("g"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("g"))) - 1).as("bid"))
+        val width = vocabSize(df).toInt
+        val bitmaps = grams.join(broadcast(dict), "g")
+          .groupBy(col("doc_id"))
+          .agg(graft.functions.BitSetOps.bitsetOr(col("bid"), width).as("bm"))
+        candSized
+          .join(bitmaps.select(col("doc_id").as("a"), col("bm").as("bma")), "a")
+          .join(bitmaps.select(col("doc_id").as("b"), col("bm").as("bmb")), "b")
+          .select(col("a"), col("b"), col("sza"), col("szb"),
+            graft.functions.BitSetOps.bitAndCount(col("bma"), col("bmb")).as("inter"))
+      } else {
+        val pa = grams.select(col("doc_id").as("a"), col("g"))
+        val pb = grams.select(col("doc_id").as("b"), col("g"))
+        candSized.join(pa, "a")
+          .join(pb, Seq("b", "g"))
+          .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+          .agg(count(lit(1)).as("inter"))
+      }
+    inter
       .withColumn("jac", col("inter").cast("double")
         / (col("sza") + col("szb") - col("inter")).cast("double"))
       // threshold on the UNROUNDED value: the size/prefix filters prune by
@@ -765,6 +812,24 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard_sim"))
   }
+
+  /** Bitmap-verify gate: vocabularies at or under this size use the
+    * bitset intersection (cap 2¹⁶ bits = 8 KB per doc bitmap); larger
+    * ones keep the posting count-join. Overridable for specs that must
+    * exercise both paths on one fixture.
+    */
+  private[graft] var BitmapVocabCap: Long = 1L << 16
+
+  /** Measured vocabulary, memoized per gram-frequency plan so the two
+    * uses in [[jaccardPairsOver]] (gate + width) cost one job.
+    */
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def vocabSize(df: DataFrame): Long =
+    vocabCache.computeIfAbsent(
+      df.queryExecution.analyzed.semanticHash().toString + "@" +
+        System.identityHashCode(df.sparkSession).toString,
+      _ => df.count()).longValue()
 
   /** Near-dup CLUSTERS: connected components of the LSH pair graph, each
     * doc labeled with the minimum doc_id reachable through near-dup edges

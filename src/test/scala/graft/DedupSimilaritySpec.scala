@@ -519,6 +519,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(routedRecall >= 0.5, s"ivfpq vs pq recall@20=$routedRecall")
   }
 
+  test("jaccard verify strategies agree: bitmap == posting count-join") {
+    // the SAME fixture through both verify shapes must yield identical
+    // pairs (the gate only changes the physical plan, never the set)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val prior = Dedup.BitmapVocabCap
+    try {
+      Dedup.BitmapVocabCap = Long.MaxValue // force bitmap
+      val viaBitmap = Dedup.charJaccardPairs(docs, 7, 0.9)
+        .collect().map(_.toSeq).toSet
+      Dedup.BitmapVocabCap = 0L // force posting count-join
+      val viaPostings = Dedup.charJaccardPairs(docs, 7, 0.9)
+        .collect().map(_.toSeq).toSet
+      assert(viaBitmap == viaPostings)
+      assert(viaBitmap.nonEmpty, "fixture produced no pairs — vacuous test")
+    } finally Dedup.BitmapVocabCap = prior
+    // the bitset primitives themselves: per-group OR across partitions,
+    // popcount intersection, width-mismatch null
+    import graft.functions.BitSetOps
+    val bits = Seq((1L, 3), (1L, 64), (1L, 3), (2L, 64), (2L, 65))
+      .toDF("gid", "bit").repartition(4)
+    val bms = bits.groupBy($"gid")
+      .agg(BitSetOps.bitsetOr($"bit", 128).as("bm"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(bms(1L).length == 16 && bms(2L).length == 16)
+    val cnt = Seq((bms(1L), bms(2L))).toDF("a", "b")
+      .select(BitSetOps.bitAndCount($"a", $"b")).as[Long].head()
+    assert(cnt == 1L, s"expected |{3,64} ∩ {64,65}| = 1, got $cnt")
+    val mism = Seq((bms(1L), Array[Byte](0, 0))).toDF("a", "b")
+      .select(BitSetOps.bitAndCount($"a", $"b")).collect()(0)
+    assert(mism.isNullAt(0), "width mismatch must be null, not truncated")
+  }
+
   test("srp bucket histogram partitions all vectors") {
     val total = Similarity.bucketHistogram(vecs, planes = 2, dims = 4)
       .agg(sum("cnt")).as[Long].collect()(0)
