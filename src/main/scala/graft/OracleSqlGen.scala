@@ -252,6 +252,25 @@ object OracleSqlGen {
     * of both engines identically (no unnest rows / no explode rows). The
     * mean is one IEEE divide + half-up round on both sides.
     */
+  /** Mirrors TextAnalysis.unigramSurprisal: per-token logs quantized to
+    * integer micro-nats before any aggregation, so the per-doc sums are
+    * exact in both engines; one IEEE divide + round at the end. Sums cast
+    * back to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT).
+    */
+  def unigramSurprisalSql: String =
+    s"""${toksCte()},
+        o AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        f AS (SELECT tok, count(*) AS tf FROM o GROUP BY tok),
+        q AS (SELECT tok, CAST(floor(ln(tf::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qln_tf FROM f),
+        tot AS (SELECT CAST(floor(ln(CAST(sum(tf) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qln_total FROM f),
+        d AS (SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(qln_tf) AS BIGINT) AS sum_qln_tf
+          FROM o JOIN q USING (tok) GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+          n_tokens * qln_total - sum_qln_tf AS nll_micro,
+          round((n_tokens * qln_total - sum_qln_tf)::DOUBLE / n_tokens::DOUBLE / 1e6, 4) AS avg_nll
+        FROM d CROSS JOIN tot"""
+
   def tokenRaritySql: String =
     s"""${toksCte()},
         d AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM t),
@@ -530,6 +549,32 @@ object OracleSqlGen {
   /** DetHash.base60 in DuckDB: 15 md5 hex chars → 60-bit BIGINT. */
   def base60(c: String): String =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
+
+  /** Mirrors CorpusOps.dsirWeights: hashed-bigram occurrences, add-1
+    * smoothed target/raw bucket models, per-FEATURE micro-nat log deltas
+    * summed exactly per doc, corpus-constant normalizer applied once.
+    * Sums cast back to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT).
+    */
+  def dsirWeightsSql(targetLang: String, dims: Int): String = {
+    def qln(c: String): String =
+      s"CAST(floor(ln(($c)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id, lang, ${toks(norm("text"))} AS tk FROM documents),
+        o AS (SELECT doc_id, lang, ${base60("g")} % $dims AS f
+          FROM (SELECT doc_id, lang, unnest(${gramOccSql(2)}) AS g FROM t)),
+        r AS (SELECT f, count(*) AS cr FROM o GROUP BY f),
+        tg AS (SELECT f, count(*) AS ct FROM o WHERE lang = '$targetLang' GROUP BY f),
+        m AS (SELECT f, ${qln("coalesce(ct, 0) + 1")} - ${qln("cr + 1")} AS qd
+          FROM r LEFT JOIN tg USING (f)),
+        tot AS (SELECT ${qln(s"count(*) + $dims")} AS qln_tr,
+          ${qln(s"sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) + $dims")} AS qln_tt
+          FROM o),
+        d AS (SELECT doc_id, count(*) AS n_feats, CAST(sum(qd) AS BIGINT) AS s
+          FROM o JOIN m USING (f) GROUP BY doc_id)
+        SELECT doc_id, n_feats,
+          s + n_feats * (qln_tr - qln_tt) AS logw_micro,
+          round((s + n_feats * (qln_tr - qln_tt))::DOUBLE / 1e6, 4) AS log_weight
+        FROM d CROSS JOIN tot"""
+  }
 
   /** Mirrors TextAnalysis.bm25TopK (odds-ratio idf, logIdf = false). All
     * double literals are rendered from the SAME JVM doubles the Spark
@@ -983,14 +1028,36 @@ object OracleSqlGen {
     "WITH RECURSIVE " + body.stripPrefix("WITH ")
   }
 
-  def simhashSql: String = {
-    val bits = (0 until Dedup.SimHashBits).map { j =>
+  private def simhashBitsExpr: String =
+    (0 until Dedup.SimHashBits).map { j =>
       s"CASE WHEN 2 * coalesce(list_sum(list_transform(hs, h -> (h >> $j) & 1)), 0) > len(hs) THEN ${1L << j} ELSE 0 END"
     }.mkString("\n          + ")
+
+  def simhashSql: String =
     s"""WITH t AS (SELECT doc_id,
           list_transform(${toks(norm("text"))}, tok -> ${base60("tok")}) AS hs
         FROM documents)
-        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t"""
+        SELECT doc_id, CAST($simhashBitsExpr AS BIGINT) AS simhash FROM t"""
+
+  /** Mirrors Dedup.simhashPairs: pigeonhole block keys over the simhash
+    * CTE, per-block equality self-join, popcount(xor) verify. Integer-only
+    * end to end (the signature, the block slices, the Hamming count), so
+    * the engines cannot drift.
+    */
+  def simhashPairsSql(maxHamming: Int): String = {
+    val blocks = maxHamming + 1
+    val width = Dedup.SimHashBits / blocks
+    val mask = (1L << width) - 1L
+    s"""WITH t AS (SELECT doc_id,
+          list_transform(${toks(norm("text"))}, tok -> ${base60("tok")}) AS hs
+        FROM documents),
+        s AS (SELECT doc_id, CAST($simhashBitsExpr AS BIGINT) AS simhash FROM t),
+        k AS (SELECT doc_id, simhash, blk, (simhash >> (blk * $width)) & $mask AS kv
+          FROM s CROSS JOIN (SELECT unnest(generate_series(0, ${blocks - 1})) AS blk))
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        FROM k x JOIN k y ON x.blk = y.blk AND x.kv = y.kv AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming"""
   }
 
   // ---------------------------------------------------------- similarity

@@ -130,6 +130,9 @@ object SparkEntry {
     // corpus document-frequency rarity signals (rarest-token df, hapax
     // count, mean df) per document
     "text_token_rarity" -> q((s, d) => TextAnalysis.tokenRarity(Tables.load(s, d, "documents"))),
+    // corpus-unigram-LM surprisal (the CCNet/Gopher quality-filter signal):
+    // integer micro-nat logs, exact per-doc sums, one divide at the end
+    "text_surprisal" -> q((s, d) => TextAnalysis.unigramSurprisal(Tables.load(s, d, "documents"))),
     // fastText-shaped linear domain classifier: fused hashed counts ×
     // integer weight matrix, argmax + margin in one codegen'd projection —
     // zero exchanges; a trained model swaps the weight literals only
@@ -162,6 +165,9 @@ object SparkEntry {
     // shard = rank mod 8 + dense in-shard position, reproducible on any
     // cluster size (no rand(), no sampled range boundaries)
     "corpus_shuffle" -> q((s, d) => CorpusOps.shuffleShards(Tables.load(s, d, "documents"), 8)),
+    // DSIR data-selection weights (2302.03169): hashed-bigram importance
+    // log-ratios vs the lang='en' target slice, model joins broadcast
+    "corpus_dsir_weights" -> q((s, d) => CorpusOps.dsirWeights(Tables.load(s, d, "documents"), "en", 1024)),
     // exact top-quota-per-source by quality: rank-limit pushdown
     // (WindowGroupLimit) prunes map-side, so no reducer sees a whole source
     "corpus_quota_sample" -> q((s, d) => CorpusOps.quotaSample(Tables.load(s, d, "documents"), 25)),
@@ -209,6 +215,9 @@ object SparkEntry {
     // and is parameter-insensitive
     "dedup_char_jaccard_pairs" -> q((s, d) => Dedup.charJaccardPairs(Tables.load(s, d, "documents"), 7, 0.9)),
     "dedup_simhash" -> q((s, d) => Dedup.simhashSignatures(Tables.load(s, d, "documents"))),
+    // pigeonhole block joins (Manku et al. WWW'07): hamming<=3 pairs via
+    // 4 equality self-joins + popcount verify — never an all-pairs distance
+    "dedup_simhash_pairs" -> q((s, d) => Dedup.simhashPairs(Tables.load(s, d, "documents"), 3)),
     // transitive near-dup clusters: min-label propagation to fixpoint
     // over the LSH pair graph (oracle: recursive-CTE transitive closure)
     "dedup_clusters" -> q((s, d) => Dedup.clusters(Tables.load(s, d, "documents"), 3, 0.8)),
@@ -291,6 +300,12 @@ object SparkEntry {
     // approximate kNN SELF-join: every vector's top-3 neighbours from
     // banded-SRP candidates, exact-cosine ranked per vector
     "sim_knn_join" -> q((s, d) => Similarity.knnJoin(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
+    // corpus-size-adaptive band width: p = ceil(log2(n/8)) keeps per-band
+    // bucket population flat as the corpus grows (ScaleBench measures the
+    // fixed variant superlinear at 10x). At the oracle scales (n <= 2048)
+    // the adaptive width resolves to the same p = 8, so the fixed-parameter
+    // SQL is the exact oracle for this entry too.
+    "sim_knn_join_auto" -> q((s, d) => Similarity.knnJoinAuto(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
     // PRODUCT QUANTIZATION: 16 subspace codebooks (16 codewords each,
     // trained by the shared integer Lloyd), 16-byte codes per vector
     // (16x compression), ADC scoring = m table lookups per vector
@@ -494,6 +509,7 @@ object SparkEntry {
     "text_repetition" -> OracleSqlGen.repetitionSignalsSql,
     "text_token_histogram" -> OracleSqlGen.tokenHistogramSql,
     "text_token_rarity" -> OracleSqlGen.tokenRaritySql,
+    "text_surprisal" -> OracleSqlGen.unigramSurprisalSql,
     "text_domain_classify" -> OracleSqlGen.domainClassifySql(64, 4),
     "text_fingerprints" -> OracleSqlGen.fingerprintsSql,
     "text_winnow_fp" -> OracleSqlGen.winnowingSql(5, 4),
@@ -505,6 +521,7 @@ object SparkEntry {
     "corpus_chunk_map" -> OracleSqlGen.chunkMapSql(512L),
     "corpus_mix_temperature" -> OracleSqlGen.mixCorpusTemperatureSql(),
     "corpus_shuffle" -> OracleSqlGen.shuffleShardsSql(8),
+    "corpus_dsir_weights" -> OracleSqlGen.dsirWeightsSql("en", 1024),
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
     "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
     "corpus_stats" -> OracleSqlGen.corpusStatsSql,
@@ -521,6 +538,7 @@ object SparkEntry {
     "dedup_lsh_pairs" -> OracleSqlGen.lshPairsSql(3, 0.8),
     "dedup_jaccard_pairs" -> OracleSqlGen.jaccardPairsSql(3, 0.8),
     "dedup_simhash" -> OracleSqlGen.simhashSql,
+    "dedup_simhash_pairs" -> OracleSqlGen.simhashPairsSql(3),
     "dedup_clusters" -> OracleSqlGen.clustersSql(3, 0.8),
     "dedup_clusters_chain" -> OracleSqlGen.clustersChainSql(3, 0.8),
     "dedup_cluster_reps" -> OracleSqlGen.clusterRepsSql(3, 0.8),
@@ -546,6 +564,7 @@ object SparkEntry {
     "sim_ivf_topk_sampled" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64, 2, 4),
     "sim_ivf_incremental" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
     "sim_knn_join" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
+    "sim_knn_join_auto" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
     "sim_topk_pq" -> OracleSqlGen.pqTopKSql(0L, 20, 16, 16, 2, 64),
     "sim_ivfpq_topk" -> OracleSqlGen.ivfPqTopKSql(0L, 20, 16, 4, 16, 16, 2, 64),
     "corpus_semdedup" -> OracleSqlGen.semDedupSql(16, 2, 64, 0.4),

@@ -434,4 +434,56 @@ object CorpusOps {
         Window.partitionBy(col("shard"))
           .orderBy(col("h"), col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** DSIR data-selection weights (Xie et al. 2023, 2302.03169): score every
+    * document by how target-domain-like it is under hashed-bigram bag
+    * models — `log w(d) = Σ_f [ln p_target(f) − ln p_raw(f)]` over the
+    * doc's bigram OCCURRENCES, where both unigram-over-buckets models are
+    * add-1-smoothed counts of `base60(bigram) mod dims`. The target slice
+    * here is `lang = targetLang` (the paper's formulation is
+    * slice-agnostic: any filter over the corpus works). Downstream,
+    * importance resampling keeps docs with Gumbel-perturbed top-k of
+    * `log w` — the ranking deliverable is this frame.
+    *
+    * Determinism: the two `ln` terms per FEATURE (not per occurrence) are
+    * quantized to integer micro-nats before any per-doc sum (same
+    * discipline as [[TextAnalysis.unigramSurprisal]]); the corpus-constant
+    * normalizer `ln(T_t + dims) − ln(T_r + dims)` is applied once per doc
+    * (× n_feats), so per-doc totals are exact integer sums.
+    *
+    * Scale shape: feature extraction is scan-fused (tokenize → bigram →
+    * hash, no string shuffles — only (doc_id, bucket-long) rows move);
+    * both models are `dims`-bounded aggregates (≤ 1024 rows), so the
+    * scoring join is a BROADCAST of the model, and the only wide exchange
+    * is the per-doc re-aggregation. At 100 TB the model stays KBs.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  dims: Int = 1024): DataFrame = {
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val occ = docs
+      .select(col("doc_id"), col("lang"),
+        tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.gramOccurrences(col("tk"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.DetHash.base60(col("g")) % dims).as("f"))
+    val raw = occ.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val tgt = occ.filter(col("lang") === targetLang)
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val model = raw.join(tgt, Seq("f"), "left")
+      .select(col("f"),
+        (qln(coalesce(col("ct"), lit(0L)) + 1) - qln(col("cr") + 1)).as("qd"))
+    val totals = occ.agg(
+      qln(count(lit(1)) + dims).as("qln_tr"),
+      qln(sum((col("lang") === targetLang).cast("long")) + dims).as("qln_tt"))
+    val logw = col("s") + col("n_feats") * (col("qln_tr") - col("qln_tt"))
+    occ.join(broadcast(model), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("qd")).as("s"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_feats"),
+        logw.as("logw_micro"),
+        round(logw.cast("double") / 1e6, 4).as("log_weight"))
+  }
 }

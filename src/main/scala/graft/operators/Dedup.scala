@@ -1026,6 +1026,49 @@ object Dedup {
       transform(tokens(normalizeText(col("text"))), t => DetHash.base60(t)).as("hs"))
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
 
+  /** Near-dup PAIRS at Hamming distance ≤ `maxHamming` over the 60-bit
+    * SimHash — the Manku/Jain/Sarma (WWW '07, "Detecting Near-Duplicates
+    * for Web Crawling") pigeonhole construction that turns "find all
+    * signatures within distance k" into equality joins: split the
+    * signature into `k+1` equal blocks; two signatures within distance k
+    * differ in ≤ k blocks, so they must agree EXACTLY on at least one.
+    * Candidates are the per-block equality buckets; the verify is one
+    * codegen'd `bit_count(xor)` per candidate.
+    *
+    * Scale shape: each of the k+1 block joins is a hash-bucket self-join
+    * on a 15-bit key — candidate volume ∝ per-bucket population², i.e.
+    * bounded by block-value collision rates, never corpus². With 60/4 =
+    * 15-bit blocks a uniform corpus spreads over 32k buckets per block;
+    * skew (a hot block value, e.g. boilerplate-heavy corpora) confines
+    * the quadratic blowup to that one bucket, exactly like the LSH band
+    * joins. Signatures (two longs) ride along the join instead of
+    * re-joining by id — 16 bytes/row beats a second exchange.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    require(SimHashBits % blocks == 0,
+      s"$SimHashBits-bit signature must split evenly into $blocks blocks")
+    val width = SimHashBits / blocks
+    val mask = (1L << width) - 1L
+    val sigs = simhashSignatures(docs)
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until blocks).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("kv"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.blk").as("blk"), col("bk.kv").as("kv"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.blk") === col("y.blk") && col("x.kv") === col("y.kv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        call_function("bit_count",
+          col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // -------------------------------------------------------------------
   // Embedding-cosine near-dup
   // -------------------------------------------------------------------

@@ -189,6 +189,29 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** [[knnJoin]] with the SRP band width chosen from the corpus size —
+    * the scale knob the fixed-parameter variant documents ("raise
+    * planesPerBand as the corpus grows"), turned: per-band expected
+    * bucket population is n/2^p, so holding population at `targetBucket`
+    * means p = ceil(log2(n / targetBucket)) and the per-band self-join
+    * stays ~linear (candidates ∝ n · targetBucket) at ANY corpus size,
+    * instead of n²/2^p blowing up as n grows past the fixed width.
+    * Recall per band drops as p grows; `bands` is the recovery knob
+    * (union over bands, 1-(1-s^p)^bands).
+    *
+    * The count() is one column-pruned scan — the stand-in for catalog
+    * row-count stats, which a managed 100 TB table serves without a job
+    * (floored at p=8, the fixed variant's width, so small corpora plan
+    * identically to [[knnJoin]]).
+    */
+  def knnJoinAuto(emb: DataFrame, k: Int = 3, bands: Int = 8,
+                  targetBucket: Int = 8, dims: Int = 64): DataFrame = {
+    val n = emb.count()
+    val p = math.min(47, math.max(8,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+    knnJoin(emb, k, bands, p, dims)
+  }
+
   // ------------------------------------------- persisted (write-time) index
 
   /** The PERSISTED ANN index: embeddings written `partitionBy(bucket)` —

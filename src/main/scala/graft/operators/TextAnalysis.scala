@@ -356,6 +356,47 @@ object TextAnalysis {
           .as("mean_df"))
   }
 
+  /** Unigram-LM surprisal per document — the quality-filter signal the
+    * CCNet / Gopher / RedPajama pipelines use (there from a KenLM 5-gram;
+    * here from the corpus' own unigram model, the engine-expressible
+    * tier): avg negative log-likelihood of the doc's tokens under the
+    * corpus unigram distribution. High avg_nll = rare-token-heavy
+    * (gibberish, codes, boilerplate-free noise); low = repetitive/common.
+    * Perplexity is `exp(avg_nll)` — monotone, so filters rank identically.
+    *
+    * Determinism across engines: `-ln p(tok) = ln T − ln tf(tok)`, with
+    * each log QUANTIZED to integer micro-nats (`floor(ln·1e6 + 0.5)`)
+    * BEFORE any sum — per-doc totals are then exact integer sums
+    * (order-independent under any partitioning), and the only float steps
+    * are one IEEE divide + round at the end. Only ~|distinct tf values|
+    * logs are ever taken, on identical integer inputs in both engines.
+    *
+    * Scale shape: same two inherent exchanges as [[tokenRarity]] — the
+    * (doc_id, tok) explode-join and the per-doc re-aggregation; the
+    * unigram model is the vocabulary-bounded `tf` aggregate, and the
+    * corpus total joins in as a broadcast 1-row aggregate, never a
+    * driver collect.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      explode(tokens(normalizeText(col("text")))).as("tok"))
+    val tf = occ.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val qlnTf =
+      floor(log(col("tf").cast("double")) * 1e6 + 0.5).cast("long")
+    val perDoc = occ.join(tf.select(col("tok"), qlnTf.as("qln_tf")), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qln_tf")).as("sum_qln_tf"))
+    val tot = tf.agg(
+      floor(log(sum(col("tf")).cast("double")) * 1e6 + 0.5).cast("long")
+        .as("qln_total"))
+    val nllMicro = col("n_tokens") * col("qln_total") - col("sum_qln_tf")
+    perDoc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"),
+        nllMicro.as("nll_micro"),
+        round(nllMicro.cast("double") / col("n_tokens").cast("double") / 1e6, 4)
+          .as("avg_nll"))
+  }
+
   /** Fingerprint + duplicate-group size per document. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -447,7 +488,7 @@ object TextAnalysis {
     * would read as multiplicity 1-of-1 and flag every tiny document as
     * maximally repetitive.
     */
-  private def gramOccurrences(toks: Column, n: Int): Column =
+  private[operators] def gramOccurrences(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))

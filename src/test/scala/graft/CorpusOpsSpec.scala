@@ -274,4 +274,31 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(epoch2.toSeq != out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
   }
+
+  test("dsirWeights: target-like docs outrank off-target, exact feature counts") {
+    // target slice (en) is dominated by the "neural network" bigram; doc 3
+    // (de) shares it, doc 4 (de) shares nothing with the target slice, so
+    // the importance ranking must put 3 above 4. Single-token doc 5 has no
+    // bigram features and drops out, like the oracle's empty unnest.
+    val docs = Seq(
+      (1L, "neural network training data", "en"),
+      (2L, "neural network scaling laws", "en"),
+      (3L, "neural network auf deutsch", "de"),
+      (4L, "ganz anderes thema hier", "de"),
+      (5L, "solo", "de")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+    val got = CorpusOps.dsirWeights(docs, "en", 1024)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // n_feats = token count - 1 (bigram occurrences)
+    assert(got.view.mapValues(_._1).toMap ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(!got.contains(5L))
+    assert(got(3L)._3 > got(4L)._3,
+      s"target-overlapping doc must outrank: ${got(3L)} vs ${got(4L)}")
+    // log-weight column is the micro total, rounded once
+    got.values.foreach { case (_, micro, lw) =>
+      assert(math.abs(micro / 1e6 - lw) <= 5e-5) }
+  }
 }

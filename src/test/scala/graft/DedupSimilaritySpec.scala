@@ -639,4 +639,37 @@ class DedupSimilaritySpec extends SparkSpec {
     // distinct vectors, each surviving in its own cluster only
     assert(surv.map(_._1).distinct.length == surv.length)
   }
+
+  test("simhash pairs: pigeonhole finds every pair within budget, none beyond") {
+    import graft.operators.Dedup
+    // 0/1 normalize identically (hamming 0); 2 is a near-dup of 0 (one
+    // token swapped → low hamming); 3 is unrelated
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L, 0L)), s"exact dup pair missing: $pairs")
+    // verify against brute force over the signatures: EVERY pair within
+    // the budget must be found (the pigeonhole guarantee is exactness,
+    // not approximation), and none beyond it
+    val sigs = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(pairs == brute, s"pigeonhole=$pairs brute=$brute")
+  }
+
+  test("knnJoinAuto matches knnJoin at small n and keeps per-vector k") {
+    import graft.operators.Similarity
+    val emb = Seq.tabulate(20) { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        math.sin(i * 0.7 + d * 0.31).toFloat).toSeq, i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val auto = Similarity.knnJoinAuto(emb, 3, 8, 8, 64)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val fixed = Similarity.knnJoin(emb, 3, 8, 8, 64)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    // n=20 → ceil(log2(20/8)) = 2, floored to the fixed width 8: identical
+    assert(auto.sameElements(fixed))
+    assert(auto.groupBy(_._1).values.forall(_.length <= 3))
+  }
 }

@@ -100,4 +100,28 @@ class RepetitionSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L, 1L, 2.0)))    // dfs {3,1,2}
     assert(!got.contains(4L)) // tokenless docs drop out (matches oracle)
   }
+
+  test("unigram surprisal: exact micro-nat totals against a hand unigram LM") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),  // common tokens → low surprisal
+      (2L, "c"),      // hapax-only → high surprisal
+      (3L, "")        // tokenless → drops out
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    val got = TextAnalysis.unigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def qln(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    // tf: a=2, b=1, c=1; T=4
+    val d1 = 3 * qln(4) - (2 * qln(2) + qln(1))
+    val d2 = 1 * qln(4) - qln(1)
+    def r4(x: Double): Double = // Spark round() is HALF_UP, not rint's half-even
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, d1, r4(d1 / 3.0 / 1e6))))
+    assert(got(2L) == ((1L, d2, r4(d2 / 1.0 / 1e6))))
+    assert(!got.contains(3L))
+    // the ordering the filter consumes: rare-token doc is more surprising
+    assert(got(2L)._3 > got(1L)._3)
+  }
 }
