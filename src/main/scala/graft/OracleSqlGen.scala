@@ -550,6 +550,30 @@ object OracleSqlGen {
   def base60(c: String): String =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
+  /** Mirrors CorpusOps.epochSample: per-source whole copies + a
+    * fractional extra gated on the salted hash cell, exploded to one row
+    * per (doc, epoch). CASE arms render from the same factor seq the
+    * Spark plan folds over.
+    */
+  def epochSampleSql(factors: Seq[(String, Double)] = CorpusOps.defaultEpochFactors,
+                     defaultFactor: Double = CorpusOps.defaultEpochFactor,
+                     salt: String = "epoch"): String = {
+    val wholeArms = factors.map { case (src, w) =>
+      s"WHEN '$src' THEN ${math.floor(w).toLong}"
+    }.mkString(" ")
+    val fracArms = factors.map { case (src, w) =>
+      s"WHEN '$src' THEN '${CorpusOps.hexThreshold(w - math.floor(w))}'"
+    }.mkString(" ")
+    s"""WITH c AS (SELECT doc_id, source,
+          (CASE source $wholeArms ELSE ${math.floor(defaultFactor).toLong} END)
+          + (CASE WHEN ${hexCellSql(salt)} <
+              CASE source $fracArms ELSE '${CorpusOps.hexThreshold(defaultFactor - math.floor(defaultFactor))}' END
+             THEN 1 ELSE 0 END) AS n_copies
+        FROM documents)
+        SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch
+        FROM c WHERE n_copies > 0"""
+  }
+
   /** Mirrors CorpusOps.dsirWeights: hashed-bigram occurrences, add-1
     * smoothed target/raw bucket models, per-FEATURE micro-nat log deltas
     * summed exactly per doc, corpus-constant normalizer applied once.

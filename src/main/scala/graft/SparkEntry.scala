@@ -168,6 +168,9 @@ object SparkEntry {
     // DSIR data-selection weights (2302.03169): hashed-bigram importance
     // log-ratios vs the lang='en' target slice, model joins broadcast
     "corpus_dsir_weights" -> q((s, d) => CorpusOps.dsirWeights(Tables.load(s, d, "documents"), "en", 1024)),
+    // epoch-weighted replication ("2.5 epochs of wiki"): scan-fused
+    // copies projection + explode, zero exchanges
+    "corpus_epochs" -> q((s, d) => CorpusOps.epochSample(Tables.load(s, d, "documents"))),
     // exact top-quota-per-source by quality: rank-limit pushdown
     // (WindowGroupLimit) prunes map-side, so no reducer sees a whole source
     "corpus_quota_sample" -> q((s, d) => CorpusOps.quotaSample(Tables.load(s, d, "documents"), 25)),
@@ -522,6 +525,7 @@ object SparkEntry {
     "corpus_mix_temperature" -> OracleSqlGen.mixCorpusTemperatureSql(),
     "corpus_shuffle" -> OracleSqlGen.shuffleShardsSql(8),
     "corpus_dsir_weights" -> OracleSqlGen.dsirWeightsSql("en", 1024),
+    "corpus_epochs" -> OracleSqlGen.epochSampleSql(),
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
     "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
     "corpus_stats" -> OracleSqlGen.corpusStatsSql,

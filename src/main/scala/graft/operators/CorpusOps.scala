@@ -435,6 +435,54 @@ object CorpusOps {
           .orderBy(col("h"), col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
 
+  /** Default per-source epoch factors for the registered query: heavy
+    * up-sampling with a fractional tail (2.5 = two full copies + a
+    * deterministic half), exact integer up-sampling (2.0), pure
+    * down-sampling (0.4), and the keep-once default in one plan.
+    * [[graft.OracleSqlGen.epochSampleSql]] renders its CASE arms from
+    * THIS seq, so plan and oracle cannot drift.
+    */
+  val defaultEpochFactors: Seq[(String, Double)] = Seq(
+    "src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.4)
+  val defaultEpochFactor = 1.0
+
+  /** Epoch-weighted source REPLICATION — the up-sampling half of the
+    * data-recipe knob [[mixCorpus]]'s scaladoc defers ("upsampling is a
+    * copy, not a filter"): the LLaMA/GPT-3-style "2.5 epochs of wiki,
+    * 0.4 of web" mixture, materialized. Each document emits
+    * `floor(f)` copies plus one more iff its salted hash cell clears the
+    * fractional part of its source's factor — so a factor of 2.5 yields
+    * exactly 2 copies for half the source and 3 for the other half,
+    * deterministically (same doc → same copy count on every run, any
+    * cluster size; the fractional threshold reuses the [[hexThreshold]]
+    * md5 discipline). Output is (doc_id, source, epoch) with epoch in
+    * [0, copies): the dataloader's repeat index.
+    *
+    * Scale shape: a per-row projection + `explode(sequence)`, fused into
+    * the scan — no shuffle, no join, no driver participation; output
+    * volume is exactly Σ_src f_src · |src|, the training set size the
+    * recipe asked for.
+    */
+  def epochSample(docs: DataFrame,
+                  factors: Seq[(String, Double)] = defaultEpochFactors,
+                  defaultFactor: Double = defaultEpochFactor,
+                  salt: String = "epoch"): DataFrame = {
+    require(defaultFactor >= 0 && factors.forall(_._2 >= 0),
+      "epoch factors must be non-negative")
+    def arms(f: Double => Column): Column =
+      factors.foldLeft(f(defaultFactor)) { case (acc, (src, w)) =>
+        when(col("source") === lit(src), f(w)).otherwise(acc)
+      }
+    val whole = arms(w => lit(math.floor(w).toLong))
+    val fracThr = arms(w => lit(hexThreshold(w - math.floor(w))))
+    val copies = whole +
+      when(hexCell(col("doc_id"), salt) < fracThr, 1L).otherwise(0L)
+    docs.select(col("doc_id"), col("source"), copies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+  }
+
   /** DSIR data-selection weights (Xie et al. 2023, 2302.03169): score every
     * document by how target-domain-like it is under hashed-bigram bag
     * models — `log w(d) = Σ_f [ln p_target(f) − ln p_raw(f)]` over the

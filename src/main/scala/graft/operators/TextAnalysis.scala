@@ -377,18 +377,55 @@ object TextAnalysis {
     * corpus total joins in as a broadcast 1-row aggregate, never a
     * driver collect.
     */
+  /** The corpus unigram model: (tok, tf) term frequencies — the trained
+    * artifact [[unigramSurprisal]] derives inline and the streaming
+    * scorer ([[graft.streaming.Pipelines.streamingSurprisal]]) probes
+    * from a PERSISTED table. Vocabulary-bounded (map-side combine; wire
+    * cost = |vocab|, never corpus size).
+    */
+  def unigramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(normalizeText(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+
+  /** Micro-nat log of a tf column — the shared quantization both the
+    * batch scorer and the streaming probe apply, so their scores agree
+    * exactly.
+    */
+  def qlnOfTf(tf: Column): Column =
+    floor(log(tf.cast("double")) * 1e6 + 0.5).cast("long")
+
+  /** [[unigramCounts]] persisted once per corpus dir (ensure-once,
+    * same discipline as the centroid/bloom/ANN-index tables): train the
+    * model in one batch pass, serve it to any number of batch or
+    * streaming scorers without recounting the corpus.
+    */
+  def unigramModelTable(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame =
+    TextAnalysis.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_unigram_$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        unigramCounts(graft.Tables.load(spark, dir, "documents"))
+          .write.option("path", path).mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** The corpus-total term in micro-nats, from a (tok, tf) model frame:
+    * one vocabulary-bounded aggregate read as a single row (the same
+    * 1-row-metadata pattern as the persisted bloom width).
+    */
+  def unigramQlnTotal(model: DataFrame): Long =
+    model.agg(qlnOfTf(sum(col("tf"))).as("q")).head().getLong(0)
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"),
       explode(tokens(normalizeText(col("text")))).as("tok"))
     val tf = occ.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val qlnTf =
-      floor(log(col("tf").cast("double")) * 1e6 + 0.5).cast("long")
-    val perDoc = occ.join(tf.select(col("tok"), qlnTf.as("qln_tf")), Seq("tok"))
+    val perDoc = occ.join(tf.select(col("tok"), qlnOfTf(col("tf")).as("qln_tf")), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("qln_tf")).as("sum_qln_tf"))
-    val tot = tf.agg(
-      floor(log(sum(col("tf")).cast("double")) * 1e6 + 0.5).cast("long")
-        .as("qln_total"))
+    val tot = tf.agg(qlnOfTf(sum(col("tf"))).as("qln_total"))
     val nllMicro = col("n_tokens") * col("qln_total") - col("sum_qln_tf")
     perDoc.crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_tokens"),

@@ -290,6 +290,45 @@ object Pipelines {
       .dropDuplicatesWithinWatermark(Seq("q_id", "match_vec_id"))
   }
 
+  /** Streaming QUALITY SCORING against the TRAINED unigram model — the
+    * train-batch/serve-stream half of [[graft.operators.TextAnalysis
+    * .unigramSurprisal]]: the model (tok → tf, persisted once per corpus
+    * via `unigramModelTable`) joins each arriving document's exploded
+    * tokens and the per-doc micro-nat totals aggregate under the
+    * watermark. Scores agree EXACTLY with the batch op for documents
+    * whose tokens the model covers (same quantized-log discipline);
+    * out-of-vocabulary tokens drop at the join — the standard
+    * OOV-excluded scoring policy, stated rather than smoothed, so the
+    * stream cannot silently shift the corpus distribution the model was
+    * trained on.
+    *
+    * Scale shape: the model participates as a STATIC vocabulary-bounded
+    * side (broadcast when small, shuffled hash join otherwise) — zero
+    * streaming state for the corpus statistics; the only stateful
+    * operator is the per-(doc, event-time) aggregation, bounded by the
+    * watermark. `qlnTotal` is the corpus constant, read once batch-side
+    * ([[graft.operators.TextAnalysis.unigramQlnTotal]]), inlined as a
+    * literal — no per-batch job.
+    */
+  def streamingSurprisal(docs: DataFrame, model: DataFrame, qlnTotal: Long,
+                         eventTimeCol: String, delay: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    import graft.functions.GraftFunctions.{normalizeText, tokens}
+    val nllMicro = col("n_tokens") * qlnTotal - col("sum_qln_tf")
+    docs
+      .select(col("doc_id"), col(eventTimeCol),
+        explode(tokens(normalizeText(col("text")))).as("tok"))
+      .join(model.select(col("tok"), TextAnalysis.qlnOfTf(col("tf")).as("qln_tf")),
+        Seq("tok"))
+      .withWatermark(eventTimeCol, delay)
+      .groupBy(col("doc_id"), col(eventTimeCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qln_tf")).as("sum_qln_tf"))
+      .select(col("doc_id"), col(eventTimeCol), col("n_tokens"),
+        nllMicro.as("nll_micro"),
+        round(nllMicro.cast("double") / col("n_tokens").cast("double") / 1e6, 4)
+          .as("avg_nll"))
+  }
+
   /** The north-star COMPOSITION: corpus curation ON the stream — an
     * incremental documents frame (the `graft-jdbc` DSv2 source in
     * production, any streaming frame in tests) → join-free

@@ -275,6 +275,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(epoch2.toSeq != out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
   }
 
+  test("epochSample: whole copies exact, fractional tail deterministic, epochs dense") {
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}", s"text $i"))
+      .toDF("doc_id", "source", "text").withColumn("lang", lit("en"))
+    val factors = Seq("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.4)
+    val out = CorpusOps.epochSample(docs, factors, 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // src1 (f=2.0): exactly 2 copies per doc, no fractional arm
+    assert(bySrc("src1") == 20)
+    // src3 (default 1.0): exactly 1 copy per doc
+    assert(bySrc("src3") == 10)
+    // src0 (f=2.5): between 2 and 3 copies per doc; src2 (0.4): 0 or 1
+    val perDoc = out.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted.toSeq)
+    perDoc.foreach { case ((_, src), epochs) =>
+      assert(epochs == (0L until epochs.length.toLong), s"epochs not dense: $epochs")
+      src match {
+        case "src0" => assert(epochs.length == 2 || epochs.length == 3)
+        case "src1" => assert(epochs.length == 2)
+        case "src2" => assert(epochs.length == 1) // 0-copy docs never appear
+        case _      => assert(epochs.length == 1)
+      }
+    }
+    assert(bySrc.getOrElse("src2", 0) < 10) // 0.4 downsample drops some docs
+    // determinism: a second run is row-identical
+    val again = CorpusOps.epochSample(docs, factors, 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.sameElements(again.sorted))
+  }
+
   test("dsirWeights: target-like docs outrank off-target, exact feature counts") {
     // target slice (en) is dominated by the "neural network" bigram; doc 3
     // (de) shares it, doc 4 (de) shares nothing with the target slice, so

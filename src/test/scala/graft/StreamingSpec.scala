@@ -589,6 +589,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming surprisal scores arrivals with the persisted unigram model, batch-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val sf = "/root/testdata/sf0.001"
+    val model = operators.TextAnalysis.unigramModelTable(spark, sf)
+    val qlnTotal = operators.TextAnalysis.unigramQlnTotal(model)
+    // expected: the batch op's row for a corpus document — streaming the
+    // same text must reproduce it exactly (full vocabulary coverage)
+    val corpusDocs = Tables.load(spark, sf, "documents")
+    val probe = corpusDocs.filter(org.apache.spark.sql.functions.length($"text") > 50)
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(1).collect()(0)
+    val expected = operators.TextAnalysis.unigramSurprisal(corpusDocs)
+      .filter($"doc_id" === probe.getLong(0))
+      .select($"n_tokens", $"nll_micro", $"avg_nll").collect()(0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingSurprisal(stream, model, qlnTotal, "ts", "1 minute"),
+      "surprisal_t", OutputMode.Append)
+    try {
+      val ts = new java.sql.Timestamp(1000000L)
+      mem.addData(
+        (900001L, probe.getString(1), ts),
+        (900002L, "zxqv wkjh plmn qrst uvwx yzab", ts)) // fully OOV
+      q.processAllAvailable()
+      // advance the watermark past ts so the first batch's groups emit
+      mem.addData((900003L, probe.getString(1),
+        new java.sql.Timestamp(ts.getTime + 600000L)))
+      q.processAllAvailable()
+      val got = spark.table("surprisal_t")
+        .select($"doc_id", $"n_tokens", $"nll_micro", $"avg_nll")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got(900001L) ==
+        ((expected.getLong(0), expected.getLong(1), expected.getDouble(2))),
+        s"stream score drifted from batch: ${got.get(900001L)} vs $expected")
+      // the fully-OOV document scores nothing (join drops every token)
+      assert(!got.contains(900002L), s"OOV doc scored: $got")
+    } finally q.stop()
+  }
+
   test("sessionization runs unchanged on the RocksDB state store provider") {
     // the 100 TB stateful path: the default HDFS-backed store keeps every
     // key in executor memory; RocksDB spills to local disk. The provider
