@@ -574,6 +574,45 @@ object OracleSqlGen {
         FROM c WHERE n_copies > 0"""
   }
 
+  /** Mirrors TextAnalysis.vocabulary: term frequencies → top-V by
+    * (tf desc, tok), ranked over the selected rows.
+    */
+  def vocabularySql(topV: Int): String =
+    s"""WITH f AS (SELECT tok, count(*) AS tf
+          FROM (SELECT unnest(${toks(norm("text"))}) AS tok FROM documents)
+          GROUP BY tok),
+        v AS (SELECT tok, tf FROM f ORDER BY tf DESC, tok LIMIT $topV)
+        SELECT tok, tf,
+          CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rank
+        FROM v"""
+
+  /** Mirrors CorpusOps.sourceDrift: the scaled-KL identity over the same
+    * hashed-bigram models — every per-bucket term integer in micro-nats,
+    * one divide + round per source at the end.
+    */
+  def sourceDriftSql(dims: Int): String = {
+    def qln(c: String): String =
+      s"CAST(floor(ln(($c)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+    s"""WITH t AS (SELECT source, ${toks(norm("text"))} AS tk FROM documents),
+        o AS (SELECT source, ${base60("g")} % $dims AS f
+          FROM (SELECT source, unnest(${gramOccSql(2)}) AS g FROM t)),
+        c AS (SELECT f, count(*) AS cc FROM o GROUP BY f),
+        s AS (SELECT source, f, count(*) AS cs FROM o GROUP BY source, f),
+        st AS (SELECT source, count(*) AS ts FROM o GROUP BY source),
+        k AS (SELECT CAST(sum(cc) AS BIGINT) AS tc, count(*) AS d FROM c),
+        dom AS (SELECT st.source, c.f, c.cc FROM st CROSS JOIN c),
+        terms AS (SELECT dom.source,
+          CAST(sum((coalesce(cs, 0) + 1) *
+            (${qln("coalesce(cs, 0) + 1")} - ${qln("cc + 1")})) AS BIGINT) AS s
+          FROM dom LEFT JOIN s ON dom.source = s.source AND dom.f = s.f
+          GROUP BY dom.source)
+        SELECT source, ts AS n_feats,
+          s - (ts + d) * (${qln("ts + d")} - ${qln("tc + d")}) AS kl_scaled_micro,
+          round((s - (ts + d) * (${qln("ts + d")} - ${qln("tc + d")}))::DOUBLE
+            / (ts + d)::DOUBLE / 1e6, 4) AS kl
+        FROM terms JOIN st USING (source) CROSS JOIN k"""
+  }
+
   /** Mirrors CorpusOps.dsirWeights: hashed-bigram occurrences, add-1
     * smoothed target/raw bucket models, per-FEATURE micro-nat log deltas
     * summed exactly per doc, corpus-constant normalizer applied once.

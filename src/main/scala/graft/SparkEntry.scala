@@ -41,6 +41,10 @@ object SparkEntry {
     // tables' bucket distribution instead of shuffling (the oracle is the
     // same SQL — bucketing must be invisible in the result)
     "join_revenue_by_status_bucketed" -> q((s, d) => Relational.revenueByStatusBucketed(s, d)),
+    // incremental aggregate maintenance: persisted per-status partials +
+    // batch-only aggregation, merged — the oracle is the plain full-corpus
+    // SQL (incrementality must be invisible in the result)
+    "agg_incremental_revenue" -> q((s, d) => Relational.revenueByStatusIncremental(s, d)),
     "q3_shipping" -> q((s, d) => Relational.q3Shipping(s, d)),
     "q6_forecast" -> q((s, d) => Relational.q6Forecast(Tables.load(s, d, "lineitem"))),
     "q5_local_supplier" -> q((s, d) => Relational.q5LocalSupplier(s, d)),
@@ -133,6 +137,11 @@ object SparkEntry {
     // corpus-unigram-LM surprisal (the CCNet/Gopher quality-filter signal):
     // integer micro-nat logs, exact per-doc sums, one divide at the end
     "text_surprisal" -> q((s, d) => TextAnalysis.unigramSurprisal(Tables.load(s, d, "documents"))),
+    // tokenizer-fitting artifact: top-V vocabulary via TakeOrderedAndProject
+    "text_vocabulary" -> q((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"), 256)),
+    // per-source KL drift vs the corpus bigram-bucket model — the
+    // continuous-ingest distribution alarm; integer micro-nat exactness
+    "corpus_source_drift" -> q((s, d) => CorpusOps.sourceDrift(Tables.load(s, d, "documents"), 1024)),
     // fastText-shaped linear domain classifier: fused hashed counts ×
     // integer weight matrix, argmax + margin in one codegen'd projection —
     // zero exchanges; a trained model swaps the weight literals only
@@ -387,6 +396,12 @@ object SparkEntry {
          count(*) AS line_cnt
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+    "agg_incremental_revenue" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         count(*) AS line_cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
     "q3_shipping" ->
       """SELECT l_orderkey,
          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -513,6 +528,8 @@ object SparkEntry {
     "text_token_histogram" -> OracleSqlGen.tokenHistogramSql,
     "text_token_rarity" -> OracleSqlGen.tokenRaritySql,
     "text_surprisal" -> OracleSqlGen.unigramSurprisalSql,
+    "text_vocabulary" -> OracleSqlGen.vocabularySql(256),
+    "corpus_source_drift" -> OracleSqlGen.sourceDriftSql(1024),
     "text_domain_classify" -> OracleSqlGen.domainClassifySql(64, 4),
     "text_fingerprints" -> OracleSqlGen.fingerprintsSql,
     "text_winnow_fp" -> OracleSqlGen.winnowingSql(5, 4),

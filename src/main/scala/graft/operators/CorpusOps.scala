@@ -483,6 +483,55 @@ object CorpusOps {
         explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
   }
 
+  /** Per-source DISTRIBUTION DRIFT monitor: smoothed KL divergence
+    * KL(source ‖ corpus) over the same hashed-bigram bucket models as
+    * [[dsirWeights]] — the "did this crawl/source shift away from the
+    * corpus mixture" alarm a continuously-ingesting pipeline watches
+    * (rising KL on a source = changed content distribution upstream).
+    *
+    * Exactness without per-term division: with add-1 smoothing over the
+    * measured corpus support D (buckets with ≥1 corpus occurrence —
+    * source buckets are a subset by construction),
+    * `KL·(T_s+D) = Σ_b (c_sb+1)·[qln(c_sb+1) − qln(c_cb+1)]
+    *             − (T_s+D)·[qln(T_s+D) − qln(T_c+D)]`
+    * is an exact INTEGER in micro-nats (the Σ(c_sb+1) = T_s+D identity
+    * folds the normalizer out of the per-bucket terms); the one IEEE
+    * divide + round happens at the end, per source.
+    *
+    * Scale shape: both models are D-bounded aggregates; the per-source ×
+    * bucket domain materializes as sources-frame × BROADCAST corpus
+    * model (|sources|·D rows, never corpus-sized), and the corpus
+    * constants ride a broadcast 1-row aggregate.
+    */
+  def sourceDrift(docs: DataFrame, dims: Int = 1024): DataFrame = {
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val occ = docs
+      .select(col("source"), tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("source"),
+        explode(TextAnalysis.gramOccurrences(col("tk"), 2)).as("g"))
+      .select(col("source"),
+        (graft.functions.DetHash.base60(col("g")) % dims).as("f"))
+    val corpus = occ.groupBy(col("f")).agg(count(lit(1)).as("cc"))
+    val bySrc = occ.groupBy(col("source"), col("f")).agg(count(lit(1)).as("cs"))
+    val srcTotals = occ.groupBy(col("source")).agg(count(lit(1)).as("ts"))
+    val consts = corpus.agg(sum(col("cc")).as("tc"), count(lit(1)).as("d"))
+    val domain = srcTotals.select(col("source")).crossJoin(broadcast(corpus))
+    val terms = domain.join(bySrc, Seq("source", "f"), "left")
+      .select(col("source"),
+        ((coalesce(col("cs"), lit(0L)) + 1) *
+          (qln(coalesce(col("cs"), lit(0L)) + 1) - qln(col("cc") + 1))).as("term"))
+      .groupBy(col("source")).agg(sum(col("term")).as("s"))
+    val kScaled = col("s") -
+      (col("ts") + col("d")) * (qln(col("ts") + col("d")) - qln(col("tc") + col("d")))
+    terms.join(srcTotals, Seq("source"))
+      .crossJoin(broadcast(consts))
+      .select(col("source"), col("ts").as("n_feats"),
+        kScaled.as("kl_scaled_micro"),
+        round(kScaled.cast("double") / (col("ts") + col("d")).cast("double") / 1e6, 4)
+          .as("kl"))
+  }
+
   /** DSIR data-selection weights (Xie et al. 2023, 2302.03169): score every
     * document by how target-domain-like it is under hashed-bigram bag
     * models — `log w(d) = Σ_f [ln p_target(f) − ln p_raw(f)]` over the

@@ -139,6 +139,57 @@ object Relational {
       (ensure("lineitem", "l_orderkey"), ensure("orders", "o_orderkey"))
     }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the batch analog of a streaming
+    * CTAS changelog, and the aggregate sibling of
+    * [[graft.operators.Dedup.incrementalIngest]]: the accumulated
+    * corpus' per-status revenue partials (orders with
+    * `o_orderkey % 10 < 8`, standing in for "every prior batch") are
+    * PERSISTED once; a query over the full corpus then aggregates ONLY
+    * today's batch (`% 10 >= 8`) and merges the tiny partial frames —
+    * the historical fact rows are never rejoined or rescanned.
+    *
+    * Exactness: the partials sum `decimal(18,4)` revenue terms — decimal
+    * addition is exact and associative, so partial-then-merge equals the
+    * monolithic aggregation to the bit, and the one `cast(double)`
+    * happens at the very end on identical exact decimals (the
+    * [[revenueTerm]] discipline). That is why the oracle is the PLAIN
+    * full-corpus SQL: incrementality must be invisible in the result.
+    *
+    * Scale shape: the merge input is |statuses| rows from disk plus
+    * |statuses| rows from the batch aggregation — the only work that
+    * scales with data volume is the batch slice's own join/agg. At
+    * 100 TB with daily batches this turns a full-corpus rollup into a
+    * batch-sized job, exactly like a materialized view refresh.
+    */
+  def revenueByStatusIncremental(spark: SparkSession, dir: String): DataFrame =
+    Relational.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_aggpart_rev_$tag"
+      val partials = Tables.ensurePersisted(spark, name) { path =>
+        Tables.load(spark, dir, "lineitem")
+          .join(Tables.load(spark, dir, "orders")
+            .filter(col("o_orderkey") % 10 < 8),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(revenueTerm("l_extendedprice", "l_discount")).as("rev_part"),
+            count(lit(1)).as("cnt_part"))
+          .write.option("path", path).mode("overwrite").saveAsTable(name)
+      }
+      val batch = Tables.load(spark, dir, "lineitem")
+        .join(Tables.load(spark, dir, "orders")
+          .filter(col("o_orderkey") % 10 >= 8),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(revenueTerm("l_extendedprice", "l_discount")).as("rev_part"),
+          count(lit(1)).as("cnt_part"))
+      partials.select(col("o_orderstatus"), col("rev_part"), col("cnt_part"))
+        .unionByName(batch)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("rev_part")).cast("double").as("revenue"),
+          sum(col("cnt_part")).as("line_cnt"))
+    }
+
   /** [[revenueByStatus]] over the bucketed tables: identical rows, but the
     * join consumes the tables' bucket distribution — the plan's ONLY hash
     * exchange is the 3-group final aggregation (PlanShapeSpec asserts it).

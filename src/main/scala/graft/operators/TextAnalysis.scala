@@ -418,6 +418,25 @@ object TextAnalysis {
   def unigramQlnTotal(model: DataFrame): Long =
     model.agg(qlnOfTf(sum(col("tf"))).as("q")).head().getLong(0)
 
+  /** Top-`topV` VOCABULARY by term frequency (ties broken by token) with
+    * a dense 1-based rank — the tokenizer-fitting artifact (a BPE run's
+    * seed vocabulary / the id table a unigram tokenizer ships).
+    *
+    * Scale shape: the vocabulary-bounded [[unigramCounts]] aggregate
+    * feeds a `TakeOrderedAndProject` top-V (never a global sort of the
+    * vocabulary); the rank window then runs over the ALREADY-SELECTED
+    * topV rows — its single-partition input is `topV`, a constant, not
+    * a data volume.
+    */
+  def vocabulary(docs: DataFrame, topV: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    unigramCounts(docs)
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(topV)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("tok").asc)).cast("long"))
+  }
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"),
       explode(tokens(normalizeText(col("text")))).as("tok"))

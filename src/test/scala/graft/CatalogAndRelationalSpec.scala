@@ -78,4 +78,26 @@ class CatalogAndRelationalSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("incremental aggregate: partial-merge equals monolithic, partials reused") {
+    val sf = "/root/testdata/sf0.001"
+    val inc = operators.Relational.revenueByStatusIncremental(spark, sf)
+    val mono = operators.Relational.revenueByStatus(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    // decimal partial sums are exact and associative, so the merged result
+    // must equal the full-corpus aggregation to the bit (double included)
+    assert(rows(inc) == rows(mono))
+    // the merged plan reads the PERSISTED partial table, not the history:
+    // the only lineitem join is the batch slice's
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_aggpart_rev_"),
+      "incremental plan lost the persisted partials scan")
+    assert("(?i)% 10\\) >= 8".r.findFirstIn(plan).isDefined
+      || plan.contains("% 10) >= 8"),
+      s"batch slice filter missing from plan")
+    assert(!plan.contains("% 10) < 8"),
+      "history slice is being recomputed — partials not reused")
+  }
 }

@@ -304,6 +304,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.sorted.sameElements(again.sorted))
   }
 
+  test("sourceDrift: corpus-like source scores near zero, shifted source higher") {
+    // s_bulk dominates the corpus, so its distribution ≈ the corpus
+    // distribution (KL near 0); s_shift uses disjoint vocabulary — its
+    // bigram buckets barely overlap the corpus mass, so KL must be
+    // clearly larger. Smoothed KL over a shared support is ≥ 0 up to
+    // micro-nat quantization.
+    val bulk = (0L until 30L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again", "s_bulk"))
+    val shift = (100L until 105L).map(i =>
+      (i, "zeta omega phi chi psi rho sigma tau upsilon nu", "s_shift"))
+    val docs = (bulk ++ shift).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+    val got = CorpusOps.sourceDrift(docs, 1024)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set("s_bulk", "s_shift"))
+    got.values.foreach { case (_, _, kl) => assert(kl >= -0.001, s"negative KL: $got") }
+    assert(got("s_shift")._3 > got("s_bulk")._3 + 0.1,
+      s"shifted source must show drift: $got")
+    // n_feats = bigram occurrences = (tokens - 1) per doc
+    assert(got("s_bulk")._1 == 30L * 9 && got("s_shift")._1 == 5L * 9)
+  }
+
   test("dsirWeights: target-like docs outrank off-target, exact feature counts") {
     // target slice (en) is dominated by the "neural network" bigram; doc 3
     // (de) shares it, doc 4 (de) shares nothing with the target slice, so

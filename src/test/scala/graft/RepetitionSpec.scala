@@ -124,4 +124,16 @@ class RepetitionSpec extends SparkSpec {
     // the ordering the filter consumes: rare-token doc is more surprising
     assert(got(2L)._3 > got(1L)._3)
   }
+
+  test("vocabulary: frequency-ranked top-V with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c"), (2L, "a d c")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    val got = TextAnalysis.vocabulary(docs, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tf: a=3, b=3, c=2, d=1 → top3 = a(1), b(2) [tie broken by token], c(3)
+    assert(got.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
+  }
 }
