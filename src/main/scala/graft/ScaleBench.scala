@@ -52,9 +52,10 @@ object ScaleBench {
     "session_counts", "hopping_counts",
     "dedup_exact", "dedup_lsh_pairs", "dedup_char_lsh",
     "dedup_char_jaccard_pairs", "dedup_clusters", "dedup_clusters_chain",
-    "dedup_cluster_reps", "dedup_substring_removed",
+    "dedup_cluster_reps", "dedup_substring_removed", "dedup_simhash_pairs",
     "sim_knn_join", "sim_knn_join_auto", "sim_ivf_topk_sampled", "text_bm25",
-    "corpus_assemble", "mm_video_frames")
+    "text_surprisal", "corpus_dsir_weights", "corpus_source_drift",
+    "agg_incremental_revenue", "corpus_assemble", "mm_video_frames")
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     import spark.implicits._

@@ -532,6 +532,45 @@ object CorpusOps {
           .as("kl"))
   }
 
+  /** The corpus bigram-bucket model behind [[sourceDrift]] as a REUSABLE
+    * frame: (f, cc) occurrence counts over `base60(bigram) mod dims` —
+    * dims-bounded, so it broadcasts everywhere it joins.
+    */
+  def bigramBucketModel(docs: DataFrame, dims: Int = 1024): DataFrame =
+    docs
+      .select(tokens(normalizeText(col("text"))).as("tk"))
+      .select(explode(TextAnalysis.gramOccurrences(col("tk"), 2)).as("g"))
+      .select((graft.functions.DetHash.base60(col("g")) % dims).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("cc"))
+
+  /** [[bigramBucketModel]] persisted once per corpus dir (ensure-once
+    * discipline) — the trained artifact the STREAMING drift monitor
+    * ([[graft.streaming.Pipelines.streamingSourceDrift]]) probes.
+    */
+  def bigramModelTable(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, dims: Int = 1024): DataFrame =
+    CorpusOps.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_bigram_${dims}_$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        bigramBucketModel(graft.Tables.load(spark, dir, "documents"), dims)
+          .write.option("path", path).mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** The three corpus constants the scaled-KL identity needs —
+    * `(T_c, D, S_all = Σ_b qln(cc_b + 1))` — from a (f, cc) model frame:
+    * one dims-bounded aggregate read as a single row.
+    */
+  def bigramModelConstants(model: DataFrame): (Long, Long, Long) = {
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val r = model.agg(sum(col("cc")).as("tc"), count(lit(1)).as("d"),
+      sum(qln(col("cc") + 1)).as("s_all")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** DSIR data-selection weights (Xie et al. 2023, 2302.03169): score every
     * document by how target-domain-like it is under hashed-bigram bag
     * models — `log w(d) = Σ_f [ln p_target(f) − ln p_raw(f)]` over the

@@ -544,7 +544,7 @@ object TextAnalysis {
     * would read as multiplicity 1-of-1 and flag every tiny document as
     * maximally repetitive.
     */
-  private[operators] def gramOccurrences(toks: Column, n: Int): Column =
+  private[graft] def gramOccurrences(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))

@@ -329,6 +329,63 @@ object Pipelines {
           .as("avg_nll"))
   }
 
+  /** Streaming DISTRIBUTION-DRIFT monitor — the stream twin of
+    * [[graft.operators.CorpusOps.sourceDrift]], scoring each
+    * (source, event-time window) of arriving documents against the
+    * PERSISTED corpus bigram model
+    * ([[graft.operators.CorpusOps.bigramModelTable]]): the alarm that
+    * fires when a crawl's content distribution shifts mid-ingest.
+    *
+    * Exactness: the same scaled-KL integer identity as the batch op,
+    * restructured for the observed support — missing-bucket terms fold
+    * into the corpus constant `S_all = Σ_b qln(cc_b+1)` (read once
+    * batch-side via `bigramModelConstants`, inlined as literals), so a
+    * window that replays the training corpus reproduces the batch KL
+    * EXACTLY (spec-pinned). Stream buckets outside the corpus support
+    * drop at the model join — the batch op's domain, by construction.
+    *
+    * Scale shape: this is the CHAINED-STATEFUL-AGGREGATION pattern
+    * (per-(source, window, bucket) counts → model join → per-(source,
+    * window) KL), legal in append mode because both aggs share the
+    * event-time window. State is bounded by |sources|·D per window; the
+    * model joins as a broadcast static side — zero streaming state for
+    * the corpus statistics.
+    */
+  def streamingSourceDrift(docs: DataFrame, model: DataFrame,
+                           consts: (Long, Long, Long),
+                           eventTimeCol: String, windowDur: String,
+                           delay: String, dims: Int = 1024): DataFrame = {
+    import graft.operators.TextAnalysis
+    import graft.functions.GraftFunctions.{normalizeText, tokens}
+    val (tc, d, sAll) = consts
+    def qln(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val occ = docs
+      .select(col("source"), col(eventTimeCol),
+        tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("source"), col(eventTimeCol),
+        explode(TextAnalysis.gramOccurrences(col("tk"), 2)).as("g"))
+      .select(col("source"), col(eventTimeCol),
+        (graft.functions.DetHash.base60(col("g")) % dims).as("f"))
+      .withWatermark(eventTimeCol, delay)
+    val perBucket = occ
+      .groupBy(col("source"), window(col(eventTimeCol), windowDur), col("f"))
+      .agg(count(lit(1)).as("cs"))
+    val tsd = col("ts_w") + d
+    val kScaled = col("s_obs") - sAll + col("q_obs") -
+      tsd * (qln(tsd) - lit(math.floor(math.log((tc + d).toDouble) * 1e6 + 0.5).toLong))
+    perBucket
+      .join(broadcast(model.select(col("f"), qln(col("cc") + 1).as("qcc"))), Seq("f"))
+      .groupBy(col("source"), col("window"))
+      .agg(sum((col("cs") + 1) * (qln(col("cs") + 1) - col("qcc"))).as("s_obs"),
+        sum(col("qcc")).as("q_obs"),
+        sum(col("cs")).as("ts_w"))
+      .select(col("source"), col("window"),
+        col("ts_w").as("n_feats"),
+        kScaled.as("kl_scaled_micro"),
+        round(kScaled.cast("double") / tsd.cast("double") / 1e6, 4).as("kl"))
+  }
+
   /** The north-star COMPOSITION: corpus curation ON the stream — an
     * incremental documents frame (the `graft-jdbc` DSv2 source in
     * production, any streaming frame in tests) → join-free

@@ -241,4 +241,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SrpBandKeys") || p.contains("srp_band_keys"),
       "candidate generation lost the fused band-key expression")
   }
+
+  test("dsir weights: the bucket model joins as a broadcast, never a shuffle join") {
+    val p = plan(graft.operators.CorpusOps.dsirWeights(
+      Tables.load(spark, sf, "documents"), "en", 1024))
+    // the occurrence->model scoring join must broadcast the dims-bounded
+    // model; a SortMergeJoin here would shuffle every (doc, bucket) row
+    // against a 1024-row side
+    assert(p.contains("BroadcastHashJoin"), "model join lost its broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "dims-bounded model is being shuffle-joined")
+  }
+
+  test("epoch replication plans zero exchanges (scan-fused projection + explode)") {
+    val q = graft.operators.CorpusOps.epochSample(
+      Tables.load(spark, sf, "documents"))
+    q.count()
+    val p = q.queryExecution.executedPlan.toString
+    // the one repartition comes from Tables.load's fan-out; beyond it the
+    // operator itself must add NO exchange of any kind
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"epochSample added exchanges: $exchanges\n$p")
+    assert(p.contains("Generate explode"), "replication lost the generator")
+  }
 }

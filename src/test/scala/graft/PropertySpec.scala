@@ -143,4 +143,41 @@ class PropertySpec extends SparkSpec {
       assert(got.forall { case (exact, est) => est >= exact })
     }
   }
+
+  test("simhash pigeonhole pairs == brute-force hamming pairs on any corpus") {
+    // small shared-word pool makes collisions (and near-collisions) likely
+    val textGen = Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+      .map(_.mkString(" "))
+    forAll(Gen.listOfN(7, textGen), trials = 4) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+      val got = graft.operators.Dedup.simhashPairs(docs, 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val sigs = graft.operators.Dedup.simhashSignatures(docs)
+        .as[(Long, Long)].collect().toMap
+      val brute = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+      } yield (a, b, h.toLong)).toSet
+      assert(got == brute, s"pigeonhole=$got brute=$brute")
+    }
+  }
+
+  test("epoch replication: per-doc copies in {floor(f), ceil(f)}, fraction-bounded") {
+    val factorGen = Gen.oneOf(0.0, 0.3, 1.0, 1.5, 2.0, 2.7)
+    forAll2(factorGen, Gen.choose(10, 40)) { (f, n) =>
+      val docs = (0 until n).map(i => (i.toLong, "s0", s"text $i"))
+        .toDF("doc_id", "source", "text").withColumn("lang", lit("en"))
+      val counts = graft.operators.CorpusOps
+        .epochSample(docs, Seq("s0" -> f), 1.0)
+        .groupBy(col("doc_id")).count().as[(Long, Long)].collect().toMap
+      val (lo, hi) = (math.floor(f).toLong, math.ceil(f).toLong)
+      // docs with zero copies are absent; present ones hold the bound
+      counts.values.foreach(c => assert(c == lo || c == hi, s"f=$f got $c"))
+      // total replication stays within the deterministic-sampling envelope
+      val total = counts.values.sum
+      assert(total >= lo * n && total <= hi * n, s"f=$f total=$total n=$n")
+    }
+  }
 }

@@ -631,6 +631,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift window replaying the corpus reproduces batch KL exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.operators.CorpusOps
+    // the fixture from the batch sourceDrift spec: a dominant corpus-like
+    // source and a vocabulary-shifted one
+    val bulk = (0L until 30L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again", "s_bulk"))
+    val shift = (100L until 105L).map(i =>
+      (i, "zeta omega phi chi psi rho sigma tau upsilon nu", "s_shift"))
+    val corpus = (bulk ++ shift).toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val expected = CorpusOps.sourceDrift(corpus, 1024)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val model = CorpusOps.bigramBucketModel(corpus, 1024)
+    val consts = CorpusOps.bigramModelConstants(model)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source", "ts")
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingSourceDrift(stream, model, consts,
+        "ts", "1 minute", "30 seconds", 1024),
+      "drift_t", OutputMode.Append)
+    try {
+      val ts = new java.sql.Timestamp(60000L)
+      mem.addData((bulk ++ shift).map { case (id, text, src) =>
+        (id, text, src, ts) }: _*)
+      q.processAllAvailable()
+      // advance the watermark past the window so the windows emit
+      mem.addData((999L, bulk.head._2, "s_bulk",
+        new java.sql.Timestamp(ts.getTime + 600000L)))
+      q.processAllAvailable()
+      val got = spark.table("drift_t")
+        .select($"source", $"n_feats", $"kl_scaled_micro", $"kl")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      // one emitted window per source, each EXACTLY the batch op's row
+      assert(got == expected, s"stream=$got batch=$expected")
+    } finally q.stop()
+  }
+
   test("sessionization runs unchanged on the RocksDB state store provider") {
     // the 100 TB stateful path: the default HDFS-backed store keeps every
     // key in executor memory; RocksDB spills to local disk. The provider
