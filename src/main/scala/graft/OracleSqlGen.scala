@@ -271,6 +271,26 @@ object OracleSqlGen {
           round((n_tokens * qln_total - sum_qln_tf)::DOUBLE / n_tokens::DOUBLE / 1e6, 4) AS avg_nll
         FROM d CROSS JOIN tot"""
 
+  /** Mirrors TextAnalysis.bigramSurprisal: transition counts + prefix
+    * counts, micro-nat logs per model entry, exact per-doc integer sums.
+    */
+  def bigramSurprisalSql: String =
+    s"""${toksCte()},
+        o AS (SELECT doc_id, unnest(${gramOccSql(2)}) AS g FROM t),
+        c2 AS (SELECT g, CAST(floor(ln(count(*)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qln_c2
+          FROM o GROUP BY g),
+        c1p AS (SELECT split_part(g, ' ', 1) AS prev,
+          CAST(floor(ln(count(*)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qln_c1p
+          FROM o GROUP BY split_part(g, ' ', 1)),
+        d AS (SELECT doc_id, count(*) AS n_trans,
+          CAST(sum(qln_c1p) AS BIGINT) AS s1, CAST(sum(qln_c2) AS BIGINT) AS s2
+          FROM o JOIN c2 USING (g)
+          JOIN c1p ON split_part(o.g, ' ', 1) = c1p.prev
+          GROUP BY doc_id)
+        SELECT doc_id, n_trans, s1 - s2 AS nll_micro,
+          round((s1 - s2)::DOUBLE / n_trans::DOUBLE / 1e6, 4) AS avg_nll
+        FROM d"""
+
   def tokenRaritySql: String =
     s"""${toksCte()},
         d AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM t),
@@ -469,6 +489,29 @@ object OracleSqlGen {
         ev AS (SELECT DISTINCT gram FROM g WHERE is_eval)
         SELECT doc_id, count(*) AS n_shared_grams
         FROM g JOIN ev USING (gram) WHERE NOT is_eval GROUP BY doc_id"""
+
+  /** Mirrors CorpusOps.contaminationReport: distinct leaked grams per
+    * eval doc + the worst-offending train doc (shared desc, id asc).
+    */
+  def contaminationReportSql(n: Int, evalRate: Double,
+                             salt: String = "split"): String =
+    s"""${toksCte()},
+        sh AS (SELECT doc_id,
+          ${hexCellSql(salt)} < '${CorpusOps.hexThreshold(evalRate)}' AS is_eval,
+          ${shingles(n)} AS shingles FROM t),
+        g AS (SELECT doc_id, is_eval, unnest(shingles) AS gram FROM sh),
+        ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE is_eval),
+        tr AS (SELECT doc_id AS train_id, gram FROM g WHERE NOT is_eval),
+        h AS (SELECT eval_id, train_id, gram FROM ev JOIN tr USING (gram)),
+        pe AS (SELECT eval_id, count(DISTINCT gram) AS n_shared_grams
+          FROM h GROUP BY eval_id),
+        top AS (SELECT eval_id, train_id AS top_train_doc, shared AS top_shared,
+          row_number() OVER (PARTITION BY eval_id
+            ORDER BY shared DESC, train_id) AS rk
+          FROM (SELECT eval_id, train_id, count(*) AS shared
+            FROM h GROUP BY eval_id, train_id))
+        SELECT pe.eval_id AS doc_id, n_shared_grams, top_train_doc, top_shared
+        FROM pe JOIN top ON pe.eval_id = top.eval_id AND rk = 1"""
 
   /** Mirrors CorpusOps.packShards. The oracle computes the global
     * exclusive running token sum directly (DuckDB windows the whole table

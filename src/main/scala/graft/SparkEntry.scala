@@ -137,6 +137,9 @@ object SparkEntry {
     // corpus-unigram-LM surprisal (the CCNet/Gopher quality-filter signal):
     // integer micro-nat logs, exact per-doc sums, one divide at the end
     "text_surprisal" -> q((s, d) => TextAnalysis.unigramSurprisal(Tables.load(s, d, "documents"))),
+    // bigram-LM transition surprisal: the conditional upgrade (KenLM-tier
+    // shape); prefix-count denominator so the conditional sums to 1
+    "text_bigram_surprisal" -> q((s, d) => TextAnalysis.bigramSurprisal(Tables.load(s, d, "documents"))),
     // tokenizer-fitting artifact: top-V vocabulary via TakeOrderedAndProject
     "text_vocabulary" -> q((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"), 256)),
     // per-source KL drift vs the corpus bigram-bucket model — the
@@ -180,6 +183,11 @@ object SparkEntry {
     // epoch-weighted replication ("2.5 epochs of wiki"): scan-fused
     // copies projection + explode, zero exchanges
     "corpus_epochs" -> q((s, d) => CorpusOps.epochSample(Tables.load(s, d, "documents"))),
+    // per-eval-doc contamination audit: distinct leaked 8-grams + the
+    // worst-offending train doc; a 4-gram rate-0.2 split so the synthetic
+    // corpus actually exhibits leakage at oracle scale
+    "corpus_contamination_report" -> q((s, d) =>
+      CorpusOps.contaminationReport(Tables.load(s, d, "documents"), 4, 0.2)),
     // exact top-quota-per-source by quality: rank-limit pushdown
     // (WindowGroupLimit) prunes map-side, so no reducer sees a whole source
     "corpus_quota_sample" -> q((s, d) => CorpusOps.quotaSample(Tables.load(s, d, "documents"), 25)),
@@ -528,6 +536,7 @@ object SparkEntry {
     "text_token_histogram" -> OracleSqlGen.tokenHistogramSql,
     "text_token_rarity" -> OracleSqlGen.tokenRaritySql,
     "text_surprisal" -> OracleSqlGen.unigramSurprisalSql,
+    "text_bigram_surprisal" -> OracleSqlGen.bigramSurprisalSql,
     "text_vocabulary" -> OracleSqlGen.vocabularySql(256),
     "corpus_source_drift" -> OracleSqlGen.sourceDriftSql(1024),
     "text_domain_classify" -> OracleSqlGen.domainClassifySql(64, 4),
@@ -543,6 +552,7 @@ object SparkEntry {
     "corpus_shuffle" -> OracleSqlGen.shuffleShardsSql(8),
     "corpus_dsir_weights" -> OracleSqlGen.dsirWeightsSql("en", 1024),
     "corpus_epochs" -> OracleSqlGen.epochSampleSql(),
+    "corpus_contamination_report" -> OracleSqlGen.contaminationReportSql(4, 0.2),
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
     "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
     "corpus_stats" -> OracleSqlGen.corpusStatsSql,

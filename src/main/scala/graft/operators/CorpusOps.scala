@@ -532,6 +532,49 @@ object CorpusOps {
           .as("kl"))
   }
 
+  /** Per-EVAL-document contamination REPORT — the audit artifact
+    * completing the decontamination trio ([[decontaminate]] flags train
+    * docs, `Dedup.fuzzyDecontaminate` catches paraphrases; this answers
+    * "how burned is each eval document, and by whom"): for every eval
+    * doc with any n-gram overlap into the train split, the number of
+    * DISTINCT leaked n-grams and the single worst-offending train doc
+    * (most shared grams, ties to the smaller id).
+    *
+    * Scale shape: gram sets are per-doc DISTINCT shingles; the eval-train
+    * join is keyed by gram (volume = actual leakage, not corpus²); the
+    * top-offender window partitions per eval doc with input bounded by
+    * that doc's contaminating train docs. Clean eval docs simply don't
+    * appear — the report is leakage-sized.
+    */
+  def contaminationReport(docs: DataFrame, n: Int = 8,
+                          evalRate: Double = 0.05,
+                          salt: String = "split"): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        (hexCell(col("doc_id"), salt) < lit(hexThreshold(evalRate))).as("is_eval"),
+        tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("doc_id"), col("is_eval"),
+        explode(shinglesFromTokens(col("tk"), n)).as("gram"))
+    val ev = grams.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val tr = grams.filter(!col("is_eval"))
+      .select(col("doc_id").as("train_id"), col("gram"))
+    val hits = ev.join(tr, Seq("gram"))
+    val perEval = hits.groupBy(col("eval_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+    val top = hits.groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("eval_id"))
+          .orderBy(col("shared").desc, col("train_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("eval_id"), col("train_id").as("top_train_doc"),
+        col("shared").as("top_shared"))
+    perEval.join(top, Seq("eval_id"))
+      .select(col("eval_id").as("doc_id"), col("n_shared_grams"),
+        col("top_train_doc"), col("top_shared"))
+  }
+
   /** The corpus bigram-bucket model behind [[sourceDrift]] as a REUSABLE
     * frame: (f, cc) occurrence counts over `base60(bigram) mod dims` —
     * dims-bounded, so it broadcasts everywhere it joins.

@@ -453,6 +453,48 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** BIGRAM-LM surprisal per document — the conditional-probability
+    * upgrade over [[unigramSurprisal]], one step closer to the KenLM
+    * n-gram scorers the CCNet pipeline runs: avg negative log-likelihood
+    * of each doc's token TRANSITIONS under the corpus bigram model,
+    * `P(w|prev) = c₂(prev,w) / c₁⁺(prev)` with `c₁⁺` the count of
+    * `prev` as a transition PREFIX (not its raw unigram count — the two
+    * differ at document ends, and only the prefix count makes the
+    * conditional sum to 1). Self-scoring needs no smoothing: every
+    * transition the corpus contains has c₂ ≥ 1 by construction.
+    *
+    * Same micro-nat determinism discipline as the unigram op: both logs
+    * quantize per MODEL ENTRY before any per-doc sum. Docs with < 2
+    * tokens have no transitions and drop out (mirrors the oracle's
+    * empty unnest).
+    *
+    * Scale shape: the two models are bigram-/unigram-vocabulary-bounded
+    * aggregates (map-side combine); the scoring joins ship only
+    * (doc_id, gram) rows, and the per-doc re-aggregation is the one
+    * corpus-sized exchange.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("doc_id"), explode(gramOccurrences(col("tk"), 2)).as("g"))
+    val c2 = occ.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1p = occ.select(substring_index(col("g"), " ", 1).as("prev"))
+      .groupBy(col("prev")).agg(count(lit(1)).as("c1p"))
+    val scored = occ
+      .join(c2.select(col("g"), qlnOfTf(col("c2")).as("qln_c2")), Seq("g"))
+      .withColumn("prev", substring_index(col("g"), " ", 1))
+      .join(c1p.select(col("prev"), qlnOfTf(col("c1p")).as("qln_c1p")), Seq("prev"))
+    val nllMicro = col("sum_qln_c1p") - col("sum_qln_c2")
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("qln_c1p")).as("sum_qln_c1p"),
+        sum(col("qln_c2")).as("sum_qln_c2"))
+      .select(col("doc_id"), col("n_trans"),
+        nllMicro.as("nll_micro"),
+        round(nllMicro.cast("double") / col("n_trans").cast("double") / 1e6, 4)
+          .as("avg_nll"))
+  }
+
   /** Fingerprint + duplicate-group size per document. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))

@@ -304,6 +304,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.sorted.sameElements(again.sorted))
   }
 
+  test("contaminationReport: distinct leak counting and worst-offender ranking") {
+    // find deterministic eval/train ids under the same md5 cell the
+    // operator uses (salt "split", rate 0.5)
+    def cell(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"split:$id".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 8)
+    val thr = CorpusOps.hexThreshold(0.5)
+    val ids = (0L until 40L)
+    val evalId = ids.find(cell(_) < thr).get
+    val trainIds = ids.filter(cell(_) >= thr).take(3)
+    val (t1, t2, t3) = (trainIds(0), trainIds(1), trainIds(2))
+    // eval doc: 6 tokens -> 3 distinct 4-grams; t1 copies the whole text
+    // (3 shared grams), t2 shares only the first 4-gram window, t3 clean
+    val evalText = "aaa bbb ccc ddd eee fff"
+    val docs = Seq(
+      (evalId, evalText),
+      (t1, evalText),
+      (t2, "aaa bbb ccc ddd zzz yyy"),
+      (t3, "one two three four five six")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val got = CorpusOps.contaminationReport(docs, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 1, s"only the eval doc reports: ${got.toSeq}")
+    val (d, nShared, topDoc, topShared) = got(0)
+    assert(d == evalId)
+    assert(nShared == 3, s"3 distinct grams leak (t1's 3 ∪ t2's 1): $nShared")
+    assert(topDoc == t1 && topShared == 3, s"worst offender: $topDoc/$topShared")
+  }
+
   test("sourceDrift: corpus-like source scores near zero, shifted source higher") {
     // s_bulk dominates the corpus, so its distribution ≈ the corpus
     // distribution (KL near 0); s_shift uses disjoint vocabulary — its

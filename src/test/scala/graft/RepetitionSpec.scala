@@ -125,6 +125,33 @@ class RepetitionSpec extends SparkSpec {
     assert(got(2L)._3 > got(1L)._3)
   }
 
+  test("bigram surprisal: exact transition NLL against a hand bigram LM") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // transitions: ab, ba, ab
+      (2L, "a c"),     // transition: ac
+      (3L, "x")        // no transitions → drops out
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    val got = TextAnalysis.bigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def qln(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    // c2: "a b"=2, "b a"=1, "a c"=1; c1p: a=3, b=1
+    // doc1: [qln(3)-qln(2)] + [qln(1)-qln(1)] + [qln(3)-qln(2)]
+    val d1 = 2 * (qln(3) - qln(2))
+    // doc2: qln(3) - qln(1)
+    val d2 = qln(3)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, d1, r4(d1 / 3.0 / 1e6))))
+    assert(got(2L) == ((1L, d2, r4(d2 / 1.0 / 1e6))))
+    assert(!got.contains(3L))
+    // the unseen-ish transition (P=1/3) is more surprising than the
+    // dominant one (P=2/3): doc2 outranks doc1
+    assert(got(2L)._3 > got(1L)._3)
+  }
+
   test("vocabulary: frequency-ranked top-V with deterministic tie-break") {
     import spark.implicits._
     val docs = Seq(
