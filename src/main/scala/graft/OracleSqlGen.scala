@@ -1756,4 +1756,99 @@ object OracleSqlGen {
                     JOIN embeddings eb ON cand.b = eb.vec_id)
         SELECT a, b, cos_sim FROM v WHERE cos_sim >= $threshold"""
   }
+
+  /** Mirrors CorpusOps.snapshotDiffFixture/snapshotDiff: v1 / v2 carved
+    * from `documents` by the same residue predicates, content compared by
+    * md5 fingerprint through a full outer join.
+    */
+  def snapshotDiffSql: String =
+    s"""WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents
+          WHERE doc_id % 11 <> 3),
+        v2 AS (SELECT doc_id,
+            md5(CASE WHEN doc_id % 17 = 2 THEN text || ' rev2'
+                ELSE text END) AS fp2
+          FROM documents WHERE doc_id % 13 <> 5),
+        j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+            CASE WHEN fp1 IS NULL THEN 'added'
+                 WHEN fp2 IS NULL THEN 'removed'
+                 WHEN fp1 <> fp2 THEN 'changed'
+                 ELSE 'unchanged' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT status, count(*) AS n_docs, min(doc_id) AS min_doc_id,
+          max(doc_id) AS max_doc_id
+        FROM j GROUP BY status"""
+
+  /** Mirrors CorpusOps.filterFunnel: every ratio rule is compared
+    * cross-multiplied in BIGINTs (never a float), the token-length sum is
+    * the length of the token concatenation (identical to the Spark fold
+    * because tokens are never empty).
+    */
+  def filterFunnelSql: String =
+    s"""WITH t AS (SELECT doc_id, text, ${toks(norm("text"))} AS tk
+          FROM documents),
+        sig AS (SELECT
+          CAST(len(tk) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+          CAST(len(array_to_string(tk, '')) AS BIGINT) AS sum_len,
+          CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+            AS BIGINT) AS n_alnum,
+          CAST(len(text) AS BIGINT) AS n_chars FROM t),
+        st AS (SELECT CASE
+            WHEN n_tok < 25 THEN '1_too_short'
+            WHEN n_tok > 90 THEN '2_too_long'
+            WHEN sum_len < 2 * n_tok OR sum_len > 5 * n_tok
+              THEN '3_mean_word_len'
+            WHEN 5 * n_alnum < 4 * n_chars THEN '4_low_alpha'
+            WHEN 2 * n_distinct < n_tok THEN '5_repetitive'
+            ELSE '6_pass' END AS stage FROM sig),
+        b AS (SELECT stage, count(*) AS n_docs FROM st GROUP BY stage),
+        tot AS (SELECT count(*) AS n_total FROM documents)
+        SELECT stage, n_docs,
+          round(n_docs::DOUBLE / n_total::DOUBLE, 4) AS frac
+        FROM b CROSS JOIN tot"""
+
+  /** Mirrors CorpusOps.weightedSample: Efraimidis–Spirakis key in integer
+    * micro-nano-nats — same 60-bit md5 rank, same quantized-ln terms,
+    * same double division + floor (both operands exact in doubles, so the
+    * quotient rounds identically in both engines).
+    */
+  def weightedSampleSql(k: Int, salt: String = "wsample"): String = {
+    val q60 = math.floor(60.0 * math.log(2.0) * 1e6 + 0.5).toLong
+    val qlnR1 = s"CAST(floor(ln((${base60(s"'$salt:' || doc_id")} + 1)::DOUBLE)" +
+      s" * 1e6 + 0.5) AS BIGINT)"
+    s"""WITH s AS (SELECT doc_id, source, n_chars,
+          CAST(floor((($q60 - $qlnR1) * 1000)::DOUBLE / n_chars::DOUBLE)
+            AS BIGINT) AS es_key
+          FROM documents)
+        SELECT doc_id, source, n_chars, es_key FROM s
+        ORDER BY es_key, doc_id LIMIT $k"""
+  }
+
+  /** Mirrors Relational.cdcChangeset + cdcMergeApply: same derived
+    * changeset, latest-per-key squash via arg_max, full-outer apply with
+    * D filtered, decimal-exact per-status totals.
+    */
+  def cdcMergeSql: String =
+    s"""WITH ch AS (
+          SELECT o_orderkey AS key, 1 AS seq, 'U:X' AS payload FROM orders
+            WHERE o_orderkey % 5 = 0
+          UNION ALL SELECT o_orderkey, 2, 'U:Y' FROM orders
+            WHERE o_orderkey % 10 = 0
+          UNION ALL SELECT o_orderkey, 3, 'D:' FROM orders
+            WHERE o_orderkey % 7 = 3
+          UNION ALL SELECT o_orderkey + 100000000, 1, 'I:N' FROM orders
+            WHERE o_orderkey % 97 = 0),
+        latest AS (SELECT key, arg_max(payload, seq) AS payload
+          FROM ch GROUP BY key),
+        m AS (SELECT
+            CASE WHEN substr(l.payload, 1, 1) IN ('U', 'I')
+              THEN substr(l.payload, 3, 1) ELSE s.o_orderstatus END AS status,
+            CASE WHEN substr(l.payload, 1, 1) = 'I'
+              THEN (coalesce(l.key, s.o_orderkey) % 997)::DOUBLE
+              ELSE s.o_totalprice END AS price
+          FROM orders s FULL OUTER JOIN latest l ON s.o_orderkey = l.key
+          WHERE l.payload IS NULL OR substr(l.payload, 1, 1) <> 'D')
+        SELECT status, count(*) AS n_orders,
+          CAST(sum(CAST(price AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+        FROM m GROUP BY status"""
 }

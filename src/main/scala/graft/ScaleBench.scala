@@ -55,7 +55,9 @@ object ScaleBench {
     "dedup_cluster_reps", "dedup_substring_removed", "dedup_simhash_pairs",
     "sim_knn_join", "sim_knn_join_auto", "sim_ivf_topk_sampled", "text_bm25",
     "text_surprisal", "corpus_dsir_weights", "corpus_source_drift",
-    "agg_incremental_revenue", "corpus_assemble", "mm_video_frames")
+    "agg_incremental_revenue", "corpus_assemble", "mm_video_frames",
+    "cdc_merge_apply", "corpus_snapshot_diff", "corpus_weighted_sample",
+    "corpus_filter_funnel")
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     import spark.implicits._

@@ -191,6 +191,23 @@ object SparkEntry {
     // exact top-quota-per-source by quality: rank-limit pushdown
     // (WindowGroupLimit) prunes map-side, so no reducer sees a whole source
     "corpus_quota_sample" -> q((s, d) => CorpusOps.quotaSample(Tables.load(s, d, "documents"), 25)),
+    // corpus-version diff by content fingerprint: only 16-byte md5s cross
+    // the wire for the full outer join; 4-row datasheet out
+    "corpus_snapshot_diff" -> q((s, d) =>
+      CorpusOps.snapshotDiffFixture(Tables.load(s, d, "documents"))),
+    // Gopher-style first-failing-rule funnel: one fused scan projection,
+    // every ratio rule decided in cross-multiplied BIGINTs, ≤6-row agg
+    "corpus_filter_funnel" -> q((s, d) =>
+      CorpusOps.filterFunnel(Tables.load(s, d, "documents"))),
+    // Efraimidis–Spirakis weighted sampling without replacement (weight =
+    // n_chars), deterministic md5 draw, TakeOrderedAndProject top-k
+    "corpus_weighted_sample" -> q((s, d) =>
+      CorpusOps.weightedSample(Tables.load(s, d, "documents"), 100)),
+    // MERGE INTO semantics on plain parquet: squash changeset to latest-
+    // per-key (max_by), one full-outer apply join, per-status datasheet
+    "cdc_merge_apply" -> q((s, d) => Relational.cdcMergeApply(
+      Tables.load(s, d, "orders"),
+      Relational.cdcChangeset(Tables.load(s, d, "orders")))),
     // the COMPOSED batch assembly chain in one plan: curate (fused
     // scoring + dedup keep-one, quality carried through) → per-source
     // quota (rank-limit pushdown) → split label; two exchanges total
@@ -554,6 +571,10 @@ object SparkEntry {
     "corpus_epochs" -> OracleSqlGen.epochSampleSql(),
     "corpus_contamination_report" -> OracleSqlGen.contaminationReportSql(4, 0.2),
     "corpus_quota_sample" -> OracleSqlGen.quotaSampleSql(25),
+    "corpus_snapshot_diff" -> OracleSqlGen.snapshotDiffSql,
+    "corpus_filter_funnel" -> OracleSqlGen.filterFunnelSql,
+    "corpus_weighted_sample" -> OracleSqlGen.weightedSampleSql(100),
+    "cdc_merge_apply" -> OracleSqlGen.cdcMergeSql,
     "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
     "corpus_stats" -> OracleSqlGen.corpusStatsSql,
     "corpus_stats_scalable" -> OracleSqlGen.corpusStatsScalableSql(10000),

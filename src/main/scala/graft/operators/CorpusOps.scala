@@ -665,4 +665,154 @@ object CorpusOps {
         logw.as("logw_micro"),
         round(logw.cast("double") / 1e6, 4).as("log_weight"))
   }
+
+  // -------------------------------------------------------------------
+  // Corpus versioning: snapshot diff
+  // -------------------------------------------------------------------
+
+  /** Diff two corpus snapshots by content fingerprint: for every doc_id
+    * present in either version, classify it `added` (v2 only), `removed`
+    * (v1 only), `changed` (both, md5(text) differs), or `unchanged`. The
+    * returned datasheet is one row per status: count plus the id range,
+    * the artifact an incremental 100 TB pipeline publishes alongside each
+    * new corpus version (what changed since the last training run, and
+    * therefore what downstream dedup/index maintenance must reprocess).
+    *
+    * Scale shape: each side is a scan-fused (doc_id, 16-byte fp)
+    * projection — the TEXT never moves, only fingerprints are exchanged
+    * once each for the full outer join on doc_id; the status aggregate is
+    * 4 rows. With both snapshots stored bucketed by doc_id (the layout
+    * [[Dedup.incrementalIngest]] already maintains for its fingerprint
+    * index) even those two exchanges disappear.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def fps(df: DataFrame, fpName: String) =
+      df.select(col("doc_id"), md5(col("text")).as(fpName))
+    val j = fps(v1, "fp1").join(fps(v2, "fp2"), Seq("doc_id"), "full_outer")
+    val status = when(col("fp1").isNull, lit("added"))
+      .when(col("fp2").isNull, lit("removed"))
+      .when(col("fp1") =!= col("fp2"), lit("changed"))
+      .otherwise(lit("unchanged"))
+    j.select(col("doc_id"), status.as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
+
+  /** The deterministic two-version fixture [[snapshotDiff]] is registered
+    * over: v1 drops doc_id % 11 == 3 (docs that will look `added` in v2),
+    * v2 drops doc_id % 13 == 5 (`removed`) and rewrites the text of
+    * doc_id % 17 == 2 (`changed`). Carved from the one `documents` table
+    * so the oracle sees identical inputs.
+    */
+  def snapshotDiffFixture(docs: DataFrame): DataFrame = {
+    val v1 = docs.filter(col("doc_id") % 11 =!= 3)
+    val v2 = docs.filter(col("doc_id") % 13 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    snapshotDiff(v1, v2)
+  }
+
+  // -------------------------------------------------------------------
+  // Quality-filter funnel
+  // -------------------------------------------------------------------
+
+  /** Gopher-style rule funnel (Rae et al. 2021, 2112.11446 table A1
+    * shape): an ORDERED list of cheap quality rules; every document is
+    * charged to the FIRST rule it fails (or `pass`), and the report is
+    * one row per stage with the drop count and the corpus fraction. This
+    * is the per-rule accounting a curation pipeline publishes so rule
+    * changes can be costed before a full re-run.
+    *
+    * Rules (all integer-exact, so the DuckDB oracle agrees bit-for-bit —
+    * ratios are compared cross-multiplied, never as floats; thresholds
+    * are corpus-calibrated, as Gopher's are — the RULE SHAPES are the
+    * operator, the cut points are config):
+    *  1. `too_short`    — fewer than 25 normalized tokens
+    *  2. `too_long`     — more than 90 tokens
+    *  3. `mean_word_len`— mean token length outside [2, 5]
+    *     (sum(len) < 2·n  or  sum(len) > 5·n)
+    *  4. `low_alpha`    — alphanumeric chars < 80 % of all chars
+    *     (5·alnum < 4·chars)
+    *  5. `repetitive`   — distinct tokens < n/2 (i.e. > 50 % duplicated)
+    *
+    * Scale shape: ONE scan with a fused projection computes every rule
+    * signal (tokenize once, reuse for counts/lengths/distinct); the only
+    * exchange is the ≤ 6-row stage aggregate, and the corpus total rides
+    * a broadcast 1-row cross join. Adding a rule never adds a pass over
+    * the data.
+    */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val sig = docs.select(
+      size(tokens(normalizeText(col("text")))).cast("long").as("n_tok"),
+      size(array_distinct(tokens(normalizeText(col("text")))))
+        .cast("long").as("n_distinct"),
+      aggregate(transform(tokens(normalizeText(col("text"))),
+          t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+        .as("sum_len"),
+      length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+        .cast("long").as("n_alnum"),
+      length(col("text")).cast("long").as("n_chars"))
+    val stage = when(col("n_tok") < 25, lit("1_too_short"))
+      .when(col("n_tok") > 90, lit("2_too_long"))
+      .when(col("sum_len") < lit(2L) * col("n_tok") ||
+        col("sum_len") > lit(5L) * col("n_tok"), lit("3_mean_word_len"))
+      .when(lit(5L) * col("n_alnum") < lit(4L) * col("n_chars"),
+        lit("4_low_alpha"))
+      .when(lit(2L) * col("n_distinct") < col("n_tok"), lit("5_repetitive"))
+      .otherwise(lit("6_pass"))
+    val byStage = sig.select(stage.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    byStage.crossJoin(broadcast(total))
+      .select(col("stage"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 4)
+          .as("frac"))
+  }
+
+  // -------------------------------------------------------------------
+  // Weighted sampling without replacement (Efraimidis–Spirakis)
+  // -------------------------------------------------------------------
+
+  /** Quantized-micro-nat −ln(u) for the 60-bit hash rank r: u = (r+1)/2^60,
+    * so −ln(u) = 60·ln 2 − ln(r+1), each term rounded to integer
+    * micro-nats exactly like every other qln in this file (the pattern
+    * three green oracle queries already rely on).
+    */
+  private val qln2pow60: Long = math.floor(60.0 * math.log(2.0) * 1e6 + 0.5).toLong
+
+  /** Weighted random sampling without replacement (Efraimidis & Spirakis
+    * 2006): each doc draws u ∈ (0,1] and is ranked by −ln(u)/w; the k
+    * SMALLEST ranks are the sample, which selects doc i with probability
+    * proportional to weight w_i — the standard one-pass distributed
+    * weighted sampler (the A-ES scheme used by every shared-nothing
+    * engine). Here u is the deterministic 60-bit md5 rank (salt
+    * "wsample"), so the sample is reproducible on any cluster size and
+    * verifiable in any engine that agrees on md5; the key is computed in
+    * integer micro-nano-nats (quantized ln, then BIGINT division by the
+    * weight) so no float comparison ever decides membership.
+    *
+    * Weight = `n_chars` (sample long documents proportionally more —
+    * token-mass-proportional selection).
+    *
+    * Scale shape: the key is a scan-fused projection; the k smallest ride
+    * `TakeOrderedAndProject` (per-partition top-k, then a k-row merge on
+    * one reducer — never a global sort, never a collect). At 100 TB this
+    * is the only correct shape: O(k) rows cross the wire per partition.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 100,
+                     salt: String = "wsample"): DataFrame = {
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val r = graft.functions.DetHash.base60(
+      concat(lit(salt + ":"), col("doc_id").cast("string")))
+    val negLnU = lit(qln2pow60) - qln(r + 1)
+    val key = floor((negLnU * 1000L).cast("long") / col("n_chars")).cast("long")
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+        key.as("es_key"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(k)
+  }
 }

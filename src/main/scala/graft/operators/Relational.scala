@@ -575,4 +575,66 @@ object Relational {
       .agg(count(lit(1)).as("cnt"),
         sum(dec("acctbal")).cast("double").as("total_bal"))
   }
+
+  // -------------------------------------------------------------------
+  // CDC merge (MERGE INTO semantics on a plain-parquet snapshot)
+  // -------------------------------------------------------------------
+
+  /** The deterministic CDC changeset the registered query derives from
+    * `orders` itself (so the oracle sees identical inputs): a stream of
+    * (key, seq, payload) change records where payload is "op:value" —
+    * two generations of updates (seq 1 sets status X on keys % 5 == 0,
+    * seq 2 overrides with Y on keys % 10 == 0), deletes (seq 3, keys
+    * % 7 == 3), and inserts of brand-new keys (key + 10^8 for keys
+    * % 97 == 0, status N). Within any key the seqs are distinct, so
+    * "latest change wins" is well-defined.
+    */
+  def cdcChangeset(orders: DataFrame): DataFrame = {
+    def slice(pred: Column, key: Column, seq: Long, payload: String) =
+      orders.filter(pred).select(key.as("key"), lit(seq).as("seq"),
+        lit(payload).as("payload"))
+    val k = col("o_orderkey")
+    slice(k % 5 === 0, k, 1L, "U:X")
+      .unionAll(slice(k % 10 === 0, k, 2L, "U:Y"))
+      .unionAll(slice(k % 7 === 3, k, 3L, "D:"))
+      .unionAll(slice(k % 97 === 0, k + 100000000L, 1L, "I:N"))
+  }
+
+  /** Apply a CDC changeset to a snapshot — MERGE INTO semantics over
+    * plain parquet (the batch primitive every incremental 100 TB ingest
+    * needs; Spark has no MERGE without a table format, so this is the
+    * composed-operator form): squash the changeset to the LATEST change
+    * per key (`max_by(payload, seq)` — a map-side-combining aggregate),
+    * then one full outer join applies it: D drops the row, U overrides
+    * the status, I materializes a new row (price derived from the key so
+    * the record is self-contained), untouched keys pass through.
+    *
+    * Returns the post-merge per-status datasheet (count + decimal-exact
+    * price total) — bounded output proving the merge, not a re-dump of
+    * the snapshot.
+    *
+    * Scale shape: the squash is ONE exchange on key over the (small)
+    * changeset only; the apply join shuffles each side on key once — and
+    * with the snapshot stored bucketed by key (the layout
+    * [[bucketedFactTables]] maintains) the snapshot side's exchange
+    * disappears, which is the layout a real CDC pipeline keeps precisely
+    * for this join. The summary aggregate is ≤ #statuses rows.
+    */
+  def cdcMergeApply(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    val latest = changes.groupBy(col("key"))
+      .agg(max_by(col("payload"), col("seq")).as("payload"))
+    val op = substring(col("payload"), 1, 1)
+    val value = substring(col("payload"), 3, 1)
+    val keyOut = coalesce(col("key"), col("o_orderkey"))
+    snapshot.join(latest, col("o_orderkey") === col("key"), "full_outer")
+      .filter(col("payload").isNull || op =!= "D")
+      .select(
+        when(op.isin("U", "I"), value).otherwise(col("o_orderstatus"))
+          .as("status"),
+        when(op === "I", (keyOut % 997).cast("double"))
+          .otherwise(col("o_totalprice")).as("price"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("price")).cast("double").as("total_price"))
+  }
 }

@@ -100,4 +100,45 @@ class CatalogAndRelationalSpec extends SparkSpec {
     assert(!plan.contains("% 10) < 8"),
       "history slice is being recomputed — partials not reused")
   }
+
+  test("cdcMergeApply: latest-wins U/D/I semantics on a handcrafted snapshot") {
+    import spark.implicits._
+    // snapshot keys 1..6; changes: key 2 updated twice (seq 2 wins),
+    // key 3 deleted, key 4 updated once, key 99 inserted; 1/5/6 untouched
+    val snap = Seq(
+      (1L, "O", 10.0), (2L, "O", 20.0), (3L, "F", 30.0),
+      (4L, "F", 40.0), (5L, "P", 50.0), (6L, "O", 60.0)
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val ch = Seq(
+      (2L, 1L, "U:X"), (2L, 2L, "U:Y"),
+      (3L, 3L, "D:"), (4L, 1L, "U:X"), (99L, 1L, "I:N")
+    ).toDF("key", "seq", "payload")
+    val got = operators.Relational.cdcMergeApply(snap, ch).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // survivors: 1 O/10, 2 Y/20 (seq-2 update), 4 X/40, 5 P/50, 6 O/60,
+    // 99 N/(99%997=99); 3 deleted
+    assert(got == Map(
+      "O" -> ((2L, 70.0)),
+      "Y" -> ((1L, 20.0)),
+      "X" -> ((1L, 40.0)),
+      "P" -> ((1L, 50.0)),
+      "N" -> ((1L, 99.0))))
+  }
+
+  test("cdcChangeset + cdcMergeApply over orders: deletes shrink, inserts add") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val merged = operators.Relational.cdcMergeApply(
+      orders, operators.Relational.cdcChangeset(orders))
+    val byStatus = merged.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = orders.count()
+    val nDel = orders.filter(col("o_orderkey") % 7 === 3).count()
+    val nIns = orders.filter(col("o_orderkey") % 97 === 0).count()
+    assert(byStatus.values.sum == n - nDel + nIns)
+    // every surviving %10==0 key carries the seq-2 status Y (latest wins)
+    val nY = orders.filter(col("o_orderkey") % 10 === 0 &&
+      col("o_orderkey") % 7 =!= 3).count()
+    assert(byStatus("Y") == nY)
+    assert(byStatus("N") == nIns)
+  }
 }

@@ -383,4 +383,102 @@ class CorpusOpsSpec extends SparkSpec {
     got.values.foreach { case (_, micro, lw) =>
       assert(math.abs(micro / 1e6 - lw) <= 5e-5) }
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged classified exactly") {
+    val v1 = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((2L, "bravo"), (3L, "charlie EDITED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.snapshotDiff(v1, v2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "removed" -> ((1L, 1L, 1L)),
+      "unchanged" -> ((1L, 2L, 2L)),
+      "changed" -> ((1L, 3L, 3L)),
+      "added" -> ((1L, 4L, 4L))))
+  }
+
+  test("snapshotDiff fixture: statuses partition the id space; text never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = CorpusOps.snapshotDiffFixture(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(got.keySet == Set("added", "removed", "changed", "unchanged"))
+    // every doc in v1 ∪ v2 is classified exactly once: v1 ∪ v2 = docs
+    // minus ids dropped from BOTH versions (% 11 == 3 AND % 13 == 5)
+    val droppedBoth = docs.filter($"doc_id" % 11 === 3 && $"doc_id" % 13 === 5).count()
+    assert(got.values.sum == n - droppedBoth)
+    // only 16-byte fingerprints cross the wire: the md5 is computed in a
+    // scan-fused projection BELOW the join exchange (Project [doc_id,
+    // md5(...)]), and the join shuffles on doc_id
+    val q = CorpusOps.snapshotDiffFixture(docs)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning(doc_id"), p.take(2000))
+    assert("""Project \[doc_id#\d+L, md5""".r.findFirstIn(p).isDefined,
+      "fingerprint not scan-fused below the exchange")
+  }
+
+  test("filterFunnel: each rule charges the FIRST failure; fractions sum to 1") {
+    val docs = Seq(
+      (1L, "one two three"),                        // 3 tokens -> too_short
+      (2L, ("tok " * 100).trim),                    // 100 tokens, but dup -> short? no: 100 tokens -> too_long fires before repetitive
+      (3L, Seq.tabulate(30)(i => "superlonginternaltoken" + i).mkString(" ")), // mean len > 5
+      (4L, Seq.tabulate(30)(i => "w" + i).mkString(" !!!! ???? ;;;; ")),       // low alpha
+      // 30 tokens, 5 distinct; 5-char words keep mean word len at the
+      // rule-3 boundary (not over) and alpha density over 4/5 -> repetitive
+      (5L, (Seq.tabulate(5)(i => "dupe" + i) ++
+        Seq.fill(25)("dupe0")).mkString(" ")),
+      (6L, Seq.tabulate(30)(i => "tok" + i).mkString(" "))  // pass
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.filterFunnel(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList.sortBy(_._1)
+    val stages = got.map(s => s._1 -> s._2).toMap
+    assert(stages("1_too_short") == 1L)
+    assert(stages("2_too_long") == 1L)
+    assert(stages("3_mean_word_len") == 1L)
+    assert(stages.getOrElse("4_low_alpha", 0L) == 1L,
+      s"low_alpha missing: $got")
+    assert(stages("5_repetitive") == 1L)
+    assert(stages("6_pass") == 1L)
+    // fractions are rounded to 4 decimals per stage: sum within 6 ulps
+    assert(math.abs(got.map(_._3).sum - 1.0) < 6 * 5e-5)
+  }
+
+  test("filterFunnel: one scan, no wide exchange before the stage aggregate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = CorpusOps.filterFunnel(docs).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // stage agg (≤6 groups) + the 1-row total: every exchange moves
+    // aggregated rows, never documents
+    assert(exchanges.forall(_.child.output.map(_.name).forall(n =>
+      !Set("text", "tk").contains(n))), plan.toString)
+  }
+
+  test("weightedSample: deterministic, k rows, weight-proportional membership") {
+    // 50 heavy docs (w=5000) among 950 light (w=50): E-S with these odds
+    // puts heavy docs in the vast majority of top-100 slots
+    val docs = spark.range(1000).select($"id".as("doc_id"),
+      lit("s").as("source"),
+      when($"id" < 50, 5000L).otherwise(50L).as("n_chars"))
+    val a = CorpusOps.weightedSample(docs, 100).collect()
+    val b = CorpusOps.weightedSample(docs, 100).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 100)
+    val heavy = a.count(_.getLong(0) < 50)
+    assert(heavy >= 40, s"heavy docs in sample: $heavy")
+    // es_key is nonnegative and ascending with doc_id tie-break
+    val keys = a.map(r => (r.getLong(3), r.getLong(0)))
+    assert(keys.forall(_._1 >= 0L))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("weightedSample: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = CorpusOps.weightedSample(docs, 100).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
