@@ -590,14 +590,22 @@ object Relational {
     * "latest change wins" is well-defined.
     */
   def cdcChangeset(orders: DataFrame): DataFrame = {
-    def slice(pred: Column, key: Column, seq: Long, payload: String) =
-      orders.filter(pred).select(key.as("key"), lit(seq).as("seq"),
-        lit(payload).as("payload"))
+    // scan-fused: ONE pass emits every change record a row generates
+    // (0-3 of them) via explode of a null-filtered struct array — the
+    // oracle's UNION ALL of four slices reads the table four times for
+    // the same rows; at scale the single scan is the right shape
     val k = col("o_orderkey")
-    slice(k % 5 === 0, k, 1L, "U:X")
-      .unionAll(slice(k % 10 === 0, k, 2L, "U:Y"))
-      .unionAll(slice(k % 7 === 3, k, 3L, "D:"))
-      .unionAll(slice(k % 97 === 0, k + 100000000L, 1L, "I:N"))
+    def ch(pred: Column, key: Column, seq: Long, payload: String) =
+      when(pred, struct(key.as("key"), lit(seq).as("seq"),
+        lit(payload).as("payload")))
+    val all = array(
+      ch(k % 5 === 0, k, 1L, "U:X"),
+      ch(k % 10 === 0, k, 2L, "U:Y"),
+      ch(k % 7 === 3, k, 3L, "D:"),
+      ch(k % 97 === 0, k + 100000000L, 1L, "I:N"))
+    orders
+      .select(explode(filter(all, c => c.isNotNull)).as("c"))
+      .select(col("c.key"), col("c.seq"), col("c.payload"))
   }
 
   /** Apply a CDC changeset to a snapshot — MERGE INTO semantics over
