@@ -628,21 +628,43 @@ object Relational {
     * disappears, which is the layout a real CDC pipeline keeps precisely
     * for this join. The summary aggregate is ≤ #statuses rows.
     */
-  def cdcMergeApply(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+  def cdcMergeApply(snapshot: DataFrame, changes: DataFrame): DataFrame =
+    cdcMergeRows(snapshot, changes)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("price")).cast("double").as("total_price"))
+
+  /** The row-level merge [[cdcMergeApply]] summarizes (and the per-batch
+    * apply [[graft.streaming.CdcSnapshot]] runs against each touched
+    * bucket): post-merge rows as (key, status, price).
+    */
+  def cdcMergeRows(snapshot: DataFrame, changes: DataFrame): DataFrame =
+    mergeSnapshotRows(snapshot.select(
+      col("o_orderkey").as("key"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price")), changes)
+
+  /** The schema-neutral core both merge faces share: snapshot rows
+    * (key, status, price) + changeset rows (key, seq, payload) → merged
+    * (key, status, price). Latest change per key wins (distinct seqs);
+    * D drops, U overrides status, I materializes (status from payload,
+    * price derived from the key — the registered changeset codec keeps
+    * insert records self-contained).
+    */
+  def mergeSnapshotRows(snapshot: DataFrame, changes: DataFrame): DataFrame = {
     val latest = changes.groupBy(col("key"))
       .agg(max_by(col("payload"), col("seq")).as("payload"))
     val op = substring(col("payload"), 1, 1)
     val value = substring(col("payload"), 3, 1)
-    val keyOut = coalesce(col("key"), col("o_orderkey"))
-    snapshot.join(latest, col("o_orderkey") === col("key"), "full_outer")
-      .filter(col("payload").isNull || op =!= "D")
+    val s = snapshot.as("s")
+    val keyOut = coalesce(col("c.key"), col("s.key"))
+    s.join(latest.as("c"), col("s.key") === col("c.key"), "full_outer")
+      .filter(col("c.payload").isNull || op =!= "D")
       .select(
-        when(op.isin("U", "I"), value).otherwise(col("o_orderstatus"))
+        keyOut.as("key"),
+        when(op.isin("U", "I"), value).otherwise(col("s.status"))
           .as("status"),
         when(op === "I", (keyOut % 997).cast("double"))
-          .otherwise(col("o_totalprice")).as("price"))
-      .groupBy(col("status"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(dec("price")).cast("double").as("total_price"))
+          .otherwise(col("s.price")).as("price"))
   }
 }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming CDC: continuously apply a change stream to a persisted
+  * parquet snapshot with BUCKET-SCOPED copy-on-write — the streaming face
+  * of [[graft.operators.Relational.cdcMergeApply]].
+  *
+  * The snapshot is laid out partitioned by `bucket = pmod(hash(key), B)`.
+  * Each micro-batch:
+  *
+  *  1. computes the set of buckets its change keys hash into (≤ B values,
+  *     a bounded driver-side collect);
+  *  2. reads ONLY those partitions back (the `isin` filter partition-
+  *     prunes the scan — untouched buckets are never listed, read, or
+  *     written);
+  *  3. runs the shared latest-change-wins merge
+  *     ([[graft.operators.Relational.mergeSnapshotRows]]) over that
+  *     slice;
+  *  4. overwrites ONLY the touched partitions (dynamic partition
+  *     overwrite), deleting any bucket the merge emptied.
+  *
+  * This is the layout/cost model a real 100 TB CDC pipeline uses (Hudi/
+  * Delta copy-on-write with file-group indexing, here expressed with
+  * nothing but parquet + partition pruning): per-batch work is
+  * proportional to the buckets the batch touches, never to snapshot
+  * size; B controls write amplification (a batch touching k keys
+  * rewrites ≤ k buckets of ~1/B of the data each). Re-applying a batch
+  * after a foreachBatch retry is idempotent — the merge is a pure
+  * function of (bucket contents, batch), and latest-wins squashing makes
+  * duplicate change records harmless.
+  *
+  * Reference anchor: the reference ships its JDBC-sourced changes into
+  * compacted topics and sinks them to S3 (`README.md` connector
+  * sections); it has NO merge-to-snapshot operator — this is the
+  * extension a training-data pipeline needs to maintain a queryable
+  * current-state table from that change feed.
+  */
+object CdcSnapshot {
+
+  def bucketCol(key: Column, buckets: Int): Column =
+    pmod(hash(key), lit(buckets))
+
+  /** Write the initial snapshot (key, status, price) bucket-partitioned. */
+  def init(snapshot: DataFrame, dir: String, buckets: Int): Unit =
+    snapshot.withColumn("bucket", bucketCol(col("key"), buckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Current snapshot contents (key, status, price). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("key"), col("status"), col("price"))
+
+  /** Apply ONE changeset (key, seq, payload) to the persisted snapshot.
+    * Exposed for direct batch use; the streaming sink calls this per
+    * micro-batch.
+    */
+  def applyBatch(spark: SparkSession, dir: String, batch: DataFrame,
+                 buckets: Int): Unit = {
+    val withB = batch.withColumn("bucket", bucketCol(col("key"), buckets))
+      .persist()
+    try {
+      val touched = withB.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0))
+      if (touched.isEmpty) return
+      val touchedVals = touched.map(Int.box)
+      val cur = spark.read.parquet(dir)
+        .filter(col("bucket").isin(touchedVals: _*))
+        .select(col("key"), col("status"), col("price"))
+      val merged = graft.operators.Relational
+        .mergeSnapshotRows(cur, withB.drop("bucket"))
+        .withColumn("bucket", bucketCol(col("key"), buckets))
+        .persist()
+      try {
+        // dynamic partition overwrite only replaces partitions that have
+        // rows in `merged`; a bucket the batch emptied (every key
+        // deleted) must be dropped explicitly or stale rows survive
+        val present = merged.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val emptied = touched.filterNot(present)
+        if (emptied.nonEmpty) {
+          val conf = spark.sessionState.newHadoopConf()
+          emptied.foreach { bk =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/bucket=$bk")
+            p.getFileSystem(conf).delete(p, true)
+          }
+        }
+        val prior = spark.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try merged.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+        finally
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+      } finally { merged.unpersist(); () }
+    } finally { withB.unpersist(); () }
+  }
+
+  /** Continuous merge: a change-record stream (key, seq, payload) kept
+    * applied to the snapshot at `dir`, one bucket-scoped copy-on-write
+    * per micro-batch.
+    */
+  def startCdcMergeSink(changes: DataFrame, dir: String, checkpoint: String,
+                        buckets: Int = 16): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch.sparkSession, dir, batch, buckets)
+      }
+      .start()
+}
