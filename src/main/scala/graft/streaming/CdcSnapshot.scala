@@ -96,6 +96,38 @@ object CdcSnapshot {
     } finally { withB.unpersist(); () }
   }
 
+  /** Compact buckets that accumulated more than `maxFiles` parquet files
+    * — copy-on-write's operational tax: every applyBatch rewrite of a
+    * bucket leaves one file per shuffle partition, and a bucket touched
+    * by many batches fragments until scans pay per-file open cost.
+    * Rewrites ONLY the fragmented buckets (same dynamic-partition-
+    * overwrite discipline as the merge), each coalesced to one file and
+    * sorted by key so subsequent merges and point lookups read
+    * min/max-pruned, locally-ordered row groups. Untouched buckets are
+    * not listed, read, or written.
+    */
+  def compact(spark: SparkSession, dir: String, maxFiles: Int = 4): Seq[Int] = {
+    val root = new java.io.File(dir)
+    val fragmented = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getName.stripPrefix("bucket=").toInt).toSeq
+    if (fragmented.nonEmpty) {
+      val vals = fragmented.map(Int.box)
+      val slice = spark.read.parquet(dir)
+        .filter(col("bucket").isin(vals: _*))
+        .repartition(fragmented.size, col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("key"))
+      val prior = spark.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try slice.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      finally
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    }
+    fragmented
+  }
+
   /** Continuous merge: a change-record stream (key, seq, payload) kept
     * applied to the snapshot at `dir`, one bucket-scoped copy-on-write
     * per micro-batch.

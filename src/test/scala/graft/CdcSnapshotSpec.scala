@@ -78,6 +78,44 @@ class CdcSnapshotSpec extends SparkSpec {
     assert(readBack(dir).keySet == keys.toSet -- victims)
   }
 
+  test("compact: only fragmented buckets rewritten, one sorted file each") {
+    val dir = tmp("cdc_compact")
+    val keys = 1L to 32L
+    // single-task init -> exactly one file per bucket; a merge then
+    // fragments ONLY its touched bucket into one file per shuffle task
+    // (that per-rewrite parallelism is precisely the fragmentation
+    // compaction exists to undo)
+    CdcSnapshot.init(initial(keys).coalesce(1), dir, buckets = 2)
+    val bucketOf = keys.map(k => k ->
+      spark.range(1).select(CdcSnapshot.bucketCol(lit(k), 2)).head().getInt(0)
+    ).toMap
+    val hot = 11L
+    // AQE would coalesce the tiny merge to one output file and hide the
+    // fragmentation this fixture exists to create
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesceKey, "false")
+    try CdcSnapshot.applyBatch(spark, dir,
+      Seq((hot, 1L, "U:X")).toDF("key", "seq", "payload"), buckets = 2)
+    finally spark.conf.set(coalesceKey, "true")
+    val before = bucketFiles(dir)
+    val hotDir = s"bucket=${bucketOf(hot)}"
+    assert(before(hotDir).size > 1, s"fixture not fragmented: $before")
+    val compacted = CdcSnapshot.compact(spark, dir, maxFiles = 1)
+    assert(compacted == Seq(bucketOf(hot)))
+    val after = bucketFiles(dir)
+    assert(after(hotDir).size == 1, s"hot bucket not coalesced: $after")
+    (before.keySet - hotDir).foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    // contents survive, hot bucket file is key-sorted
+    val s = readBack(dir)
+    assert(s.keySet == keys.toSet && s(hot)._1 == "X")
+    val hotRows = spark.read
+      .parquet(s"$dir/$hotDir/${after(hotDir).head}")
+      .select(col("key")).collect().map(_.getLong(0)).toSeq
+    assert(hotRows == hotRows.sorted, s"not key-sorted: $hotRows")
+  }
+
   test("startCdcMergeSink: change stream kept applied across micro-batches") {
     val dir = tmp("cdc_stream")
     CdcSnapshot.init(initial(1L to 6L), dir, buckets = 4)
