@@ -1824,6 +1824,39 @@ object OracleSqlGen {
         ORDER BY es_key, doc_id LIMIT $k"""
   }
 
+  /** Mirrors TextAnalysis.bpeMerges: the m training rounds unrolled as
+    * chained CTEs — same wrapped-symbol rendering, same weighted pair
+    * counts, same (count DESC, pair ASC) tie-break, same left-to-right
+    * non-overlapping `replace` application (both engines scan substrings
+    * identically), so the learned merge table matches row-for-row.
+    */
+  def bpeMergesSql(m: Int): String = {
+    val sb = new StringBuilder(toksCte())
+    sb.append(s""",
+        w0 AS MATERIALIZED (SELECT regexp_replace(tok, '(.)', '<\\1>', 'g') AS w,
+            count(*) AS cnt
+          FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok)""")
+    for (k <- 1 to m) {
+      val prev = s"w${k - 1}"
+      sb.append(s""",
+        p$k AS (SELECT pr, CAST(sum(cnt) AS BIGINT) AS c FROM (
+            SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+              i -> '<' || s[i] || '><' || s[i + 1] || '>')) AS pr, cnt
+            FROM (SELECT string_split(trim(w, '<>'), '><') AS s, cnt
+                  FROM $prev)) GROUP BY pr),
+        b$k AS MATERIALIZED (SELECT CAST($k AS INTEGER) AS rank, pr, c FROM p$k
+          ORDER BY c DESC, pr LIMIT 1)""")
+      if (k < m) sb.append(s""",
+        w$k AS MATERIALIZED (SELECT replace(w, (SELECT pr FROM b$k),
+            (SELECT replace(pr, '><', '') FROM b$k)) AS w, cnt
+          FROM $prev)""")
+    }
+    sb.append("\n        ")
+    sb.append((1 to m).map(k => s"SELECT rank, pr AS pair, c AS n FROM b$k")
+      .mkString("\n        UNION ALL "))
+    sb.toString
+  }
+
   /** Mirrors Relational.cdcChangeset + cdcMergeApply: same derived
     * changeset, latest-per-key squash via arg_max, full-outer apply with
     * D filtered, decimal-exact per-status totals.

@@ -203,6 +203,10 @@ object SparkEntry {
     // n_chars), deterministic md5 draw, TakeOrderedAndProject top-k
     "corpus_weighted_sample" -> q((s, d) =>
       CorpusOps.weightedSample(Tables.load(s, d, "documents"), 100)),
+    // BPE tokenizer training: one corpus pass builds the vocab-bounded
+    // word table, then m driver-iterated tiny-aggregate merge rounds
+    "text_bpe_merges" -> q((s, d) =>
+      TextAnalysis.bpeMerges(Tables.load(s, d, "documents"), 10)),
     // MERGE INTO semantics on plain parquet: squash changeset to latest-
     // per-key (max_by), one full-outer apply join, per-status datasheet
     "cdc_merge_apply" -> q((s, d) => Relational.cdcMergeApply(
@@ -575,6 +579,7 @@ object SparkEntry {
     "corpus_filter_funnel" -> OracleSqlGen.filterFunnelSql,
     "corpus_weighted_sample" -> OracleSqlGen.weightedSampleSql(100),
     "cdc_merge_apply" -> OracleSqlGen.cdcMergeSql,
+    "text_bpe_merges" -> OracleSqlGen.bpeMergesSql(10),
     "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
     "corpus_stats" -> OracleSqlGen.corpusStatsSql,
     "corpus_stats_scalable" -> OracleSqlGen.corpusStatsScalableSql(10000),

@@ -726,4 +726,75 @@ object TextAnalysis {
       (element_at(col("srt"), classes).getField("score")
         - element_at(col("srt"), classes - 1).getField("score")).as("margin"))
   }
+
+  // -------------------------------------------------------------------
+  // BPE vocabulary induction
+  // -------------------------------------------------------------------
+
+  /** The word-count table BPE trains on: distinct normalized tokens with
+    * corpus counts, each word rendered as delimiter-wrapped symbols
+    * (`tok` → `<t><o><k>`). This is the ONLY operator that touches the
+    * corpus — one tokenize + one groupBy — and its output is bounded by
+    * the VOCABULARY (Heaps' law: ~10⁶-10⁷ rows for a 100 TB corpus),
+    * which is what makes iterative BPE tractable at scale.
+    */
+  def bpeWordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(normalizeText(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("tok"), "(.)", "<$1>").as("w"), col("cnt"))
+
+  /** Byte-pair-encoding merge learning (Sennrich et al. 2016,
+    * 1508.07909 §3.2), the tokenizer-training half every LLM data
+    * pipeline runs before packing: `m` rounds of (count adjacent symbol
+    * pairs weighted by word count → merge the most frequent pair
+    * everywhere). Returns the learned merge table (rank, pair, n).
+    *
+    * Greedy pair application uses STRING REPLACE over the wrapped
+    * rendering: `replace(w, "<l><r>", "<lr>")` is a left-to-right
+    * non-overlapping scan in both the JVM and DuckDB — exactly BPE's
+    * within-word merge order — and the `<…>` wrapping keeps adjacent
+    * matches from sharing delimiter characters (the classic
+    * space-separated rendering drops every second merge in runs like
+    * `x y x y`). Ties break on the wrapped pair string (binary ASCII
+    * compare, identical in both engines), so the whole training run is
+    * deterministic and the oracle unrolls the same m rounds as chained
+    * CTEs.
+    *
+    * Scale shape: after [[bpeWordTable]]'s single corpus pass, every
+    * iteration is (vocab-bounded pair explode → groupBy pair → 1-row
+    * TakeOrdered) + a literal-pattern projection; the corpus is never
+    * re-read, nothing larger than the vocabulary ever shuffles, and the
+    * chosen pair rides the driver as two string literals (the same
+    * driver-iterated-tiny-aggregate shape as IVF's Lloyd iterations).
+    */
+  def bpeMerges(docs: DataFrame, m: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val base = bpeWordTable(docs).cache()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var words = base
+    var r = 1
+    while (r <= m) {
+      val syms = split(trim(col("w"), "<>"), "><")
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(0), size(syms) - 2), i =>
+          concat(lit("<"), element_at(syms, i + 1), lit("><"),
+            element_at(syms, i + 2), lit(">"))))
+        .otherwise(array())
+      val best = words.select(col("cnt"), explode(pairs).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1).collect()
+      if (best.isEmpty) r = m + 1
+      else {
+        val (pair, n) = (best(0).getString(0), best(0).getLong(1))
+        out += ((r, pair, n))
+        val merged = pair.replace("><", "")
+        words = words.select(
+          replace(col("w"), lit(pair), lit(merged)).as("w"), col("cnt"))
+        r += 1
+      }
+    }
+    base.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("rank", "pair", "n")
+  }
 }
