@@ -1857,6 +1857,29 @@ object OracleSqlGen {
     sb.toString
   }
 
+  /** Mirrors TextAnalysis.bpeSegmentCounts: recompute the same m merges
+    * (shared CTE chain with [[bpeMergesSql]]), gather them into one row,
+    * and apply them in rank order inside the per-token lambda — the
+    * chained `replace` fold is literally the Spark projection.
+    */
+  def bpeSegmentCountsSql(m: Int): String = {
+    val merges = bpeMergesSql(m)
+    // reuse everything up to the final UNION ALL select
+    val ctes = merges.substring(0, merges.lastIndexOf("\n        SELECT rank"))
+    val mrow = (1 to m).map(k => s"(SELECT pr FROM b$k) AS mp$k")
+      .mkString(",\n          ")
+    val chain = (1 to m).foldLeft(
+      "regexp_replace(tt, '(.)', '<\\1>', 'g')")((acc, k) =>
+        s"replace($acc, mp$k, replace(mp$k, '><', ''))")
+    s"""$ctes,
+        mrow AS MATERIALIZED (SELECT $mrow)
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+          CAST(coalesce(list_aggregate(list_transform(tk,
+            tt -> len(string_split(trim($chain, '<>'), '><'))),
+            'sum'), 0) AS BIGINT) AS n_subwords
+        FROM t CROSS JOIN mrow"""
+  }
+
   /** Mirrors Relational.cdcChangeset + cdcMergeApply: same derived
     * changeset, latest-per-key squash via arg_max, full-outer apply with
     * D filtered, decimal-exact per-status totals.

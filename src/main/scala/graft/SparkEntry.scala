@@ -207,6 +207,10 @@ object SparkEntry {
     // word table, then m driver-iterated tiny-aggregate merge rounds
     "text_bpe_merges" -> q((s, d) =>
       TextAnalysis.bpeMerges(Tables.load(s, d, "documents"), 10)),
+    // train + segment in one query: learned merges enter the plan as
+    // literal patterns; the segmentation pass itself has zero exchanges
+    "text_bpe_token_counts" -> q((s, d) =>
+      TextAnalysis.bpeSegmentCounts(Tables.load(s, d, "documents"), 10)),
     // MERGE INTO semantics on plain parquet: squash changeset to latest-
     // per-key (max_by), one full-outer apply join, per-status datasheet
     "cdc_merge_apply" -> q((s, d) => Relational.cdcMergeApply(
@@ -580,6 +584,7 @@ object SparkEntry {
     "corpus_weighted_sample" -> OracleSqlGen.weightedSampleSql(100),
     "cdc_merge_apply" -> OracleSqlGen.cdcMergeSql,
     "text_bpe_merges" -> OracleSqlGen.bpeMergesSql(10),
+    "text_bpe_token_counts" -> OracleSqlGen.bpeSegmentCountsSql(10),
     "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
     "corpus_stats" -> OracleSqlGen.corpusStatsSql,
     "corpus_stats_scalable" -> OracleSqlGen.corpusStatsScalableSql(10000),

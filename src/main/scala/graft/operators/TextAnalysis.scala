@@ -797,4 +797,31 @@ object TextAnalysis {
     import spark.implicits._
     out.toSeq.toDF("rank", "pair", "n")
   }
+
+  /** Segment the corpus under the learned tokenizer: train [[bpeMerges]]
+    * (m driver-side rounds), then ONE scan applies the merges in rank
+    * order to every token and reports per-doc token/subword counts — the
+    * token-budget accounting a packing/pricing pass needs under the REAL
+    * tokenizer rather than a whitespace proxy.
+    *
+    * Scale shape: the learned merge table is m rows on the driver and
+    * enters the plan as literal patterns; application is a per-token
+    * fold of `replace` calls inside one fused projection (no explode, no
+    * regroup — the per-doc sum runs inside the array aggregate), so the
+    * segmentation pass has ZERO exchanges.
+    */
+  def bpeSegmentCounts(docs: DataFrame, m: Int = 10): DataFrame = {
+    val merges = bpeMerges(docs, m).collect()
+      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    def applied(t: Column): Column = merges.foldLeft(
+      regexp_replace(t, "(.)", "<$1>"))((c, p) =>
+        replace(c, lit(p), lit(p.replace("><", ""))))
+    def subwords(t: Column): Column =
+      size(split(trim(applied(t), "<>"), "><")).cast("long")
+    val tk = tokens(normalizeText(col("text")))
+    docs.select(col("doc_id"),
+      size(tk).cast("long").as("n_tokens"),
+      aggregate(transform(tk, subwords(_)), lit(0L), (a, x) => a + x)
+        .as("n_subwords"))
+  }
 }

@@ -70,6 +70,30 @@ class BpeSpec extends SparkSpec {
     assert(got(2)._2 == "<a><a>" && got(2)._3 == 4L)
   }
 
+  test("bpeSegmentCounts: zero-exchange segmentation, merges compress tokens") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = TextAnalysis.bpeSegmentCounts(docs, 5)
+    val rows = q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // at least one subword per token; merges only ever reduce the count
+    rows.foreach { case (id, nTok, nSub) =>
+      assert(nSub >= nTok, s"doc $id: $nSub subwords < $nTok tokens")
+    }
+    val charTotal = docs.select(
+      aggregate(transform(tokens(normalizeText(col("text"))),
+        t => length(t).cast("long")), lit(0L), (a, x) => a + x).as("s"))
+      .agg(sum(col("s"))).head().getLong(0)
+    val subTotal = rows.map(_._3).sum
+    assert(subTotal < charTotal,
+      s"no merge ever applied: $subTotal !< $charTotal")
+    // the segmentation pass itself is one fused projection — training ran
+    // eagerly at plan-construction time, so the RETURNED plan has no
+    // exchange at all
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("bpeMerges is deterministic and vocabulary-bounded (no corpus re-read)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = TextAnalysis.bpeMerges(docs, 5).collect().toSeq
