@@ -94,6 +94,32 @@ class BpeSpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("property: distributed trainer == reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small alphabet forces merge collisions, runs, and ties — the cases
+    // where greedy order and tie-breaking actually decide the output
+    val word = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpus = for {
+      k <- Gen.choose(5, 20)
+      ws <- Gen.listOfN(k, word)
+    } yield ws
+    (1 to 8).foreach { i =>
+      val ws = corpus.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val docs = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val got = TextAnalysis.bpeMerges(docs, 5).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val counts = ws.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val want = referenceBpe(counts, 5)
+      assert(got == want, s"seed $i corpus $ws\ngot:  $got\nwant: $want")
+    }
+  }
+
   test("bpeMerges is deterministic and vocabulary-bounded (no corpus re-read)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = TextAnalysis.bpeMerges(docs, 5).collect().toSeq
