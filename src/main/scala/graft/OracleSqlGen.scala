@@ -1824,6 +1824,22 @@ object OracleSqlGen {
         ORDER BY es_key, doc_id LIMIT $k"""
   }
 
+  /** Mirrors TextAnalysis.novelty: same distinct word n-gram shingles,
+    * same base60 gram hashes, integer df==1 test, one rounded ratio.
+    */
+  def noveltySql(n: Int): String =
+    s"""${wordShCte(n)},
+        occ AS (SELECT doc_id, ${base60("s1")} AS g
+          FROM (SELECT doc_id, unnest(shingles) AS s1 FROM sh)),
+        df AS (SELECT g, count(*) AS df FROM occ GROUP BY g),
+        d AS (SELECT doc_id, count(*) AS n_grams,
+            CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS novel_grams
+          FROM occ JOIN df USING (g) GROUP BY doc_id)
+        SELECT doc_id, n_grams, novel_grams,
+          round(novel_grams::DOUBLE / n_grams::DOUBLE, 4) AS novelty
+        FROM d"""
+
   /** Mirrors TextAnalysis.bpeMerges: the m training rounds unrolled as
     * chained CTEs — same wrapped-symbol rendering, same weighted pair
     * counts, same (count DESC, pair ASC) tie-break, same left-to-right

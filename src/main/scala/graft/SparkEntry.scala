@@ -211,6 +211,11 @@ object SparkEntry {
     // literal patterns; the segmentation pass itself has zero exchanges
     "text_bpe_token_counts" -> q((s, d) =>
       TextAnalysis.bpeSegmentCounts(Tables.load(s, d, "documents"), 10)),
+    // per-doc memorization-risk scalar: fraction of distinct 8-grams
+    // unique to the doc corpus-wide; gram stream exchanged once
+    // (ReusedExchange) as 8-byte hash longs
+    "text_novelty" -> q((s, d) =>
+      TextAnalysis.novelty(Tables.load(s, d, "documents"), 8)),
     // MERGE INTO semantics on plain parquet: squash changeset to latest-
     // per-key (max_by), one full-outer apply join, per-status datasheet
     "cdc_merge_apply" -> q((s, d) => Relational.cdcMergeApply(
@@ -585,6 +590,7 @@ object SparkEntry {
     "cdc_merge_apply" -> OracleSqlGen.cdcMergeSql,
     "text_bpe_merges" -> OracleSqlGen.bpeMergesSql(10),
     "text_bpe_token_counts" -> OracleSqlGen.bpeSegmentCountsSql(10),
+    "text_novelty" -> OracleSqlGen.noveltySql(8),
     "corpus_assemble" -> OracleSqlGen.assembleSql("en", 0.7, 25, 0.05),
     "corpus_stats" -> OracleSqlGen.corpusStatsSql,
     "corpus_stats_scalable" -> OracleSqlGen.corpusStatsScalableSql(10000),

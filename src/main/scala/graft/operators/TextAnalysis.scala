@@ -810,6 +810,41 @@ object TextAnalysis {
     * regroup — the per-doc sum runs inside the array aggregate), so the
     * segmentation pass has ZERO exchanges.
     */
+  /** Per-document n-gram NOVELTY — the memorization-risk scalar: what
+    * fraction of a doc's distinct word n-grams appear in NO other
+    * document. Low novelty = boilerplate/template text the model will see
+    * many times (the inter-document complement of
+    * [[repetitionSignals]]'s within-doc ratios, and the scalar-filter
+    * complement of the pair-producing dedup ops): Lee et al. 2021
+    * (2107.06499 §5) measure exactly this overlap class when quantifying
+    * memorization from duplicated training text.
+    *
+    * Scale shape: grams leave the scan as 60-bit md5 hashes (8-byte
+    * longs, never gram strings), and the doc frequency is a WINDOW count
+    * over the gram partition rather than a groupBy+self-join — so the
+    * corpus is scanned and shingled ONCE and the whole query is exactly
+    * two exchanges (gram hash, then doc_id re-aggregation), both
+    * spec-pinned. The join formulation would re-shingle the corpus in a
+    * second subtree (no ReusedExchange: the df side projects different
+    * columns). df == 1 decides novelty in integers; the only float is
+    * the final rounded ratio.
+    */
+  def novelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"),
+        explode(wordShingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.DetHash.base60(col("sh")).as("g"))
+    val perGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    occ.withColumn("df", count(lit(1)).over(perGram))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") === 1).cast("long")).as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        round(col("novel_grams").cast("double") / col("n_grams"), 4)
+          .as("novelty"))
+  }
+
   def bpeSegmentCounts(docs: DataFrame, m: Int = 10): DataFrame = {
     val merges = bpeMerges(docs, m).collect()
       .sortBy(_.getInt(0)).map(_.getString(1)).toSeq

@@ -116,6 +116,18 @@ class CdcSnapshotSpec extends SparkSpec {
     assert(hotRows == hotRows.sorted, s"not key-sorted: $hotRows")
   }
 
+  test("applyBatch retry is idempotent (foreachBatch at-least-once safety)") {
+    val dir = tmp("cdc_idem")
+    CdcSnapshot.init(initial(1L to 8L), dir, buckets = 4)
+    val batch = Seq((2L, 1L, "U:X"), (3L, 1L, "D:"), (99L, 1L, "I:N"))
+    CdcSnapshot.applyBatch(spark, dir,
+      batch.toDF("key", "seq", "payload"), buckets = 4)
+    val once = readBack(dir)
+    CdcSnapshot.applyBatch(spark, dir,
+      batch.toDF("key", "seq", "payload"), buckets = 4)
+    assert(readBack(dir) == once, "replaying the same batch changed state")
+  }
+
   test("startCdcMergeSink: change stream kept applied across micro-batches") {
     val dir = tmp("cdc_stream")
     CdcSnapshot.init(initial(1L to 6L), dir, buckets = 4)

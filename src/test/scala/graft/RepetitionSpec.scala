@@ -163,4 +163,34 @@ class RepetitionSpec extends SparkSpec {
     // tf: a=3, b=3, c=2, d=1 → top3 = a(1), b(2) [tie broken by token], c(3)
     assert(got.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
   }
+
+  test("novelty: shared grams score 0, unique grams score 1, grams hashed once") {
+    import spark.implicits._
+    // docs 1/2 share their single 3-gram exactly (df=2 → not novel);
+    // doc 3's grams appear nowhere else (fully novel); doc 4 mixes: one
+    // gram shared with doc 5, two grams unique
+    val docs = Seq(
+      (1L, "the quick fox"), (2L, "the quick fox"),
+      (3L, "entirely unique trigram here"),
+      (4L, "alpha beta gamma delta shared tail end"),
+      (5L, "wholly other prefix shared tail end")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.novelty(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((1L, 0L, 0.0)) && got(2L) == ((1L, 0L, 0.0)))
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    // doc 4: grams {alpha beta gamma, beta gamma delta, gamma delta shared,
+    // delta shared tail, shared tail end} — only the last is shared (df 2)
+    assert(got(4L) == ((5L, 4L, 0.8)))
+    // one corpus scan + exactly two exchanges (gram window, doc_id agg)
+    // pre-execution plan: single tree (no AQE Final/Initial duplication)
+    val q = TextAnalysis.novelty(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 8)
+    val p = q.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(scans == 1, s"corpus scanned $scans times")
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+  }
 }
