@@ -1824,6 +1824,39 @@ object OracleSqlGen {
         ORDER BY es_key, doc_id LIMIT $k"""
   }
 
+  /** Mirrors CorpusOps.incrementalCuration: same v1/v2 carve, same
+    * funnel rules (pass = none of the cross-multiplied BIGINT rules
+    * fire), diff via v2-side left join, dedup vs v1's whole fingerprint
+    * set, keep-min within the batch.
+    */
+  def incrementalCurationSql: String =
+    s"""WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents
+          WHERE doc_id % 11 <> 3),
+        v2 AS (SELECT doc_id,
+            CASE WHEN doc_id % 17 = 2 THEN text || ' rev2' ELSE text END
+              AS text
+          FROM documents WHERE doc_id % 13 <> 5),
+        f2t AS (SELECT doc_id, text, ${toks(norm("text"))} AS tk FROM v2),
+        f2 AS (SELECT doc_id, md5(text) AS fp,
+            NOT (CAST(len(tk) AS BIGINT) < 25
+              OR CAST(len(tk) AS BIGINT) > 90
+              OR CAST(len(array_to_string(tk, '')) AS BIGINT)
+                < 2 * CAST(len(tk) AS BIGINT)
+              OR CAST(len(array_to_string(tk, '')) AS BIGINT)
+                > 5 * CAST(len(tk) AS BIGINT)
+              OR 5 * CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '',
+                  'g')) AS BIGINT) < 4 * CAST(len(text) AS BIGINT)
+              OR 2 * CAST(len(list_distinct(tk)) AS BIGINT)
+                < CAST(len(tk) AS BIGINT))
+              AS pass FROM f2t),
+        fresh AS (SELECT f2.doc_id,
+            CASE WHEN v1.fp1 IS NULL THEN 'added' ELSE 'changed' END
+              AS status, f2.fp
+          FROM f2 LEFT JOIN v1 ON f2.doc_id = v1.doc_id
+          WHERE (v1.fp1 IS NULL OR v1.fp1 <> f2.fp) AND f2.pass)
+        SELECT min(doc_id) AS doc_id, min(status) AS status, fp
+        FROM fresh WHERE fp NOT IN (SELECT fp1 FROM v1) GROUP BY fp"""
+
   /** Mirrors TextAnalysis.novelty: same distinct word n-gram shingles,
     * same base60 gram hashes, integer df==1 test, one rounded ratio.
     */

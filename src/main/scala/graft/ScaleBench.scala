@@ -57,7 +57,8 @@ object ScaleBench {
     "text_surprisal", "corpus_dsir_weights", "corpus_source_drift",
     "agg_incremental_revenue", "corpus_assemble", "mm_video_frames",
     "cdc_merge_apply", "corpus_snapshot_diff", "corpus_weighted_sample",
-    "corpus_filter_funnel", "text_bpe_merges", "text_novelty")
+    "corpus_filter_funnel", "text_bpe_merges", "text_novelty",
+    "corpus_incremental_curation")
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     import spark.implicits._

@@ -199,6 +199,11 @@ object SparkEntry {
     // every ratio rule decided in cross-multiplied BIGINTs, ≤6-row agg
     "corpus_filter_funnel" -> q((s, d) =>
       CorpusOps.filterFunnel(Tables.load(s, d, "documents"))),
+    // the composed incremental-ingest gate: version diff -> funnel pass
+    // -> fingerprint dedup vs the prior version, one plan, fp/hash-only
+    // wide ops (text stays inside the scan predicate)
+    "corpus_incremental_curation" -> q((s, d) =>
+      CorpusOps.incrementalCuration(Tables.load(s, d, "documents"))),
     // Efraimidis–Spirakis weighted sampling without replacement (weight =
     // n_chars), deterministic md5 draw, TakeOrderedAndProject top-k
     "corpus_weighted_sample" -> q((s, d) =>
@@ -587,6 +592,7 @@ object SparkEntry {
     "corpus_snapshot_diff" -> OracleSqlGen.snapshotDiffSql,
     "corpus_filter_funnel" -> OracleSqlGen.filterFunnelSql,
     "corpus_weighted_sample" -> OracleSqlGen.weightedSampleSql(100),
+    "corpus_incremental_curation" -> OracleSqlGen.incrementalCurationSql,
     "cdc_merge_apply" -> OracleSqlGen.cdcMergeSql,
     "text_bpe_merges" -> OracleSqlGen.bpeMergesSql(10),
     "text_bpe_token_counts" -> OracleSqlGen.bpeSegmentCountsSql(10),

@@ -744,32 +744,78 @@ object CorpusOps {
     * a broadcast 1-row cross join. Adding a rule never adds a pass over
     * the data.
     */
-  def filterFunnel(docs: DataFrame): DataFrame = {
-    val sig = docs.select(
-      size(tokens(normalizeText(col("text")))).cast("long").as("n_tok"),
-      size(array_distinct(tokens(normalizeText(col("text")))))
-        .cast("long").as("n_distinct"),
-      aggregate(transform(tokens(normalizeText(col("text"))),
-          t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-        .as("sum_len"),
-      length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
-        .cast("long").as("n_alnum"),
-      length(col("text")).cast("long").as("n_chars"))
-    val stage = when(col("n_tok") < 25, lit("1_too_short"))
-      .when(col("n_tok") > 90, lit("2_too_long"))
-      .when(col("sum_len") < lit(2L) * col("n_tok") ||
-        col("sum_len") > lit(5L) * col("n_tok"), lit("3_mean_word_len"))
-      .when(lit(5L) * col("n_alnum") < lit(4L) * col("n_chars"),
-        lit("4_low_alpha"))
-      .when(lit(2L) * col("n_distinct") < col("n_tok"), lit("5_repetitive"))
+  /** The funnel's first-failing-stage label for a text column — exposed
+    * so composed pipelines ([[incrementalCuration]]) gate on
+    * `funnelStage(text) == "6_pass"` with the SAME rules the report
+    * charges drops to.
+    */
+  def funnelStage(text: Column): Column = {
+    val nTok = size(tokens(normalizeText(text))).cast("long")
+    val nDistinct = size(array_distinct(tokens(normalizeText(text))))
+      .cast("long")
+    val sumLen = aggregate(transform(tokens(normalizeText(text)),
+      t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    val nAlnum = length(regexp_replace(lower(text), "[^a-z0-9]", ""))
+      .cast("long")
+    val nChars = length(text).cast("long")
+    when(nTok < 25, lit("1_too_short"))
+      .when(nTok > 90, lit("2_too_long"))
+      .when(sumLen < lit(2L) * nTok || sumLen > lit(5L) * nTok,
+        lit("3_mean_word_len"))
+      .when(lit(5L) * nAlnum < lit(4L) * nChars, lit("4_low_alpha"))
+      .when(lit(2L) * nDistinct < nTok, lit("5_repetitive"))
       .otherwise(lit("6_pass"))
-    val byStage = sig.select(stage.as("stage"))
+  }
+
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val byStage = docs.select(funnelStage(col("text")).as("stage"))
       .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     byStage.crossJoin(broadcast(total))
       .select(col("stage"), col("n_docs"),
         round(col("n_docs").cast("double") / col("n_total"), 4)
           .as("frac"))
+  }
+
+  /** The composed INCREMENTAL ingest gate — what a new corpus version
+    * contributes to training, in one plan: the docs [[snapshotDiff]]
+    * classifies `added`/`changed` (v2-side full outer join on doc_id,
+    * fingerprints compared) are passed through the [[funnelStage]]
+    * quality gate, then exact-deduped against the WHOLE prior version's
+    * fingerprint set (a changed doc may have become a byte-twin of some
+    * other v1 doc — `% 17`-rewritten texts collide with nothing here,
+    * but re-added boilerplate does at 100 TB) and keep-min-id within the
+    * batch. Output: the surviving (doc_id, status, fp) rows.
+    *
+    * Scale shape: both diff sides and the v1 dedup index are scan-fused
+    * (doc_id, 16-byte fp) projections — text reaches only the funnel
+    * predicate, inside the scan; the three wide ops (diff join, dedup
+    * anti-join, keep-min group) all key on fp/doc_id hashes. With v1's
+    * fingerprint index persisted `bucketBy(fp)` (the layout
+    * [[graft.operators.Dedup.incrementalIngest]] maintains) the
+    * anti-join's index side never shuffles.
+    */
+  def incrementalCuration(docs: DataFrame): DataFrame = {
+    val v1 = docs.filter(col("doc_id") % 11 =!= 3)
+    val v2 = docs.filter(col("doc_id") % 13 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    val f1 = v1.select(col("doc_id"), md5(col("text")).as("fp1"))
+    val f2 = v2.select(col("doc_id"), md5(col("text")).as("fp"),
+      funnelStage(col("text")).as("stage"))
+    val fresh = f2.join(f1, Seq("doc_id"), "left")
+      .filter(col("fp1").isNull || col("fp1") =!= col("fp"))
+      .select(col("doc_id"),
+        when(col("fp1").isNull, lit("added")).otherwise(lit("changed"))
+          .as("status"),
+        col("fp"), col("stage"))
+    fresh.filter(col("stage") === "6_pass")
+      .join(f1.select(col("fp1").as("fp")).distinct(), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("status")).as("status"))
+      .select(col("doc_id"), col("status"), col("fp"))
   }
 
   // -------------------------------------------------------------------

@@ -458,6 +458,25 @@ class CorpusOpsSpec extends SparkSpec {
       !Set("text", "tk").contains(n))), plan.toString)
   }
 
+  test("incrementalCuration: diff -> funnel -> v1-dedup, each gate observable") {
+    // 5-char words: mean word len exactly 5 (rule-3 boundary) and alpha
+    // density 150/179 > 4/5 — the same calibration as the funnel fixture
+    def passing(seed: Int) =
+      Seq.tabulate(30)(i => s"w$seed${100 + i}").mkString(" ")
+    // ids chosen against the fixture residues: 3 (%11==3) is v1-absent ->
+    // `added`; 2 (%17==2) gets the rev2 rewrite -> `changed`; 5 (%13==5)
+    // is v2-absent; 14 is v1-absent but its text byte-equals doc 1's v1
+    // text -> killed by the v1-fingerprint dedup; 25 is v1-absent but too
+    // short -> killed by the funnel; 1 is unchanged -> not a candidate
+    val docs = Seq(
+      (1L, passing(1)), (2L, passing(2)), (3L, passing(3)),
+      (5L, passing(5)), (14L, passing(1)), (25L, "too short text")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.incrementalCuration(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "added", 2L -> "changed"), s"got $got")
+  }
+
   test("weightedSample: deterministic, k rows, weight-proportional membership") {
     // 50 heavy docs (w=5000) among 950 light (w=50): E-S with these odds
     // puts heavy docs in the vast majority of top-100 slots
