@@ -291,6 +291,29 @@ object OracleSqlGen {
           round((s1 - s2)::DOUBLE / n_trans::DOUBLE / 1e6, 4) AS avg_nll
         FROM d"""
 
+  /** Mirrors TextAnalysis.tfidfKeywords: per-(doc, tok) term frequencies,
+    * vocabulary-bounded document frequencies, micro-nat-quantized idf so
+    * the `tf·idf` score is an exact integer in both engines; top-k per doc
+    * by (score DESC, tok). Counts cast back to BIGINT (DuckDB widens).
+    */
+  def tfidfKeywordsSql(topK: Int): String =
+    s"""${toksCte()},
+        o AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM o GROUP BY doc_id, tok),
+        f AS (SELECT tok, count(*) AS df,
+          CAST(floor(ln(count(*)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qln_df
+          FROM tf GROUP BY tok),
+        n AS (SELECT CAST(floor(ln(count(*)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qln_n
+          FROM documents),
+        s AS (SELECT doc_id, tok, tf, df, tf * (qln_n - qln_df) AS score_micro
+          FROM tf JOIN f USING (tok) CROSS JOIN n),
+        r AS (SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+          CAST(df AS BIGINT) AS df, CAST(score_micro AS BIGINT) AS score_micro,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_micro DESC, tok) AS rk FROM s)
+        SELECT doc_id, tok, tf, df, score_micro, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= $topK"""
+
   def tokenRaritySql: String =
     s"""${toksCte()},
         d AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM t),
@@ -770,6 +793,52 @@ object OracleSqlGen {
                ELSE round(${(k - 1).toDouble} * 1152921504606846976.0 / max(h)::DOUBLE, 4) END AS est_distinct
         FROM s"""
 
+  /** Mirrors Relational.kmvDistinctByGroup: the same k-smallest-distinct
+    * construction as [[kmvDistinctSql]], rank-windowed per group.
+    */
+  def kmvDistinctByGroupSql(k: Int, table: String = "events",
+                            group: String = "event_type",
+                            key: String = "user_id"): String =
+    s"""WITH h AS (SELECT DISTINCT $group, ${base60(s"CAST($key AS VARCHAR)")} AS h FROM $table),
+        r AS (SELECT $group, h,
+          row_number() OVER (PARTITION BY $group ORDER BY h) AS rn FROM h),
+        s AS (SELECT $group, h FROM r WHERE rn <= $k)
+        SELECT $group, count(*) AS n_sketch, max(h) AS kth_hash,
+          CASE WHEN count(*) < $k THEN count(*)::DOUBLE
+               WHEN max(h) = 0 THEN count(*)::DOUBLE
+               ELSE round(${(k - 1).toDouble} * 1152921504606846976.0 / max(h)::DOUBLE, 4) END AS est_distinct
+        FROM s GROUP BY $group"""
+
+  /** Mirrors CorpusOps.kmvOverlap: per-gram-hash slice-membership flags,
+    * the k smallest union hashes, then the Beyer et al. estimates — the
+    * divides/multiplies run over identically-rounded operands in both
+    * engines.
+    */
+  def kmvOverlapSql(n: Int, evalRate: Double, k: Int,
+                    salt: String = "split"): String =
+    s"""${toksCte()},
+        sh AS (SELECT doc_id,
+          ${hexCellSql(salt)} < '${CorpusOps.hexThreshold(evalRate)}' AS is_eval,
+          ${shingles(n)} AS shingles FROM t),
+        g AS (SELECT is_eval, unnest(shingles) AS gram FROM sh),
+        m AS (SELECT ${base60("gram")} AS h,
+          max(CASE WHEN is_eval THEN 1 ELSE 0 END) = 1 AS in_eval,
+          max(CASE WHEN is_eval THEN 0 ELSE 1 END) = 1 AS in_train
+          FROM g GROUP BY 1),
+        s AS (SELECT * FROM m ORDER BY h LIMIT $k),
+        a AS (SELECT count(*) AS n_sketch, max(h) AS kth_hash,
+          CAST(sum(CASE WHEN in_eval AND in_train THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+          FROM s),
+        e AS (SELECT n_sketch, kth_hash, n_both,
+          CASE WHEN n_sketch < $k THEN n_sketch::DOUBLE
+               WHEN kth_hash = 0 THEN n_sketch::DOUBLE
+               ELSE round(${(k - 1).toDouble} * 1152921504606846976.0 / kth_hash::DOUBLE, 4) END AS est_union,
+          CASE WHEN n_sketch = 0 THEN NULL
+               ELSE round(n_both::DOUBLE / n_sketch::DOUBLE, 4) END AS jaccard_est
+          FROM a)
+        SELECT n_sketch, kth_hash, n_both, est_union, jaccard_est,
+          round(jaccard_est * est_union, 4) AS est_shared FROM e"""
+
   private val P = DetHash.P
 
   /** The 16 minhash slot expressions over a `hs` BIGINT-list column. */
@@ -1084,6 +1153,36 @@ object OracleSqlGen {
           coalesce(string_agg(CASE WHEN rk = 1 THEN para END, $sep ORDER BY idx), '') AS text_kept,
           count(CASE WHEN rk = 1 THEN 1 END) AS kept,
           count(CASE WHEN rk > 1 THEN 1 END) AS dropped
+        FROM r GROUP BY doc_id"""
+  }
+
+  /** Mirrors Dedup.boilerplateRemoved over the same injected-paragraph
+    * fixture as [[paragraphDedupSql]]: corpus-wide occurrence count per
+    * paragraph value, every copy of a > maxOcc paragraph dropped.
+    */
+  def boilerplateRemovedSql(maxOcc: Long): String = {
+    import graft.operators.Dedup.{ParaWords, ParaHeader, ParaFooter}
+    val sep = "chr(10) || chr(10)"
+    s"""${toksCte()},
+        fix AS (SELECT doc_id,
+          (CASE WHEN doc_id % 3 = 0 THEN '$ParaHeader' || $sep ELSE '' END)
+          || array_to_string(list_transform(
+               generate_series(0, (len(tk) - 1) // $ParaWords),
+               i -> array_to_string(list_slice(tk, i * $ParaWords + 1, i * $ParaWords + $ParaWords), ' ')),
+             $sep)
+          || (CASE WHEN doc_id % 7 = 0 THEN $sep || '$ParaFooter' ELSE '' END) AS text
+          FROM t),
+        p AS (SELECT doc_id,
+            unnest(generate_series(0, len(parts) - 1)) AS idx,
+            unnest(parts) AS para
+          FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM fix)),
+        r AS (SELECT doc_id, idx, para,
+            count(*) OVER (PARTITION BY para) AS occ
+          FROM p)
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN occ <= $maxOcc THEN para END, $sep ORDER BY idx), '') AS text_kept,
+          count(CASE WHEN occ <= $maxOcc THEN 1 END) AS kept,
+          count(CASE WHEN occ > $maxOcc THEN 1 END) AS dropped
         FROM r GROUP BY doc_id"""
   }
 

@@ -80,6 +80,20 @@ object SparkEntry {
     // deterministic affine hashes → bit-reproducible in DuckDB
     "sketch_heavy_hitters" -> q((s, d) =>
       Relational.cmsHeavyHitters(Tables.load(s, d, "events"), "user_id", 4, 64, 10)),
+    // grouped KMV sketches: one bounded k-long sketch per (map task ×
+    // group) on the wire — the rollup-able per-group cardinality shape
+    // (count(distinct) by group would shuffle every distinct pair)
+    "sketch_group_kmv" -> q((s, d) =>
+      Relational.kmvDistinctByGroup(Tables.load(s, d, "events"), "event_type", col("user_id"), 64)),
+    // KMV overlap estimate between the eval/train slices' distinct 8-gram
+    // sets: the fixed-sketch-cost pre-check before exact decontamination
+    "sketch_corpus_overlap" -> q((s, d) =>
+      CorpusOps.kmvOverlap(Tables.load(s, d, "documents"), 8, 0.05, 256)),
+    // per-group 3σ outlier flags with the kσ test cross-multiplied into
+    // exact decimal(38,0) integer arithmetic — no float mean/variance
+    // anywhere, so the flags are oracle-bit-exact under any partitioning
+    "events_anomalies" -> q((s, d) =>
+      Relational.valueAnomalies(Tables.load(s, d, "events"), 3)),
     // Morton (z-order) key per row — the 2-dim layout key; pure integer
     // mask ladder, re-derived by the oracle in SQL
     "zorder_key" -> q((s, d) => ZOrder.ordersZkeys(Tables.load(s, d, "orders"))),
@@ -117,6 +131,10 @@ object SparkEntry {
     // fixture (the corpus is a flat word stream — structure is a pure
     // function of (doc_id, text), same discipline as text_scrub)
     "dedup_paragraphs" -> q((s, d) => Dedup.paragraphDedup(Dedup.withInjectedParagraphs(Tables.load(s, d, "documents")))),
+    // the destructive complement: EVERY copy of a paragraph occurring
+    // > 10 times corpus-wide is dropped (CCNet boilerplate rule) — same
+    // injected-paragraph fixture, same two-exchange shape
+    "dedup_boilerplate" -> q((s, d) => Dedup.boilerplateRemoved(Dedup.withInjectedParagraphs(Tables.load(s, d, "documents")), 10)),
     // --- temporal: as-of join, session windows, hopping windows ---
     "asof_attribution" -> q((s, d) => Temporal.purchaseAttribution(Tables.load(s, d, "events"))),
     "session_counts" -> q((s, d) => Temporal.sessionCounts(Tables.load(s, d, "events"))),
@@ -134,6 +152,9 @@ object SparkEntry {
     // corpus document-frequency rarity signals (rarest-token df, hapax
     // count, mean df) per document
     "text_token_rarity" -> q((s, d) => TextAnalysis.tokenRarity(Tables.load(s, d, "documents"))),
+    // TF-IDF keyword extraction: integer micro-nat idf so the tf·idf
+    // ranking never touches a float; top-k window bounded per doc
+    "text_tfidf_keywords" -> q((s, d) => TextAnalysis.tfidfKeywords(Tables.load(s, d, "documents"), 3)),
     // corpus-unigram-LM surprisal (the CCNet/Gopher quality-filter signal):
     // integer micro-nat logs, exact per-doc sums, one divide at the end
     "text_surprisal" -> q((s, d) => TextAnalysis.unigramSurprisal(Tables.load(s, d, "documents"))),
@@ -539,6 +560,19 @@ object SparkEntry {
          GROUP BY o_orderpriority""",
     "sketch_distinct_kmv" -> OracleSqlGen.kmvDistinctSql(256),
     "sketch_heavy_hitters" -> OracleSqlGen.cmsHeavyHittersSql(4, 64, 10),
+    "sketch_group_kmv" -> OracleSqlGen.kmvDistinctByGroupSql(64),
+    "sketch_corpus_overlap" -> OracleSqlGen.kmvOverlapSql(8, 0.05, 256),
+    // HUGEINT (int128) carries the same exact integer arithmetic the
+    // Spark side does in decimal(38,0); both fit the < 1e36 bound
+    "events_anomalies" ->
+      """WITH v AS (SELECT event_id, event_type,
+           CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq FROM events),
+         st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(CAST(vq AS HUGEINT)) AS HUGEINT) AS s,
+           CAST(sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS HUGEINT) AS q2
+           FROM v GROUP BY event_type)
+         SELECT event_id, event_type, vq FROM v JOIN st USING (event_type)
+         WHERE (n * vq - s) * (n * vq - s) > 9 * (n * q2 - s * s)""",
     "stats_quantiles" ->
       """SELECT o_orderstatus,
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -558,6 +592,7 @@ object SparkEntry {
     "dedup_substring_spans" -> OracleSqlGen.dupSpansSql(30),
     "dedup_substring_removed" -> OracleSqlGen.substringRemovedSql(30),
     "dedup_paragraphs" -> OracleSqlGen.paragraphDedupSql,
+    "dedup_boilerplate" -> OracleSqlGen.boilerplateRemovedSql(10),
     "dedup_char_jaccard_pairs" -> OracleSqlGen.charJaccardPairsSql(7, 0.9),
     "asof_attribution" -> OracleSqlGen.asofAttributionSql,
     "session_counts" -> OracleSqlGen.sessionCountsSql(5),
@@ -570,6 +605,7 @@ object SparkEntry {
     "text_repetition" -> OracleSqlGen.repetitionSignalsSql,
     "text_token_histogram" -> OracleSqlGen.tokenHistogramSql,
     "text_token_rarity" -> OracleSqlGen.tokenRaritySql,
+    "text_tfidf_keywords" -> OracleSqlGen.tfidfKeywordsSql(3),
     "text_surprisal" -> OracleSqlGen.unigramSurprisalSql,
     "text_bigram_surprisal" -> OracleSqlGen.bigramSurprisalSql,
     "text_vocabulary" -> OracleSqlGen.vocabularySql(256),

@@ -164,6 +164,56 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** KMV set-resemblance estimate between the eval and train slices'
+    * distinct n-gram sets — the FIXED-COST pre-check before the exact
+    * [[decontaminate]] join: estimated shared-gram count, union size and
+    * Jaccard from one bounded sketch, so a pipeline can decide whether a
+    * new corpus version even needs the full decontamination pass without
+    * joining anything corpus-sized (Beyer et al. SIGMOD'07 multiset ops:
+    * K_min of the UNION is an ε-approx uniform sample of it, so the
+    * fraction of sketch members present in BOTH slices estimates
+    * Jaccard, and Jaccard × union estimates the intersection).
+    *
+    * Scale shape: per-slice distinctness folds into the membership
+    * aggregate (max of two flags per 8-byte gram hash, map-side combine
+    * — never a distinct per slice); the k smallest union hashes come
+    * from a TakeOrderedAndProject (per-partition top-k, k-row merge —
+    * no global sort); the final projection runs over k rows. The only
+    * corpus-sized exchange is the gram-hash aggregate.
+    *
+    * Determinism: gram membership is integer flags over the base60 hash;
+    * the three estimates are single IEEE divides/multiplies over
+    * identically-rounded operands, so the row is oracle-bit-exact.
+    */
+  def kmvOverlap(docs: DataFrame, n: Int = 8, evalRate: Double = 0.05,
+                 k: Int = 256, salt: String = "split"): DataFrame = {
+    import graft.functions.DetHash
+    val grams = docs
+      .select((hexCell(col("doc_id"), salt) < lit(hexThreshold(evalRate))).as("is_eval"),
+        explode(shinglesFromTokens(tokens(normalizeText(col("text"))), n)).as("gram"))
+    val membership = grams
+      .groupBy(DetHash.base60(col("gram")).as("h"))
+      .agg(max(col("is_eval")).as("in_eval"), max(!col("is_eval")).as("in_train"))
+    val sketch = membership.orderBy(col("h").asc).limit(k)
+    sketch
+      .agg(
+        count(lit(1)).as("n_sketch"),
+        max(col("h")).as("kth_hash"),
+        sum(when(col("in_eval") && col("in_train"), 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col("n_sketch"), col("kth_hash"), col("n_both"),
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .when(col("kth_hash") === 0L, col("n_sketch").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble * math.pow(2, 60)) /
+              col("kth_hash").cast("double"), 4)).as("est_union"),
+        when(col("n_sketch") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") /
+            col("n_sketch").cast("double"), 4)).as("jaccard_est"))
+      .withColumn("est_shared",
+        round(col("jaccard_est") * col("est_union"), 4))
+  }
+
   // -------------------------------------------------------------------
   // Token-budget shard packing
   // -------------------------------------------------------------------

@@ -673,6 +673,41 @@ object Dedup {
       .select(col("doc_id"), col("text_kept"), col("kept"), col("dropped"))
   }
 
+  /** BOILERPLATE paragraph removal — the destructive complement of
+    * [[paragraphDedup]]: where keep-first retains ONE copy of every
+    * duplicated paragraph, this drops EVERY copy of any paragraph
+    * occurring more than `maxOcc` times corpus-wide (the CCNet
+    * over-shared-line rule at paragraph granularity: navigation chrome,
+    * cookie banners, templated headers/footers carry no training signal
+    * in any document, so no copy survives). Rare duplicates (≤ maxOcc)
+    * are left to the pair-level dedup ops — this pass only kills
+    * corpus-scale boilerplate.
+    *
+    * Scale shape: same two inherent exchanges as [[paragraphDedup]] —
+    * the occurrence count is a WINDOW count over the paragraph-value
+    * partition (the corpus splits into paragraphs exactly once; a
+    * groupBy+join formulation would materialize the split twice), its
+    * per-partition input bounded by that paragraph's occurrence count,
+    * then the per-doc reassembly. Rows are single paragraphs
+    * throughout.
+    */
+  def boilerplateRemoved(docs: DataFrame, maxOcc: Long = 10): DataFrame = {
+    val paras = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n\n")).as(Seq("idx", "para")))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("para"))
+    paras
+      .withColumn("occ", count(lit(1)).over(wp))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("occ") <= maxOcc,
+            struct(col("idx"), col("para"))))),
+          s => s.getField("para")), "\n\n").as("text_kept"),
+        count(when(col("occ") <= maxOcc, lit(1))).as("kept"),
+        count(when(col("occ") > maxOcc, lit(1))).as("dropped"))
+      .select(col("doc_id"), col("text_kept"), col("kept"), col("dropped"))
+  }
+
   /** Exact jaccard-threshold pairs with PREFIX FILTERING (AllPairs /
     * PPJoin): under any global total order of grams, two sets with
     * jaccard >= t must share a gram inside both sets' first

@@ -378,19 +378,43 @@ object Relational {
     import graft.functions.{DetHash, KmvSketch}
     df.select(DetHash.base60(key.cast("string")).as("h"))
       .agg(KmvSketch.column(col("h"), k).as("ks"))
-      .select(
-        size(col("ks")).cast("long").as("n_sketch"),
-        when(size(col("ks")) === 0, lit(null).cast("long"))
-          .otherwise(element_at(col("ks"), size(col("ks")))).as("kth_hash"),
-        // branch order matters: element_at(ks, k) is only safe once the
-        // first (size < k) branch has failed
-        when(size(col("ks")) < k, size(col("ks")).cast("double"))
-          .when(element_at(col("ks"), lit(k)) === 0L,
-            size(col("ks")).cast("double"))
-          .otherwise(round(
-            lit((k - 1).toDouble * math.pow(2, 60)) /
-              element_at(col("ks"), lit(k)).cast("double"), 4))
-          .as("est_distinct"))
+      .select(kmvEstimateCols(k): _*)
+  }
+
+  /** The (n_sketch, kth_hash, est_distinct) projection over a KMV sketch
+    * array column `ks` — shared by the global and per-group variants.
+    */
+  private def kmvEstimateCols(k: Int): Seq[Column] = Seq(
+    size(col("ks")).cast("long").as("n_sketch"),
+    when(size(col("ks")) === 0, lit(null).cast("long"))
+      .otherwise(element_at(col("ks"), size(col("ks")))).as("kth_hash"),
+    // branch order matters: element_at(ks, k) is only safe once the
+    // first (size < k) branch has failed
+    when(size(col("ks")) < k, size(col("ks")).cast("double"))
+      .when(element_at(col("ks"), lit(k)) === 0L,
+        size(col("ks")).cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble * math.pow(2, 60)) /
+          element_at(col("ks"), lit(k)).cast("double"), 4))
+      .as("est_distinct"))
+
+  /** Per-GROUP KMV distinct estimates — the sketch as a grouped
+    * aggregate: one bounded k-long sketch per (map task × group) on the
+    * wire instead of every distinct (group, key) pair, which is what
+    * `count(distinct)` by group shuffles. This is the shape cardinality
+    * dashboards need at 100 TB ("distinct users per event type per day"):
+    * partials merge associatively, so per-day per-group sketches roll up
+    * across any partitioning without re-reading data. Same deterministic
+    * base60 hashing as [[kmvDistinct]] — per-group estimates are
+    * bit-reproducible in the DuckDB oracle.
+    */
+  def kmvDistinctByGroup(df: DataFrame, group: String, key: Column,
+                         k: Int = 256): DataFrame = {
+    import graft.functions.{DetHash, KmvSketch}
+    df.select(col(group), DetHash.base60(key.cast("string")).as("h"))
+      .groupBy(col(group))
+      .agg(KmvSketch.column(col("h"), k).as("ks"))
+      .select(col(group) +: kmvEstimateCols(k): _*)
   }
 
   /** The (depth, cell) coordinates a key touches in a Count-Min sketch:
@@ -443,6 +467,40 @@ object Relational {
       .agg(min(col("cnt")).as("est_cnt"))
       .orderBy(col("est_cnt").desc, col(key).asc)
       .limit(k)
+  }
+
+  /** Per-group k·σ outlier flagging with EXACT arithmetic — the
+    * statistical quality gate (drop rows whose metric deviates > kσ from
+    * its group) that normally can't be oracle-checked because float
+    * mean/variance sums are order-dependent under partitioning.
+    *
+    * Exactness discipline: `value` quantizes to integer micro-units once
+    * (`floor(v·1e6 + 0.5)` — one deterministic IEEE multiply per row),
+    * then EVERYTHING is decimal(38,0) integer arithmetic: per-group
+    * n, Σv, Σv² are exact associative decimal sums, and the k·σ test is
+    * the cross-multiplied identity
+    * `(n·v − Σv)² > k²·(n·Σv² − (Σv)²)`  ⟺  `(v − μ)² > k²σ²`
+    * — no division, no square root, no float anywhere. Headroom: with
+    * per-group n ≤ 2.5e8 rows and |v| ≤ 1e3 (micro-quantized 1e9) both
+    * sides stay < 1e36 < decimal(38) — petabyte-scale safe.
+    *
+    * Scale shape: one grouped aggregate bounded by |groups| on the wire
+    * (map-side combine), its tiny stats frame broadcast back onto the
+    * scan — no second wide exchange; the flagged subset streams out of
+    * the scan-side filter.
+    */
+  def valueAnomalies(events: DataFrame, k: Int = 3): DataFrame = {
+    val v = events.select(col("event_id"), col("event_type"),
+      floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vq"))
+    val stats = v.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("vq").cast("decimal(38,0)")).as("s"),
+      sum((col("vq").cast("decimal(19,0)") * col("vq").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("q2"))
+    val dev = col("n") * col("vq").cast("decimal(38,0)") - col("s")
+    v.join(broadcast(stats), Seq("event_type"))
+      .filter(dev * dev > lit(k * k) * (col("n") * col("q2") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), col("vq"))
   }
 
   // ------------------------------------------------- bloom-filtered join

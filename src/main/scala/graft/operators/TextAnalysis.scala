@@ -437,6 +437,45 @@ object TextAnalysis {
         Window.orderBy(col("tf").desc, col("tok").asc)).cast("long"))
   }
 
+  /** TF-IDF keyword extraction: each document's top-`topK` terms by
+    * `tf · idf`, the classic salience ranking (Sparck Jones 1972) — the
+    * per-document topical-keyword artifact a corpus datasheet or a
+    * retrieval index carries alongside the raw text.
+    *
+    * Determinism across engines: `idf = ln N − ln df(tok)` with both logs
+    * QUANTIZED to integer micro-nats per MODEL ENTRY (the shared
+    * [[qlnOfTf]] discipline of the surprisal scorers), so the score
+    * `tf · (qln N − qln df)` is an exact integer product — no float ever
+    * enters the ranking and ties break on the token string. Terms in
+    * every document score exactly 0 (idf = 0), ranked last.
+    *
+    * Scale shape: the (doc_id, tok) term-frequency aggregate is the one
+    * corpus-sized exchange; document frequency derives FROM that frame
+    * (one row per (doc, tok) — no second corpus scan) as a
+    * vocabulary-bounded aggregate with map-side combine; `qln N` rides a
+    * broadcast 1-row aggregate; and the top-k window partitions by
+    * doc_id, its per-partition input bounded by a document's distinct
+    * vocabulary, never a global sort.
+    */
+  def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(normalizeText(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("df"), qlnOfTf(col("df")).as("qln_df"))
+    val qn = docs.agg(qlnOfTf(count(lit(1))).as("qln_n"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf") * (col("qln_n") - col("qln_df"))).as("score_micro"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("tok").asc)).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"),
       explode(tokens(normalizeText(col("text")))).as("tok"))

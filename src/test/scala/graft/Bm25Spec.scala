@@ -31,6 +31,33 @@ class Bm25Spec extends SparkSpec {
     assert(top == 3L)
   }
 
+  test("tfidf: corpus-wide terms score exactly 0, rare terms dominate") {
+    val docs = docsOf(
+      1L -> "shared unicorn shared",
+      2L -> "shared pebble",
+      3L -> "shared granite")
+    val got = TextAnalysis.tfidfKeywords(docs, 2)
+      .select($"doc_id", $"tok", $"score_micro").as[(Long, String, Long)]
+      .collect().toSeq.sortBy(r => (r._1, -r._3, r._2))
+    // "shared" is in all 3 docs -> qln_n - qln_df = 0 -> score 0
+    assert(got.filter(_._2 == "shared").forall(_._3 == 0L))
+    // each doc's top keyword is its unique term with score tf * qln(3)
+    val qln3 = math.floor(math.log(3.0) * 1e6 + 0.5).toLong
+    assert(got.filter(_._1 == 1L).head == ((1L, "unicorn", qln3)))
+    assert(got.filter(_._1 == 2L).head == ((2L, "pebble", qln3)))
+  }
+
+  test("tfidf: topK bounds output and ties break on token") {
+    val docs = docsOf(
+      1L -> "zeta alpha beta gamma",
+      2L -> "other words here")
+    val got = TextAnalysis.tfidfKeywords(docs, 3)
+      .filter($"doc_id" === 1L)
+      .select($"tok", $"rk").as[(String, Long)].collect().toSeq.sortBy(_._2)
+    // all four tokens tie on score (tf=1, df=1) -> rank by token asc
+    assert(got == Seq(("alpha", 1L), ("beta", 2L), ("gamma", 3L)))
+  }
+
   test("length normalization: same tf, shorter doc scores higher") {
     val docs = docsOf(
       1L -> "query alpha",

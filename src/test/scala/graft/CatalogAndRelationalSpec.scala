@@ -44,6 +44,29 @@ class CatalogAndRelationalSpec extends SparkSpec {
     assert(p(20L).getAs[Long]("view") == 1L)
   }
 
+  test("anomalies: only the >3σ point is flagged, per group independently") {
+    // group A: ten 100.0s and one 200.0 — the 200 deviates ~3.02σ; group B
+    // is tight around 50 with no outlier and must contribute no rows even
+    // though A's outlier would dwarf B's spread if stats were global
+    val rows =
+      (1L to 10L).map(i => (i, new Timestamp(i), 1L, "a", 100.0, "{}")) :+
+        ((11L, new Timestamp(11), 1L, "a", 200.0, "{}")) :+
+        ((12L, new Timestamp(12), 1L, "b", 49.0, "{}")) :+
+        ((13L, new Timestamp(13), 1L, "b", 50.0, "{}")) :+
+        ((14L, new Timestamp(14), 1L, "b", 51.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational.valueAnomalies(df, 3)
+      .select($"event_id", $"vq").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((11L, 200000000L)))
+  }
+
+  test("anomalies: group stats ride a broadcast join, no second shuffle") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val plan = Relational.valueAnomalies(df, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("quantiles: interpolated median over a known set") {
     val df = Seq((1L, 1L, "O", 10.0, new Timestamp(0), "p"),
       (2L, 1L, "O", 20.0, new Timestamp(0), "p"),

@@ -112,6 +112,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == (("delta four", 1L, 1L)))
   }
 
+  test("boilerplate removal: every copy above maxOcc dies, rare dups survive") {
+    val paraDocs = Seq(
+      (0L, "banner\n\nalpha one"),
+      (1L, "banner\n\nbravo two"),
+      (2L, "banner\n\nshared rare"),
+      (3L, "shared rare\n\ncharlie three"),
+      (4L, "banner")                      // all boilerplate → emptied
+    ).toDF("doc_id", "text")
+    // "banner" occurs 4x (> 2: all copies drop); "shared rare" occurs 2x
+    // (<= 2: BOTH copies survive — contrast keep-first, which drops one)
+    val got = Dedup.boilerplateRemoved(paraDocs, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("alpha one", 1L, 1L)))
+    assert(got(1L) == (("bravo two", 1L, 1L)))
+    assert(got(2L) == (("shared rare", 1L, 1L)))
+    assert(got(3L) == (("shared rare\n\ncharlie three", 2L, 0L)))
+    assert(got(4L) == (("", 0L, 1L)))
+  }
+
   test("injected paragraphs: 12-word chunks, header every 3rd, footer every 7th") {
     val src = Seq(
       (0L, Seq.fill(25)("w").zipWithIndex.map { case (w, i) => s"$w$i" }.mkString(" "), "en", "s"),

@@ -161,6 +161,60 @@ class SketchAndBloomSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
   }
 
+  test("grouped KMV: per-group sketches are exact below k, independent across groups") {
+    // group "big" has 100 distinct keys (> k=16 -> estimated), "small" has
+    // 5 (< k -> exact); a shared key must count in both groups
+    val df = ((1 to 100).map(i => ("big", i.toLong)) ++
+      (1 to 5).map(i => ("small", i.toLong))).toDF("grp", "key")
+    val got = Relational.kmvDistinctByGroup(df, "grp", $"key", 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_sketch"), r.getAs[Double]("est_distinct"))).toMap
+    assert(got("small") == ((5L, 5.0)))
+    assert(got("big")._1 == 16L)
+    // estimate within a loose band of the truth (k=16 -> ~25% rsd)
+    assert(got("big")._2 > 50.0 && got("big")._2 < 200.0, got("big"))
+  }
+
+  test("grouped KMV equals running the global sketch per group slice") {
+    val ev = Tables.load(spark, sf, "events")
+    val grouped = Relational.kmvDistinctByGroup(ev, "event_type", $"user_id", 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    grouped.keys.foreach { et =>
+      val solo = Relational.kmvDistinct(
+        ev.filter($"event_type" === et), $"user_id", 64)
+        .head().getAs[Double]("est_distinct")
+      assert(grouped(et) == solo, s"group $et drifted from the sliced sketch")
+    }
+  }
+
+  test("KMV overlap: identical slices estimate jaccard 1, disjoint estimate 0") {
+    import graft.operators.CorpusOps
+    // same text everywhere -> both slices carry the identical gram set
+    val same = (0L until 200L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val r1 = CorpusOps.kmvOverlap(same, 3, 0.5, 16, "split").head()
+    assert(r1.getAs[Double]("jaccard_est") == 1.0)
+    assert(r1.getAs[Double]("est_shared") == r1.getAs[Double]("est_union"))
+    // slice-dependent vocabulary (the REAL hexCell predicate decides the
+    // slice) -> gram sets are disjoint across eval/train
+    val disjoint = (0L until 200L).toDF("doc_id")
+      .withColumn("text",
+        when(CorpusOps.hexCell($"doc_id", "split") < lit(CorpusOps.hexThreshold(0.5)),
+          lit("alpha beta gamma delta")).otherwise(lit("uno dos tres cuatro")))
+    val r2 = CorpusOps.kmvOverlap(disjoint, 3, 0.5, 16, "split").head()
+    assert(r2.getAs[Long]("n_both") == 0L)
+    assert(r2.getAs[Double]("jaccard_est") == 0.0)
+    assert(r2.getAs[Double]("est_shared") == 0.0)
+  }
+
+  test("KMV overlap sketch rides a TakeOrderedAndProject, not a global sort") {
+    import graft.operators.CorpusOps
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = CorpusOps.kmvOverlap(docs, 8, 0.05, 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("KMV matches the oracle formulation on testdata") {
     // engine-side re-derivation of the oracle SQL's semantics: the k-th
     // smallest distinct hash drives the estimate
