@@ -80,6 +80,12 @@ object SparkEntry {
     // deterministic affine hashes → bit-reproducible in DuckDB
     "sketch_heavy_hitters" -> q((s, d) =>
       Relational.cmsHeavyHitters(Tables.load(s, d, "events"), "user_id", 4, 64, 10)),
+    // small-file compaction: 64-file fixture bin-packed to ~256 KB
+    // outputs, file count from the listing alone, coalesce (no shuffle);
+    // the oracle is the plain documents SQL — compaction invisible
+    "corpus_compact" -> q((s, d) =>
+      CorpusOps.compactDir(s, CorpusOps.smallFileDocs(s, d), 256L * 1024)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     // grouped KMV sketches: one bounded k-long sketch per (map task ×
     // group) on the wire — the rollup-able per-group cardinality shape
     // (count(distinct) by group would shuffle every distinct pair)
@@ -560,6 +566,8 @@ object SparkEntry {
          GROUP BY o_orderpriority""",
     "sketch_distinct_kmv" -> OracleSqlGen.kmvDistinctSql(256),
     "sketch_heavy_hitters" -> OracleSqlGen.cmsHeavyHittersSql(4, 64, 10),
+    "corpus_compact" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
     "sketch_group_kmv" -> OracleSqlGen.kmvDistinctByGroupSql(64),
     "sketch_corpus_overlap" -> OracleSqlGen.kmvOverlapSql(8, 0.05, 256),
     // HUGEINT (int128) carries the same exact integer arithmetic the

@@ -215,6 +215,68 @@ object CorpusOps {
   }
 
   // -------------------------------------------------------------------
+  // Small-file compaction
+  // -------------------------------------------------------------------
+
+  /** A deliberately-fragmented copy of the documents table (64 small
+    * parquet files), persisted once per corpus dir — the fixture
+    * [[compactDir]] operates on. Real ingest produces exactly this shape:
+    * one file per micro-batch × partition.
+    */
+  def smallFileDocs(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): String = CorpusOps.synchronized {
+    val tag = java.lang.Long.toHexString(
+      graft.functions.DetHash.base60(dir) & 0xffffffffL)
+    val path = s"${graft.Tables.persistedTableRoot(spark)}/graft_smallfiles_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    if (!fs.exists(done)) {
+      graft.Tables.load(spark, dir, "documents")
+        .repartition(64).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Small-file COMPACTION — the operational pass every long-running
+    * ingest needs: a streaming sink or per-batch writer leaves thousands
+    * of KB-sized files per partition, and at 100 TB the resulting
+    * file-listing and task-scheduling overhead (one task per tiny file)
+    * dominates scan cost. Compaction bin-packs them to `targetBytes`:
+    * the output file count derives from the FILE LISTING alone (total
+    * bytes / target — metadata only, no data read), and the rewrite is a
+    * `coalesce`, which merges input partitions WITHOUT a shuffle — each
+    * output task streams a few input files into one output file. The
+    * content is byte-identical relationally: the registered query's
+    * oracle is the PLAIN documents SQL (compaction must be invisible).
+    *
+    * `coalesce` (not `repartition`): compaction's premise is many small
+    * files, so merging adjacent inputs balances fine; a shuffle would
+    * move every row to fix imbalance compaction doesn't have. The
+    * inverse knob (splitting too-large outputs) is
+    * `spark.sql.files.maxRecordsPerFile`, not this pass.
+    *
+    * Returns the compacted frame read back from disk, so callers see
+    * exactly what a downstream consumer sees.
+    */
+  def compactDir(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                 targetBytes: Long): org.apache.spark.sql.DataFrame =
+    CorpusOps.synchronized {
+      require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      require(files.nonEmpty, s"no parquet files to compact under $inPath")
+      val total = files.map(_.getLen).sum
+      val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+      val out = s"$inPath-compact"
+      spark.read.parquet(inPath).coalesce(n)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
+
+  // -------------------------------------------------------------------
   // Token-budget shard packing
   // -------------------------------------------------------------------
 

@@ -490,17 +490,57 @@ object Relational {
     * the scan-side filter.
     */
   def valueAnomalies(events: DataFrame, k: Int = 3): DataFrame = {
-    val v = events.select(col("event_id"), col("event_type"),
-      floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vq"))
-    val stats = v.groupBy(col("event_type")).agg(
+    val v = quantizedValues(events)
+    flagAnomalies(v, valueStats(v), k).select(
+      col("event_id"), col("event_type"), col("vq"))
+  }
+
+  /** `value` quantized once to integer micro-units (one deterministic
+    * IEEE multiply + floor per row) — the shared entry step of the
+    * batch op and the streaming twin. Keeps every column except
+    * `value`, so the streaming face retains its event-time column.
+    */
+  def quantizedValues(events: DataFrame): DataFrame =
+    events.withColumn("vq",
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .drop("value")
+
+  /** Per-group exact stats (n, Σv, Σv²) in decimal(38,0) — the trained
+    * artifact the batch op derives inline and the streaming scorer
+    * ([[graft.streaming.Pipelines.streamingAnomalies]]) probes from a
+    * persisted table. Group-bounded on the wire (map-side combine).
+    */
+  def valueStats(quantized: DataFrame): DataFrame =
+    quantized.groupBy(col("event_type")).agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(col("vq").cast("decimal(38,0)")).as("s"),
       sum((col("vq").cast("decimal(19,0)") * col("vq").cast("decimal(19,0)"))
         .cast("decimal(38,0)")).as("q2"))
+
+  /** [[valueStats]] persisted once per corpus dir (ensure-once, same
+    * discipline as the unigram/bigram model tables): train the per-group
+    * baseline in one batch pass, serve it to any number of streaming
+    * anomaly scorers without re-aggregating history.
+    */
+  def valueStatsTable(spark: SparkSession, dir: String): DataFrame =
+    Relational.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_valuestats_$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        valueStats(quantizedValues(graft.Tables.load(spark, dir, "events")))
+          .write.option("path", path).mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** The cross-multiplied kσ test over a quantized frame joined to a
+    * per-group stats frame — pure decimal(38,0) arithmetic, shared by
+    * the batch and streaming faces so their flags agree exactly.
+    */
+  def flagAnomalies(quantized: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     val dev = col("n") * col("vq").cast("decimal(38,0)") - col("s")
-    v.join(broadcast(stats), Seq("event_type"))
+    quantized.join(broadcast(stats), Seq("event_type"))
       .filter(dev * dev > lit(k * k) * (col("n") * col("q2") - col("s") * col("s")))
-      .select(col("event_id"), col("event_type"), col("vq"))
   }
 
   // ------------------------------------------------- bloom-filtered join

@@ -329,6 +329,28 @@ object Pipelines {
           .as("avg_nll"))
   }
 
+  /** Streaming kσ ANOMALY flags — the stream twin of
+    * [[graft.operators.Relational.valueAnomalies]], the
+    * train-batch/serve-stream tier for metric outliers: arriving events
+    * probe the PERSISTED per-group baseline stats
+    * ([[graft.operators.Relational.valueStatsTable]]: exact decimal
+    * (n, Σv, Σv²) per event_type) and flag through the SAME
+    * cross-multiplied exact-decimal identity, so a stream replaying the
+    * training events flags EXACTLY the batch op's rows (spec-pinned).
+    *
+    * Scale shape: completely STATELESS — one broadcast static join
+    * against the group-bounded stats table, a scan-fused quantize +
+    * filter, no watermark, no state store, per-event emission in append
+    * mode. The baseline refreshes by rebuilding the persisted table
+    * batch-side, never by streaming state.
+    */
+  def streamingAnomalies(events: DataFrame, stats: DataFrame,
+                         k: Int = 3): DataFrame = {
+    import graft.operators.Relational
+    Relational.flagAnomalies(Relational.quantizedValues(events), stats, k)
+      .select(col("event_id"), col("event_type"), col("ts"), col("vq"))
+  }
+
   /** Streaming DISTRIBUTION-DRIFT monitor — the stream twin of
     * [[graft.operators.CorpusOps.sourceDrift]], scoring each
     * (source, event-time window) of arriving documents against the

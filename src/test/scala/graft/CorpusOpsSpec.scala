@@ -8,6 +8,35 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("compaction: file count from the listing, content identical, no shuffle") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val in = CorpusOps.smallFileDocs(spark, sf)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new Path(p)).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(in)
+    assert(before.length == 64, s"fixture not fragmented: ${before.length}")
+    val total = before.map(_.getLen).sum
+    // quarter-of-total target -> ceil(total / target) = 4 output files
+    val quarter = (total + 3) / 4
+    CorpusOps.compactDir(spark, in, quarter)
+    val afterQuarter = parquetFiles(s"$in-compact").length
+    assert(afterQuarter == 4, s"expected 4 compacted files, got $afterQuarter")
+    // target >= total -> everything packs into one file
+    val out = CorpusOps.compactDir(spark, in, total)
+    assert(parquetFiles(s"$in-compact").length == 1)
+    // relational content is untouched
+    val orig = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val comp = out.select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    assert(comp.exceptAll(orig).isEmpty && orig.exceptAll(comp).isEmpty)
+    // the rewrite plan merges partitions without an exchange
+    val plan = spark.read.parquet(in).coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+  }
+
   test("hexThreshold: boundary rates and the 0.05 cell") {
     assert(CorpusOps.hexThreshold(1.0) == "g")
     assert(CorpusOps.hexThreshold(1.5) == "g")

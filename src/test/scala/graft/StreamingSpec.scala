@@ -631,6 +631,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomalies flag arrivals against the persisted baseline, batch-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val sf = "/root/testdata/sf0.001"
+    val stats = operators.Relational.valueStatsTable(spark, sf)
+    val events = Tables.load(spark, sf, "events")
+    val expected = operators.Relational.valueAnomalies(events, 3)
+      .select($"event_id").as[Long].collect().toSet
+    assert(expected.nonEmpty) // the exponential-ish value column has >3σ tails
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingAnomalies(stream, stats, 3), "anoms_t", OutputMode.Append)
+    try {
+      val rows = events.select($"event_id", $"ts", $"event_type", $"value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+      mem.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("anoms_t").select($"event_id").as[Long].collect().toSet
+      assert(got == expected,
+        s"stream flags drifted from batch: extra=${got -- expected} missing=${expected -- got}")
+    } finally q.stop()
+  }
+
   test("streaming drift window replaying the corpus reproduces batch KL exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
