@@ -936,22 +936,45 @@ object OracleSqlGen {
     * (Dedup.skewedDocs): every fifth doc gets the shared boilerplate
     * prefix, rebuilt here as a pure SQL derivation of (doc_id, text).
     */
-  def charLshPairsSkewedSql(n: Int, threshold: Double): String =
-    charLshPairsSql(n, threshold, src = "skew",
-      pre = s"""skew AS (SELECT doc_id,
+  /** The skewed-fixture text derivation (Dedup.skewedDocs) as a SQL CTE. */
+  private def skewCte: String =
+    s"""skew AS (SELECT doc_id,
            CASE WHEN doc_id % 10 = 0
                 THEN '${graft.operators.Dedup.SkewBoiler} ' || CAST((doc_id // 10) % 2 AS VARCHAR)
                 WHEN doc_id % 5 = 0
                 THEN '${graft.operators.Dedup.SkewBoiler} ' || text
                 ELSE text END AS text
            FROM documents),
-        """)
+        """
+
+  def charLshPairsSkewedSql(n: Int, threshold: Double): String =
+    charLshPairsSql(n, threshold, src = "skew", pre = skewCte)
+
+  /** Mirrors Dedup.editDistancePairs over the skewed fixture: the same
+    * banded candidates + estimate gate, then the exact levenshtein
+    * verify — integer DP, identical in both engines on the ASCII
+    * fixture.
+    */
+  def editPairsSkewedSql(n: Int, threshold: Double, maxDist: Int): String =
+    s"""${charLshPairsCtes(n, threshold, "skew", skewCte)}
+        SELECT p.a, p.b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+        FROM pairs p JOIN skew ta ON p.a = ta.doc_id
+                     JOIN skew tb ON p.b = tb.doc_id
+        WHERE levenshtein(ta.text, tb.text) <= $maxDist"""
 
   /** Mirrors Dedup.charLshPairs: banded candidates + signature-slot
     * estimate.
     */
   def charLshPairsSql(n: Int, threshold: Double, src: String = "documents",
-                      pre: String = ""): String = {
+                      pre: String = ""): String =
+    s"""${charLshPairsCtes(n, threshold, src, pre)}
+        SELECT a, b, est_sim FROM pairs"""
+
+  /** The shared CTE chain of the char-LSH pair queries, ending in a
+    * `pairs(a, b, est_sim)` relation.
+    */
+  private def charLshPairsCtes(n: Int, threshold: Double, src: String,
+                               pre: String): String = {
     val bandKeys = bandKeysSql
     val matches = (0 until Dedup.NumHashes)
       .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
@@ -964,8 +987,8 @@ object OracleSqlGen {
         est AS (SELECT a, b,
           round(($matches)::DOUBLE / ${Dedup.NumHashes}, 4) AS est_sim
           FROM cand JOIN sig sa ON cand.a = sa.doc_id
-                    JOIN sig sb ON cand.b = sb.doc_id)
-        SELECT a, b, est_sim FROM est WHERE est_sim >= $threshold"""
+                    JOIN sig sb ON cand.b = sb.doc_id),
+        pairs AS (SELECT a, b, est_sim FROM est WHERE est_sim >= $threshold)"""
   }
 
   /** Mirrors Dedup.indexedNearDupMatches: the new batch (doc_id % 10 >= 8)

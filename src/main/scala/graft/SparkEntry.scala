@@ -95,6 +95,11 @@ object SparkEntry {
     // sets: the fixed-sketch-cost pre-check before exact decontamination
     "sketch_corpus_overlap" -> q((s, d) =>
       CorpusOps.kmvOverlap(Tables.load(s, d, "documents"), 8, 0.05, 256)),
+    // per-group Pearson correlation with exact decimal accumulation —
+    // builtin corr() is partition-order-dependent double summation;
+    // this one is bit-reproducible (floats only in the final step)
+    "stats_group_corr" -> q((s, d) =>
+      Relational.valueHourCorrelation(Tables.load(s, d, "events"))),
     // per-group 3σ outlier flags with the kσ test cross-multiplied into
     // exact decimal(38,0) integer arithmetic — no float mean/variance
     // anywhere, so the flags are oracle-bit-exact under any partitioning
@@ -127,6 +132,12 @@ object SparkEntry {
     // pressure without output). The bench row proves the hot-bucket
     // O(m²) join and the quadratic emit don't blow up the runtime
     "dedup_char_lsh_skewed" -> q((s, d) => Dedup.charLshPairs(Dedup.skewedDocs(Tables.load(s, d, "documents")), 5, 0.8)),
+    // char-LSH candidates verified by EXACT levenshtein (few-character
+    // edits, not shingle overlap): the DP runs only on gated pairs —
+    // the tier-1 clique survives at dist <= 2, boilerplate-prefix
+    // candidates verify out
+    "dedup_edit_pairs" -> q((s, d) =>
+      Dedup.editDistancePairs(Dedup.skewedDocs(Tables.load(s, d, "documents")), 5, 0.8, 2)),
     // substring-level dedup (Lee et al. 2021): maximal corpus-duplicated
     // 30-char runs per document, merged gaps-and-islands style
     "dedup_substring_spans" -> q((s, d) => Dedup.dupSpans(Tables.load(s, d, "documents"), 30)),
@@ -570,6 +581,23 @@ object SparkEntry {
       "SELECT doc_id, lang, source, n_chars FROM documents",
     "sketch_group_kmv" -> OracleSqlGen.kmvDistinctByGroupSql(64),
     "sketch_corpus_overlap" -> OracleSqlGen.kmvOverlapSql(8, 0.05, 256),
+    "stats_group_corr" ->
+      """WITH v AS (SELECT event_type,
+           CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS x,
+           CAST(hour(ts) AS BIGINT) AS y FROM events),
+         a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+           CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+           FROM v GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+                ELSE round((n * sxy - sx * sy)::DOUBLE /
+                  (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)), 4)
+           END AS corr_r
+         FROM a""",
     // HUGEINT (int128) carries the same exact integer arithmetic the
     // Spark side does in decimal(38,0); both fit the < 1e36 bound
     "events_anomalies" ->
@@ -597,6 +625,7 @@ object SparkEntry {
          FROM events GROUP BY user_id""",
     "dedup_char_lsh" -> OracleSqlGen.charLshPairsSql(5, 0.8),
     "dedup_char_lsh_skewed" -> OracleSqlGen.charLshPairsSkewedSql(5, 0.8),
+    "dedup_edit_pairs" -> OracleSqlGen.editPairsSkewedSql(5, 0.8, 2),
     "dedup_substring_spans" -> OracleSqlGen.dupSpansSql(30),
     "dedup_substring_removed" -> OracleSqlGen.substringRemovedSql(30),
     "dedup_paragraphs" -> OracleSqlGen.paragraphDedupSql,

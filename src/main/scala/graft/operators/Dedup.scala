@@ -388,6 +388,32 @@ object Dedup {
       .distinct()
   }
 
+  /** EDIT-DISTANCE near-dup pairs: the char-LSH candidate chain
+    * ([[charLshPairs]] — banded signatures + estimate gate) verified by
+    * EXACT levenshtein distance instead of a similarity estimate — the
+    * right metric when "near-duplicate" means a handful of character
+    * edits (OCR noise, template fills, version suffixes) rather than
+    * shared-shingle overlap. Levenshtein is integer Wagner–Fischer DP
+    * with unit costs in both engines, so the verify is oracle-exact.
+    *
+    * Scale shape: the O(|a|·|b|) DP runs ONLY on pairs that survive the
+    * LSH estimate gate, and the two text joins ship text exactly once
+    * per side keyed by doc_id — candidates never carry text through the
+    * band join (text alongside band keys would multiply it by the
+    * band count). An un-gated formulation would be all-pairs DP — the
+    * one cost this operator exists to avoid.
+    */
+  def editDistancePairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
+                        maxDist: Int = 2): DataFrame = {
+    val texts = docs.select(col("doc_id"), col("text"))
+    charLshPairs(docs, n, threshold)
+      .join(texts.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+      .join(texts.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Skewed stress fixture — the hot-gram/boilerplate-heavy corpus shape
     * (site headers, license blocks, templated pages) in two tiers:
     *

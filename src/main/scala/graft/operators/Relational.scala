@@ -517,6 +517,44 @@ object Relational {
       sum((col("vq").cast("decimal(19,0)") * col("vq").cast("decimal(19,0)"))
         .cast("decimal(38,0)")).as("q2"))
 
+  /** Per-group Pearson correlation with EXACT accumulation — the same
+    * reproducibility upgrade over `corr()` that [[valueAnomalies]] is
+    * over float mean/variance: Spark's builtin `corr` accumulates
+    * doubles, so its result depends on partition merge order; here all
+    * five sums (Σx, Σy, Σxy, Σx², Σy²) are exact associative
+    * decimal(38,0) sums over micro-quantized integers, and floats enter
+    * only in the FINAL step — numerator and the two variance terms each
+    * convert once (correctly-rounded IEEE, same value in both engines),
+    * then one sqrt·sqrt·divide·round. Zero-variance groups yield null.
+    *
+    * Demo pairing: value vs hour-of-day per event_type (is the metric
+    * time-of-day dependent?). Headroom: per-group n ≤ 2.5e8 with
+    * |v| ≤ 1e3 keeps every term < 1e35 < decimal(38).
+    *
+    * Scale shape: one group-bounded aggregate (map-side combine), a
+    * per-group O(1) projection after it — nothing else.
+    */
+  def valueHourCorrelation(events: DataFrame): DataFrame = {
+    val v = quantizedValues(events).select(col("event_type"),
+      col("vq").cast("decimal(19,0)").as("x"),
+      hour(col("ts")).cast("decimal(19,0)").as("y"))
+    val agg = v.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    agg.select(col("event_type"), col("n").cast("long").as("n"),
+      when(dx === 0 || dy === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 4))
+        .as("corr_r"))
+  }
+
   /** [[valueStats]] persisted once per corpus dir (ensure-once, same
     * discipline as the unigram/bigram model tables): train the per-group
     * baseline in one batch pass, serve it to any number of streaming

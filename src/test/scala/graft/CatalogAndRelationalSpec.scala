@@ -67,6 +67,33 @@ class CatalogAndRelationalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("exact correlation: perfect +/-1, zero-variance null, matches builtin corr") {
+    val rows = (0 until 24).flatMap { h =>
+      val ts = new Timestamp(h * 3600L * 1000L)
+      Seq(
+        (h.toLong, ts, 1L, "up", 1.5 * h + 2.0, "{}"),     // r = +1
+        (100L + h, ts, 1L, "down", -0.25 * h + 9.0, "{}"), // r = -1
+        (200L + h, ts, 1L, "flat", 7.0, "{}"))             // zero variance
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational.valueHourCorrelation(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("up") == ((24L, Some(1.0))))
+    assert(got("down") == ((24L, Some(-1.0))))
+    assert(got("flat") == ((24L, None)))
+    // the exact path agrees with the float builtin on real data (to fp noise)
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val exact = Relational.valueHourCorrelation(ev)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val builtin = ev.groupBy($"event_type")
+      .agg(corr($"value", hour($"ts").cast("double")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (et, r) =>
+      assert(math.abs(r - builtin(et)) < 1e-3, s"$et: exact=$r builtin=${builtin(et)}")
+    }
+  }
+
   test("quantiles: interpolated median over a known set") {
     val df = Seq((1L, 1L, "O", 10.0, new Timestamp(0), "p"),
       (2L, 1L, "O", 20.0, new Timestamp(0), "p"),

@@ -112,6 +112,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == (("delta four", 1L, 1L)))
   }
 
+  test("edit-distance pairs: LSH-gated exact levenshtein verify") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 5).trim
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " x"),            // 2 edits from doc 1 (space + x)
+      (3L, base + " abc"),          // near-dup by shingles, 4 edits
+      (4L, "completely unrelated content about astronomy and telescopes")
+    ).toDF("doc_id", "text")
+    // the LSH gate must admit BOTH near-dups as candidates...
+    val cand = Dedup.charLshPairs(docs, 5, 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)) && cand.contains((1L, 3L)), cand)
+    // ...and the exact verify keeps only the few-edit pair
+    val got = Dedup.editDistancePairs(docs, 5, 0.8, 2)
+      .select($"a", $"b", $"edit_dist").as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 2L)), got)
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L), got)
+    assert(got.forall(_._3 <= 2), got)
+  }
+
   test("boilerplate removal: every copy above maxOcc dies, rare dups survive") {
     val paraDocs = Seq(
       (0L, "banner\n\nalpha one"),
