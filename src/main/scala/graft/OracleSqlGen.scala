@@ -1611,6 +1611,32 @@ object OracleSqlGen {
                strftime(a_ts, '$tsFmt') AS prev_ts
         FROM w WHERE m = 1"""
 
+  /** Mirrors Temporal.purchaseAttributionWithin: the same as-of chain
+    * with a staleness gate — both payload columns null when the match is
+    * older than the tolerance (integer µs comparison in both engines).
+    */
+  def asofAttributionWithinSql(tolSec: Long): String =
+    s"""WITH u AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS m,
+                 NULL::VARCHAR AS p_type, NULL::TIMESTAMP AS p_ts
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, CAST(ts AS TIMESTAMP), event_id, 0, event_type, CAST(ts AS TIMESTAMP)
+          FROM events WHERE event_type <> 'purchase'),
+        w AS (SELECT *,
+          last_value(p_type IGNORE NULLS) OVER win AS a_type,
+          last_value(p_ts IGNORE NULLS) OVER win AS a_ts
+          FROM u
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, m, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        f AS (SELECT *,
+          (a_ts IS NOT NULL AND epoch_us(ts) - epoch_us(a_ts) <= ${tolSec}000000) AS fresh
+          FROM w)
+        SELECT event_id, user_id,
+               CASE WHEN fresh THEN a_type END AS prev_type,
+               CASE WHEN fresh THEN strftime(a_ts, '$tsFmt') END AS prev_ts
+        FROM f WHERE m = 1"""
+
   /** Mirrors Temporal.sessionCounts: gaps-and-islands with a strict
     * >= gap break (Spark session_window merges only on strict overlap).
     */

@@ -58,7 +58,11 @@ object ScaleBench {
     "agg_incremental_revenue", "corpus_assemble", "mm_video_frames",
     "cdc_merge_apply", "corpus_snapshot_diff", "corpus_weighted_sample",
     "corpus_filter_funnel", "text_bpe_merges", "text_novelty",
-    "corpus_incremental_curation")
+    "corpus_incremental_curation",
+    // round-8 session additions: LSH-gated DP verify, paragraph window,
+    // tf-idf joins, union sketch, exact-decimal stats
+    "dedup_edit_pairs", "dedup_boilerplate", "text_tfidf_keywords",
+    "sketch_corpus_overlap", "events_anomalies")
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     import spark.implicits._

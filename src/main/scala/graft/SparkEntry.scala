@@ -154,6 +154,9 @@ object SparkEntry {
     "dedup_boilerplate" -> q((s, d) => Dedup.boilerplateRemoved(Dedup.withInjectedParagraphs(Tables.load(s, d, "documents")), 10)),
     // --- temporal: as-of join, session windows, hopping windows ---
     "asof_attribution" -> q((s, d) => Temporal.purchaseAttribution(Tables.load(s, d, "events"))),
+    // point-in-time variant: matches older than 10 minutes are stale and
+    // null out — same one-shuffle as-of chain, per-row staleness gate
+    "asof_attribution_tol" -> q((s, d) => Temporal.purchaseAttributionWithin(Tables.load(s, d, "events"), 600)),
     "session_counts" -> q((s, d) => Temporal.sessionCounts(Tables.load(s, d, "events"))),
     "hopping_counts" -> q((s, d) => Temporal.hoppingCounts(Tables.load(s, d, "events"))),
     // interval join without the inequality-join nested loop: equi-join on
@@ -632,6 +635,7 @@ object SparkEntry {
     "dedup_boilerplate" -> OracleSqlGen.boilerplateRemovedSql(10),
     "dedup_char_jaccard_pairs" -> OracleSqlGen.charJaccardPairsSql(7, 0.9),
     "asof_attribution" -> OracleSqlGen.asofAttributionSql,
+    "asof_attribution_tol" -> OracleSqlGen.asofAttributionWithinSql(600),
     "session_counts" -> OracleSqlGen.sessionCountsSql(5),
     "hopping_counts" -> OracleSqlGen.hoppingCountsSql(60, 30),
     "range_join_prior_activity" -> OracleSqlGen.priorActivitySql(300000000L),

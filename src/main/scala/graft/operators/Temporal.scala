@@ -71,6 +71,31 @@ object Temporal {
         date_format(col("prev_ts"), TsFmt).as("prev_ts"))
   }
 
+  /** As-of attribution WITH TOLERANCE — the feature-store / point-in-time
+    * standard the unbounded as-of lacks: a prior event older than
+    * `tolSec` is STALE and must null out rather than leak arbitrarily
+    * old state into the joined row (an unbounded as-of happily attributes
+    * a purchase to a click from last year). Same single
+    * shuffle+sort as [[purchaseAttribution]] — the staleness gate is a
+    * per-row integer comparison AFTER the running-last window, not a
+    * second join; both payload columns null together so a row is either
+    * attributed or cleanly bare.
+    */
+  def purchaseAttributionWithin(events: DataFrame, tolSec: Long = 600): DataFrame = {
+    val probe = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val build = events.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type").as("prev_type"), col("ts").as("prev_ts"))
+    val fresh = col("prev_ts").isNotNull &&
+      unix_micros(col("ts")) - unix_micros(col("prev_ts")) <= tolSec * 1000000L
+    asofJoin(probe, build, key = "user_id", ts = "ts", tie = "event_id",
+      payload = Seq("prev_type", "prev_ts"))
+      .select(col("event_id"), col("user_id"),
+        when(fresh, col("prev_type")).as("prev_type"),
+        date_format(when(fresh, col("prev_ts")), TsFmt).as("prev_ts"))
+  }
+
   /** Per-user session windows (5-minute inactivity gap): a new session
     * starts when the gap to the previous event is >= the gap; session end
     * is last event + gap (Spark `session_window` semantics, usable

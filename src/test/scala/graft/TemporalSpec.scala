@@ -29,6 +29,24 @@ class TemporalSpec extends SparkSpec {
     assert(got(5L).isEmpty)            // nothing prior → null
   }
 
+  test("as-of with tolerance: stale matches null out, fresh ones survive") {
+    // tolerance 3 s: purchase@5000 is 0 ms after click@5000 (fresh);
+    // purchase@9000 is 4 s after click@5000 (stale -> both payloads null);
+    // user 20's purchase has no prior at all (null either way)
+    val got = Temporal.purchaseAttributionWithin(events, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(got(3L) == ((Some("click"), Some("1970-01-01 00:00:05.000000"))))
+    assert(got(4L) == ((None, None)))
+    assert(got(5L) == ((None, None)))
+    // a huge tolerance degrades to the unbounded as-of
+    val unbounded = Temporal.purchaseAttribution(events)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    val wide = Temporal.purchaseAttributionWithin(events, 1000000L)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(wide == unbounded)
+  }
+
   test("as-of join ties broken by tie column (largest prior event id)") {
     val probe = Seq((100L, 40L, new Timestamp(2000L)))
       .toDF("event_id", "user_id", "ts")
