@@ -384,7 +384,7 @@ object Relational {
   /** The (n_sketch, kth_hash, est_distinct) projection over a KMV sketch
     * array column `ks` — shared by the global and per-group variants.
     */
-  private def kmvEstimateCols(k: Int): Seq[Column] = Seq(
+  private[graft] def kmvEstimateCols(k: Int): Seq[Column] = Seq(
     size(col("ks")).cast("long").as("n_sketch"),
     when(size(col("ks")) === 0, lit(null).cast("long"))
       .otherwise(element_at(col("ks"), size(col("ks")))).as("kth_hash"),

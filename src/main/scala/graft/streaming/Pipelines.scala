@@ -329,6 +329,34 @@ object Pipelines {
           .as("avg_nll"))
   }
 
+  /** Streaming per-(event-time window, group) DISTINCT-COUNT sketches —
+    * the KMV `TypedImperativeAggregate` as STREAMING AGGREGATION STATE:
+    * each (window, group)'s state is the bounded k-long sketch, merged
+    * associatively across micro-batches by the aggregate's own merge
+    * (union + clamp), NEVER the distinct keys — `count(distinct)` is
+    * not even expressible in a streaming aggregation, and the exact
+    * dedup-then-count alternative holds every distinct key in the state
+    * store. State per window×group is k longs, independent of stream
+    * cardinality; the estimate projection is shared with the batch ops
+    * so a window replaying batch data reproduces the batch estimate
+    * EXACTLY (spec-pinned).
+    */
+  def streamingDistinctUsers(events: DataFrame, windowDur: String = "1 hour",
+                             delay: String = "1 minute",
+                             k: Int = 64): DataFrame = {
+    import graft.functions.DetHash
+    import graft.operators.Relational
+    events
+      .select(col("ts"), col("event_type"),
+        DetHash.base60(col("user_id").cast("string")).as("h"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(graft.functions.KmvSketch.column(col("h"), k).as("ks"))
+      .select(Seq(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type")) ++ Relational.kmvEstimateCols(k): _*)
+  }
+
   /** Streaming kσ ANOMALY flags — the stream twin of
     * [[graft.operators.Relational.valueAnomalies]], the
     * train-batch/serve-stream tier for metric outliers: arriving events

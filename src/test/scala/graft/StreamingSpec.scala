@@ -631,6 +631,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed KMV: sketch state merges across batches, batch-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions.{window => winF, col}
+    // 100 distinct users (> k=16 -> estimation engages) split across two
+    // micro-batches inside ONE window: the final sketch must equal the
+    // batch sketch over the union — the cross-batch merge is the point
+    val all = (0 until 100).map(u => (new java.sql.Timestamp(30000L + u), 1000L + u, "click"))
+    val (b1, b2) = all.splitAt(40)
+    val batchDf = all.toDF("ts", "user_id", "event_type")
+    val expected = graft.operators.Relational.kmvDistinctByGroup(
+      batchDf, "event_type", col("user_id"), 16)
+      .select($"est_distinct").as[Double].head()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingDistinctUsers(stream, "1 hour", "1 minute", 16),
+      "kmv_win_t", OutputMode.Append)
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // advance the watermark past the window to release it
+      mem.addData((new java.sql.Timestamp(30000L + 2 * 3600L * 1000L), 9L, "late"))
+      q.processAllAvailable()
+      val got = spark.table("kmv_win_t")
+        .filter($"event_type" === "click")
+        .select($"n_sketch", $"est_distinct").as[(Long, Double)].collect()
+      assert(got.length == 1, s"expected one sealed window row: ${got.toSeq}")
+      assert(got.head == ((16L, expected)),
+        s"stream sketch drifted from batch: ${got.head} vs (16, $expected)")
+    } finally q.stop()
+  }
+
   test("streaming anomalies flag arrivals against the persisted baseline, batch-exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
