@@ -602,6 +602,21 @@ object OracleSqlGen {
   /** Mirrors CorpusOps.shuffleShards: 60-bit md5 rank ([[base60]]), shard
     * by modulus, dense in-shard position by (rank, doc_id).
     */
+  /** Mirrors CorpusOps.interleave: per-source md5-shuffled rank +
+    * alphabetic source index, round-robin key arithmetic.
+    */
+  def interleaveSql(salt: String = "interleave"): String =
+    s"""WITH s AS (SELECT source,
+          CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS si
+          FROM (SELECT DISTINCT source FROM documents)),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM s),
+        r AS (SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY ${base60(s"'$salt:' || doc_id")}, doc_id) AS BIGINT) AS r
+          FROM documents)
+        SELECT doc_id, source, (r - 1) * ns + (si - 1) AS interleave_key
+        FROM r JOIN s USING (source) CROSS JOIN n"""
+
   def shuffleShardsSql(shards: Int, salt: String = "shuffle"): String =
     s"""WITH h AS (SELECT doc_id, ${base60(s"'$salt:' || doc_id")} AS h
           FROM documents)

@@ -218,6 +218,9 @@ object SparkEntry {
     // shard = rank mod 8 + dense in-shard position, reproducible on any
     // cluster size (no rand(), no sampled range boundaries)
     "corpus_shuffle" -> q((s, d) => CorpusOps.shuffleShards(Tables.load(s, d, "documents"), 8)),
+    // stratified round-robin interleaving: sources maximally spread in
+    // the training order, per-source windows only — never a global sort
+    "corpus_interleave" -> q((s, d) => CorpusOps.interleave(Tables.load(s, d, "documents"))),
     // DSIR data-selection weights (2302.03169): hashed-bigram importance
     // log-ratios vs the lang='en' target slice, model joins broadcast
     "corpus_dsir_weights" -> q((s, d) => CorpusOps.dsirWeights(Tables.load(s, d, "documents"), "en", 1024)),
@@ -662,6 +665,7 @@ object SparkEntry {
     "corpus_chunk_map" -> OracleSqlGen.chunkMapSql(512L),
     "corpus_mix_temperature" -> OracleSqlGen.mixCorpusTemperatureSql(),
     "corpus_shuffle" -> OracleSqlGen.shuffleShardsSql(8),
+    "corpus_interleave" -> OracleSqlGen.interleaveSql(),
     "corpus_dsir_weights" -> OracleSqlGen.dsirWeightsSql("en", 1024),
     "corpus_epochs" -> OracleSqlGen.epochSampleSql(),
     "corpus_contamination_report" -> OracleSqlGen.contaminationReportSql(4, 0.2),

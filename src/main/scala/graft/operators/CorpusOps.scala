@@ -535,6 +535,39 @@ object CorpusOps {
     * function of doc_id — no `rand()`, no sampled RangePartitioner
     * boundaries, nothing run-order-dependent.
     */
+  /** Deterministic STRATIFIED INTERLEAVING — the training-order artifact
+    * between [[shuffleShards]] (global shuffle, sources can clump) and
+    * strict curriculum: an idealized round-robin over sources (doc r of
+    * source i sits at key `(r−1)·|sources| + (i−1)`), each source's
+    * internal order md5-shuffled, so a dataloader reading by
+    * `interleave_key` sees sources maximally spread — no run of
+    * same-source documents longer than 1 until a source exhausts
+    * (exhausted sources leave gaps: the key is an ORDER, not a dense
+    * index).
+    *
+    * Scale shape: the only corpus-wide window partitions BY SOURCE with
+    * per-partition input bounded by that source's size; the source-index
+    * window runs over the |sources|-bounded distinct frame (same shape
+    * as `vocabulary`'s constant-size rank) and broadcast-joins back; the
+    * key is then pure arithmetic. Never a global sort.
+    */
+  def interleave(docs: DataFrame, salt: String = "interleave"): DataFrame = {
+    val srcs = docs.select(col("source")).distinct()
+      .withColumn("si", row_number().over(Window.orderBy(col("source"))).cast("long"))
+    val nSrc = srcs.agg(count(lit(1)).as("ns"))
+    val ranked = docs
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(concat(lit(salt + ":"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+    ranked.join(broadcast(srcs), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"),
+        ((col("r") - 1) * col("ns") + (col("si") - 1)).as("interleave_key"))
+  }
+
   def shuffleShards(docs: DataFrame, shards: Int = 8,
                     salt: String = "shuffle"): DataFrame =
     docs

@@ -8,6 +8,27 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("interleave: round-robin spread, no same-source neighbors until exhaustion") {
+    val docs = ((1L to 6L).map(i => (i, "a")) ++ (11L to 16L).map(i => (i, "b")) ++
+      (21L to 23L).map(i => (i, "c")))
+      .map { case (id, s) => (id, "text", "en", s, 4L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.interleave(docs)
+      .orderBy($"interleave_key")
+      .select($"source", $"interleave_key").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // keys are unique and the first 9 (3 full rounds of 3 sources) strictly
+    // alternate a, b, c
+    assert(got.map(_._2).distinct.length == got.length)
+    assert(got.take(9).map(_._1).toSeq ==
+      Seq("a", "b", "c", "a", "b", "c", "a", "b", "c"), got.toSeq)
+    // after source c (3 docs) exhausts, only a/b continue — with gaps in
+    // the key, never reuse
+    assert(got.drop(9).map(_._1).forall(s => s == "a" || s == "b"))
+    // key arithmetic: doc r of source i at (r-1)*3 + (i-1)
+    assert(got.count(_._2 % 3 == 0) == 6) // source a emitted 6 keys ≡ 0 mod 3
+  }
+
   test("compaction: file count from the listing, content identical, no shuffle") {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val in = CorpusOps.smallFileDocs(spark, sf)
