@@ -1084,6 +1084,20 @@ object OracleSqlGen {
         SELECT a, b, round(jac, 4) AS jaccard_sim FROM j WHERE jac >= $threshold"""
   }
 
+  /** Mirrors Dedup.containmentPairs: naive directed posting join (the
+    * oracle needn't prefix-filter — values must match the pruned plan).
+    */
+  def containmentPairsSql(n: Int, threshold: Double): String =
+    s"""${toksCte()},
+        sh AS (SELECT doc_id, ${shingles(n)} AS shingles FROM t),
+        posting AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sza,
+            count(*) AS inter
+          FROM posting x JOIN posting y ON x.s = y.s AND x.doc_id <> y.doc_id
+          GROUP BY 1, 2, 3)
+        SELECT a, b, round(inter::DOUBLE / sza::DOUBLE, 4) AS containment
+        FROM pairs WHERE inter::DOUBLE / sza::DOUBLE >= $threshold"""
+
   def jaccardPairsSql(n: Int, threshold: Double): String =
     s"""${toksCte()},
         sh AS (SELECT doc_id, ${shingles(n)} AS shingles FROM t),

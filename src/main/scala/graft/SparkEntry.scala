@@ -132,6 +132,11 @@ object SparkEntry {
     // pressure without output). The bench row proves the hot-bucket
     // O(m²) join and the quadratic emit don't blow up the runtime
     "dedup_char_lsh_skewed" -> q((s, d) => Dedup.charLshPairs(Dedup.skewedDocs(Tables.load(s, d, "documents")), 5, 0.8)),
+    // DIRECTED containment |A∩B|/|A| >= 0.9 — quote/excerpt detection
+    // jaccard can't express; only the contained side's rarest-gram
+    // prefix probes the index, verify is the count-based posting join
+    "dedup_containment" -> q((s, d) =>
+      Dedup.containmentPairs(Tables.load(s, d, "documents"), 3, 0.9)),
     // char-LSH candidates verified by EXACT levenshtein (few-character
     // edits, not shingle overlap): the DP runs only on gated pairs —
     // the tier-1 clique survives at dist <= 2, boilerplate-prefix
@@ -632,6 +637,7 @@ object SparkEntry {
     "dedup_char_lsh" -> OracleSqlGen.charLshPairsSql(5, 0.8),
     "dedup_char_lsh_skewed" -> OracleSqlGen.charLshPairsSkewedSql(5, 0.8),
     "dedup_edit_pairs" -> OracleSqlGen.editPairsSkewedSql(5, 0.8, 2),
+    "dedup_containment" -> OracleSqlGen.containmentPairsSql(3, 0.9),
     "dedup_substring_spans" -> OracleSqlGen.dupSpansSql(30),
     "dedup_substring_removed" -> OracleSqlGen.substringRemovedSql(30),
     "dedup_paragraphs" -> OracleSqlGen.paragraphDedupSql,

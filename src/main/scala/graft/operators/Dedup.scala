@@ -388,6 +388,52 @@ object Dedup {
       .distinct()
   }
 
+  /** CONTAINMENT pairs — the DIRECTED set-overlap measure jaccard can't
+    * express: `C(A→B) = |A∩B| / |A|` ≥ t finds documents mostly
+    * CONTAINED in another (quotes, excerpts, article-plus-commentary),
+    * where jaccard stays low because |B| dwarfs |A|.
+    *
+    * Prefix filtering adapts (Chaudhuri et al., SSJoin): if C(A→B) ≥ t
+    * then A misses at most `szA − ⌈t·szA⌉` of its own grams, so among
+    * A's first `szA − ⌈t·szA⌉ + 1` grams under the global
+    * rarest-first order at least one is in B — only the CONTAINED
+    * side's prefix probes the index, the container side can't prune by
+    * size (anything may contain A). Verify is the count-based posting
+    * join (no gram arrays move). Candidate pruning is strong exactly
+    * when the contained document has any rare gram — the real quote
+    * case; a document consisting PURELY of corpus-hot boilerplate
+    * defeats the prefix (its rarest gram is still hot), which is the
+    * boilerplate ops' job to remove first.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       threshold: Double = 0.9): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode_outer(shinglesFromTokens(tokens(normalizeText(col("text"))), n))
+          .as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = grams.join(df, "g")
+      .withColumn("rn", row_number().over(w.orderBy(col("df"), col("g"))))
+      .withColumn("sz", count(lit(1)).over(w))
+    val prefixA = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id").as("a"), col("g"), col("sz").as("sza"))
+    val cand = prefixA
+      .join(grams.select(col("doc_id").as("b"), col("g")), Seq("g"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("sza")).distinct()
+    cand
+      .join(grams.select(col("doc_id").as("a"), col("g")), Seq("a"))
+      .join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy(col("a"), col("b"), col("sza"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") / col("sza").cast("double") >= threshold)
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") / col("sza").cast("double"), 4)
+          .as("containment"))
+  }
+
   /** EDIT-DISTANCE near-dup pairs: the char-LSH candidate chain
     * ([[charLshPairs]] — banded signatures + estimate gate) verified by
     * EXACT levenshtein distance instead of a similarity estimate — the

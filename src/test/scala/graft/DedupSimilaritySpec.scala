@@ -112,6 +112,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == (("delta four", 1L, 1L)))
   }
 
+  test("containment: directed quote-in-document detection, jaccard-invisible") {
+    val quote = "to be or not to be that is the question"
+    val container = ("long prose introduction with many original words " +
+      s"then the famous line $quote and a long discussion afterwards " +
+      "covering history context reception legacy and influence at length")
+    val docs = Seq(
+      (1L, quote),                 // fully contained in doc 2
+      (2L, container),
+      (3L, "unrelated treatise on celestial mechanics and orbital motion")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, 3, 0.9)
+      .select($"a", $"b", $"containment").as[(Long, Long, Double)]
+      .collect().toSet
+    // every 3-gram of the quote appears in the container -> C(1->2) = 1.0
+    assert(got.contains((1L, 2L, 1.0)), got)
+    // the reverse direction is nowhere near 0.9 (container has many
+    // grams of its own), and jaccard would also be far below threshold
+    assert(!got.exists(p => p._1 == 2L && p._2 == 1L), got)
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), got)
+    val jac = Dedup.jaccardPairs(docs, 3, 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)), "jaccard should NOT flag the quote pair")
+  }
+
   test("edit-distance pairs: LSH-gated exact levenshtein verify") {
     val base = ("the quick brown fox jumps over the lazy dog " * 5).trim
     val docs = Seq(
