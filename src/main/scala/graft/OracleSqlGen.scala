@@ -1823,6 +1823,39 @@ object OracleSqlGen {
         ${pixelSums()}
         FROM px GROUP BY asset_id"""
 
+  /** The per-asset 56-bit dHash CTE chain (closed-form recompute of
+    * Multimodal.imageDHash — the engine derives the same hash from real
+    * decoded bytes).
+    */
+  private def dhashCtes: String =
+    s"""$imageDimsCte,
+        xs AS (SELECT asset_id, w, h, unnest(generate_series(0, 8)) AS gx FROM dims),
+        gpx AS (SELECT asset_id, w, h, gx, unnest(generate_series(0, 6)) AS gy FROM xs),
+        g AS (SELECT asset_id, gx, gy,
+          ((sx*7 + sy*11 + asset_id) % 256) + ((sx*13 + sy*3 + 2*asset_id) % 256)
+            + ((sx*1 + sy*17 + 5*asset_id) % 256) AS gray
+          FROM (SELECT asset_id, gx, gy,
+            CAST(gx * w // 9 AS BIGINT) AS sx,
+            CAST(gy * h // 7 AS BIGINT) AS sy FROM gpx)),
+        b AS (SELECT a.asset_id, a.gx AS x, a.gy AS y,
+          CASE WHEN n.gray > a.gray THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          FROM g a JOIN g n ON a.asset_id = n.asset_id
+            AND n.gx = a.gx + 1 AND n.gy = a.gy
+          WHERE a.gx < 8),
+        hsh AS (SELECT asset_id,
+          CAST(bit_or(bit << CAST(y*8 + x AS INTEGER)) AS BIGINT) AS dhash
+          FROM b GROUP BY asset_id)"""
+
+  def imageDHashSql: String =
+    s"""$dhashCtes
+        SELECT d.asset_id, d.w AS width, d.h AS height, hsh.dhash
+        FROM dims d JOIN hsh USING (asset_id)"""
+
+  def imageDHashGroupsSql: String =
+    s"""$dhashCtes
+        SELECT dhash, count(*) AS n_images, min(asset_id) AS keep_asset_id
+        FROM hsh GROUP BY dhash"""
+
   /** Mirrors Multimodal.decodeAudioStats: where the engine parses a REAL
     * WAV container and decodes 16-bit PCM frames, the oracle recomputes
     * the integer sample statistics from the closed-form sample formula

@@ -366,6 +366,15 @@ object SparkEntry {
     // real pixel resample on the decoded raster (nearest-neighbour 16x12)
     "mm_image_resample" -> q((s, d) =>
       Multimodal.resampleImageStats(Multimodal.imageAssetsTable(s, d), 16, 12).toDF()),
+    // 56-bit perceptual difference hash from the DECODED raster — the
+    // oracle recomputes it from the closed-form pixels, so a hash match
+    // proves the real decode + integer resample chain
+    "mm_image_dhash" -> q((s, d) =>
+      Multimodal.imageDHash(Multimodal.imageAssetsTable(s, d)).toDF()),
+    // perceptual dedup groups over the dhash (grouped shape — pairs
+    // would go quadratic inside gradient-collision classes)
+    "mm_image_dhash_groups" -> q((s, d) =>
+      Multimodal.imageDHashGroups(Multimodal.imageAssetsTable(s, d))),
     // REAL WAV decode: AudioSystem parses the RIFF container and streams
     // 16-bit PCM frames; integer sample stats vs the closed-form oracle
     "mm_audio_decode" -> q((s, d) =>
@@ -712,6 +721,8 @@ object SparkEntry {
     "mm_decode_features" -> OracleSqlGen.decodeFeaturesSql(operators.Multimodal.EmbDims),
     "mm_image_decode" -> OracleSqlGen.imageDecodeSql,
     "mm_image_resample" -> OracleSqlGen.imageResampleSql(16, 12),
+    "mm_image_dhash" -> OracleSqlGen.imageDHashSql,
+    "mm_image_dhash_groups" -> OracleSqlGen.imageDHashGroupsSql,
     "mm_audio_decode" -> OracleSqlGen.audioDecodeSql,
     "mm_audio_autocorr" -> OracleSqlGen.audioAutocorrSql,
     "mm_video_frames" -> OracleSqlGen.videoFramesSql(2),

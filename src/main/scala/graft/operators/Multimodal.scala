@@ -304,6 +304,77 @@ object Multimodal {
       }
   }
 
+  /** 56-bit difference hash of a decoded image — PERCEPTUAL image dedup
+    * (the pHash-family member expressible in pure integer arithmetic):
+    * sample a 9×7 grid of grayscale values (nearest-neighbour positions
+    * `sx = x·w/9`, `sy = y·h/7` — the same integer resample convention
+    * as [[resampleImageStats]]), emit one bit per adjacent-column
+    * comparison (`gray(x+1) > gray(x)`: 8×7 = 56 bits, row-major).
+    * Near-identical images (recompressions, small crops, brightness
+    * shifts that preserve gradients) collide or land within a small
+    * Hamming distance, where byte-level md5 sees nothing. 56 bits, not
+    * the conventional 64: bit 63 can't be built portably (the oracle
+    * engine rejects `1<<63`), and the 8-bit loss is negligible at any
+    * realistic corpus size.
+    *
+    * `gray = r+g+b` (integer, not luma weights) keeps every step exact
+    * integer; the DuckDB oracle recomputes the hash from the
+    * closed-form pixel formula while the engine derives it from REAL
+    * decoded PNG/BMP bytes — a hash match proves the decode.
+    */
+  case class ImageDHash(asset_id: Long, width: Int, height: Int, dhash: Long)
+
+  def imageDHash(assets: DataFrame): Dataset[ImageDHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            def gray(sx: Int, sy: Int): Int = {
+              val p = img.getRGB(sx, sy)
+              ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            }
+            var hash = 0L
+            var y = 0
+            while (y < 7) {
+              val sy = y * h / 7
+              var x = 0
+              while (x < 8) {
+                if (gray((x + 1) * w / 9, sy) > gray(x * w / 9, sy))
+                  hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImageDHash(id, w, h, hash))
+          }
+        }
+      }
+  }
+
+  /** Perceptual-hash dedup GROUPS: one row per distinct [[imageDHash]]
+    * value with the group size and the kept representative (min id) —
+    * the grouped-dedup shape ([[graft.operators.Dedup.exactGroups]])
+    * over perceptual identity instead of byte identity. Group-bounded
+    * exchange; safe on fixtures where gradients make hashes collide
+    * heavily (a PAIRS emission would go quadratic in the collision
+    * class — groups never do).
+    */
+  def imageDHashGroups(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    imageDHash(assets).toDF()
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_images"), min(col("asset_id")).as("keep_asset_id"))
+  }
+
   // ---------------------------------------------------- real audio codec
 
   /** REAL audio assets: 16-bit signed mono PCM with closed-form samples

@@ -108,6 +108,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dhash: gradients pin the bits; perceptual identity survives recompression") {
+    def encoded(fmt: String, w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = px(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos)); bos.toByteArray
+    }
+    val rising = (x: Int, _: Int) => x * 4          // monotone left->right
+    val falling = (x: Int, _: Int) => 200 - x * 4
+    val assets = Seq(
+      (1L, encoded("png", 36, 14, rising)),
+      (2L, encoded("bmp", 36, 14, rising)),        // same pixels, other codec
+      (3L, encoded("png", 36, 14, (x, y) => math.min(255, rising(x, y) + 1))),
+      (4L, encoded("png", 36, 14, falling))
+    ).toDF("asset_id", "content")
+    val got = Multimodal.imageDHash(assets).collect()
+      .map(d => d.asset_id -> d.dhash).toMap
+    val all56 = (1L << 56) - 1                      // every comparison rises
+    assert(got(1L) == all56, f"rising hash ${got(1L)}%x")
+    assert(got(4L) == 0L, f"falling hash ${got(4L)}%x")
+    // recompression and +1 brightness keep the hash; md5 would differ
+    assert(got(2L) == got(1L) && got(3L) == got(1L))
+    val groups = Multimodal.imageDHashGroups(assets).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(groups(all56) == ((3L, 1L)) && groups(0L) == ((1L, 4L)))
+  }
+
   test("image resample: nearest-neighbour sums match the formula at sampled coords") {
     val stats = Multimodal.resampleImageStats(
       Multimodal.imageAssets(docs).toDF(), 16, 12).collect()
