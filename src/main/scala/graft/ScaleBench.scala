@@ -62,7 +62,8 @@ object ScaleBench {
     // round-8 session additions: LSH-gated DP verify, paragraph window,
     // tf-idf joins, union sketch, exact-decimal stats
     "dedup_edit_pairs", "dedup_boilerplate", "text_tfidf_keywords",
-    "sketch_corpus_overlap", "events_anomalies")
+    "sketch_corpus_overlap", "events_anomalies",
+    "dedup_containment", "corpus_interleave", "mm_image_dhash")
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     import spark.implicits._

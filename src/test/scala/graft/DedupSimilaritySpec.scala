@@ -112,6 +112,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == (("delta four", 1L, 1L)))
   }
 
+  test("bounded levenshtein equals Spark's builtin on random strings") {
+    import graft.functions.BoundedLevenshtein
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd é世" // small alphabet forces collisions; non-ASCII included
+    def randStr(n: Int) = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val cases = Seq.tabulate(300) { i =>
+      val base = randStr(rnd.nextInt(30))
+      val other = if (i % 3 == 0) base // identical
+        else if (i % 3 == 1) { // few random edits of base
+          var s = base
+          (0 until rnd.nextInt(4)).foreach { _ =>
+            if (s.nonEmpty) s = s.updated(rnd.nextInt(s.length), alphabet(rnd.nextInt(alphabet.length)))
+          }
+          s
+        } else randStr(rnd.nextInt(30)) // unrelated
+      (base, other)
+    }
+    val df = cases.toDF("a", "b")
+    for (k <- Seq(0, 1, 2, 5)) {
+      val got = df.select(
+          BoundedLevenshtein.column($"a", $"b", k).as("mine"),
+          levenshtein($"a", $"b", k).as("builtin"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      got.zip(cases).foreach { case ((mine, builtin), (a, b)) =>
+        assert(mine == builtin, s"k=$k a='$a' b='$b': $mine vs $builtin")
+      }
+    }
+  }
+
   test("containment: directed quote-in-document detection, jaccard-invisible") {
     val quote = "to be or not to be that is the question"
     val container = ("long prose introduction with many original words " +

@@ -92,6 +92,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("containment pairs: no cartesian, no array intersection in the verify") {
+    val p = plan(Dedup.containmentPairs(Tables.load(spark, sf, "documents")))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("array_intersect"))
+  }
+
   test("jaccard verify is count-based: no per-pair array intersection ships arrays") {
     val p = plan(Dedup.jaccardPairs(Tables.load(spark, sf, "documents")))
     // the verify stage group-counts narrow (a, b, gram) triples — a plan
