@@ -120,7 +120,23 @@ object GraftSqlFunctions {
       arity("vector_dot(a, b)", 2)(args => VectorDot(args.head, args(1)))),
     ("cosine_similarity",
       info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two float/double arrays"),
-      arity("cosine_similarity(a, b)", 2)(cosine)))
+      arity("cosine_similarity(a, b)", 2)(cosine)),
+    ("bounded_levenshtein",
+      info("bounded_levenshtein",
+        "bounded_levenshtein(a, b, k) - edit distance if <= k else -1 (prefix/suffix strip + Ukkonen band); k must be an integer literal"),
+      arity("bounded_levenshtein(a, b, k)", 3)(boundedLev)))
+
+  /** `bounded_levenshtein(a, b, k)` — k must be an integer literal (it
+    * sizes the DP band).
+    */
+  private def boundedLev(args: Seq[Expression]): Expression = {
+    val k = args(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"bounded_levenshtein(a, b, k): k must be an integer literal, got ${other.sql}")
+    }
+    graft.functions.BoundedLevenshtein(args.head, args(1), k)
+  }
 
   /** Register all engine functions on a live session. */
   def install(spark: SparkSession): Unit =

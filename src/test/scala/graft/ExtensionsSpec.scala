@@ -29,6 +29,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(ks == Seq(10L, 20L, 40L))
   }
 
+  test("bounded_levenshtein runs through spark.sql with the -1 overflow contract") {
+    GraftSqlFunctions.install(spark)
+    val got = spark.sql(
+      """SELECT bounded_levenshtein('kitten', 'sitting', 3) AS a,
+                bounded_levenshtein('kitten', 'sitting', 2) AS b,
+                bounded_levenshtein('same', 'same', 0) AS c
+      """).as[(Int, Int, Int)].head()
+    assert(got == ((3, -1, 0)))
+  }
+
   test("wrong arity yields a clean signature error, not IndexOutOfBounds") {
     GraftSqlFunctions.install(spark)
     for (bad <- Seq(
