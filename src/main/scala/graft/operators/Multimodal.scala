@@ -375,6 +375,22 @@ object Multimodal {
       .agg(count(lit(1)).as("n_images"), min(col("asset_id")).as("keep_asset_id"))
   }
 
+  /** The corpus' distinct perceptual hashes PERSISTED per corpus dir
+    * (ensure-once, same discipline as the fingerprint/ANN indexes) —
+    * the static side of
+    * [[graft.streaming.Pipelines.streamingPerceptualDedup]].
+    */
+  def dhashIndexTable(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.synchronized {
+      val tag = java.lang.Long.toHexString(DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_dhashidx_$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        imageDHash(imageAssetsTable(spark, dir)).toDF()
+          .select(col("dhash")).distinct()
+          .write.option("path", path).mode("overwrite").saveAsTable(name)
+      }
+    }
+
   // ---------------------------------------------------- real audio codec
 
   /** REAL audio assets: 16-bit signed mono PCM with closed-form samples

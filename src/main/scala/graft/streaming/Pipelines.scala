@@ -329,6 +329,23 @@ object Pipelines {
           .as("avg_nll"))
   }
 
+  /** Streaming PERCEPTUAL image dedup — the multimodal twin of
+    * `streamingIncrementalIngest`: arriving image payloads DECODE in
+    * the stream (the same `mapPartitions` real-codec pass as the batch
+    * op), hash to their 56-bit dHash, and anti-join the PERSISTED
+    * corpus hash index
+    * ([[graft.operators.Multimodal.dhashIndexTable]]) — recompressed
+    * or brightness-shifted re-uploads of corpus images are dropped at
+    * ingest even though their bytes (and md5) differ. Zero streaming
+    * state for the corpus side: it participates as an on-disk table,
+    * and the anti-join broadcasts it (one long per distinct corpus
+    * image).
+    */
+  def streamingPerceptualDedup(assets: DataFrame,
+                               index: DataFrame): DataFrame =
+    graft.operators.Multimodal.imageDHash(assets).toDF()
+      .join(broadcast(index), Seq("dhash"), "left_anti")
+
   /** Streaming per-(event-time window, group) DISTINCT-COUNT sketches —
     * the KMV `TypedImperativeAggregate` as STREAMING AGGREGATION STATE:
     * each (window, group)'s state is the bounded k-long sketch, merged

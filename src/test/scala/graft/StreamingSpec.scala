@@ -631,6 +631,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming perceptual dedup drops recompressed corpus images at ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.operators.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    val index = Multimodal.dhashIndexTable(spark, sf)
+    // a corpus image RECOMPRESSED to the other codec: bytes + md5 differ,
+    // dhash matches -> must be dropped
+    val corpusRow = Multimodal.imageAssetsTable(spark, sf)
+      .orderBy($"asset_id").limit(1).collect()(0)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(corpusRow.getAs[Array[Byte]]("content")))
+    val otherFmt = if (corpusRow.getAs[String]("format") == "png") "bmp" else "png"
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(decoded, otherFmt, bos))
+    val recompressed = bos.toByteArray
+    assert(!java.util.Arrays.equals(recompressed, corpusRow.getAs[Array[Byte]]("content")))
+    // a genuinely novel image (checkerboard — no corpus gradient hashes it)
+    val img = new java.awt.image.BufferedImage(
+      20, 14, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 14; x <- 0 until 20) {
+      val v = if ((x + y) % 2 == 0) 255 else 0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos2))
+    val fresh = bos2.toByteArray
+    // expected survivors per the BATCH formulation of the same frame
+    val batchFrame = Seq((9001L, recompressed), (9002L, fresh))
+      .toDF("asset_id", "content")
+    val expected = Multimodal.imageDHash(batchFrame).toDF()
+      .join(index, Seq("dhash"), "left_anti")
+      .select($"asset_id").as[Long].collect().toSet
+    assert(!expected.contains(9001L)) // the recompression is a dup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingPerceptualDedup(
+        mem.toDF().toDF("asset_id", "content"), index),
+      "pdedup_t", OutputMode.Append)
+    try {
+      mem.addData((9001L, recompressed), (9002L, fresh))
+      q.processAllAvailable()
+      val got = spark.table("pdedup_t").select($"asset_id").as[Long].collect().toSet
+      assert(got == expected, s"stream=$got batch=$expected")
+    } finally q.stop()
+  }
+
   test("streaming windowed KMV: sketch state merges across batches, batch-exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
