@@ -201,7 +201,13 @@ object ScaleBench {
         |"dedup_clusters_chain":"pointer-jump rounds grow O(log d) with the chain; the factor reflects per-round linear cost x log-rounds",
         |"sim_knn_join":"fixed band width is the adversarial case kept for contrast: per-band bucket population grows with the corpus, so candidates grow superlinearly (measured ~19x at 10x rows). sim_knn_join_auto sizes p = ceil(log2(n/8)) from the corpus count, holding bucket population flat — same query measures ~2x, identical rows at oracle scales",
         |"sim_ivf_topk_sampled":"training slice + probe both bounded; near-flat by design",
-        |"mm_video_frames":"decode-bound mapPartitions; flat per-row"}""".stripMargin.replace("\n", " ")
+        |"mm_video_frames":"decode-bound mapPartitions; flat per-row",
+        |"dedup_edit_pairs":"the skewed fixture's near-identical tier grows linearly, so the CORRECT output clique grows quadratically (12.5M pairs at 10x vs 125k) - ~15x wall for ~100x output is sublinear per emitted pair; the native bounded_levenshtein (prefix/suffix strip + Ukkonen band) keeps each verify near-constant",
+        |"dedup_containment":"round 8 measured the 1-match SSJoin prefix at 57x on this hot-vocabulary corpus (no doc has a rare gram: 22M candidates, 1.4e9-row verify), then widened it to the pigeonhole gate - >= m+1 matches of the rarest 2m+1 probe grams before any verify - cutting candidates 256x and the verify 1750x; remaining factor tracks the quadratically-growing true output (505 pairs from duplicate families)",
+        |"sketch_corpus_overlap":"gram-volume linear: one scan+shingle, a gram-hash aggregate, a k-row TakeOrderedAndProject; the sketch itself is constant-size at any corpus",
+        |"corpus_interleave":"per-source rank windows only, no global sort; near-flat (fixed overhead dominates at these sizes)",
+        |"mm_image_dhash":"decode-bound mapPartitions like the other image ops; flat per-row",
+        |"dedup_boilerplate":"paragraph-window + per-doc reassembly, both keyed exchanges; sublinear (overhead amortizing)"}""".stripMargin.replace("\n", " ")
     val json =
       s"""{"factor":$Factor,"sf_small":"$smallDir","sf_big":"$bigDir",
          |"synth_sec":${math.rint(synthSec * 10) / 10},
