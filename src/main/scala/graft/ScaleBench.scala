@@ -207,7 +207,11 @@ object ScaleBench {
         |"sketch_corpus_overlap":"gram-volume linear: one scan+shingle, a gram-hash aggregate, a k-row TakeOrderedAndProject; the sketch itself is constant-size at any corpus",
         |"corpus_interleave":"per-source rank windows only, no global sort; near-flat (fixed overhead dominates at these sizes)",
         |"mm_image_dhash":"decode-bound mapPartitions like the other image ops; flat per-row",
-        |"dedup_boilerplate":"paragraph-window + per-doc reassembly, both keyed exchanges; sublinear (overhead amortizing)"}""".stripMargin.replace("\n", " ")
+        |"dedup_boilerplate":"paragraph-window + per-doc reassembly, both keyed exchanges; sublinear (overhead amortizing)",
+        |"cdc_merge_apply":"one changeset scan + latest-per-key squash + full-outer apply; sublinear because the summary agg and squash amortize fixed costs",
+        |"text_bpe_merges":"near-flat: the corpus pass is one tokenize+groupBy; every merge round runs on the vocabulary-bounded word table, which grows ~Heaps-law sublinearly",
+        |"text_novelty":"gram-volume linear: one scan + window-count over the gram partition + per-doc agg; only 8-byte gram hashes shuffle",
+        |"corpus_incremental_curation":"three fp/hash-keyed wide ops (diff join, v1 anti-join, keep-min); text never leaves the scan"}""".stripMargin.replace("\n", " ")
     val json =
       s"""{"factor":$Factor,"sf_small":"$smallDir","sf_big":"$bigDir",
          |"synth_sec":${math.rint(synthSec * 10) / 10},
