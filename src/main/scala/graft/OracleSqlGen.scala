@@ -1058,10 +1058,12 @@ object OracleSqlGen {
     * winner picked by (n_tokens DESC, doc_id) — the same total order as
     * the Spark side's max_by struct.
     */
-  def clusterRepsSql(n: Int, threshold: Double): String =
-    s"""WITH lab AS (SELECT * FROM (${clustersSql(n, threshold)})),
+  def clusterRepsSql(n: Int, threshold: Double, src: String = "documents",
+                     pre: String = ""): String =
+    s"""WITH ${pre}lab AS (SELECT * FROM (
+          ${clustersSqlOver(sigCteOver(wordShCte(n, src, pre)), threshold)})),
         q AS (SELECT doc_id, len(${toks(norm("text"))})::BIGINT AS n_tokens
-          FROM documents),
+          FROM $src),
         j AS (SELECT lab.cluster_id, lab.doc_id, q.n_tokens,
             row_number() OVER (PARTITION BY lab.cluster_id
               ORDER BY q.n_tokens DESC, lab.doc_id) AS rk,
@@ -1070,6 +1072,30 @@ object OracleSqlGen {
         SELECT cluster_id, doc_id AS keep_doc_id, n_tokens,
           CAST(cluster_size AS BIGINT) AS cluster_size
         FROM j WHERE rk = 1"""
+
+  /** The exact-dedup survivor corpus as a `ex` CTE fragment (keep-min
+    * per md5 fingerprint), for funnel compositions.
+    */
+  private def exactSurvivorsCte: String =
+    s"""ex AS (SELECT d.* FROM documents d
+          JOIN (SELECT min(doc_id) AS doc_id
+                FROM (SELECT doc_id, md5(${norm("text")}) AS fp FROM documents)
+                GROUP BY fp) k ON d.doc_id = k.doc_id),
+        """
+
+  /** Mirrors Dedup.dedupFunnelReport: raw → exact keep-min → near-dup
+    * cluster representatives OVER the exact survivors, one row per tier.
+    */
+  def dedupFunnelSql(n: Int, threshold: Double): String =
+    s"""SELECT CAST(0 AS BIGINT) AS tier, 'raw' AS stage,
+          count(*)::BIGINT AS docs FROM documents
+        UNION ALL
+        SELECT 1, 'exact', count(*)::BIGINT FROM (
+          SELECT min(doc_id) FROM (SELECT doc_id, md5(${norm("text")}) AS fp
+            FROM documents) GROUP BY fp)
+        UNION ALL
+        SELECT 2, 'near_dup_reps', count(*)::BIGINT FROM (
+          ${clusterRepsSql(n, threshold, "ex", exactSurvivorsCte)})"""
 
   private def lshPairsSqlOver(shCte: String, threshold: Double): String = {
     val bandKeys = bandKeysSql

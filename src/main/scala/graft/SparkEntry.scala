@@ -132,6 +132,10 @@ object SparkEntry {
     // pressure without output). The bench row proves the hot-bucket
     // O(m²) join and the quadratic emit don't blow up the runtime
     "dedup_char_lsh_skewed" -> q((s, d) => Dedup.charLshPairs(Dedup.skewedDocs(Tables.load(s, d, "documents")), 5, 0.8)),
+    // composed dedup funnel: raw -> exact keep-min -> cluster reps OVER
+    // the exact survivors, per-tier survivor counts in one plan
+    "dedup_funnel_report" -> q((s, d) =>
+      Dedup.dedupFunnelReport(Tables.load(s, d, "documents"), 3, 0.8)),
     // DIRECTED containment |A∩B|/|A| >= 0.9 — quote/excerpt detection
     // jaccard can't express; only the contained side's rarest-gram
     // prefix probes the index, verify is the count-based posting join
@@ -647,6 +651,7 @@ object SparkEntry {
     "dedup_char_lsh_skewed" -> OracleSqlGen.charLshPairsSkewedSql(5, 0.8),
     "dedup_edit_pairs" -> OracleSqlGen.editPairsSkewedSql(5, 0.8, 2),
     "dedup_containment" -> OracleSqlGen.containmentPairsSql(3, 0.9),
+    "dedup_funnel_report" -> OracleSqlGen.dedupFunnelSql(3, 0.8),
     "dedup_substring_spans" -> OracleSqlGen.dupSpansSql(30),
     "dedup_substring_removed" -> OracleSqlGen.substringRemovedSql(30),
     "dedup_paragraphs" -> OracleSqlGen.paragraphDedupSql,

@@ -326,6 +326,33 @@ object Dedup {
         col("w.n_tokens").as("n_tokens"), col("cluster_size"))
   }
 
+  /** DEDUP FUNNEL REPORT — the tiers a curation pipeline actually runs,
+    * COMPOSED in one plan with per-tier survivor counts: raw corpus →
+    * exact keep-min dedup → near-dup cluster representatives over the
+    * exact survivors (each tier consumes the previous tier's output,
+    * the real sequencing — near-dup clustering after exact dedup works
+    * on a smaller corpus and never wastes LSH work on byte-identical
+    * copies). The audit artifact answering "how much did each tier
+    * remove", the dedup sibling of [[graft.operators.CorpusOps]]'s
+    * filter funnel.
+    *
+    * Scale shape: three 1-row aggregates unioned; the tiers share the
+    * exact-survivor subtree, and every underlying op keeps its own
+    * scale shape (fp groupBy, banded LSH, label propagation).
+    */
+  def dedupFunnelReport(docs: DataFrame, n: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    val keep = exactGroups(docs).select(col("keep_doc_id").as("doc_id"))
+    val exactSurvivors = docs.join(keep, Seq("doc_id"), "left_semi")
+    val reps = clusterRepresentatives(exactSurvivors, n, threshold)
+    def tier(t: Int, stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("docs"))
+        .select(lit(t).cast("long").as("tier"), lit(stage).as("stage"), col("docs"))
+    tier(0, "raw", docs)
+      .unionAll(tier(1, "exact", exactSurvivors))
+      .unionAll(tier(2, "near_dup_reps", reps))
+  }
+
   /** Signature-estimate similarity: matching minhash slots / NumHashes —
     * the constant-work candidate verifier shared by [[charLshPairs]] and
     * the streaming near-dup filter.

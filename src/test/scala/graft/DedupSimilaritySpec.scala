@@ -112,6 +112,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == (("delta four", 1L, 1L)))
   }
 
+  test("dedup funnel: per-tier survivor counts over composed tiers") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val funnel = Seq(
+      (1L, base),                          // near-dup pair with 2
+      (2L, base + " lambda"),
+      (3L, "same content here exactly"),   // byte-identical pair with 4
+      (4L, "same content here exactly"),
+      (5L, "completely different unique text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupFunnelReport(funnel, 3, 0.8)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("raw" -> 5L, "exact" -> 4L, "near_dup_reps" -> 3L), got)
+  }
+
   test("bounded levenshtein equals Spark's builtin on random strings") {
     import graft.functions.BoundedLevenshtein
     val rnd = new scala.util.Random(42)
