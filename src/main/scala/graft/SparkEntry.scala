@@ -95,6 +95,11 @@ object SparkEntry {
     // sets: the fixed-sketch-cost pre-check before exact decontamination
     "sketch_corpus_overlap" -> q((s, d) =>
       CorpusOps.kmvOverlap(Tables.load(s, d, "documents"), 8, 0.05, 256)),
+    // per-group P95 on a fixed 1/100 lattice — bounded-memory grouped
+    // percentile (percentile buffers whole groups, approx_percentile's
+    // t-digest is engine-specific; this is exact at lattice resolution)
+    "stats_group_p95" -> q((s, d) =>
+      Relational.valueQuantileByGroup(Tables.load(s, d, "events"), 0.95, 100)),
     // per-group Pearson correlation with exact decimal accumulation —
     // builtin corr() is partition-order-dependent double summation;
     // this one is bit-reproducible (floats only in the final step)
@@ -605,6 +610,15 @@ object SparkEntry {
       "SELECT doc_id, lang, source, n_chars FROM documents",
     "sketch_group_kmv" -> OracleSqlGen.kmvDistinctByGroupSql(64),
     "sketch_corpus_overlap" -> OracleSqlGen.kmvOverlapSql(8, 0.05, 256),
+    "stats_group_p95" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS bucket,
+           count(*) AS cnt FROM events GROUP BY 1, 2),
+         c AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS n FROM b)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           round(min(bucket)::DOUBLE / 100, 2) AS quantile_value
+         FROM c WHERE cum >= ceil(0.95 * n) GROUP BY event_type""",
     "stats_group_corr" ->
       """WITH v AS (SELECT event_type,
            CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS x,

@@ -555,6 +555,38 @@ object Relational {
         .as("corr_r"))
   }
 
+  /** Per-group P-quantile on a FIXED LATTICE — the bounded-memory
+    * grouped percentile (p95 latency/value per group, the ops-dashboard
+    * standard) that is also cross-engine exact: `percentile` buffers
+    * every group member (unbounded state), `approx_percentile`'s
+    * t-digest is engine-specific — this quantizes values to 1/`cents`
+    * buckets (one deterministic IEEE multiply + floor per row) and
+    * reports the smallest bucket whose cumulative count reaches
+    * ⌈q·n⌉, i.e. the quantile exact at lattice resolution. Same
+    * discipline as the corpus datasheet's scalable median, per group.
+    *
+    * Scale shape: one (group × bucket) aggregate — state bounded by the
+    * lattice, map-side combine — then windows whose per-partition input
+    * is that group's OCCUPIED bucket count, never its row count.
+    */
+  def valueQuantileByGroup(events: DataFrame, q: Double = 0.95,
+                           cents: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = events
+      .groupBy(col("event_type"),
+        floor(col("value") * cents).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    b.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .filter(col("cum") >= ceil(lit(q) * col("n")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        round(min(col("bucket")).cast("double") / cents, 2).as("quantile_value"))
+  }
+
   /** [[valueStats]] persisted once per corpus dir (ensure-once, same
     * discipline as the unigram/bigram model tables): train the per-group
     * baseline in one batch pass, serve it to any number of streaming

@@ -67,6 +67,33 @@ class CatalogAndRelationalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("lattice quantile: p95 exact on clean buckets, per group, vs sort truth") {
+    val rows = (1 to 20).map(k => (k.toLong, new Timestamp(k), 1L, "a", k.toDouble, "{}")) ++
+      (1 to 10).map(k => (100L + k, new Timestamp(k), 1L, "b", 5.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational.valueQuantileByGroup(df, 0.95, 100)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // group a: 20 values 1..20 -> ceil(0.95*20)=19 -> 19.0; b constant -> 5.0
+    assert(got("a") == ((20L, 19.0)))
+    assert(got("b") == ((10L, 5.0)))
+    // on real data the lattice value is EXACTLY the floor-bucket of the
+    // ceil(q*n)-th order statistic (type-1 quantile, the definition the
+    // lattice implements — NOT the interpolated percentile())
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val lattice = Relational.valueQuantileByGroup(ev, 0.95, 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val byType = ev.select($"event_type", $"value")
+      .collect().groupBy(_.getString(0))
+      .map { case (et, rs) =>
+        val sorted = rs.map(_.getDouble(1)).sorted
+        val k = math.ceil(0.95 * sorted.length).toInt
+        et -> math.floor(sorted(k - 1) * 100) / 100
+      }
+    lattice.foreach { case (et, v) =>
+      assert(v == byType(et), s"$et: lattice=$v type1=${byType(et)}")
+    }
+  }
+
   test("exact correlation: perfect +/-1, zero-variance null, matches builtin corr") {
     val rows = (0 until 24).flatMap { h =>
       val ts = new Timestamp(h * 3600L * 1000L)
