@@ -337,14 +337,17 @@ object Pipelines {
     * ([[graft.operators.Multimodal.dhashIndexTable]]) — recompressed
     * or brightness-shifted re-uploads of corpus images are dropped at
     * ingest even though their bytes (and md5) differ. Zero streaming
-    * state for the corpus side: it participates as an on-disk table,
-    * and the anti-join broadcasts it (one long per distinct corpus
-    * image).
+    * state for the corpus side: it participates as an on-disk table of
+    * one long per distinct corpus image; the join strategy is left to
+    * the planner — a forced broadcast would ship the whole index into
+    * every executor at billion-image scale, where a shuffled anti-join
+    * on the 8-byte key is the right plan (and below the broadcast
+    * threshold Spark broadcasts it anyway).
     */
   def streamingPerceptualDedup(assets: DataFrame,
                                index: DataFrame): DataFrame =
     graft.operators.Multimodal.imageDHash(assets).toDF()
-      .join(broadcast(index), Seq("dhash"), "left_anti")
+      .join(index, Seq("dhash"), "left_anti")
 
   /** Streaming per-(event-time window, group) DISTINCT-COUNT sketches —
     * the KMV `TypedImperativeAggregate` as STREAMING AGGREGATION STATE:
