@@ -1393,6 +1393,17 @@ object OracleSqlGen {
         FROM wb, q WHERE vec_id <> $qid AND bucket = qb
         ORDER BY cos_sim DESC, vec_id ASC LIMIT $k"""
 
+  /** Mirrors Similarity.rangeSearch: the annTopK probe with a threshold
+    * filter instead of the top-k cutoff.
+    */
+  def rangeSearchSql(qid: Long, minCos: Double, planes: Int, dims: Int): String =
+    s"""WITH wb AS (SELECT vec_id, label, embedding,
+          ${srpBucket("embedding", planes, dims)} AS bucket FROM embeddings),
+        q AS (SELECT embedding AS qe, bucket AS qb FROM wb WHERE vec_id = $qid)
+        SELECT vec_id, label, round(${cosine("embedding", "qe", dims)}, 4) AS cos_sim
+        FROM wb, q WHERE vec_id <> $qid AND bucket = qb
+          AND round(${cosine("embedding", "qe", dims)}, 4) >= $minCos"""
+
   /** The trained-centroid CTE chain (final K-row relation named `c`),
     * mirroring Similarity.ivfCentroids: seed = vec_id < K, `iters` Lloyd
     * rounds. The centroid update sums 2²⁰-QUANTIZED coordinates as

@@ -402,6 +402,9 @@ object SparkEntry {
     // cosine so the score is pure integer math (oracle-bit-exact)
     "sim_topk_quantized" -> q((s, d) => Similarity.quantizedTopK(Tables.load(s, d, "embeddings"), 0L, 20)),
     "sim_ann_topk" -> q((s, d) => Similarity.annTopK(Tables.load(s, d, "embeddings"), 0L, 20, 4, 64)),
+    // radius query: EVERY vector above the similarity threshold — the
+    // dedup/policy-gate shape a top-k cutoff silently truncates
+    "sim_range_search" -> q((s, d) => Similarity.rangeSearch(Tables.load(s, d, "embeddings"), 0L, 0.2, 4, 64)),
     // persisted-index variant: same rows as sim_ann_topk, but the scan is
     // dynamically pruned to the query's bucket directory
     "sim_ann_topk_partitioned" -> q((s, d) => Similarity.annTopKPartitioned(s, d, 0L, 20, 4, 64)),
@@ -748,6 +751,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> OracleSqlGen.bruteForceTopKSql(0L, 20, 64),
     "sim_topk_quantized" -> OracleSqlGen.quantizedTopKSql(0L, 20, 64),
     "sim_ann_topk" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
+    "sim_range_search" -> OracleSqlGen.rangeSearchSql(0L, 0.2, 4, 64),
     "sim_ann_topk_partitioned" -> OracleSqlGen.annTopKSql(0L, 20, 4, 64),
     "sim_bucket_histogram" -> OracleSqlGen.bucketHistogramSql(8, 64),
     "sim_ivf_topk" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),

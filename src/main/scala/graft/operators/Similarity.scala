@@ -82,6 +82,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cosine RANGE search — "everything at least this similar", the
+    * radius-query sibling of [[annTopK]]: retrieval wants top-k, but
+    * dedup/policy gates want EVERY vector above a threshold (how many
+    * near-copies of this image/document exist?), where a k cutoff
+    * silently truncates. Same SRP bucket probe (candidates = query's
+    * bucket occupancy ~n/2^planes, broadcast 1-row query side), the
+    * exact-cosine filter replaces TakeOrderedAndProject — output size
+    * is whatever the data holds, never capped.
+    */
+  def rangeSearch(emb: DataFrame, qid: Long = 0L, minCos: Double = 0.7,
+                  planes: Int = 8, dims: Int = 64): DataFrame = {
+    val withBucket = emb.select(col("vec_id"), col("label"), col("embedding"),
+      srpBucket(col("embedding"), planes, dims).as("bucket"))
+    val q = withBucket.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_embedding"), col("bucket").as("q_bucket"))
+    withBucket.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("q_bucket"))
+      .select(col("vec_id"), col("label"),
+        round(cosineSimilarity(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
   /** All-vector bucket histogram — the operational view of LSH selectivity
     * (how much work ANN saves vs brute force).
     */

@@ -304,6 +304,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann == brute.filter(ann.contains))
   }
 
+  test("range search equals the un-capped ANN chain filtered at the threshold") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ranged = Similarity.rangeSearch(emb, 0L, 0.2, 4, 64)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect().toSet
+    assert(ranged.nonEmpty && ranged.forall(_._2 >= 0.2))
+    val viaTopK = Similarity.annTopK(emb, 0L, Int.MaxValue, 4, 64)
+      .filter($"cos_sim" >= 0.2)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect().toSet
+    assert(ranged == viaTopK)
+  }
+
   test("clusters: transitive near-dups collapse to one min-labeled component") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val chain = Seq(
