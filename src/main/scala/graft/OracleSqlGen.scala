@@ -602,6 +602,18 @@ object OracleSqlGen {
   /** Mirrors CorpusOps.shuffleShards: 60-bit md5 rank ([[base60]]), shard
     * by modulus, dense in-shard position by (rank, doc_id).
     */
+  /** Mirrors CorpusOps.manifest: per-source counts + order-independent
+    * bit_xor content checksum over the (doc_id ":" text) base60 hashes.
+    */
+  def manifestSql: String =
+    s"""WITH f AS (SELECT source,
+          CAST(len(${toks(norm("text"))}) AS BIGINT) AS n_tokens,
+          ${base60("doc_id || ':' || text")} AS fp FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          bit_xor(fp) AS content_xor
+        FROM f GROUP BY source"""
+
   /** Mirrors CorpusOps.interleave: per-source md5-shuffled rank +
     * alphabetic source index, round-robin key arithmetic.
     */

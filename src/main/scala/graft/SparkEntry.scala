@@ -232,6 +232,9 @@ object SparkEntry {
     // shard = rank mod 8 + dense in-shard position, reproducible on any
     // cluster size (no rand(), no sampled range boundaries)
     "corpus_shuffle" -> q((s, d) => CorpusOps.shuffleShards(Tables.load(s, d, "documents"), 8)),
+    // release manifest: per-source counts + order-independent bit_xor
+    // content checksum — integrity check without re-reading text
+    "corpus_manifest" -> q((s, d) => CorpusOps.manifest(Tables.load(s, d, "documents"))),
     // stratified round-robin interleaving: sources maximally spread in
     // the training order, per-source windows only — never a global sort
     "corpus_interleave" -> q((s, d) => CorpusOps.interleave(Tables.load(s, d, "documents"))),
@@ -703,6 +706,7 @@ object SparkEntry {
     "corpus_mix_temperature" -> OracleSqlGen.mixCorpusTemperatureSql(),
     "corpus_shuffle" -> OracleSqlGen.shuffleShardsSql(8),
     "corpus_interleave" -> OracleSqlGen.interleaveSql(),
+    "corpus_manifest" -> OracleSqlGen.manifestSql,
     "corpus_dsir_weights" -> OracleSqlGen.dsirWeightsSql("en", 1024),
     "corpus_epochs" -> OracleSqlGen.epochSampleSql(),
     "corpus_contamination_report" -> OracleSqlGen.contaminationReportSql(4, 0.2),

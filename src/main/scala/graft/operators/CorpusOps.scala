@@ -535,6 +535,34 @@ object CorpusOps {
     * function of doc_id — no `rand()`, no sampled RangePartitioner
     * boundaries, nothing run-order-dependent.
     */
+  /** RELEASE MANIFEST — the verifiable per-source summary a dataset
+    * release ships so any consumer (or the next pipeline run) can check
+    * integrity without re-reading text: doc count, token total, and a
+    * CONTENT CHECKSUM = `bit_xor` of every document's 60-bit content
+    * fingerprint. XOR is commutative/associative, so the checksum is
+    * independent of partitioning and row order — exactly what a
+    * distributed re-computation needs to be comparable — and any
+    * changed/missing/extra document flips it (a pair of identical docs
+    * cancels, which is why the fingerprint hashes doc_id ALONG WITH the
+    * text: duplicates of the same content still contribute distinct
+    * terms).
+    *
+    * Scale shape: one scan-fused projection + one per-source aggregate
+    * with map-side combine; the manifest is |sources| rows.
+    */
+  def manifest(docs: DataFrame): DataFrame = {
+    import graft.functions.DetHash
+    docs
+      .select(col("source"),
+        size(tokens(normalizeText(col("text")))).cast("long").as("n_tokens"),
+        DetHash.base60(concat(col("doc_id").cast("string"), lit(":"),
+          col("text"))).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        bit_xor(col("fp")).as("content_xor"))
+  }
+
   /** Deterministic STRATIFIED INTERLEAVING — the training-order artifact
     * between [[shuffleShards]] (global shuffle, sources can clump) and
     * strict curriculum: an idealized round-robin over sources (doc r of

@@ -8,6 +8,34 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("manifest: checksum is order-independent and flips on any content change") {
+    val base = Seq(
+      (1L, "alpha beta", "en", "s1", 10L),
+      (2L, "gamma delta", "en", "s1", 11L),
+      (3L, "epsilon", "en", "s2", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m1 = CorpusOps.manifest(base).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m1("s1")._1 == 2L && m1("s1")._2 == 4L)
+    assert(m1("s2")._1 == 1L && m1("s2")._2 == 1L)
+    // row order / partitioning can't move the checksum
+    val m2 = CorpusOps.manifest(base.orderBy($"doc_id".desc).repartition(7))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m2("s1") == m1("s1")._3 && m2("s2") == m1("s2")._3)
+    // a one-character edit flips the source's checksum, others untouched
+    val edited = base.withColumn("text",
+      when($"doc_id" === 2L, lit("gamma deltb")).otherwise($"text"))
+    val m3 = CorpusOps.manifest(edited).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m3("s1") != m1("s1")._3 && m3("s2") == m1("s2")._3)
+    // identical text in two docs still contributes two distinct terms
+    val dup = base.withColumn("text",
+      when($"doc_id" === 2L, lit("alpha beta")).otherwise($"text"))
+    val m4 = CorpusOps.manifest(dup).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m4("s1") != 0L)
+  }
+
   test("interleave: round-robin spread, no same-source neighbors until exhaustion") {
     val docs = ((1L to 6L).map(i => (i, "a")) ++ (11L to 16L).map(i => (i, "b")) ++
       (21L to 23L).map(i => (i, "c")))
