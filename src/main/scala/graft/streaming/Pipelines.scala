@@ -349,6 +349,36 @@ object Pipelines {
     graft.operators.Multimodal.imageDHash(assets).toDF()
       .join(index, Seq("dhash"), "left_anti")
 
+  /** Streaming per-(source, event-time window) RELEASE MANIFEST — the
+    * ingest integrity monitor twin of
+    * [[graft.operators.CorpusOps.manifest]]: per window, each source's
+    * doc count, token total and order-independent `bit_xor` content
+    * checksum accumulate as streaming aggregation state (count/sum/xor
+    * all merge associatively across micro-batches, so a replayed window
+    * reproduces the batch manifest EXACTLY — spec-pinned). The
+    * continuously-emitted manifest is what a downstream consumer
+    * compares against the producer's, per window, to catch
+    * drops/duplications in transit; state per (source, window) is three
+    * longs.
+    */
+  def streamingManifest(docs: DataFrame, windowDur: String = "1 hour",
+                        delay: String = "1 minute"): DataFrame = {
+    import graft.functions.DetHash
+    import graft.functions.GraftFunctions.{normalizeText, tokens}
+    docs
+      .select(col("ts"), col("source"),
+        size(tokens(normalizeText(col("text")))).cast("long").as("n_tokens"),
+        DetHash.base60(concat(col("doc_id").cast("string"), lit(":"),
+          col("text"))).as("fp"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        bit_xor(col("fp")).as("content_xor"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("source"), col("n_docs"), col("n_tokens"), col("content_xor"))
+  }
+
   /** Streaming per-(event-time window, group) DISTINCT-COUNT sketches —
     * the KMV `TypedImperativeAggregate` as STREAMING AGGREGATION STATE:
     * each (window, group)'s state is the bounded k-long sketch, merged

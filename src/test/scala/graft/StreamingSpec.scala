@@ -679,6 +679,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming manifest: count/sum/xor state merges across batches, batch-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.operators.CorpusOps
+    val rows = (0L until 40L).map(i =>
+      (i, s"alpha beta doc$i content", "en", if (i % 2 == 0) "s_a" else "s_b", 4L))
+    val batchDf = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expected = CorpusOps.manifest(batchDf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source", "ts")
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingManifest(stream, "1 hour", "1 minute"),
+      "manifest_t", OutputMode.Append)
+    try {
+      val ts = new java.sql.Timestamp(30000L)
+      val all = rows.map(r => (r._1, r._2, r._4, ts))
+      val (b1, b2) = all.splitAt(15)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      mem.addData((9999L, "late window advance", "s_x",
+        new java.sql.Timestamp(ts.getTime + 2 * 3600L * 1000L)))
+      q.processAllAvailable()
+      val got = spark.table("manifest_t")
+        .filter($"source".startsWith("s_"))
+        .select($"source", $"n_docs", $"n_tokens", $"content_xor")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.view.filterKeys(Set("s_a", "s_b")).toMap ==
+        expected.view.filterKeys(Set("s_a", "s_b")).toMap,
+        s"stream manifest drifted: $got vs $expected")
+    } finally q.stop()
+  }
+
   test("streaming windowed KMV: sketch state merges across batches, batch-exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
