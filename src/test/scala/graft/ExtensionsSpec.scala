@@ -54,6 +54,20 @@ class ExtensionsSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains("expects 2 arguments")),
         s"$bad -> ${e.getMessage}")
     }
+    // 3-arg function: wrong arity AND non-literal k both fail cleanly
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT bounded_levenshtein('a', 'b')").collect()
+    }
+    assert(Option(e3.getMessage).exists(_.contains("expects 3 arguments")) ||
+      Option(e3.getCause).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("expects 3 arguments")), e3.getMessage)
+    val eLit = intercept[Exception] {
+      spark.sql("SELECT bounded_levenshtein('a', 'b', 1 + 1)").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(eLit).exists(_.contains("integer literal")), eLit.getMessage)
   }
 
   test("the reference jovens query text runs as spark.sql over a view") {
