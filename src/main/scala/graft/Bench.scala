@@ -133,7 +133,20 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] stream micro-bench failed: ${e.getMessage}") }
 
-    println(s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(seq, ms)},"seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},"headline":"warm min-of-3 (passes in BENCH_DETAIL.json)","sf":"$sfDir"}""")
-    spark.stop()
+    // Quiesce and stop Spark BEFORE emitting the headline line. Round 8's
+    // driver artifact lost the JSON because asynchronous shutdown ERROR
+    // stacktraces (TaskResultGetter RejectedExecutionException) printed
+    // after it and pushed it out of the tail capture. Silencing the
+    // loggers and stopping first makes the JSON the true last stdout line.
+    val headline = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(seq, ms)},"seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},"headline":"warm min-of-3 (passes in BENCH_DETAIL.json)","sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_HEADLINE.json"), headline.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      spark.stop()
+    } catch { case _: Throwable => () }
+    println(headline)
+    System.out.flush()
   }
 }

@@ -6,9 +6,24 @@ import org.apache.spark.sql.functions._
 /** Empirical scale validation (the "survives 100×" claim, measured):
   * synthesizes an sf1-equivalent corpus from the sf0.1 testdata — fact
   * tables replicated ×[[ScaleBench.Factor]] with key offsets, dimension
-  * tables untouched, exactly how a real corpus grows — then times a
-  * panel of the engine's slowest/scale-sensitive queries at both scales
-  * and writes per-query scaling factors to `BENCH_SCALE.json`.
+  * tables untouched, exactly how a real corpus grows — then times the
+  * engine's queries at both scales and writes per-query scaling factors
+  * to `BENCH_SCALE.json`.
+  *
+  * Coverage (round 9): the measured set is no longer a hand-picked panel.
+  * EVERY registered query is timed at the small scale; every query whose
+  * warm time exceeds [[SlowCutoffSec]] — plus the explicit family
+  * representatives in [[Panel]] and the code-path [[Extras]] — is then
+  * timed at 10× and graded. The hand-picked 18-query panel caught three
+  * real superlinear collapses in round 8 (56×/57×/21×) that plan-shape
+  * audits had passed; exhaustive membership makes that the default
+  * discipline, not a sample.
+  *
+  * The GATE: any measured scale_x above [[GateThreshold]] must carry a
+  * justification in [[notes]] (known output-volume growth, adversarial
+  * fixture kept for contrast, O(log d) round structure...). Violations
+  * land in the artifact under `gate_violations` and fail
+  * `ScaleGateSpec` — a silent scale collapse can no longer ship green.
   *
   * Replication is NOT cloning: a corpus of verbatim copies would
   * degenerate every near-dup operator (each doc gains `Factor−1` exact
@@ -38,14 +53,23 @@ object ScaleBench {
 
   val Factor = 10
 
+  /** Small-scale warm time above which a query joins the 10× panel. */
+  val SlowCutoffSec = 0.3
+
+  /** scale_x above this needs a [[notes]] justification or the gate
+    * flags it. Linear in rows is ~10; 12 allows measurement noise.
+    */
+  val GateThreshold = 12.0
+
   /** Fact tables replicated; everything else copied through untouched. */
   private val replicated = Set("documents", "embeddings", "events",
     "orders", "lineitem")
 
-  /** The panel: the r7 bench's slowest queries plus one representative
-    * per scale-sensitive family (windowed agg, shuffle join, LSH, exact
-    * jaccard, iterative clustering, ANN train, text scoring, corpus
-    * assembly, video decode).
+  /** Always-measured family representatives (windowed agg, shuffle join,
+    * LSH, exact jaccard, iterative clustering, ANN train, text scoring,
+    * corpus assembly, video decode...) — kept explicit so a future speedup
+    * below [[SlowCutoffSec]] cannot silently drop a scale-sensitive
+    * family from the artifact.
     */
   val Panel: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping", "join_revenue_by_status",
@@ -53,17 +77,85 @@ object ScaleBench {
     "dedup_exact", "dedup_lsh_pairs", "dedup_char_lsh",
     "dedup_char_jaccard_pairs", "dedup_clusters", "dedup_clusters_chain",
     "dedup_cluster_reps", "dedup_substring_removed", "dedup_simhash_pairs",
-    "sim_knn_join", "sim_knn_join_auto", "sim_ivf_topk_sampled", "text_bm25",
+    "sim_knn_join", "sim_ivf_topk_sampled", "text_bm25",
     "text_surprisal", "corpus_dsir_weights", "corpus_source_drift",
     "agg_incremental_revenue", "corpus_assemble", "mm_video_frames",
     "cdc_merge_apply", "corpus_snapshot_diff", "corpus_weighted_sample",
     "corpus_filter_funnel", "text_bpe_merges", "text_novelty",
     "corpus_incremental_curation",
-    // round-8 session additions: LSH-gated DP verify, paragraph window,
-    // tf-idf joins, union sketch, exact-decimal stats
     "dedup_edit_pairs", "dedup_boilerplate", "text_tfidf_keywords",
     "sketch_corpus_overlap", "events_anomalies",
     "dedup_containment", "corpus_interleave", "mm_image_dhash")
+
+  /** Code-path probes that are NOT registered queries: same operators,
+    * forced onto the branch the registered run doesn't take at this
+    * vocabulary/scale. Timed at both scales and gated like everything
+    * else.
+    */
+  val Extras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The posting count-join verify — the 100 TB DEFAULT branch of exact
+    // char jaccard (vocab above the 2^16 bitmap cap). The sf0.1 corpus
+    // measures ~6.8k distinct 7-grams, under the cap, so the registered
+    // query always rides the bitmap path; forcing the cap to 0 makes the
+    // measured vocabulary exceed it and times the unbounded-vocab plan.
+    "dedup_char_jaccard_posting" -> ((s, d) => {
+      val saved = graft.operators.Dedup.BitmapVocabCap
+      graft.operators.Dedup.BitmapVocabCap = 0L
+      try graft.operators.Dedup.charJaccardPairs(
+        Tables.load(s, d, "documents"), 7, 0.9)
+      finally graft.operators.Dedup.BitmapVocabCap = saved
+    }))
+
+  /** Per-query justification for factors above [[GateThreshold]], and
+    * shape commentary for notable sublinear rows. KEYS ARE THE GATE'S
+    * ALLOWLIST: a superlinear factor without an entry here is a
+    * violation.
+    */
+  val notes: Map[String, String] = Map(
+    "linear_bar" ->
+      "scale_x ~ 10 is linear in rows; < 10 is sublinear (fixed overhead amortizing)",
+    "dedup_char_jaccard_pairs" ->
+      "exact all-pairs jaccard on a FIXED-vocabulary corpus is the adversarial case (posting lists grow with the corpus). Round 8 measured it at 56x for 10x docs, then fixed it: length-bucketed prefix join keys + a measured-vocabulary bitmap verify (popcount(AND) per candidate instead of a posting-expansion join) brought it to ~5x. The unbounded-vocab posting path is measured separately as dedup_char_jaccard_posting",
+    "dedup_char_jaccard_posting" ->
+      "the unbounded-vocabulary branch (forced by capping the bitmap gate at 0): the count-based posting verify expands candidate x posting rows, so on this fixed-vocabulary corpus it grows superlinearly by construction — this row exists to keep the 100 TB default branch measured; the length-bucketed prefix + PPJoin position filter bound what reaches the verify",
+    "dedup_jaccard_pairs" ->
+      "word-shingle exact jaccard: same engine as the char variant; the word vocabulary grows with the corpus (Heaps law), so posting lists stay shorter and the factor lower than the fixed-vocab char case",
+    "dedup_clusters_chain" ->
+      "pointer-jump rounds grow O(log d) with the chain; the factor reflects per-round linear cost x log-rounds",
+    "sim_knn_join" ->
+      "adaptive band width p = max(8, ceil(log2(n/8))) holds per-band bucket population flat as the corpus grows — round 8 measured the fixed-width form at 21x for 10x rows and retired it to spec-level contrast; the registered adaptive query measures ~2x",
+    "sim_ivf_topk_sampled" ->
+      "training slice + probe both bounded; near-flat by design",
+    "mm_video_frames" -> "decode-bound mapPartitions; flat per-row",
+    "dedup_edit_pairs" ->
+      "the skewed fixture's near-identical tier grows linearly, so the CORRECT output clique grows quadratically (12.5M pairs at 10x vs 125k) - ~15x wall for ~100x output is sublinear per emitted pair; the native bounded_levenshtein (prefix/suffix strip + Ukkonen band) keeps each verify near-constant",
+    "dedup_containment" ->
+      "round 8 measured the 1-match SSJoin prefix at 57x on this hot-vocabulary corpus (no doc has a rare gram: 22M candidates, 1.4e9-row verify), then widened it to the pigeonhole gate - >= m+1 matches of the rarest 2m+1 probe grams before any verify - cutting candidates 256x and the verify 1750x; remaining factor tracks the quadratically-growing true output (505 pairs from duplicate families)",
+    "sketch_corpus_overlap" ->
+      "gram-volume linear: one scan+shingle, a gram-hash aggregate, a k-row TakeOrderedAndProject; the sketch itself is constant-size at any corpus",
+    "corpus_interleave" ->
+      "per-source rank windows only, no global sort; near-flat (fixed overhead dominates at these sizes)",
+    "mm_image_dhash" ->
+      "decode-bound mapPartitions like the other image ops; flat per-row",
+    "dedup_boilerplate" ->
+      "paragraph-window + per-doc reassembly, both keyed exchanges; sublinear (overhead amortizing)",
+    "cdc_merge_apply" ->
+      "one changeset scan + latest-per-key squash + full-outer apply; sublinear because the summary agg and squash amortize fixed costs",
+    "text_bpe_merges" ->
+      "near-flat: the corpus pass is one tokenize+groupBy; every merge round runs on the vocabulary-bounded word table, which grows ~Heaps-law sublinearly",
+    "text_novelty" ->
+      "gram-volume linear: one scan + window-count over the gram partition + per-doc agg; only 8-byte gram hashes shuffle",
+    "corpus_incremental_curation" ->
+      "three fp/hash-keyed wide ops (diff join, v1 anti-join, keep-min); text never leaves the scan")
+
+  /** The gate: measured rows whose factor exceeds [[GateThreshold]]
+    * without a [[notes]] justification. Pure so the spec can pin it.
+    */
+  def gateViolations(rows: Seq[(String, Double)]): Seq[String] =
+    rows.collect {
+      case (name, factor) if factor > GateThreshold && !notes.contains(name) =>
+        name
+    }
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     import spark.implicits._
@@ -157,66 +249,77 @@ object ScaleBench {
     val synthSec = (System.nanoTime() - t0) / 1e9
 
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
-    val panel = Panel.filter(n => SparkEntry.queries.contains(n))
-      .filter(n => only.forall(_.contains(n)))
+    val registry: Seq[(String, (SparkSession, String) => DataFrame)] =
+      (SparkEntry.queries.toSeq ++ Extras.toSeq).sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    def timed(name: String, dir: String): Double = {
+    def timed(name: String, fn: (SparkSession, String) => DataFrame,
+              dir: String): Double = {
       val q0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, dir).count(); (System.nanoTime() - q0) / 1e9 }
+      try { fn(spark, dir).count(); (System.nanoTime() - q0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}"); -1.0 }
     }
 
-    // cold pass (codegen compile) then warm MIN-OF-2 per scale — the
+    // cold pass (codegen compile) then warm MIN-OF-N per scale — the
     // shared box shows 2-6x contention spikes between runs (the same
     // lesson Bench learned in round 7), and a factor computed from one
     // noisy side reads as a scale regression that doesn't exist
     val warmPasses =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", "2").toInt.max(1)
-    def warmMin(name: String, dir: String): Double = {
-      val ts = (1 to warmPasses).map(_ => timed(name, dir)).filter(_ >= 0)
+    def warmMin(name: String, fn: (SparkSession, String) => DataFrame,
+                dir: String): Double = {
+      val ts = (1 to warmPasses).map(_ => timed(name, fn, dir)).filter(_ >= 0)
       if (ts.isEmpty) -1.0 else ts.min
     }
-    val rows = panel.map { name =>
-      timed(name, smallDir)
-      val small = warmMin(name, smallDir)
-      timed(name, bigDir)
-      val big = warmMin(name, bigDir)
-      val factor = if (small > 0 && big > 0) big / small else -1.0
-      System.err.println(f"[scale] $name%-28s small=$small%8.2fs big=$big%8.2fs x=$factor%6.2f")
-      (name, small, big, factor)
+
+    // phase 1: EVERY query at the small scale (cold discarded, warm kept)
+    val small = registry.map { case (name, fn) =>
+      timed(name, fn, smallDir)
+      name -> warmMin(name, fn, smallDir)
+    }.toMap
+
+    // phase 2: the 10x panel = explicit families + everything slow + the
+    // forced code-path extras. Fast-and-not-listed queries stay small-only
+    // in the artifact (their absence from the 10x set is itself recorded).
+    val bigSet = registry.collect {
+      case (name, _) if Panel.contains(name) || Extras.contains(name) ||
+        small.getOrElse(name, -1.0) > SlowCutoffSec => name
+    }.toSet
+    val rows = registry.filter(r => bigSet(r._1)).map { case (name, fn) =>
+      timed(name, fn, bigDir)
+      val big = warmMin(name, fn, bigDir)
+      val s = small(name)
+      val factor = if (s > 0 && big > 0) big / s else -1.0
+      System.err.println(
+        f"[scale] $name%-32s small=$s%8.2fs big=$big%8.2fs x=$factor%6.2f")
+      (name, s, big, factor)
     }
+    val violations = gateViolations(rows.map(r => (r._1, r._4)))
+    violations.foreach(n =>
+      System.err.println(s"[scale] GATE VIOLATION: $n exceeds " +
+        s"$GateThreshold x with no notes justification"))
 
     def facts(dir: String): String = replicated.toSeq.sorted.map { t =>
       s""""$t":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
     }.mkString("{", ",", "}")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qjson = rows.map { case (n, s, b, f) =>
       f""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100}}"""
     }.mkString("{", ",", "}")
-    // expected shapes, stated in the artifact so a reader grades the
-    // factors against the right bar (details in the scaladoc above)
-    val notes =
-      """"notes":{"linear_bar":"scale_x ~ 10 is linear in rows; < 10 is sublinear (fixed overhead amortizing)",
-        |"dedup_char_jaccard_pairs":"exact all-pairs jaccard on a FIXED-vocabulary corpus is the adversarial case (posting lists grow with the corpus). Round 8 measured it at 56x for 10x docs, then fixed it: length-bucketed prefix join keys + a measured-vocabulary bitmap verify (popcount(AND) per candidate instead of a posting-expansion join) brought it to ~5x. The unbounded-vocab posting path remains the default above the bitmap cap",
-        |"dedup_clusters_chain":"pointer-jump rounds grow O(log d) with the chain; the factor reflects per-round linear cost x log-rounds",
-        |"sim_knn_join":"fixed band width is the adversarial case kept for contrast: per-band bucket population grows with the corpus, so candidates grow superlinearly (measured ~19x at 10x rows). sim_knn_join_auto sizes p = ceil(log2(n/8)) from the corpus count, holding bucket population flat — same query measures ~2x, identical rows at oracle scales",
-        |"sim_ivf_topk_sampled":"training slice + probe both bounded; near-flat by design",
-        |"mm_video_frames":"decode-bound mapPartitions; flat per-row",
-        |"dedup_edit_pairs":"the skewed fixture's near-identical tier grows linearly, so the CORRECT output clique grows quadratically (12.5M pairs at 10x vs 125k) - ~15x wall for ~100x output is sublinear per emitted pair; the native bounded_levenshtein (prefix/suffix strip + Ukkonen band) keeps each verify near-constant",
-        |"dedup_containment":"round 8 measured the 1-match SSJoin prefix at 57x on this hot-vocabulary corpus (no doc has a rare gram: 22M candidates, 1.4e9-row verify), then widened it to the pigeonhole gate - >= m+1 matches of the rarest 2m+1 probe grams before any verify - cutting candidates 256x and the verify 1750x; remaining factor tracks the quadratically-growing true output (505 pairs from duplicate families)",
-        |"sketch_corpus_overlap":"gram-volume linear: one scan+shingle, a gram-hash aggregate, a k-row TakeOrderedAndProject; the sketch itself is constant-size at any corpus",
-        |"corpus_interleave":"per-source rank windows only, no global sort; near-flat (fixed overhead dominates at these sizes)",
-        |"mm_image_dhash":"decode-bound mapPartitions like the other image ops; flat per-row",
-        |"dedup_boilerplate":"paragraph-window + per-doc reassembly, both keyed exchanges; sublinear (overhead amortizing)",
-        |"cdc_merge_apply":"one changeset scan + latest-per-key squash + full-outer apply; sublinear because the summary agg and squash amortize fixed costs",
-        |"text_bpe_merges":"near-flat: the corpus pass is one tokenize+groupBy; every merge round runs on the vocabulary-bounded word table, which grows ~Heaps-law sublinearly",
-        |"text_novelty":"gram-volume linear: one scan + window-count over the gram partition + per-doc agg; only 8-byte gram hashes shuffle",
-        |"corpus_incremental_curation":"three fp/hash-keyed wide ops (diff join, v1 anti-join, keep-min); text never leaves the scan"}""".stripMargin.replace("\n", " ")
+    val smallOnly = small.toSeq.sortBy(_._1).filterNot(kv => bigSet(kv._1))
+      .map { case (n, s) => s""""$n":${math.rint(s * 1000) / 1000}""" }
+      .mkString("{", ",", "}")
+    val notesJson = notes.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"${esc(v)}"""" }.mkString("{", ",", "}")
     val json =
       s"""{"factor":$Factor,"sf_small":"$smallDir","sf_big":"$bigDir",
          |"synth_sec":${math.rint(synthSec * 10) / 10},
+         |"slow_cutoff_s":$SlowCutoffSec,"gate_threshold_x":$GateThreshold,
+         |"gate_violations":${violations.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},
          |"rows_small":${facts(smallDir)},"rows_big":${facts(bigDir)},
-         |$notes,
+         |"notes":$notesJson,
+         |"small_only_warm_s":$smallOnly,
          |"queries":$qjson}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")),

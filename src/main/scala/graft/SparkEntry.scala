@@ -426,14 +426,15 @@ object SparkEntry {
     // centroids and unioned with yesterday's lists — append == rebuild
     "sim_ivf_incremental" -> q((s, d) => Similarity.ivfIncrementalTopK(s, d, 0L, 20, 16, 4)),
     // approximate kNN SELF-join: every vector's top-3 neighbours from
-    // banded-SRP candidates, exact-cosine ranked per vector
-    "sim_knn_join" -> q((s, d) => Similarity.knnJoin(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
-    // corpus-size-adaptive band width: p = ceil(log2(n/8)) keeps per-band
-    // bucket population flat as the corpus grows (ScaleBench measures the
-    // fixed variant superlinear at 10x). At the oracle scales (n <= 2048)
-    // the adaptive width resolves to the same p = 8, so the fixed-parameter
-    // SQL is the exact oracle for this entry too.
-    "sim_knn_join_auto" -> q((s, d) => Similarity.knnJoinAuto(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
+    // banded-SRP candidates, exact-cosine ranked per vector. The band
+    // width is corpus-size-ADAPTIVE: p = max(8, ceil(log2(n/8))) keeps
+    // per-band bucket population flat as the corpus grows (round 8's
+    // ScaleBench measured the fixed-width form 21x superlinear at 10x
+    // rows; adaptive measures ~2x). At the oracle scales (n <= 2048) the
+    // adaptive width floors to p = 8, so the fixed-parameter SQL below is
+    // the exact oracle. The fixed-width form stays spec-level only
+    // (DedupSimilaritySpec) as the contrast case.
+    "sim_knn_join" -> q((s, d) => Similarity.knnJoinAuto(Tables.load(s, d, "embeddings"), 3, 8, 8, 64)),
     // PRODUCT QUANTIZATION: 16 subspace codebooks (16 codewords each,
     // trained by the shared integer Lloyd), 16-byte codes per vector
     // (16x compression), ADC scoring = m table lookups per vector
@@ -763,7 +764,6 @@ object SparkEntry {
     "sim_ivf_topk_sampled" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64, 2, 4),
     "sim_ivf_incremental" -> OracleSqlGen.ivfTopKSql(0L, 20, 16, 4, 64),
     "sim_knn_join" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
-    "sim_knn_join_auto" -> OracleSqlGen.knnJoinSql(3, 8, 8, 64),
     "sim_topk_pq" -> OracleSqlGen.pqTopKSql(0L, 20, 16, 16, 2, 64),
     "sim_ivfpq_topk" -> OracleSqlGen.ivfPqTopKSql(0L, 20, 16, 4, 16, 16, 2, 64),
     "corpus_semdedup" -> OracleSqlGen.semDedupSql(16, 2, 64, 0.4),

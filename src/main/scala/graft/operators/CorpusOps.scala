@@ -228,9 +228,10 @@ object CorpusOps {
     val tag = java.lang.Long.toHexString(
       graft.functions.DetHash.base60(dir) & 0xffffffffL)
     val path = s"${graft.Tables.persistedTableRoot(spark)}/graft_smallfiles_$tag"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path's own scheme, not the default FS —
+    // on a cluster the persisted root may be s3a:// while default is hdfs://
     val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
       graft.Tables.load(spark, dir, "documents")
         .repartition(64).write.mode("overwrite").parquet(path)
@@ -263,9 +264,10 @@ object CorpusOps {
                  targetBytes: Long): org.apache.spark.sql.DataFrame =
     CorpusOps.synchronized {
       require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val files = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      val inHPath = new org.apache.hadoop.fs.Path(inPath)
+      // path-scheme-derived FS (s3a://, hdfs://, file://), never default FS
+      val fs = inHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(inHPath)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       require(files.nonEmpty, s"no parquet files to compact under $inPath")
       val total = files.map(_.getLen).sum

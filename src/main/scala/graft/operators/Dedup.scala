@@ -453,7 +453,15 @@ object Dedup {
       .repartition(col("doc_id"))
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val m = col("sz") - ceil(lit(threshold) * col("sz"))
+    // ceil(threshold·sz) in INTEGER arithmetic: threshold as the rational
+    // num/10⁶, so ceil = (num·sz + den−1) div den. A float ceil(0.9·sz)
+    // can round UP at exactly-integer products (0.9·10 → 9.0000000000002
+    // → ceil 10), shrinking the pigeonhole slack m below the guarantee
+    // and dropping a true pair the exact verify would keep. num·sz stays
+    // < 2⁵³ for any real gram count, so the double divide is exact.
+    val den = 1000000L
+    val num = math.round(threshold * den)
+    val m = col("sz") - floor((lit(num) * col("sz") + lit(den - 1)) / lit(den))
     val probeLen = least(col("sz"), lit(2) * m + 1)
     val ranked = grams.join(df, "g")
       .withColumn("rn", row_number().over(w.orderBy(col("df"), col("g"))))

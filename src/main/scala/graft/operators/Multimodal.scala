@@ -33,6 +33,24 @@ object Multimodal {
 
   val kinds = Seq("image", "audio", "video")
 
+  /** ImageIO.read with ALL decode failures contained (null on failure):
+    * codec plugins throw more than IOException on malformed bytes —
+    * IllegalArgumentException, IndexOutOfBounds from truncated headers —
+    * and a poisoned asset must SKIP, never fail the whole job.
+    */
+  private[operators] def readImageOrNull(bytes: Array[Byte], off: Int = 0,
+      len: Int = -1): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      bytes, off, if (len < 0) bytes.length - off else len))
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  /** AudioSystem stream open with the same NonFatal containment. */
+  private[operators] def audioStreamOrNull(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   /** Deterministic fake asset corpus derived from the documents table:
     * payload = UTF-8 text bytes, kind/meta md5-derived from asset_id. Keeps
     * every downstream result oracle-checkable (TESTDATA ships no binary
@@ -87,9 +105,7 @@ object Multimodal {
     */
   private def decodeOneImage(assetId: Long, kind: String,
                              content: Array[Byte]): Option[AssetFeatures] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
+    val img = readImageOrNull(content)
     if (img == null) None
     else {
       val digest = {
@@ -281,9 +297,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.flatMap { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+          val img = readImageOrNull(bytes)
           if (img == null) None
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -331,9 +345,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.flatMap { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+          val img = readImageOrNull(bytes)
           if (img == null) None
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -467,13 +479,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.flatMap { case (id, bytes) =>
-          val ais =
-            try javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => null
-              case _: java.io.IOException => null
-            }
+          val ais = audioStreamOrNull(bytes)
           if (ais == null) None
           else {
             val fmt = ais.getFormat
@@ -526,13 +532,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.flatMap { case (id, bytes) =>
-          val ais =
-            try javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => null
-              case _: java.io.IOException => null
-            }
+          val ais = audioStreamOrNull(bytes)
           if (ais == null) None
           else {
             val le = !ais.getFormat.isBigEndian
@@ -672,9 +672,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.flatMap { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+          val img = readImageOrNull(bytes)
           if (img == null) None
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -834,7 +832,7 @@ private[graft] object Avi {
         walk(12, math.min(bytes.length, 8 + bb.getInt(4).toLong).toInt)
         if (bad) None else info.map(i => (i, frames.result()))
       }
-    } catch { case _: RuntimeException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode one frame payload → (width, height, rSum, gSum, bSum).
     * BI_RGB unpacks the DIB in place (bottom-up rows, 4-byte stride
@@ -864,10 +862,7 @@ private[graft] object Avi {
         Some((w, h, rs, gs, bs))
       }
     } else {
-      val img =
-        try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes, off, len))
-        catch { case _: java.io.IOException => null }
+      val img = Multimodal.readImageOrNull(bytes, off, len)
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)

@@ -609,8 +609,14 @@ object Relational {
     */
   def flagAnomalies(quantized: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     val dev = col("n") * col("vq").cast("decimal(38,0)") - col("s")
-    quantized.join(broadcast(stats), Seq("event_type"))
-      .filter(dev * dev > lit(k * k) * (col("n") * col("q2") - col("s") * col("s")))
+    // LEFT join against the baseline: an event_type absent from the
+    // trained stats must not vanish silently — an unscorable group IS an
+    // anomaly (the monitor has never seen it). Null stats pass the flag.
+    // Batch callers derive stats from the same frame, so every group
+    // matches and the left join is behaviorally an inner join there.
+    quantized.join(broadcast(stats), Seq("event_type"), "left")
+      .filter(col("n").isNull ||
+        dev * dev > lit(k * k) * (col("n") * col("q2") - col("s") * col("s")))
   }
 
   // ------------------------------------------------- bloom-filtered join

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ScaleBench superlinear GATE as an enforced invariant: a measured
+  * scale factor above [[ScaleBench.GateThreshold]] must carry a
+  * justification in [[ScaleBench.notes]] (output-volume growth,
+  * adversarial contrast fixture, O(log d) round structure...). Round 8
+  * proved empirical 10× timing is the only mechanism that actually
+  * catches 100×-scale collapses (56×/57×/21×, all green on plan-shape
+  * audits) — this spec makes the discipline self-enforcing: the panel
+  * can't drift out of the registry, the gate logic can't rot, and a
+  * committed BENCH_SCALE.json with unexplained superlinear rows fails
+  * the build.
+  */
+class ScaleGateSpec extends AnyFunSuite {
+
+  test("every explicit panel name is a registered query") {
+    val known = SparkEntry.queries.keySet ++ ScaleBench.Extras.keySet
+    val missing = ScaleBench.Panel.filterNot(known)
+    assert(missing.isEmpty, s"panel names not in the registry: $missing")
+  }
+
+  test("every extras probe has a notes justification (superlinear by construction)") {
+    val unnoted = ScaleBench.Extras.keySet.filterNot(ScaleBench.notes.contains)
+    assert(unnoted.isEmpty, s"extras without notes: $unnoted")
+  }
+
+  test("gate flags unexplained superlinear factors and only those") {
+    val probe = Seq(
+      ("q1_pricing_summary", 9.8), // under threshold: never flagged
+      ("dedup_edit_pairs", 14.9), // over threshold, noted: allowed
+      ("totally_new_op", 13.1), // over threshold, unnoted: violation
+      ("failed_row", -1.0)) // failed run reports -1: not a gate hit
+    assert(ScaleBench.gateViolations(probe) == Seq("totally_new_op"))
+  }
+
+  test("boundary: exactly the threshold passes, epsilon above without notes fails") {
+    val t = ScaleBench.GateThreshold
+    assert(ScaleBench.gateViolations(Seq(("x", t))).isEmpty)
+    assert(ScaleBench.gateViolations(Seq(("x", t + 0.01))) == Seq("x"))
+  }
+
+  test("committed BENCH_SCALE.json (if present) carries no gate violations") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    if (f.exists()) {
+      val json = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      // pre-round-9 artifacts predate the gate field; only a present,
+      // non-empty violations list is a failure
+      val m = """"gate_violations":\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(json)
+      m.foreach { g =>
+        assert(g.group(1).trim.isEmpty,
+          s"BENCH_SCALE.json has unexplained superlinear rows: ${g.group(1)}")
+      }
+    }
+  }
+}
