@@ -96,6 +96,66 @@ object CdcSnapshot {
     } finally { withB.unpersist(); () }
   }
 
+  /** Latest-wins whole-row UPSERT — the schema-agnostic sibling of
+    * [[applyBatch]] for sinks whose change records carry the full new row
+    * (no op codes, no deletes): `batch` has `key`, `seq`, and arbitrary
+    * payload columns; the snapshot at `dir` persists the same columns
+    * (plus the bucket) so late-arriving lower-seq rows lose against what
+    * is already applied. Same bucket-scoped copy-on-write cost model:
+    * only buckets the batch's keys hash into are read or rewritten. The
+    * merge is union + per-key max_by(seq) — one exchange over the touched
+    * slice; replaying a batch re-derives identical rows (seq ties are
+    * between identical rows), so foreachBatch retries are idempotent.
+    * A first call against a missing dir initializes the snapshot.
+    */
+  def applyUpsert(spark: SparkSession, dir: String, batch: DataFrame,
+                  buckets: Int): Unit = {
+    val cols = batch.columns.toSeq
+    require(cols.contains("key") && cols.contains("seq"),
+      s"applyUpsert batch needs key+seq columns, got $cols")
+    val payload = cols.filterNot(c => c == "key" || c == "seq")
+    def squash(rows: DataFrame): DataFrame = rows
+      .groupBy(col("key"))
+      .agg(max_by(struct(("seq" +: payload).map(col): _*), col("seq")).as("r"))
+      .select(col("key") +: ("seq" +: payload).map(f => col(s"r.$f")): _*)
+    val latest = squash(batch)
+      .withColumn("bucket", bucketCol(col("key"), buckets))
+      .persist()
+    try {
+      if (!hasContent(spark, dir)) {
+        latest.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+        return
+      }
+      val touched = latest.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0))
+      if (touched.isEmpty) return
+      val cur = spark.read.parquet(dir)
+        .filter(col("bucket").isin(touched.map(Int.box): _*))
+        .drop("bucket")
+      val merged = squash(cur.unionByName(latest.drop("bucket")))
+        .withColumn("bucket", bucketCol(col("key"), buckets))
+      val prior = spark.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      finally
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    } finally { latest.unpersist(); () }
+  }
+
+  /** Current contents of an [[applyUpsert]] snapshot (payload schema). */
+  def readUpsert(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("bucket")
+
+  /** A snapshot exists once its directory holds committed content — a
+    * bare pre-created empty dir (Files.createTempDirectory) is NOT one.
+    */
+  private[streaming] def hasContent(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
   /** Compact buckets that accumulated more than `maxFiles` parquet files
     * — copy-on-write's operational tax: every applyBatch rewrite of a
     * bucket leaves one file per shuffle partition, and a bucket touched

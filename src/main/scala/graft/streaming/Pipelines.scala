@@ -954,6 +954,111 @@ object Pipelines {
       }
       .start()
 
+  /** The FULL reference-topology analog composed as ONE driven pipeline —
+    * every tier the reference wires through Kafka/Connect/ksqlDB,
+    * end-to-end in a single streaming query (the streaming twin of
+    * `corpus_incremental_curation`):
+    *
+    *   incremental source (graft-jdbc DSv2 or any stream carrying
+    *   `value: binary`) → per-record EVOLVING Avro decode (Confluent
+    *   framing, registry schema-id dispatch; undecodable records to a
+    *   dead-letter sidecar) → curation gates (language-ID + quality +
+    *   fingerprint dedup, in-batch AND against everything already
+    *   ingested) → bucket-scoped copy-on-write CDC snapshot (latest-wins
+    *   upsert by doc_id) + per-batch release-manifest rows.
+    *
+    * Per micro-batch, one source pass (the decoded frame is persisted for
+    * its three consumers), and every output is idempotent under
+    * foreachBatch replay: dead letters and manifest rows overwrite their
+    * own `batch_id=N` directory; the snapshot upsert is a pure
+    * latest-wins merge (re-applying identical rows is a no-op).
+    *
+    * Scale shape: decode + gates are narrow codegen'd projections fused
+    * into the batch scan; the in-batch dedup is one fp-keyed exchange
+    * over the batch (never the corpus); the cross-batch dedup is an
+    * anti-join against a COLUMN-PRUNED scan of the snapshot's `fp`
+    * column (at 100 TB swap in the bucketed fp index of
+    * [[streamingIncrementalIngest]] — same join, indexed build side);
+    * the snapshot write rewrites only the buckets the batch touches
+    * ([[CdcSnapshot.applyUpsert]]); the manifest is a |sources|-row
+    * aggregate. Nothing driver-side but the bounded bucket-id list.
+    *
+    * `records` must carry `value: binary` (Confluent-framed Avro);
+    * `readerSchema` needs `doc_id long, text string, source string,
+    * dt_update long` (epoch ms — the Avro wire primitive for timestamps,
+    * as in [[graft.functions.AvroCodec.customerWireSchema]]); extra
+    * reader fields (e.g. `lang`) ride along and old writer versions
+    * without them decode to null there.
+    */
+  def startReferenceTopology(records: DataFrame,
+                             readerSchema: org.apache.spark.sql.types.StructType,
+                             registry: graft.functions.SchemaRegistryClient,
+                             ids: Seq[Int], outDir: String, checkpoint: String,
+                             buckets: Int = 16, lang: String = "en",
+                             minQuality: Double = 0.7,
+                             queryName: String = "reference_topology",
+                             trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    import graft.operators.{CorpusOps, TextAnalysis}
+    val snapshotDir = s"$outDir/snapshot"
+    records
+      .select(col("value"), graft.functions.AvroCodec.avroDecodeEvolving(
+        col("value"), readerSchema, registry, ids).as("r"))
+      .writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val staged = batch.persist()
+        try {
+          val dead = staged.filter(col("r").isNull).select(col("value"))
+          if (!dead.isEmpty)
+            dead.write.mode("overwrite")
+              .parquet(s"$outDir/dead_letter/batch_id=$batchId")
+          val docs = staged.filter(col("r").isNotNull).select(col("r.*"))
+            .withColumn("dt_update", timestamp_millis(col("dt_update")))
+          // curation gates + IN-BATCH fingerprint dedup (earliest wins)
+          val keep = col("pred_lang") === lang && col("quality") >= minQuality
+          val gated = TextAnalysis.withPredLangAndQuality(docs)
+            .filter(keep)
+            .withColumn("fp",
+              graft.functions.GraftFunctions.fingerprint(col("text")))
+            .drop("pred_lang", "quality")
+          val inBatch = gated
+            .groupBy(col("fp"))
+            .agg(min_by(struct(gated.columns.filter(_ != "fp").map(col): _*),
+              struct(col("dt_update"), col("doc_id"))).as("d"))
+            .select(col("fp") +: gated.columns.filter(_ != "fp")
+              .map(f => col(s"d.$f")): _*)
+          // CROSS-BATCH dedup: drop fingerprints already ingested (the
+          // snapshot stores fp, so this is a column-pruned scan of it)
+          val fresh =
+            if (CdcSnapshot.hasContent(spark, snapshotDir))
+              inBatch.join(
+                CdcSnapshot.readUpsert(spark, snapshotDir).select(col("fp")),
+                Seq("fp"), "left_anti")
+            else inBatch
+          // localCheckpoint, not persist: the upsert OVERWRITES the
+          // snapshot files this frame's anti-join scanned, and Spark's
+          // recacheByPath would silently re-derive a cached plan against
+          // the post-write files — the checkpoint pins the pre-write rows
+          val curated = fresh.localCheckpoint(true)
+          CorpusOps.manifest(curated)
+            .write.mode("overwrite")
+            .parquet(s"$outDir/manifest/batch_id=$batchId")
+          CdcSnapshot.applyUpsert(spark, snapshotDir,
+            curated.select(
+              col("doc_id").as("key"),
+              unix_millis(col("dt_update")).as("seq"),
+              col("doc_id"), col("text"), col("source"),
+              col("dt_update"), col("fp")),
+            buckets)
+        } finally { staged.unpersist(); () }
+      }
+      .start()
+  }
+
   /** S2 against a REGISTRY-BACKED topic where records written under
     * evolving schema versions interleave: each record's framed Confluent
     * schema id routes it to its writer schema, then resolves onto

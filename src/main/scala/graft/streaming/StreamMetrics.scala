@@ -153,10 +153,44 @@ object StreamMetrics {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
         .start()
+      // third topology: the composed reference-topology analog
+      // ([[Pipelines.startReferenceTopology]]) — evolving Avro decode →
+      // curation gates → CDC COW snapshot + manifest — driven from the
+      // rate source through a REAL Avro encode, so the per-batch rows
+      // here include the whole write path (snapshot merge + manifest),
+      // not just in-memory transforms
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.functions._
+      val docWire = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType),
+        StructField("dt_update", LongType)))
+      val reader = docWire.add(StructField("lang", StringType))
+      val registry = graft.functions.StaticRegistry(Map(7 -> docWire))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("sm_reftopo").toString
+      val docs = spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString).load()
+        .select(graft.functions.AvroCodec.avroEncode(
+          struct(
+            col("value").as("doc_id"),
+            concat(repeat(lit("the quick brown fox jumps over the lazy dog "), 8),
+              lit("and this is document "), col("value").cast("string"))
+              .as("text"),
+            concat(lit("src_"), pmod(col("value"), lit(4)).cast("string"))
+              .as("source"),
+            unix_millis(col("timestamp")).as("dt_update")),
+          docWire, Some(7)).as("value"))
+      val q3 = Pipelines.startReferenceTopology(
+        docs, reader, registry, Seq(7), tmp, s"$tmp/ckpt",
+        buckets = 8, queryName = "sm_reference_topology",
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("500 milliseconds"))
       Thread.sleep(runMs)
-      q1.stop(); q2.stop()
+      q1.stop(); q2.stop(); q3.stop()
       listener.awaitBatches("sm_jovens", 2)
       listener.awaitBatches("sm_idadecont", 2)
+      listener.awaitBatches("sm_reference_topology", 1)
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         listener.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()

@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{AvroCodec, StaticRegistry}
+import graft.sources.{GraftJdbcStream, SnapshotChunkSource}
+import graft.streaming.{CdcSnapshot, Pipelines}
+
+/** The composed reference-topology analog, end to end from ONE driven
+  * query ([[graft.streaming.Pipelines.startReferenceTopology]]): the
+  * incremental `graft-jdbc` DSv2 source feeds Confluent-framed Avro
+  * records written under TWO interleaved writer-schema versions; the
+  * topology registry-dispatches the decode, dead-letters the malformed
+  * record, applies the curation gates (language, quality, in-batch AND
+  * cross-batch fingerprint dedup), maintains the bucket-scoped
+  * copy-on-write snapshot, and emits per-batch release-manifest rows —
+  * all asserted from the one topology's outputs. This is the streaming
+  * twin of the batch `corpus_incremental_curation` query.
+  */
+class ReferenceTopologySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wireV1 = StructType(Seq( // early writer: no lang column
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("source", StringType), StructField("dt_update", LongType)))
+  private val wireV2 = wireV1.add(StructField("lang", StringType))
+  private val reader = wireV2
+  private val registry = StaticRegistry(Map(1 -> wireV1, 2 -> wireV2))
+
+  private val goodEn = ("the cat and the dog sat on a mat of straw " * 12).trim
+  private val otherEn = ("a bird and the fish swim to the old red barn " * 12).trim
+  private val updatedEn = ("the small black cat now sits by the warm fire " * 12).trim
+  private val thirdEn = ("you can see the green hill past the long river " * 12).trim
+  private val german = ("der hund und die katze ist nicht ein zu mit auf " * 12).trim
+  private val junk = "!!! ??? !! ?"
+
+  /** Confluent-framed Avro bytes for one doc row under schema `id`. */
+  private def enc(id: Int, docId: Long, text: String, source: String,
+                  ms: Long, lang: Option[String]): Array[Byte] = {
+    val (schema, row) = lang match {
+      case Some(l) => (wireV2, Seq((docId, text, source, ms, l))
+        .toDF("doc_id", "text", "source", "dt_update", "lang"))
+      case None => (wireV1, Seq((docId, text, source, ms))
+        .toDF("doc_id", "text", "source", "dt_update"))
+    }
+    row.select(AvroCodec.avroEncode(
+        struct(row.columns.map(col): _*), schema, Some(id)).as("v"))
+      .as[Array[Byte]].head()
+  }
+
+  test("jdbc → evolving avro → curation → CDC snapshot + manifest, one topology") {
+    def rec(bytes: Array[Byte], ms: Long) = (bytes, new Timestamp(ms))
+    val phase1 = Seq(
+      rec(enc(2, 1L, goodEn, "web", 1000L, Some("en")), 1000L), // survives
+      rec(enc(2, 2L, goodEn, "web", 2000L, Some("en")), 2000L), // in-batch dup
+      rec(enc(2, 3L, german, "web", 3000L, Some("de")), 3000L), // lang gate
+      rec(enc(2, 4L, junk, "web", 4000L, Some("en")), 4000L), // quality gate
+      rec(enc(1, 5L, otherEn, "api", 5000L, None), 5000L), // v1 writer, survives
+      rec(Array[Byte](0, 0, 0, 0, 99, 12, 34), 5500L)) // unknown id → dead letter
+    val phase2 = Seq(
+      rec(enc(2, 1L, updatedEn, "web", 10000L, Some("en")), 10000L), // update doc 1
+      rec(enc(2, 6L, goodEn, "web", 11000L, Some("en")), 11000L), // cross-batch dup
+      rec(enc(1, 7L, thirdEn, "api", 12000L, None), 12000L)) // new, survives
+
+    @volatile var feed = phase1
+    GraftJdbcStream.registry.put("spec_ref_topology",
+      new SnapshotChunkSource(() => feed.toDF("value", "dt_update")))
+    val out = java.nio.file.Files.createTempDirectory("graft_reftopo").toString
+    val q = Pipelines.startReferenceTopology(
+      spark.readStream.format("graft-jdbc")
+        .option("sourceHandle", "spec_ref_topology").load(),
+      reader, registry, Seq(1, 2), out,
+      java.nio.file.Files.createTempDirectory("graft_reftopo_ckpt").toString,
+      buckets = 8, queryName = "spec_ref_topology_q")
+    try {
+      q.processAllAvailable()
+      // phase 1 applied: the two survivors, v1 record's lang resolved null
+      val s1 = CdcSnapshot.readUpsert(spark, s"$out/snapshot")
+        .select($"doc_id", $"text", $"source").as[(Long, String, String)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(s1.keySet == Set(1L, 5L), s"phase-1 snapshot keys: ${s1.keySet}")
+      assert(s1(1L) == ((goodEn, "web")) && s1(5L) == ((otherEn, "api")))
+      feed = feed ++ phase2
+      q.processAllAvailable()
+      val s2 = CdcSnapshot.readUpsert(spark, s"$out/snapshot")
+        .select($"doc_id", $"text", $"source").as[(Long, String, String)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(s2.keySet == Set(1L, 5L, 7L), s"phase-2 snapshot keys: ${s2.keySet}")
+      assert(s2(1L) == ((updatedEn, "web")), "doc 1 update not applied")
+      assert(s2(7L) == ((thirdEn, "api")))
+    } finally q.stop()
+
+    // dead letter: exactly the malformed record, byte-identical
+    val dead = spark.read.parquet(s"$out/dead_letter")
+      .select($"value").as[Array[Byte]].collect()
+    assert(dead.length == 1 &&
+      dead.head.sameElements(Array[Byte](0, 0, 0, 0, 99, 12, 34)),
+      s"dead letter contents: ${dead.map(_.toSeq).toSeq}")
+
+    // manifest: per-batch release rows aggregate to the manifest of ALL
+    // released rows (doc 1 was released twice — original then update —
+    // so the ingest manifest counts both versions; counts/sums add, the
+    // content checksum xor-folds)
+    val released = Seq(
+      (1L, goodEn, "web"), (5L, otherEn, "api"),
+      (1L, updatedEn, "web"), (7L, thirdEn, "api"))
+      .toDF("doc_id", "text", "source")
+    val expected = graft.operators.CorpusOps.manifest(released)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = spark.read.parquet(s"$out/manifest")
+      .groupBy($"source")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        expr("bit_xor(content_xor)").as("content_xor"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"manifest drifted: $got vs $expected")
+  }
+
+  test("applyUpsert: late lower-seq row loses; replay is idempotent; COW bucket-scoped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    def batch(rows: (Long, Long, String)*): DataFrame =
+      rows.toDF("key", "seq", "text")
+    CdcSnapshot.applyUpsert(spark, dir, batch((1L, 10L, "a"), (2L, 10L, "b")), 4)
+    // stale update (seq 5 < 10) must lose; fresh one wins
+    CdcSnapshot.applyUpsert(spark, dir, batch((1L, 5L, "stale"), (2L, 20L, "b2")), 4)
+    val s = CdcSnapshot.readUpsert(spark, dir)
+      .select($"key", $"text").as[(Long, String)].collect().toMap
+    assert(s == Map(1L -> "a", 2L -> "b2"), s"got $s")
+    // replay the same batch: contents unchanged (foreachBatch retry safety)
+    CdcSnapshot.applyUpsert(spark, dir, batch((1L, 5L, "stale"), (2L, 20L, "b2")), 4)
+    assert(CdcSnapshot.readUpsert(spark, dir)
+      .select($"key", $"text").as[(Long, String)].collect().toMap == s)
+    // bucket-scoped: touching one key leaves other buckets' files alone
+    def files(): Map[String, Set[String]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = files()
+    val b1 = spark.range(1).select(CdcSnapshot.bucketCol(lit(1L), 4)).head().getInt(0)
+    val b2 = spark.range(1).select(CdcSnapshot.bucketCol(lit(2L), 4)).head().getInt(0)
+    assume(b1 != b2, "fixture needs the two keys in different buckets")
+    CdcSnapshot.applyUpsert(spark, dir, batch((1L, 30L, "a3")), 4)
+    val after = files()
+    assert(after(s"bucket=$b1") != before(s"bucket=$b1"), "touched bucket not rewritten")
+    assert(after(s"bucket=$b2") == before(s"bucket=$b2"), "untouched bucket rewritten")
+  }
+}
