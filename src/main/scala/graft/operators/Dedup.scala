@@ -945,11 +945,17 @@ object Dedup {
     //    doc once and does 107 AND words per pair. The id dictionary is
     //    a single-partition window over the (already computed) gram-
     //    frequency frame — gated by the cap, so never a scale hazard.
-    //  - Posting count-join (unbounded vocab): expand by a's postings,
-    //    match b's on (b, gram) — no gram ARRAYS move, the widest verify
-    //    row is (doc, doc, gram). Candidates share >= 1 prefix gram, so
-    //    no pair vanishes from the inner join's group-count (empty docs'
-    //    null grams never join: they are not candidates).
+    //  - Gram-array intersect (unbounded vocab): one per-doc gram array
+    //    (collect_list over the SAME exploded grams — one corpus-gram
+    //    exchange, its build reused by both candidate joins), then each
+    //    candidate ships exactly its two docs' arrays and verifies with
+    //    size(array_intersect) — sets are distinct by construction, so
+    //    the count is the exact intersection. This replaced the posting
+    //    count-join in round 9: expanding candidates by one side's
+    //    postings re-shuffled candidate x |A| rows (measured 38x at 10x
+    //    docs on the fixed-vocab corpus vs ~4x for the bitmap branch);
+    //    shipping two doc-sized arrays per near-threshold survivor is
+    //    wire-proportional to the CANDIDATES, not their posting volume.
     val inter =
       if (vocabSize(df) <= BitmapVocabCap) {
         val dict = df.select(col("g"),
@@ -965,12 +971,13 @@ object Dedup {
           .select(col("a"), col("b"), col("sza"), col("szb"),
             graft.functions.BitSetOps.bitAndCount(col("bma"), col("bmb")).as("inter"))
       } else {
-        val pa = grams.select(col("doc_id").as("a"), col("g"))
-        val pb = grams.select(col("doc_id").as("b"), col("g"))
-        candSized.join(pa, "a")
-          .join(pb, Seq("b", "g"))
-          .groupBy(col("a"), col("b"), col("sza"), col("szb"))
-          .agg(count(lit(1)).as("inter"))
+        val arrays = grams.groupBy(col("doc_id"))
+          .agg(collect_list(col("g")).as("gs"))
+        candSized
+          .join(arrays.select(col("doc_id").as("a"), col("gs").as("ga")), "a")
+          .join(arrays.select(col("doc_id").as("b"), col("gs").as("gb")), "b")
+          .select(col("a"), col("b"), col("sza"), col("szb"),
+            size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"))
       }
     inter
       .withColumn("jac", col("inter").cast("double")

@@ -187,7 +187,12 @@ object StreamMetrics {
         trigger = org.apache.spark.sql.streaming.Trigger
           .ProcessingTime("500 milliseconds"))
       Thread.sleep(runMs)
-      q1.stop(); q2.stop(); q3.stop()
+      q1.stop(); q2.stop()
+      // the composed topology's first batch is cold (snapshot init +
+      // codegen, ~2.5 s); run it past the others so the artifact carries
+      // at least one warm batch too
+      Thread.sleep(runMs)
+      q3.stop()
       listener.awaitBatches("sm_jovens", 2)
       listener.awaitBatches("sm_idadecont", 2)
       listener.awaitBatches("sm_reference_topology", 1)

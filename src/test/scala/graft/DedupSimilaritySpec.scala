@@ -636,7 +636,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(routedRecall >= 0.5, s"ivfpq vs pq recall@20=$routedRecall")
   }
 
-  test("jaccard verify strategies agree: bitmap == posting count-join") {
+  test("jaccard verify strategies agree: bitmap == gram-array intersect") {
     // the SAME fixture through both verify shapes must yield identical
     // pairs (the gate only changes the physical plan, never the set)
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
@@ -645,10 +645,10 @@ class DedupSimilaritySpec extends SparkSpec {
       Dedup.BitmapVocabCap = Long.MaxValue // force bitmap
       val viaBitmap = Dedup.charJaccardPairs(docs, 7, 0.9)
         .collect().map(_.toSeq).toSet
-      Dedup.BitmapVocabCap = 0L // force posting count-join
-      val viaPostings = Dedup.charJaccardPairs(docs, 7, 0.9)
+      Dedup.BitmapVocabCap = 0L // force gram-array intersect
+      val viaArrays = Dedup.charJaccardPairs(docs, 7, 0.9)
         .collect().map(_.toSeq).toSet
-      assert(viaBitmap == viaPostings)
+      assert(viaBitmap == viaArrays)
       assert(viaBitmap.nonEmpty, "fixture produced no pairs — vacuous test")
     } finally Dedup.BitmapVocabCap = prior
     // the bitset primitives themselves: per-group OR across partitions,

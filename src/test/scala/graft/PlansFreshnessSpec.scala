@@ -44,7 +44,9 @@ class PlansFreshnessSpec extends AnyFunSuite {
       "z-order rectangle lost static partition pruning")
     // negative: the re-introductions rounds 2-3 explicitly removed
     assert(!plans.contains("array_intersect"),
-      "a jaccard verify regressed to array_intersect (removed in round 3)")
+      "a HEADLINE jaccard verify regressed to per-pair array_intersect — at " +
+        "these under-cap vocabularies the bitmap branch must plan; only the " +
+        "above-cap branch (ScaleBench's forced probe) may ship gram arrays")
     assert(!plans.contains("CartesianProduct"),
       "a pair-generation path degraded to a cartesian product")
   }
