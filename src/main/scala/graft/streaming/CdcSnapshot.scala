@@ -118,6 +118,10 @@ object CdcSnapshot {
       .groupBy(col("key"))
       .agg(max_by(struct(("seq" +: payload).map(col): _*), col("seq")).as("r"))
       .select(col("key") +: ("seq" +: payload).map(f => col(s"r.$f")): _*)
+    // an empty changeset is a no-op — crucially it must NOT initialize a
+    // DATALESS snapshot (a zero-row partitionBy write leaves only
+    // _SUCCESS, and the next batch's read of it cannot infer a schema)
+    if (batch.isEmpty) return
     val latest = squash(batch)
       .withColumn("bucket", bucketCol(col("key"), buckets))
       .persist()
@@ -147,13 +151,17 @@ object CdcSnapshot {
   def readUpsert(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop("bucket")
 
-  /** A snapshot exists once its directory holds committed content — a
-    * bare pre-created empty dir (Files.createTempDirectory) is NOT one.
+  /** A snapshot exists once its directory holds committed DATA — a bare
+    * pre-created empty dir (Files.createTempDirectory) is not one, and
+    * neither is a dataless commit (only `_SUCCESS`/hidden metadata).
     */
   private[streaming] def hasContent(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** Compact buckets that accumulated more than `maxFiles` parquet files

@@ -1011,7 +1011,11 @@ object Pipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val staged = batch.persist()
-        try {
+        // the rate source's immediate trigger (and a quiet topic) produce
+        // empty batches — skip all three writes rather than commit empty
+        // artifacts (no `return`: that would be a non-local return from
+        // the closure)
+        try if (!staged.isEmpty) {
           val dead = staged.filter(col("r").isNull).select(col("value"))
           if (!dead.isEmpty)
             dead.write.mode("overwrite")

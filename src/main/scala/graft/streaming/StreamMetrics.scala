@@ -169,8 +169,13 @@ object StreamMetrics {
       val registry = graft.functions.StaticRegistry(Map(7 -> docWire))
       val tmp = java.nio.file.Files
         .createTempDirectory("sm_reftopo").toString
+      // a tenth of the in-memory pipelines' rate: every micro-batch here
+      // pays real parquet writes (dead letter + manifest + snapshot COW),
+      // and the point is per-batch write-path latency at a sustainable
+      // rate (still 250x the reference's 2 rows/s design load), not
+      // backlog growth that outruns the capture window
       val docs = spark.readStream.format("rate")
-        .option("rowsPerSecond", rowsPerSecond.toString).load()
+        .option("rowsPerSecond", math.max(1, rowsPerSecond / 10).toString).load()
         .select(graft.functions.AvroCodec.avroEncode(
           struct(
             col("value").as("doc_id"),
@@ -188,14 +193,21 @@ object StreamMetrics {
           .ProcessingTime("500 milliseconds"))
       Thread.sleep(runMs)
       q1.stop(); q2.stop()
-      // the composed topology's first batch is cold (snapshot init +
-      // codegen, ~2.5 s); run it past the others so the artifact carries
-      // at least one warm batch too
-      Thread.sleep(runMs)
+      // the composed topology's batch 0 is the rate source's empty
+      // immediate trigger and still pays full codegen + empty writes
+      // (~3-6 s); keep it running until a real cold batch AND a warm
+      // batch are captured (bounded), so the artifact carries the number
+      // that matters — warm per-batch write-path latency
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (listener.batches.count(_.query == "sm_reference_topology") < 3 &&
+          System.nanoTime() < deadline)
+        Thread.sleep(200)
       q3.stop()
       listener.awaitBatches("sm_jovens", 2)
       listener.awaitBatches("sm_idadecont", 2)
-      listener.awaitBatches("sm_reference_topology", 1)
+      // batch 0 is the rate source's empty immediate trigger; wait for a
+      // real warm batch too (events land async after q3.stop())
+      listener.awaitBatches("sm_reference_topology", 2)
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         listener.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
