@@ -120,6 +120,56 @@ class ReferenceTopologySpec extends SparkSpec {
     assert(got == expected, s"manifest drifted: $got vs $expected")
   }
 
+  test("topology restart on its checkpoint: offsets resume, outputs stay exact") {
+    // the operational story at 100 TB: the driving query dies (deploy,
+    // preemption) and a NEW query starts from the same checkpoint — the
+    // source must resume past phase 1's offsets (no re-ingest: cross-batch
+    // dedup would mask re-decode but batch_id dirs would duplicate), and
+    // the snapshot/manifest must end exactly as an uninterrupted run's.
+    def rec(bytes: Array[Byte], ms: Long) = (bytes, new Timestamp(ms))
+    val phase1 = Seq(
+      rec(enc(2, 1L, goodEn, "web", 1000L, Some("en")), 1000L),
+      rec(enc(1, 5L, otherEn, "api", 5000L, None), 5000L))
+    val phase2 = Seq(
+      rec(enc(2, 1L, updatedEn, "web", 10000L, Some("en")), 10000L),
+      rec(enc(1, 7L, thirdEn, "api", 12000L, None), 12000L))
+    @volatile var feed = phase1
+    GraftJdbcStream.registry.put("spec_ref_restart",
+      new SnapshotChunkSource(() => feed.toDF("value", "dt_update")))
+    val out = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ck").toString
+    def start() = Pipelines.startReferenceTopology(
+      spark.readStream.format("graft-jdbc")
+        .option("sourceHandle", "spec_ref_restart").load(),
+      reader, registry, Seq(1, 2), out, ckpt,
+      buckets = 8, queryName = "spec_ref_restart_q")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val batchDirsAfter1 = new java.io.File(s"$out/manifest").list().toSet
+    feed = feed ++ phase2
+    val q2 = start() // NEW query, SAME checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    val s = CdcSnapshot.readUpsert(spark, s"$out/snapshot")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(s == Map(1L -> updatedEn, 5L -> otherEn, 7L -> thirdEn),
+      s"restart diverged: ${s.keySet}")
+    // phase-1 batch dirs untouched, phase-2 landed under NEW batch ids
+    val batchDirsAfter2 = new java.io.File(s"$out/manifest").list().toSet
+    assert(batchDirsAfter1.subsetOf(batchDirsAfter2), "phase-1 manifests lost")
+    assert(batchDirsAfter2.size > batchDirsAfter1.size, "phase 2 not ingested")
+    // manifest totals = all released rows, counted once each
+    val released = Seq((1L, goodEn, "web"), (5L, otherEn, "api"),
+      (1L, updatedEn, "web"), (7L, thirdEn, "api"))
+      .toDF("doc_id", "text", "source")
+    val expected = graft.operators.CorpusOps.manifest(released)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = spark.read.parquet(s"$out/manifest")
+      .groupBy($"source")
+      .agg(sum($"n_docs").as("d"), sum($"n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"manifest double-counted across restart: $got vs $expected")
+  }
+
   test("applyUpsert: late lower-seq row loses; replay is idempotent; COW bucket-scoped") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     def batch(rows: (Long, Long, String)*): DataFrame =
