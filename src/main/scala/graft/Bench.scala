@@ -133,12 +133,25 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] stream micro-bench failed: ${e.getMessage}") }
 
-    // Quiesce and stop Spark BEFORE emitting the headline line. Round 8's
+    // Quiesce and stop Spark BEFORE emitting the result lines. Round 8's
     // driver artifact lost the JSON because asynchronous shutdown ERROR
     // stacktraces (TaskResultGetter RejectedExecutionException) printed
     // after it and pushed it out of the tail capture. Silencing the
-    // loggers and stopping first makes the JSON the true last stdout line.
+    // loggers and stopping first makes the JSON the true last stdout.
+    //
+    // TWO result lines, full first, COMPACT LAST: the driver keeps a
+    // ~2000-char stdout tail and parses the end of it, and at 135
+    // registered queries the full per-query map is ~3.5 kB — a single
+    // full line gets its HEAD (metric/value) truncated out of the tail,
+    // which is why every prior round's harvested bench artifact parsed
+    // null. The last line now carries the headline numbers alone (~200
+    // chars, always inside the tail); the full map precedes it for log
+    // readers and lands in BENCH_HEADLINE.json + BENCH_DETAIL.json.
     val headline = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(seq, ms)},"seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},"headline":"warm min-of-3 (passes in BENCH_DETAIL.json)","sf":"$sfDir"}"""
+    // schema-true subset: the 25 slowest warm queries (all-float values,
+    // ~900 chars) so any consumer iterating `queries` sees real numbers
+    val slowest = seq.sortBy(-_._2).take(25).sortBy(_._1)
+    val compact = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(slowest, ms)},"n_queries":${seq.size},"queries_note":"${slowest.size} slowest of ${seq.size}; full map in BENCH_DETAIL.json","seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_HEADLINE.json"), headline.getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -147,6 +160,7 @@ object Bench {
       spark.stop()
     } catch { case _: Throwable => () }
     println(headline)
+    println(compact)
     System.out.flush()
   }
 }
