@@ -179,6 +179,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)), "jaccard should NOT flag the quote pair")
   }
 
+  test("containment boundary: exact-integer threshold·sz keeps the true pair") {
+    // the round-9 advisory fix, pinned: with threshold = 0.9 and sz = 10
+    // grams, IEEE 0.9·10 = 9.000000000000002, so a float ceil reads 10
+    // and shrinks the pigeonhole slack m to 0 — the probe then tests ONLY
+    // the rarest gram, and when that is the contained doc's unique gram
+    // (df = 1 beats every shared gram's df = 2) the probe misses and the
+    // TRUE pair at exactly containment = 0.9 vanishes. Integer ceil
+    // ((num·sz + den−1) div den) keeps m = 1 and the pair survives.
+    val ws = (1 to 12).map(i => s"w$i")
+    val a = ws.mkString(" ") // 10 3-grams
+    val b = (ws.take(11) :+ "zz").mkString(" ") // shares exactly 9 of them
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, 3, 0.9)
+      .select($"a", $"b", $"containment").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 0.9), (2L, 1L, 0.9)),
+      s"boundary pair lost or drifted: $got")
+  }
+
   test("edit-distance pairs: LSH-gated exact levenshtein verify") {
     val base = ("the quick brown fox jumps over the lazy dog " * 5).trim
     val docs = Seq(
