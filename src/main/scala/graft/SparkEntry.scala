@@ -287,6 +287,21 @@ object SparkEntry {
     "cdc_merge_apply" -> q((s, d) => Relational.cdcMergeApply(
       Tables.load(s, d, "orders"),
       Relational.cdcChangeset(Tables.load(s, d, "orders")))),
+    // whole-row latest-wins UPSERT (the merge inside the streaming COW
+    // snapshot sink, CdcSnapshot.applyUpsert, exposed as its pure batch
+    // face): customers seed the snapshot at seq 0, each order is an
+    // upsert of its customer's price keyed by orderkey-as-seq — per key
+    // the highest-seq row wins, order-independent (max_by on unique seq)
+    "cdc_upsert_latest" -> q((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      graft.streaming.CdcSnapshot.upsertResult(
+        Tables.load(s, d, "customer").select(
+          col("c_custkey").as("key"), lit(0L).as("seq"),
+          col("c_acctbal").as("price")),
+        Tables.load(s, d, "orders").select(
+          col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+          col("o_totalprice").as("price")))
+    }),
     // the COMPOSED batch assembly chain in one plan: curate (fused
     // scoring + dedup keep-one, quality carried through) → per-source
     // quota (rank-limit pushdown) → split label; two exchanges total
@@ -717,6 +732,15 @@ object SparkEntry {
     "corpus_weighted_sample" -> OracleSqlGen.weightedSampleSql(100),
     "corpus_incremental_curation" -> OracleSqlGen.incrementalCurationSql,
     "cdc_merge_apply" -> OracleSqlGen.cdcMergeSql,
+    "cdc_upsert_latest" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+                 o_totalprice AS price FROM orders),
+              l AS (SELECT key, max(seq) AS seq,
+                 arg_max(price, seq) AS price FROM ch GROUP BY key)
+         SELECT c.c_custkey AS key,
+                CAST(coalesce(l.seq, 0) AS BIGINT) AS seq,
+                coalesce(l.price, c.c_acctbal) AS price
+         FROM customer c LEFT JOIN l ON c.c_custkey = l.key""",
     "text_bpe_merges" -> OracleSqlGen.bpeMergesSql(10),
     "text_bpe_token_counts" -> OracleSqlGen.bpeSegmentCountsSql(10),
     "text_novelty" -> OracleSqlGen.noveltySql(8),

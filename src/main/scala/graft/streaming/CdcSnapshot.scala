@@ -96,6 +96,24 @@ object CdcSnapshot {
     } finally { withB.unpersist(); () }
   }
 
+  /** The PURE latest-wins upsert merge shared by [[applyUpsert]] and the
+    * oracle-checked batch query (`cdc_upsert_latest`): rows carry `key`,
+    * `seq`, and arbitrary payload columns; per key the highest-seq row
+    * wins across both inputs (`snapshot` rows carry their applied seq, so
+    * a late lower-seq change loses). One union + one keyed aggregate —
+    * group-bounded on the wire, map-side combine, no join.
+    */
+  def upsertResult(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    require(cols.contains("key") && cols.contains("seq"),
+      s"upsert inputs need key+seq columns, got $cols")
+    val payload = cols.filterNot(c => c == "key" || c == "seq")
+    snapshot.unionByName(changes.select(cols.map(col): _*))
+      .groupBy(col("key"))
+      .agg(max_by(struct(("seq" +: payload).map(col): _*), col("seq")).as("r"))
+      .select(col("key") +: ("seq" +: payload).map(f => col(s"r.$f")): _*)
+  }
+
   /** Latest-wins whole-row UPSERT — the schema-agnostic sibling of
     * [[applyBatch]] for sinks whose change records carry the full new row
     * (no op codes, no deletes): `batch` has `key`, `seq`, and arbitrary
@@ -136,7 +154,7 @@ object CdcSnapshot {
       val cur = spark.read.parquet(dir)
         .filter(col("bucket").isin(touched.map(Int.box): _*))
         .drop("bucket")
-      val merged = squash(cur.unionByName(latest.drop("bucket")))
+      val merged = upsertResult(cur, latest.drop("bucket"))
         .withColumn("bucket", bucketCol(col("key"), buckets))
       val prior = spark.conf
         .get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -170,6 +170,22 @@ class ReferenceTopologySpec extends SparkSpec {
     assert(got == expected, s"manifest double-counted across restart: $got vs $expected")
   }
 
+  test("applyUpsert disk face equals the pure upsertResult merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_pure").toString
+    val init = Seq((1L, 0L, "a"), (2L, 0L, "b"), (9L, 0L, "z"))
+      .toDF("key", "seq", "text")
+    val b1 = Seq((1L, 5L, "a1"), (3L, 2L, "c")).toDF("key", "seq", "text")
+    val b2 = Seq((1L, 3L, "stale"), (2L, 9L, "b2")).toDF("key", "seq", "text")
+    CdcSnapshot.applyUpsert(spark, dir, init, 4)
+    CdcSnapshot.applyUpsert(spark, dir, b1, 4)
+    CdcSnapshot.applyUpsert(spark, dir, b2, 4)
+    val disk = CdcSnapshot.readUpsert(spark, dir)
+      .select($"key", $"seq", $"text").collect().map(_.toSeq).toSet
+    val pure = CdcSnapshot.upsertResult(CdcSnapshot.upsertResult(init, b1), b2)
+      .collect().map(_.toSeq).toSet
+    assert(disk == pure && pure.size == 4, s"disk=$disk pure=$pure")
+  }
+
   test("applyUpsert: late lower-seq row loses; replay is idempotent; COW bucket-scoped") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     def batch(rows: (Long, Long, String)*): DataFrame =
