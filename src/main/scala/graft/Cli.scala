@@ -23,6 +23,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Cli {
 
+  /** Index of the first statement-terminating ';' in `s` — one outside
+    * any single-quoted literal, double-quoted string, or backtick-quoted
+    * identifier — or -1. SQL's '' escape inside a literal is just two
+    * adjacent literals to this scan, so it falls out correctly. A raw
+    * indexOf split `select ';' as x;` mid-literal into two garbage
+    * fragments; an unterminated quote keeps accumulating lines, exactly
+    * like a real SQL shell waiting for the closing quote.
+    */
+  private[graft] def terminatorIndex(s: CharSequence): Int = {
+    var i = 0
+    var quote: Char = 0 // 0 = outside any quoted region
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if (c == ';') return i
+      i += 1
+    }
+    -1
+  }
+
   /** Statement loop, factored for tests: consumes `in` until EOF or
     * `exit;`/`quit;`, writes results/errors to `out`, returns the
     * number of successfully executed statements.
@@ -37,8 +58,8 @@ object Cli {
       buf.append(line).append('\n')
       // execute every complete statement accumulated so far (a line may
       // carry several, or a statement may span many lines)
-      while (buf.indexOf(";") >= 0) {
-        val cut = buf.indexOf(";")
+      while (terminatorIndex(buf) >= 0) {
+        val cut = terminatorIndex(buf)
         val stmt = buf.substring(0, cut + 1).trim
         buf.delete(0, cut + 1)
         if (stmt.stripSuffix(";").trim.toLowerCase.matches("exit|quit")) {

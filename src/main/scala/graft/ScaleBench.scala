@@ -83,7 +83,9 @@ object ScaleBench {
     "cdc_merge_apply", "corpus_snapshot_diff", "corpus_weighted_sample",
     "corpus_filter_funnel", "text_bpe_merges", "text_novelty",
     "corpus_incremental_curation",
-    "dedup_edit_pairs", "dedup_boilerplate", "text_tfidf_keywords",
+    "dedup_edit_pairs", "dedup_semantic_pairs",
+    "dedup_semantic_clusters", "dedup_edit_clusters",
+    "dedup_boilerplate", "text_tfidf_keywords",
     "sketch_corpus_overlap", "events_anomalies",
     "dedup_containment", "corpus_interleave", "mm_image_dhash")
 
@@ -160,6 +162,18 @@ object ScaleBench {
       case (name, factor) if factor > GateThreshold && !notes.contains(name) =>
         name
     }
+
+  /** Queries measured on the 10× panel whose factor is -1 — i.e. a run
+    * FAILED at one of the scales. A query that works at sf0.1 but
+    * crashes at 10× is the worst scale outcome, and `timed`'s -1
+    * sentinel used to sail under the gate (it isn't "> threshold").
+    * Surfaced as its own artifact field, re-probed like gate suspects
+    * (a transient flake gets one independent retry; a real crash
+    * reproduces), and enforced by ScaleGateSpec — never allowlisted by
+    * [[notes]].
+    */
+  def failedAtScale(rows: Seq[(String, Double)]): Seq[String] =
+    rows.collect { case (name, factor) if factor < 0 => name }
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     import spark.implicits._
@@ -308,7 +322,9 @@ object ScaleBench {
     // probes — so only factors that survive independent measurement
     // reach the gate. Re-probed rows are flagged in the artifact.
     val fnOf = registry.toMap
-    val suspect = gateViolations(firstPass.map(r => (r._1, r._4))).toSet
+    val firstFactors = firstPass.map(r => (r._1, r._4))
+    val suspect =
+      (gateViolations(firstFactors) ++ failedAtScale(firstFactors)).toSet
     val rows = firstPass.map { case row @ (name, s, b, _) =>
       if (!suspect(name)) (row, false)
       else {
@@ -325,10 +341,15 @@ object ScaleBench {
         ((name, sMin, bMin, f2), true)
       }
     }
-    val violations = gateViolations(rows.map { case ((n, _, _, f), _) => (n, f) })
+    val finalFactors = rows.map { case ((n, _, _, f), _) => (n, f) }
+    val violations = gateViolations(finalFactors)
     violations.foreach(n =>
       System.err.println(s"[scale] GATE VIOLATION: $n exceeds " +
         s"$GateThreshold x with no notes justification"))
+    val failed = failedAtScale(finalFactors)
+    failed.foreach(n =>
+      System.err.println(s"[scale] FAILED AT SCALE: $n crashed or could " +
+        "not be measured on the 10x panel (reproduced across the re-probe)"))
 
     def facts(dir: String): String = replicated.toSeq.sorted.map { t =>
       s""""$t":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
@@ -348,6 +369,7 @@ object ScaleBench {
          |"synth_sec":${math.rint(synthSec * 10) / 10},
          |"slow_cutoff_s":$SlowCutoffSec,"gate_threshold_x":$GateThreshold,
          |"gate_violations":${violations.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},
+         |"failed_at_scale":${failed.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},
          |"rows_small":${facts(smallDir)},"rows_big":${facts(bigDir)},
          |"notes":$notesJson,
          |"small_only_warm_s":$smallOnly,

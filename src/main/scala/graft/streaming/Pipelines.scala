@@ -968,10 +968,19 @@ object Pipelines {
     *   upsert by doc_id) + per-batch release-manifest rows.
     *
     * Per micro-batch, one source pass (the decoded frame is persisted for
-    * its three consumers), and every output is idempotent under
-    * foreachBatch replay: dead letters and manifest rows overwrite their
-    * own `batch_id=N` directory; the snapshot upsert is a pure
-    * latest-wins merge (re-applying identical rows is a no-op).
+    * its three consumers), and the whole batch is EXACTLY-ONCE under
+    * foreachBatch replay via a staged-commit discipline: the curated rows
+    * are first written to `stage/batch_id=N` (this write doubles as the
+    * plan pin the previous localCheckpoint provided — the upsert
+    * overwrites the snapshot files the anti-join scanned), then manifest
+    * and snapshot derive from the STAGE, and an `_GRAFT_APPLIED` marker
+    * commits the batch. A replay (crash between the snapshot write and
+    * the checkpoint commit) finds the stage `_SUCCESS` and re-drives
+    * manifest + upsert from the staged rows instead of recomputing —
+    * recomputing would anti-join against the already-updated snapshot,
+    * yield an EMPTY curated frame, and overwrite `manifest/batch_id=N`
+    * with nothing, permanently losing that batch's release accounting.
+    * A replay that finds the marker skips the batch outright.
     *
     * Scale shape: decode + gates are narrow codegen'd projections fused
     * into the batch scan; the in-batch dedup is one fp-keyed exchange
@@ -1009,58 +1018,97 @@ object Pipelines {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val staged = batch.persist()
-        // the rate source's immediate trigger (and a quiet topic) produce
-        // empty batches — skip all three writes rather than commit empty
-        // artifacts (no `return`: that would be a non-local return from
-        // the closure)
-        try if (!staged.isEmpty) {
-          val dead = staged.filter(col("r").isNull).select(col("value"))
-          if (!dead.isEmpty)
-            dead.write.mode("overwrite")
-              .parquet(s"$outDir/dead_letter/batch_id=$batchId")
-          val docs = staged.filter(col("r").isNotNull).select(col("r.*"))
-            .withColumn("dt_update", timestamp_millis(col("dt_update")))
-          // curation gates + IN-BATCH fingerprint dedup (earliest wins)
-          val keep = col("pred_lang") === lang && col("quality") >= minQuality
-          val gated = TextAnalysis.withPredLangAndQuality(docs)
-            .filter(keep)
-            .withColumn("fp",
-              graft.functions.GraftFunctions.fingerprint(col("text")))
-            .drop("pred_lang", "quality")
-          val inBatch = gated
-            .groupBy(col("fp"))
-            .agg(min_by(struct(gated.columns.filter(_ != "fp").map(col): _*),
-              struct(col("dt_update"), col("doc_id"))).as("d"))
-            .select(col("fp") +: gated.columns.filter(_ != "fp")
-              .map(f => col(s"d.$f")): _*)
-          // CROSS-BATCH dedup: drop fingerprints already ingested (the
-          // snapshot stores fp, so this is a column-pruned scan of it)
-          val fresh =
-            if (CdcSnapshot.hasContent(spark, snapshotDir))
-              inBatch.join(
-                CdcSnapshot.readUpsert(spark, snapshotDir).select(col("fp")),
-                Seq("fp"), "left_anti")
-            else inBatch
-          // localCheckpoint, not persist: the upsert OVERWRITES the
-          // snapshot files this frame's anti-join scanned, and Spark's
-          // recacheByPath would silently re-derive a cached plan against
-          // the post-write files — the checkpoint pins the pre-write rows
-          val curated = fresh.localCheckpoint(true)
-          CorpusOps.manifest(curated)
-            .write.mode("overwrite")
-            .parquet(s"$outDir/manifest/batch_id=$batchId")
-          CdcSnapshot.applyUpsert(spark, snapshotDir,
-            curated.select(
-              col("doc_id").as("key"),
-              unix_millis(col("dt_update")).as("seq"),
-              col("doc_id"), col("text"), col("source"),
-              col("dt_update"), col("fp")),
-            buckets)
-        } finally { staged.unpersist(); () }
+        referenceTopologyBatch(batch, batchId, outDir, snapshotDir,
+          buckets, lang, minQuality)
       }
       .start()
+  }
+
+  /** One [[startReferenceTopology]] micro-batch, factored so the replay
+    * spec can drive it directly against the crash window foreachBatch
+    * retries expose (committed snapshot, uncommitted checkpoint).
+    * Staged-commit protocol per batch N:
+    *
+    *   dead letters → curated rows to `stage/batch_id=N` (overwrite) →
+    *   manifest FROM THE STAGE → snapshot upsert FROM THE STAGE →
+    *   `_GRAFT_APPLIED` marker in the stage dir.
+    *
+    * Replay cases: marker present → fully committed, skip; stage
+    * `_SUCCESS` present but no marker → re-drive manifest + upsert from
+    * the staged rows (both idempotent: overwrite of the same dir,
+    * latest-wins merge of identical rows) — NEVER recompute, because the
+    * cross-batch anti-join would now see this batch's own fingerprints
+    * in the snapshot and curate an empty frame over the good manifest;
+    * no stage → first attempt, compute from the batch. All paths use the
+    * path-derived FileSystem so `s3a://` out dirs resolve correctly.
+    */
+  private[graft] def referenceTopologyBatch(batch: DataFrame, batchId: Long,
+                                            outDir: String, snapshotDir: String,
+                                            buckets: Int, lang: String,
+                                            minQuality: Double): Unit = {
+    import graft.operators.{CorpusOps, TextAnalysis}
+    val spark = batch.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val stageDir = s"$outDir/stage/batch_id=$batchId"
+    val fs = p(stageDir).getFileSystem(hconf)
+    val appliedMarker = p(s"$stageDir/_GRAFT_APPLIED")
+    if (fs.exists(appliedMarker)) return // replay of a committed batch
+    val staged = batch.persist()
+    // the rate source's immediate trigger (and a quiet topic) produce
+    // empty batches — skip all writes rather than commit empty
+    // artifacts (no `return`: that would be a non-local return issue
+    // inside foreachBatch closures; here we are a plain method)
+    try {
+      val replayFromStage = fs.exists(p(s"$stageDir/_SUCCESS"))
+      if (!replayFromStage && staged.isEmpty) return
+      if (!replayFromStage) {
+        val dead = staged.filter(col("r").isNull).select(col("value"))
+        if (!dead.isEmpty)
+          dead.write.mode("overwrite")
+            .parquet(s"$outDir/dead_letter/batch_id=$batchId")
+        val docs = staged.filter(col("r").isNotNull).select(col("r.*"))
+          .withColumn("dt_update", timestamp_millis(col("dt_update")))
+        // curation gates + IN-BATCH fingerprint dedup (earliest wins)
+        val keep = col("pred_lang") === lang && col("quality") >= minQuality
+        val gated = TextAnalysis.withPredLangAndQuality(docs)
+          .filter(keep)
+          .withColumn("fp",
+            graft.functions.GraftFunctions.fingerprint(col("text")))
+          .drop("pred_lang", "quality")
+        val inBatch = gated
+          .groupBy(col("fp"))
+          .agg(min_by(struct(gated.columns.filter(_ != "fp").map(col): _*),
+            struct(col("dt_update"), col("doc_id"))).as("d"))
+          .select(col("fp") +: gated.columns.filter(_ != "fp")
+            .map(f => col(s"d.$f")): _*)
+        // CROSS-BATCH dedup: drop fingerprints already ingested (the
+        // snapshot stores fp, so this is a column-pruned scan of it)
+        val fresh =
+          if (CdcSnapshot.hasContent(spark, snapshotDir))
+            inBatch.join(
+              CdcSnapshot.readUpsert(spark, snapshotDir).select(col("fp")),
+              Seq("fp"), "left_anti")
+          else inBatch
+        // the stage write materializes `fresh` BEFORE the upsert
+        // overwrites the snapshot files its anti-join scanned (the plan
+        // pin the previous localCheckpoint provided, now durable so a
+        // replay can re-drive the batch without recomputing)
+        fresh.write.mode("overwrite").parquet(stageDir)
+      }
+      val curated = spark.read.parquet(stageDir)
+      CorpusOps.manifest(curated)
+        .write.mode("overwrite")
+        .parquet(s"$outDir/manifest/batch_id=$batchId")
+      CdcSnapshot.applyUpsert(spark, snapshotDir,
+        curated.select(
+          col("doc_id").as("key"),
+          unix_millis(col("dt_update")).as("seq"),
+          col("doc_id"), col("text"), col("source"),
+          col("dt_update"), col("fp")),
+        buckets)
+      fs.create(appliedMarker, true).close()
+    } finally { staged.unpersist(); () }
   }
 
   /** S2 against a REGISTRY-BACKED topic where records written under

@@ -49,6 +49,16 @@ class CliSpec extends SparkSpec {
     assert(outStr.contains("stream_name"))
   }
 
+  test("semicolons inside quoted literals do not split the statement") {
+    // the round-9 advisory fix, pinned: a raw indexOf(";") split
+    // `select ';' as x;` mid-literal into two erroring fragments
+    val (n, outStr) = runScript(
+      "select ';' as x, \"a;b\" as y;\nselect 'it''s; fine' as z;\n")
+    assert(n == 2, s"out=$outStr")
+    assert(!outStr.contains("[cli] error:"), outStr)
+    assert(outStr.contains("a;b") && outStr.contains("it's; fine"), outStr)
+  }
+
   test("head is bounded: big table prints 20 rows + marker, never the corpus") {
     val (n, outStr) = runScript("select l_orderkey from lineitem;\n")
     assert(n == 1)

@@ -170,6 +170,46 @@ class ReferenceTopologySpec extends SparkSpec {
     assert(got == expected, s"manifest double-counted across restart: $got vs $expected")
   }
 
+  test("batch replay after a committed upsert keeps the manifest (crash window)") {
+    // the round-9 advisory fix, pinned: foreachBatch retries a batch when
+    // the job died BETWEEN the snapshot write and the checkpoint commit.
+    // The old code recomputed the batch on replay — the cross-batch fp
+    // anti-join then saw the batch's own fingerprints already in the
+    // snapshot, curated an EMPTY frame, and overwrote manifest/batch_id=N
+    // with nothing. The staged-commit protocol re-drives manifest+upsert
+    // from stage/batch_id=N instead.
+    val out = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val snap = s"$out/snapshot"
+    val recs = Seq(
+      enc(2, 1L, goodEn, "web", 1000L, Some("en")),
+      enc(1, 5L, otherEn, "api", 5000L, None)).toDF("value")
+    val batch = recs.select($"value",
+      AvroCodec.avroDecodeEvolving($"value", reader, registry, Seq(1, 2)).as("r"))
+    def manifestRows() = spark.read.parquet(s"$out/manifest/batch_id=0")
+      .select($"source", $"n_docs", $"n_tokens", $"content_xor")
+      .collect().map(_.toSeq).toSet
+    def snapshotRows() = CdcSnapshot.readUpsert(spark, snap)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+
+    Pipelines.referenceTopologyBatch(batch, 0L, out, snap, 8, "en", 0.7)
+    val m1 = manifestRows(); val s1 = snapshotRows()
+    assert(m1.nonEmpty && s1.keySet == Set(1L, 5L), s"first run: $m1 / $s1")
+
+    // crash window: snapshot committed, checkpoint not — simulated by
+    // removing the applied marker and re-driving the same (batch, id)
+    val marker = new java.io.File(s"$out/stage/batch_id=0/_GRAFT_APPLIED")
+    assert(marker.exists(), "staged-commit marker missing after success")
+    assert(marker.delete())
+    Pipelines.referenceTopologyBatch(batch, 0L, out, snap, 8, "en", 0.7)
+    assert(manifestRows() == m1,
+      s"replay lost the manifest: ${manifestRows()} vs $m1")
+    assert(snapshotRows() == s1, "replay changed the snapshot")
+
+    // replay of a FULLY committed batch (marker present): pure no-op
+    Pipelines.referenceTopologyBatch(batch, 0L, out, snap, 8, "en", 0.7)
+    assert(manifestRows() == m1 && snapshotRows() == s1)
+  }
+
   test("applyUpsert disk face equals the pure upsertResult merge") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_pure").toString
     val init = Seq((1L, 0L, "a"), (2L, 0L, "b"), (9L, 0L, "z"))

@@ -31,8 +31,18 @@ class ScaleGateSpec extends AnyFunSuite {
       ("q1_pricing_summary", 9.8), // under threshold: never flagged
       ("dedup_edit_pairs", 14.9), // over threshold, noted: allowed
       ("totally_new_op", 13.1), // over threshold, unnoted: violation
-      ("failed_row", -1.0)) // failed run reports -1: not a gate hit
+      ("failed_row", -1.0)) // crash sentinel: failedAtScale's job, not the gate's
     assert(ScaleBench.gateViolations(probe) == Seq("totally_new_op"))
+    assert(ScaleBench.failedAtScale(probe) == Seq("failed_row"))
+  }
+
+  test("a crash at scale is flagged even for a notes-allowlisted query") {
+    // the round-9 advisory fix, pinned: timed() maps failure to -1, which
+    // is never "> threshold" — a big-scale crash used to ship green, and
+    // a notes entry must not excuse it either
+    val probe = Seq(("dedup_edit_pairs", -1.0)) // has a notes justification
+    assert(ScaleBench.gateViolations(probe).isEmpty)
+    assert(ScaleBench.failedAtScale(probe) == Seq("dedup_edit_pairs"))
   }
 
   test("boundary: exactly the threshold passes, epsilon above without notes fails") {
@@ -53,6 +63,14 @@ class ScaleGateSpec extends AnyFunSuite {
       m.foreach { g =>
         assert(g.group(1).trim.isEmpty,
           s"BENCH_SCALE.json has unexplained superlinear rows: ${g.group(1)}")
+      }
+      // pre-round-10 artifacts predate failed_at_scale; only a present,
+      // non-empty list is a failure
+      val fm = """"failed_at_scale":\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(json)
+      fm.foreach { g =>
+        assert(g.group(1).trim.isEmpty,
+          s"BENCH_SCALE.json has queries that crashed at 10x: ${g.group(1)}")
       }
     }
   }
