@@ -1305,6 +1305,34 @@ object OracleSqlGen {
     clustersSqlOver(sigCteOver(wordShCte(n, "chain", pre)), threshold)
   }
 
+  /** Cluster labels over ANY pair query: the pair SQL embeds verbatim as
+    * a nested-WITH CTE, then the same recursive min-label closure as
+    * [[clustersSqlOver]]. The Spark side may collapse exact duplicates
+    * before pairing ([[Dedup.semanticClusters]]/[[Dedup.editClusters]]) —
+    * the oracle deliberately does NOT, so the green row proves the
+    * collapse preserves the full pair graph's transitive closure.
+    */
+  private def componentsOverPairsSql(pairSql: String): String =
+    s"""WITH RECURSIVE pairs0 AS ($pairSql),
+        edges AS (SELECT a, b FROM pairs0 UNION ALL SELECT b AS a, a AS b FROM pairs0),
+        reach AS (
+          SELECT doc_id AS v, doc_id AS l FROM documents
+          UNION
+          SELECT e.a AS v, r.l AS l FROM edges e JOIN reach r ON r.v = e.b)
+        SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v"""
+
+  /** Mirrors Dedup.semanticClusters: closure over semanticPairsSql. */
+  def semanticClustersSql(bands: Int, planesPerBand: Int, dims: Int,
+                          threshold: Double): String =
+    componentsOverPairsSql(semanticPairsSql(bands, planesPerBand, dims, threshold))
+
+  /** Mirrors Dedup.editClusters on the skewed fixture: closure over
+    * editPairsSkewedSql (node set = all documents — the fixture rewrites
+    * texts, never ids).
+    */
+  def editClustersSql(n: Int, threshold: Double, maxDist: Int): String =
+    componentsOverPairsSql(editPairsSkewedSql(n, threshold, maxDist))
+
   private def clustersSqlOver(sigCteStr: String, threshold: Double): String = {
     val body = s"""$sigCteStr,
         bands AS (SELECT doc_id, unnest([$bandKeysSql]) AS bk FROM sig),

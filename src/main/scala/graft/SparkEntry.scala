@@ -375,6 +375,15 @@ object SparkEntry {
     // 8×16 banding: 10× fewer candidates than 8×8 on this corpus at
     // identical recall of the ≥0.95 pairs.
     "dedup_semantic_pairs" -> q((s, d) => Dedup.semanticPairs(Tables.load(s, d, "documents"), 8, 16, 64, 0.95)),
+    // BOUNDED-OUTPUT twin of dedup_semantic_pairs: one labeled row per
+    // doc instead of quadratic pairs; exact bag-of-words duplicates
+    // collapse before the SRP self-join (provably closure-preserving —
+    // the oracle clusters the UNCOLLAPSED pair graph)
+    "dedup_semantic_clusters" -> q((s, d) => Dedup.semanticClusters(Tables.load(s, d, "documents"), 8, 16, 64, 0.95)),
+    // bounded-output twin of dedup_edit_pairs on the SAME skewed fixture
+    // whose boilerplate tiers make the pair output grow quadratically:
+    // identical texts collapse to one representative before the gated DP
+    "dedup_edit_clusters" -> q((s, d) => Dedup.editClusters(Dedup.skewedDocs(Tables.load(s, d, "documents")), 5, 0.8, 2)),
     // --- multimodal (binary payloads + typed metadata over documents) ---
     "mm_asset_stats" -> q((s, d) =>
       Multimodal.assetStats(Multimodal.assetsFromDocuments(Tables.load(s, d, "documents")))),
@@ -766,6 +775,8 @@ object SparkEntry {
     "corpus_decontaminate_fuzzy" -> OracleSqlGen.fuzzyDecontaminateSql(3, 0.8),
     "dedup_embedding_pairs" -> OracleSqlGen.embeddingNearDupSql(16, 16, 64, 0.35),
     "dedup_semantic_pairs" -> OracleSqlGen.semanticPairsSql(8, 16, 64, 0.95),
+    "dedup_semantic_clusters" -> OracleSqlGen.semanticClustersSql(8, 16, 64, 0.95),
+    "dedup_edit_clusters" -> OracleSqlGen.editClustersSql(5, 0.8, 2),
     "mm_asset_stats" -> OracleSqlGen.assetStatsSql,
     "mm_frame_sample" -> OracleSqlGen.frameSampleSql(10000L),
     "mm_resize" -> OracleSqlGen.resizeSql(640, 360),

@@ -896,8 +896,16 @@ object Dedup {
     // vocabulary (measured 56x time at 10x docs before this; the +-2
     // window still prunes everything beyond a (1/t)^3 size ratio).
     val bucketW = math.log(1.0 / threshold)
+    // ceil(threshold·sz) in INTEGER arithmetic (same rational num/den
+    // formulation as [[containmentPairs]]): a float ceil(0.9·10) rounds
+    // 9.0000000000000018 up to 10 and shortens the prefix below the
+    // AllPairs guarantee, silently dropping a true pair at exactly
+    // jac = t. num·sz stays < 2⁵³ for any real gram count.
+    val den = 1000000L
+    val num = math.round(threshold * den)
+    val ceilTSz = floor((lit(num) * col("sz") + lit(den - 1)) / lit(den))
     val prefix = ranked
-      .filter(col("rn") <= (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+      .filter(col("rn") <= (col("sz") - ceilTSz + 1).cast("int"))
       .select(col("doc_id"), col("sz"), col("rn"), col("g"),
         floor(log(col("sz").cast("double")) / bucketW).cast("int").as("lb"))
     // Candidate aggregation replaces a plain distinct with PPJoin's
@@ -925,14 +933,17 @@ object Dedup {
       .groupBy(col("a"), col("b"), col("sza"), col("szb"))
       .agg(count(lit(1)).as("pmatch"),
         max(col("rna")).as("mxa"), max(col("rnb")).as("mxb"))
-    val needed = lit(threshold / (1 + threshold)) *
-      (col("sza") + col("szb")).cast("double")
+    // Both bounds in EXACT integers via the same num/den rational:
+    // the length filter min >= t·max becomes den·min >= num·max, and the
+    // position filter bound t/(1+t)·(sza+szb) cross-multiplies to
+    // (num+den)·lhs >= num·(sza+szb). Float products here dropped a true
+    // pair at exactly jac = t (0.9·10 > 9.0 failed the length filter).
     val candSized = cand
-      .filter(least(col("sza"), col("szb")).cast("double")
-        >= lit(threshold) * greatest(col("sza"), col("szb")).cast("double"))
+      .filter(lit(den) * least(col("sza"), col("szb"))
+        >= lit(num) * greatest(col("sza"), col("szb")))
       .filter((col("pmatch")
         + least(col("sza") - col("mxa"), col("szb") - col("mxb")))
-        .cast("double") >= needed)
+        * lit(num + den) >= lit(num) * (col("sza") + col("szb")))
       .select(col("a"), col("b"), col("sza"), col("szb"))
     // VERIFY, strategy chosen by MEASURED vocabulary: |A∩B| is exact
     // either way, only the physical shape differs.
@@ -1130,18 +1141,34 @@ object Dedup {
 
   private[graft] def clustersPointerJumpWithRounds(
       docs: DataFrame, n: Int, threshold: Double,
+      checkpointDir: Option[String] = None): (DataFrame, Int) =
+    componentLabels(docs.select(col("doc_id")),
+      minhashLshPairs(docs, n, threshold).select(col("a"), col("b")),
+      "clusters_pj", checkpointDir)
+
+  /** The pointer-jumping connected-components loop over an ARBITRARY
+    * verified edge set — factored out of [[clustersPointerJump]] so any
+    * pair-emitting dedup chain ([[semanticPairs]], [[editDistancePairs]],
+    * ...) can emit BOUNDED per-doc cluster labels instead of its
+    * quadratically-growing pair list. `nodes` is one `doc_id` per
+    * element; `edges` is any (a, b) subset of the near-dup relation.
+    * Output: (doc_id, cluster_id = min doc_id of the component), the
+    * same fixpoint/oracle contract as [[clusters]].
+    */
+  private[graft] def componentLabels(
+      nodes: DataFrame, edges0: DataFrame, metricPrefix: String,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    val spark = docs.sparkSession
+    val spark = nodes.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try df.checkpoint(true) finally df.unpersist(false)
       } else df.localCheckpoint(true)
-    val edges = minhashLshPairs(docs, n, threshold).select(col("a"), col("b"))
+    val edges = edges0.select(col("a"), col("b"))
     val sym = save(
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
-    var labels = save(docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var labels = save(nodes.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -1152,7 +1179,7 @@ object Dedup {
         .agg(min(col("cluster_id")).as("n_min"))
       val jump = labels
         .select(col("doc_id").as("jd"), col("cluster_id").as("j_min"))
-      val metric = s"clusters_pj_round_$round"
+      val metric = s"${metricPrefix}_round_$round"
       val observed = labels
         .join(jump, labels("cluster_id") === jump("jd"), "left")
         .select(col("doc_id"), col("cluster_id"),
@@ -1293,6 +1320,84 @@ object Dedup {
         tokens(normalizeText(col("text"))), dims)
         .cast("array<double>").as("embedding"))
     embeddingNearDupPairs(emb, bands, planesPerBand, dims, threshold)
+  }
+
+  /** BOUNDED-OUTPUT form of [[semanticPairs]]: per-doc cluster labels
+    * (min doc_id of the connected component of the cos≥t near-dup graph)
+    * instead of the pair list. A 100 TB pipeline never wants quadratic
+    * PAIRS — k verbatim-or-shuffled copies of one document produce
+    * C(k,2) pair rows but exactly k label rows.
+    *
+    * The pair chain's quadratic CANDIDATE term dies too, not just the
+    * output: hash-embed count vectors are order-independent, so exact
+    * bag-of-words duplicates (the dominant duplication mode — shuffles,
+    * reorderings, re-crawls) have BYTE-IDENTICAL embeddings and are
+    * collapsed to one representative per distinct embedding BEFORE the
+    * banded SRP self-join ever runs. The collapse is provably exact:
+    * identical nonzero embeddings share every band key and verify at
+    * cos = 1.0 ≥ t, so members sit in their representative's component
+    * in the full pair graph, and any cross-group pair (x, y) band-
+    * collides and scores identically to (rep(x), rep(y)) — the
+    * transitive closure (and hence every min label) is unchanged.
+    * All-zero embeddings are NOT collapsed (their cosine is NULL, so the
+    * pair graph leaves them isolated; merging them would invent a
+    * component the oracle's closure doesn't have).
+    */
+  def semanticClusters(docs: DataFrame, bands: Int = 8,
+                       planesPerBand: Int = 8, dims: Int = 64,
+                       threshold: Double = 0.9): DataFrame = {
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      graft.functions.HashEmbed.hashEmbedCounts(
+        tokens(normalizeText(col("text"))), dims)
+        .cast("array<double>").as("embedding"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("embedding"))
+    val zero = aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x) === 0.0
+    // one embedding-keyed exchange assigns every nonzero-embedding doc
+    // its group representative; zero vectors stay singleton nodes
+    val grouped = emb.filter(!zero)
+      .withColumn("rep", min(col("vec_id")).over(w))
+      .localCheckpoint(true) // reps feed 2 consumers + the CC loop re-reads
+    val repPairs = embeddingNearDupPairs(
+      grouped.filter(col("vec_id") === col("rep"))
+        .select(col("vec_id"), col("embedding")),
+      bands, planesPerBand, dims, threshold).select(col("a"), col("b"))
+    val memberEdges = grouped.filter(col("vec_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("vec_id").as("b"))
+    componentLabels(emb.select(col("vec_id").as("doc_id")),
+      repPairs.union(memberEdges), "semantic_cc")._1
+  }
+
+  /** BOUNDED-OUTPUT form of [[editDistancePairs]]: per-doc cluster
+    * labels over the edit-distance≤k near-dup graph. Same discipline as
+    * [[semanticClusters]] — exact-duplicate collapse first (identical
+    * raw text ⇒ identical char-LSH signature, so the gate admits the
+    * pair, and levenshtein 0 ≤ k verifies it: members provably share
+    * their representative's component, and cross-group distances equal
+    * the rep-pair distances, so the closure is unchanged), then the
+    * LSH-gated exact-DP pair chain runs on UNIQUE texts only, then
+    * O(log d) pointer-jump components. The boilerplate tiers that make
+    * the pair form's correct output grow quadratically (every near-
+    * identical template fill pairs with every other) each collapse to
+    * one representative — candidates, DP verifies, and output all stop
+    * growing with the tier size. The collapse window ships each text
+    * once; at 100 TB pre-key it with `fingerprint(text)` so the
+    * exchange carries 8-byte keys (the equality-of-text guarantee then
+    * rides the fingerprint, exactly like [[exactDedup]]).
+    */
+  def editClusters(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
+                   maxEdits: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val grouped = docs.select(col("doc_id"), col("text"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .localCheckpoint(true)
+    val repPairs = editDistancePairs(
+      grouped.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text")),
+      n, threshold, maxEdits).select(col("a"), col("b"))
+    val memberEdges = grouped.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    componentLabels(grouped.select(col("doc_id")),
+      repPairs.union(memberEdges), "edit_cc")._1
   }
 
   def embeddingNearDupPairs(emb: DataFrame, bands: Int = 16,

@@ -198,6 +198,84 @@ class DedupSimilaritySpec extends SparkSpec {
       s"boundary pair lost or drifted: $got")
   }
 
+  test("jaccard boundary: exact-integer bounds keep the pair at jac = t") {
+    // same IEEE hazard as containment, now pinned for jaccardPairsOver:
+    // sza = 9 ⊂ szb = 10 grams → jac = 9/10 = threshold exactly. The old
+    // float length filter required min >= 0.9·10 = 9.000000000000002 and
+    // dropped the pair; the float prefix ceil also shrank b's prefix to
+    // its unique df=1 gram so no candidate ever formed. Rational integer
+    // bounds (den·min >= num·max etc.) keep it, and the position filter
+    // passes exactly at equality ((pmatch+slack)·(num+den) = num·(sza+szb)).
+    val ws = (1 to 12).map(i => s"w$i")
+    val a = ws.take(11).mkString(" ") // 9 word 3-grams
+    val b = ws.mkString(" ")          // 10 grams, superset of a's
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, 3, 0.9)
+      .select($"a", $"b", $"jaccard_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 0.9)), s"boundary pair lost or drifted: $got")
+  }
+
+  /** Reference transitive closure (tiny fixtures only): min label per
+    * component of the given undirected edge set.
+    */
+  private def closureLabels(nodes: Seq[Long],
+                            edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("semanticClusters = closure of semanticPairs; exact-bag collapse preserves it") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.split(' ').reverse.mkString(" ")), // bag-identical shuffle
+      (7L, base.split(' ').sorted.mkString(" ")), // another shuffle
+      (3L, base + " lambda"), // near-dup (cosine just below 1)
+      (4L, "totally different words about ships and harbors and tides"),
+      (5L, "totally different words about ships and harbors and tides"),
+      (6L, "!!!") // all tokens may hash-cancel; must stay a singleton
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.semanticPairs(docs, 4, 8, 16, 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSeq
+    // the fixture must exercise the interesting structure: a 3-clique of
+    // bag-identical docs and an exact-duplicate pair
+    assert(pairs.toSet.intersect(Set((1L, 2L), (1L, 7L), (2L, 7L))).size == 3,
+      s"bag-identical clique not detected: $pairs")
+    assert(pairs.contains((4L, 5L)), s"exact dup pair missing: $pairs")
+    val want = closureLabels((1L to 7L).toSeq, pairs)
+    val got = Dedup.semanticClusters(docs, 4, 8, 16, 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"clusters diverged from pair closure: $got vs $want")
+    assert(got(6L) == 6L, "zero-embedding doc must stay a singleton")
+  }
+
+  test("editClusters = closure of editDistancePairs; identical-text collapse preserves it") {
+    val boiler = ("terms of service apply to all users of this site " * 4).trim
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler), // identical tier: C(3,2) pairs
+      (4L, boiler + " x"), // 2 edits from the tier
+      (5L, "an entirely unrelated document about mountain weather patterns"),
+      (6L, "an entirely unrelated document about mountain weather patterns")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, 5, 0.8, 2)
+      .select($"a", $"b").as[(Long, Long)].collect().toSeq
+    assert(pairs.toSet.intersect(
+      Set((1L, 2L), (1L, 3L), (2L, 3L))).size == 3 && pairs.contains((5L, 6L)),
+      s"expected clique + dup pair in $pairs")
+    val want = closureLabels((1L to 6L).toSeq, pairs)
+    val got = Dedup.editClusters(docs, 5, 0.8, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"clusters diverged from pair closure: $got vs $want")
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+  }
+
   test("edit-distance pairs: LSH-gated exact levenshtein verify") {
     val base = ("the quick brown fox jumps over the lazy dog " * 5).trim
     val docs = Seq(
