@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Nine rounds of harvested bench artifacts parsed null because sbt printed
+// "[success] Total time: ..." AFTER the bench's final JSON line, pushing it
+// off the driver's last-line parse. The success trailer carries no
+// information the exit code doesn't; suppress it globally so a `runMain`'s
+// last stdout line is the program's own.
+Global / showSuccess := false
+// ... and pass the forked program's stdout/stderr through verbatim instead
+// of re-logging each line with an "[info] "/"[error] " prefix, so the JSON
+// is parseable exactly as printed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

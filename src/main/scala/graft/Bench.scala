@@ -9,13 +9,19 @@ import org.apache.spark.sql.SparkSession
   *     under `queries_cold` for visibility, NOT as the headline.
   *  2-4. WARM sequential ×3 (pool=1): repeated execution of the same
   *     plans — per-row work only. The headline `queries` map is the
-  *     PER-QUERY MIN across the three passes (round 6 lost a day to
+  *     PER-QUERY MIN across the passes (round 6 lost a day to
   *     seven untouched queries "regressing" 1.3-2.1× on a contended
   *     box; one noisy pass can no longer masquerade as a regression).
-  *     `seq_total` is the fastest whole-pass wall-clock. All three raw
-  *     passes land in BENCH_DETAIL.json, alongside the box's 1-minute
-  *     load average sampled before and after (`load_avg`) so a
-  *     contended run is visible in the artifact itself.
+  *     `seq_total` is the fastest whole-pass wall-clock. Every raw
+  *     pass lands in BENCH_DETAIL.json with its PRE-PASS 1-minute load
+  *     average and two fixed CALIBRATION probe times (single-thread
+  *     xorshift; fixed 64-partition Spark range-sum) — round 9's whole
+  *     registry read uniformly ~1.38× slower with unchanged code/plans
+  *     and the artifact couldn't prove it was box contention; the
+  *     calibration ratio now separates "box slower" from "plan worse".
+  *     If fewer than 2 of the base passes ran uncontended (pre-pass
+  *     load over the gate, or calibration >1.5× the best), up to 2
+  *     replacement passes run.
   *  5. CONCURRENT drain (pool=6): batch throughput. One tiny query alone
   *     cannot saturate local[32] (small shuffle stages leave cores idle
   *     between tasks), so the drain wall-clock `value` is the honest
@@ -68,22 +74,75 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg
 
+    // CALIBRATION workload (round-9 verdict: the whole registry read
+    // ~1.38× slower than round 8 with unchanged code, plans, and
+    // fixtures, and the artifact couldn't distinguish sandbox contention
+    // from a real global regression). Two fixed probes, run before every
+    // pass, whose ONLY variable is the environment:
+    //  - calib_jvm: single-thread xorshift loop — pure CPU, no Spark, no
+    //    allocation; tracks per-core speed (noisy-neighbor steal, cgroup
+    //    throttling, thermal clamps).
+    //  - calib_spark: fixed 64-partition range-sum through the same
+    //    session — adds scheduler + codegen'd task execution; tracks
+    //    JVM-internal drift (GC pressure, JIT state) on top.
+    // Cross-round, per-query ratios divided by the calibration ratio
+    // separate "the box was slower" from "the plan got worse".
+    def calibJvm(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var acc = 0L; var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+      }
+      if (acc == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibSpark(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 200000000L, 1, 64)
+        .selectExpr("sum(id * 3 % 1000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibJvm(); calibSpark() // JIT/codegen warm-up, untimed
+    case class PassMeta(label: String, load: Double, cj: Double, cs: Double)
+    def meta(label: String) = PassMeta(label, loadAvg, calibJvm(), calibSpark())
+
     // pass 1: cold sequential (codegen compile included — reported apart)
+    val coldMeta = meta("cold")
     val cold = named.map { case (name, fn) => name -> timed(name, fn) }
 
-    // passes 2-4: warm sequential ×3 — headline = per-query MIN, so a
-    // transient box-contention spike in one pass cannot read as a
-    // regression of an untouched query
-    val warmPasses = (1 to 3).map { _ =>
+    // warm sequential passes — headline = per-query MIN, so a transient
+    // box-contention spike in one pass cannot read as a regression of an
+    // untouched query. Base 3 passes; a pass whose pre-pass 1-minute
+    // load average exceeds LoadGate (external work — this process is
+    // between passes, so its own executors are quiesced) or whose
+    // calibration runs >1.5× the best observed gets one replacement
+    // pass, up to 2 extras, so a fully-contended trio can't silently
+    // become the round's headline.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE",
+      (cpus.toInt / 2).toString).toDouble
+    def contended(m: PassMeta, bestCj: Double, bestCs: Double): Boolean =
+      m.load > loadGate || m.cj > bestCj * 1.5 || m.cs > bestCs * 1.5
+    var passes = Vector.empty[(PassMeta, Seq[(String, Double)], Double)]
+    def runPass(label: String): Unit = {
+      val m = meta(label)
       val s0 = System.nanoTime()
       val run = named.map { case (name, fn) => name -> timed(name, fn) }
-      (run, (System.nanoTime() - s0) / 1e9)
+      passes :+= ((m, run, (System.nanoTime() - s0) / 1e9))
     }
+    (1 to 3).foreach(i => runPass(s"warm_$i"))
+    var extras = 0
+    while (extras < 2 && {
+      val bestCj = passes.map(_._1.cj).min
+      val bestCs = passes.map(_._1.cs).min
+      passes.count(p => !contended(p._1, bestCj, bestCs)) < 2
+    }) { extras += 1; runPass(s"warm_extra_$extras") }
+    val warmPasses = passes.map(p => (p._2, p._3))
     val seq = named.indices.map { i =>
       val ts = warmPasses.map(_._1(i)._2).filter(_ >= 0)
       named(i)._1 -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val seqTotal = warmPasses.map(_._2).min
+    val calibBest = (passes.map(_._1.cj).min, passes.map(_._1.cs).min)
 
     // pass 3: concurrent drain (plans/codegen warm from passes 1-2, so
     // this measures scheduling + execution throughput, not compilation)
@@ -106,15 +165,23 @@ object Bench {
     def jsonMap(m: Seq[(String, Double)], f: Double => Double = identity) = m
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
 
-    // full-precision detail artifact (not size-constrained)
+    // full-precision detail artifact (not size-constrained); every pass
+    // carries its pre-pass load average + calibration probe times so a
+    // contended run is visible per-pass, and cross-round comparisons can
+    // normalize by the environment instead of guessing
     val loadEnd = loadAvg
-    val warmRuns = warmPasses.zipWithIndex
-      .map { case ((run, total), i) =>
-        s""""warm_pass_${i + 1}":{"total":$total,"queries":${jsonMap(run)}}""" }
+    def metaJson(m: PassMeta) =
+      s""""load_pre":${m.load},"calib_jvm_s":${m.cj},"calib_spark_s":${m.cs}"""
+    val warmRuns = passes
+      .map { case (m, run, total) =>
+        s""""${m.label}":{"total":$total,${metaJson(m)},"queries":${jsonMap(run)}}""" }
       .mkString(",")
     val detail =
       s"""{"sf":"$sfDir","drain_total":$drainTotal,"seq_total":$seqTotal,
          |"load_avg_start":$loadStart,"load_avg_end":$loadEnd,
+         |"load_gate":$loadGate,"extra_passes":$extras,
+         |"calib_jvm_best_s":${calibBest._1},"calib_spark_best_s":${calibBest._2},
+         |"cold_meta":{${metaJson(coldMeta)}},
          |"queries_warm":${jsonMap(seq)},
          |$warmRuns,
          |"queries_cold":${jsonMap(cold)},
@@ -147,11 +214,12 @@ object Bench {
     // null. The last line now carries the headline numbers alone (~200
     // chars, always inside the tail); the full map precedes it for log
     // readers and lands in BENCH_HEADLINE.json + BENCH_DETAIL.json.
-    val headline = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(seq, ms)},"seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},"headline":"warm min-of-3 (passes in BENCH_DETAIL.json)","sf":"$sfDir"}"""
+    val calib = s""""calib_jvm_s":${ms(calibBest._1)},"calib_spark_s":${ms(calibBest._2)}"""
+    val headline = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(seq, ms)},"seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},$calib,"headline":"warm min-of-3+ (passes in BENCH_DETAIL.json)","sf":"$sfDir"}"""
     // schema-true subset: the 25 slowest warm queries (all-float values,
     // ~900 chars) so any consumer iterating `queries` sees real numbers
     val slowest = seq.sortBy(-_._2).take(25).sortBy(_._1)
-    val compact = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(slowest, ms)},"n_queries":${seq.size},"queries_note":"${slowest.size} slowest of ${seq.size}; full map in BENCH_DETAIL.json","seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(slowest, ms)},"n_queries":${seq.size},"queries_note":"${slowest.size} slowest of ${seq.size}; full map in BENCH_DETAIL.json","seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},$calib,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_HEADLINE.json"), headline.getBytes("UTF-8"))
     catch { case _: Throwable => () }
