@@ -175,14 +175,15 @@ object ScaleBench {
   def failedAtScale(rows: Seq[(String, Double)]): Seq[String] =
     rows.collect { case (name, factor) if factor < 0 => name }
 
-  def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+                 factor: Int = Factor): Unit = {
     import spark.implicits._
     val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_OK")
     if (marker.exists()) return
     new java.io.File(outDir).mkdirs()
 
     def copies(df: DataFrame): DataFrame =
-      df.crossJoin(spark.range(Factor).toDF("copy"))
+      df.crossJoin(spark.range(factor).toDF("copy"))
 
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
@@ -376,6 +377,103 @@ object ScaleBench {
          |"queries":$qjson}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
+
+/** The 100× probe (SCALE FRONTIER): the 10× panel is exhaustive, but
+  * every fix it motivated (length-bucketed prefix joins, bitmap verify,
+  * pigeonhole containment gate, adaptive kNN bands, duplicate-collapse
+  * clustering) was validated at exactly one decade — a candidate term
+  * that grows n^1.3 reads ~2× at 10× and ~20× at 100×. This main
+  * synthesizes an sf10-equivalent corpus (100× fact rows, same
+  * perturbation discipline as [[ScaleBench.synthesize]]) and times ONLY
+  * the frontier panel — the slowest / highest-factor queries of the 10×
+  * artifact plus the new bounded-output cluster forms — cold + warm-once
+  * (min-of-N at this scale would double a multi-hour run for noise
+  * rejection the 10× panel already provides). Gate semantics carry over
+  * scaled: linear in rows is ~100, threshold 120, the same notes
+  * allowlist justifies known output growth, and crashes land in
+  * failed_at_scale. Artifact: BENCH_SCALE100.json.
+  */
+object ScaleBench100 {
+
+  val Factor = 100
+
+  /** 120 = 100×-linear + the same 20% noise margin the 10× gate uses. */
+  val GateThreshold = 120.0
+
+  /** The frontier: every 10× row ≥ ~3× (candidate-growth suspects), the
+    * forced posting-path probe, and the cluster twins whose collapse
+    * must hold the quadratic fixtures flat.
+    */
+  val Panel: Seq[String] = Seq(
+    "dedup_char_jaccard_pairs", "dedup_jaccard_pairs", "dedup_containment",
+    "dedup_funnel_report", "dedup_clusters_chain", "dedup_edit_pairs",
+    "dedup_semantic_pairs", "dedup_semantic_clusters", "dedup_edit_clusters",
+    "dedup_char_lsh_skewed", "sim_knn_join", "dedup_char_jaccard_posting")
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE100_DIR", "/tmp/graft_scale_sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    ScaleBench.synthesize(spark, smallDir, bigDir, Factor)
+    val synthSec = (System.nanoTime() - t0) / 1e9
+
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val registry = (SparkEntry.queries.toSeq ++ ScaleBench.Extras.toSeq).toMap
+    val panel = Panel.filter(n => only.forall(_.contains(n)))
+
+    def timed(name: String, dir: String): Double = {
+      val q0 = System.nanoTime()
+      try { registry(name)(spark, dir).count(); (System.nanoTime() - q0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale100] $name @ $dir failed: ${e.getMessage}")
+        -1.0 }
+    }
+
+    val rows = panel.map { name =>
+      timed(name, smallDir) // cold (codegen) discarded
+      val s = timed(name, smallDir)
+      timed(name, bigDir)
+      val b = timed(name, bigDir)
+      val f = if (s > 0 && b > 0) b / s else -1.0
+      System.err.println(
+        f"[scale100] $name%-32s small=$s%8.2fs big=$b%9.2fs x=$f%8.2f")
+      (name, s, b, f)
+    }
+    val factors = rows.map(r => (r._1, r._4))
+    val violations = factors.collect {
+      case (n, f) if f > GateThreshold && !ScaleBench.notes.contains(n) => n }
+    val failed = ScaleBench.failedAtScale(factors)
+
+    def facts(dir: String): String =
+      Seq("documents", "embeddings", "events", "orders", "lineitem").map { t =>
+        s""""$t":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
+      }.mkString("{", ",", "}")
+    val qjson = rows.map { case (n, s, b, f) =>
+      f""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"factor":$Factor,"sf_small":"$smallDir","sf_big":"$bigDir",
+         |"synth_sec":${math.rint(synthSec * 10) / 10},
+         |"gate_threshold_x":$GateThreshold,"warm_passes":1,
+         |"gate_violations":${violations.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},
+         |"failed_at_scale":${failed.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},
+         |"rows_small":${facts(smallDir)},"rows_big":${facts(bigDir)},
+         |"queries":$qjson}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE100_OUT", "BENCH_SCALE100.json")),
       json.getBytes("UTF-8"))
     println(json)
     spark.stop()

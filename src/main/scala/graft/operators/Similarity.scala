@@ -222,17 +222,43 @@ object Similarity {
     * Recall per band drops as p grows; `bands` is the recovery knob
     * (union over bands, 1-(1-s^p)^bands).
     *
-    * The count() is one column-pruned scan — the stand-in for catalog
-    * row-count stats, which a managed 100 TB table serves without a job
-    * (floored at p=8, the fixed variant's width, so small corpora plan
-    * identically to [[knnJoin]]).
+    * Row count comes from the optimizer's plan statistics when they
+    * carry one (ANALYZEd catalog tables, ranges, local relations — free
+    * at plan time, no job) and falls back to one column-pruned count()
+    * scan only when they don't (raw parquet without collected stats).
+    * Band sizing only needs the order of magnitude, so a CBO row-count
+    * ESTIMATE is as good as the exact count here. Floored at p=8, the
+    * fixed variant's width, so small corpora plan identically to
+    * [[knnJoin]].
     */
   def knnJoinAuto(emb: DataFrame, k: Int = 3, bands: Int = 8,
                   targetBucket: Int = 8, dims: Int = 64): DataFrame = {
-    val n = emb.count()
+    val n = corpusRows(emb)._1
     val p = math.min(47, math.max(8,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
     knnJoin(emb, k, bands, p, dims)
+  }
+
+  /** (row count, came-from-statistics): the optimized plan's rowCount
+    * statistic when present, else a count() job. The default (size-only)
+    * stats visitor reports rowCount on LEAF nodes and drops it above
+    * them, so cardinality-preserving Projects (aliasing, column pruning)
+    * are walked through to the child — a `range(n).select(...)` or an
+    * ANALYZEd table behind a projection still resolves without a job.
+    * Factored so the spec can pin that a stats-bearing relation triggers
+    * NO job.
+    */
+  private[graft] def corpusRows(emb: DataFrame): (Long, Boolean) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    def rows(p: LogicalPlan): Option[BigInt] =
+      p.stats.rowCount.orElse(p match {
+        case pr: Project => rows(pr.child) // 1:1 on rows by definition
+        case _ => None
+      })
+    rows(emb.queryExecution.optimizedPlan) match {
+      case Some(rc) => (rc.toLong, true)
+      case None => (emb.count(), false)
+    }
   }
 
   // ------------------------------------------- persisted (write-time) index

@@ -787,6 +787,40 @@ object Pipelines {
       true
     } catch { case _: ClassNotFoundException => false }
 
+  /** The exact option sets the four kafka builders configure — factored
+    * pure so the broker-free contract spec can pin them (the only lines
+    * of the §2 Kafka surface no test could otherwise reach: the sandbox
+    * ships no connector, so `.load()`/`.start()` can never run). Keys
+    * mirror the reference deployment: `kafka.bootstrap.servers` ↔
+    * docker-compose's KSQL_BOOTSTRAP_SERVERS, `subscribe`/`topic` ↔ the
+    * connector configs' `topics`, plus Spark's checkpointLocation.
+    */
+  private[graft] def kafkaSourceOptions(topic: String,
+                                        bootstrapServers: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrapServers, "subscribe" -> topic)
+
+  private[graft] def kafkaSinkOptions(topic: String, bootstrapServers: String,
+                                      checkpoint: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrapServers, "topic" -> topic,
+      "checkpointLocation" -> checkpoint)
+
+  /** Configured-but-unloaded kafka reader/writer — provider resolution
+    * happens at `.load()`/`.start()`, so these build fine without the
+    * connector on the classpath and the contract spec can extract their
+    * options without a broker.
+    */
+  private[graft] def kafkaReader(spark: SparkSession, topic: String,
+                                 bootstrapServers: String): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream.format("kafka")
+      .options(kafkaSourceOptions(topic, bootstrapServers))
+
+  private[graft] def kafkaWriter(records: DataFrame, topic: String,
+                                 bootstrapServers: String, checkpoint: String,
+                                 mode: OutputMode): DataStreamWriter[Row] =
+    records.writeStream.format("kafka")
+      .options(kafkaSinkOptions(topic, bootstrapServers, checkpoint))
+      .outputMode(mode)
+
   private def requireKafkaConnector(site: String): Unit =
     if (!kafkaConnectorAvailable)
       throw new IllegalStateException(
@@ -831,12 +865,8 @@ object Pipelines {
                       keyCols: Seq[String], checkpoint: String,
                       mode: OutputMode = OutputMode.Append): DataStreamWriter[Row] = {
     requireKafkaConnector("kafkaSinkWriter")
-    kafkaRecords(df, keyCols).writeStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
-      .outputMode(mode)
+    kafkaWriter(kafkaRecords(df, keyCols), topic, bootstrapServers,
+      checkpoint, mode)
   }
 
   /** K5 streaming face: append each micro-batch to a JDBC table (the
@@ -872,10 +902,7 @@ object Pipelines {
                       bootstrapServers: String,
                       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     requireKafkaConnector("kafkaJsonSource")
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
+    kafkaReader(spark, topic, bootstrapServers)
       .load()
       .select(from_json(col("value").cast("string"), schema).as("r"))
       .select(col("r.*"))
@@ -897,10 +924,7 @@ object Pipelines {
                       wireSchema: org.apache.spark.sql.types.StructType,
                       confluentFraming: Boolean = true): DataFrame = {
     requireKafkaConnector("kafkaAvroSource")
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
+    kafkaReader(spark, topic, bootstrapServers)
       .load()
       .select(graft.functions.AvroCodec.avroDecode(
         col("value"), wireSchema, confluentFraming).as("r"))
@@ -1125,10 +1149,7 @@ object Pipelines {
                               readerSchema: org.apache.spark.sql.types.StructType,
                               writerSchemas: Map[Int, org.apache.spark.sql.types.StructType]): DataFrame = {
     requireKafkaConnector("kafkaAvroSourceEvolving")
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
+    kafkaReader(spark, topic, bootstrapServers)
       .load()
       .select(graft.functions.AvroCodec.avroDecodeEvolving(
         col("value"), readerSchema, writerSchemas).as("r"))

@@ -886,4 +886,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(auto.sameElements(fixed))
     assert(auto.groupBy(_._1).values.forall(_.length <= 3))
   }
+
+  test("knnJoinAuto band sizing reads plan statistics instead of running count()") {
+    import graft.operators.Similarity
+    // Range carries an exact rowCount statistic → no job may run. Job
+    // groups are thread-local, so this stays exact under parallel suites.
+    val statful = spark.range(100000).toDF("vec_id")
+    spark.sparkContext.setJobGroup("corpus_rows_stats_spec", "spec", false)
+    val (n1, fromStats) =
+      try Similarity.corpusRows(statful)
+      finally spark.sparkContext.clearJobGroup()
+    assert(fromStats && n1 == 100000L, s"stats path not taken: $n1")
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("corpus_rows_stats_spec").isEmpty,
+      "corpusRows launched a job despite plan statistics")
+    // a parquet scan without collected stats falls back to the count job,
+    // and both paths select the same p for the same n
+    val pq = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (n2, fromStats2) = Similarity.corpusRows(pq)
+    assert(!fromStats2 && n2 == pq.count(), "parquet fallback broken")
+  }
 }

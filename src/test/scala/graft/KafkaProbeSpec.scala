@@ -60,4 +60,48 @@ class KafkaProbeSpec extends AnyFunSuite {
       assert(e.getMessage.contains("KAFKA_PROBE.md"))
     }
   }
+
+  /** Reflected option map of a DataStreamReader/Writer (provider
+    * resolution is deferred to load()/start(), so configured instances
+    * exist fine without the connector).
+    */
+  private def extracted(o: AnyRef): Map[String, String] = {
+    var c: Class[_] = o.getClass
+    var f: Option[java.lang.reflect.Field] = None
+    while (f.isEmpty && c != null) {
+      f = c.getDeclaredFields.find(_.getName.endsWith("extraOptions"))
+      if (f.isEmpty) c = c.getSuperclass
+    }
+    val field = f.getOrElse(fail(s"no extraOptions field on ${o.getClass}"))
+    field.setAccessible(true)
+    // CaseInsensitiveMap lower-cases keys on entry; compare normalized
+    field.get(o).asInstanceOf[scala.collection.Map[String, String]]
+      .map { case (k, v) => k.toLowerCase -> v }.toMap
+  }
+
+  private def norm(m: Map[String, String]): Map[String, String] =
+    m.map { case (k, v) => k.toLowerCase -> v }
+
+  test("broker-free option contract: the builders configure exactly the reference's option set") {
+    // the last untested lines of the §2 Kafka surface — the option maps
+    // the four builders would hand the connector. Built through the
+    // builders' own seams and extracted without load()/start().
+    assert(Pipelines.kafkaSourceOptions("psg-customers", "broker:9092") ==
+      Map("kafka.bootstrap.servers" -> "broker:9092",
+        "subscribe" -> "psg-customers"))
+    assert(Pipelines.kafkaSinkOptions("jovens", "broker:9092", "/ck") ==
+      Map("kafka.bootstrap.servers" -> "broker:9092", "topic" -> "jovens",
+        "checkpointLocation" -> "/ck"))
+    val reader = Pipelines.kafkaReader(spark, "psg-customers", "broker:9092")
+    assert(extracted(reader) == norm(Pipelines.kafkaSourceOptions(
+      "psg-customers", "broker:9092")), "reader options drifted")
+    val writer = Pipelines.kafkaWriter(
+      spark.readStream.format("rate").load()
+        .selectExpr("cast(value as string) AS value",
+          "cast(value as string) AS key"),
+      "jovens", "broker:9092", "/ck",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    assert(extracted(writer) == norm(Pipelines.kafkaSinkOptions(
+      "jovens", "broker:9092", "/ck")), "writer options drifted")
+  }
 }

@@ -51,6 +51,25 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(ScaleBench.gateViolations(Seq(("x", t + 0.01))) == Seq("x"))
   }
 
+  test("every 100x frontier panel name is a registered query") {
+    val known = SparkEntry.queries.keySet ++ ScaleBench.Extras.keySet
+    val missing = ScaleBench100.Panel.filterNot(known)
+    assert(missing.isEmpty, s"100x panel names not in the registry: $missing")
+  }
+
+  test("committed BENCH_SCALE100.json (if present) is gate- and crash-clean") {
+    val f = new java.io.File("BENCH_SCALE100.json")
+    if (f.exists()) {
+      val json = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      Seq("gate_violations", "failed_at_scale").foreach { k =>
+        s""""$k":\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(json).foreach { g =>
+          assert(g.group(1).trim.isEmpty, s"BENCH_SCALE100.json $k: ${g.group(1)}")
+        }
+      }
+    }
+  }
+
   test("committed BENCH_SCALE.json (if present) carries no gate violations") {
     val f = new java.io.File("BENCH_SCALE.json")
     if (f.exists()) {
