@@ -19,6 +19,9 @@ import org.apache.spark.sql.SparkSession
   *     registry read uniformly ~1.38× slower with unchanged code/plans
   *     and the artifact couldn't prove it was box contention; the
   *     calibration ratio now separates "box slower" from "plan worse".
+  *     (Round 10 ran the experiments: the drift is within-JVM
+  *     accumulated-state tax, not contention or plan regressions —
+  *     evidence chain in BENCH_DRIFT.md.)
   *     If fewer than 2 of the base passes ran uncontended (pre-pass
   *     load over the gate, or calibration >1.5× the best), up to 2
   *     replacement passes run.
@@ -103,8 +106,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibJvm(); calibSpark() // JIT/codegen warm-up, untimed
-    case class PassMeta(label: String, load: Double, cj: Double, cs: Double)
-    def meta(label: String) = PassMeta(label, loadAvg, calibJvm(), calibSpark())
+    // cumulative GC time + live heap alongside the calibration: round 10
+    // traced the uniform r8→r9 "drift" to JVM-state accumulation across
+    // the ~700 plan executions of a full run (the fixed Spark probe
+    // degrades ~0.24 s → ~0.40 s within one run; a fresh JVM on the same
+    // box recovers round-8 times), and these two series show directly
+    // whether collector pressure tracks that degradation
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    def heapMb: Long = {
+      val r = Runtime.getRuntime
+      (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+    }
+    case class PassMeta(label: String, load: Double, cj: Double, cs: Double,
+                        gc: Long, heap: Long)
+    def meta(label: String) =
+      PassMeta(label, loadAvg, calibJvm(), calibSpark(), gcMs, heapMb)
 
     // pass 1: cold sequential (codegen compile included — reported apart)
     val coldMeta = meta("cold")
@@ -171,7 +191,7 @@ object Bench {
     // normalize by the environment instead of guessing
     val loadEnd = loadAvg
     def metaJson(m: PassMeta) =
-      s""""load_pre":${m.load},"calib_jvm_s":${m.cj},"calib_spark_s":${m.cs}"""
+      s""""load_pre":${m.load},"calib_jvm_s":${m.cj},"calib_spark_s":${m.cs},"gc_total_ms":${m.gc},"heap_used_mb":${m.heap}"""
     val warmRuns = passes
       .map { case (m, run, total) =>
         s""""${m.label}":{"total":$total,${metaJson(m)},"queries":${jsonMap(run)}}""" }
