@@ -128,6 +128,12 @@ object ScaleBench {
       "the word-shuffle replication preserves BAGS OF WORDS, and hash-embed count vectors are order-independent — so every copy is a TRUE semantic near-dup of its original, exactly what this operator exists to catch: the correct output grows from 300 pairs to 255,000 (measured: 5000 10-cliques = 225k + the 300 original pairs x 10^2 cross-copy combinations = 30k); ~22x wall for ~850x output rows is sublinear per emitted pair. On a corpus whose duplicates don't explode, candidates stay bounded by band-bucket collisions (p=16 -> n/65536 per band)",
     "dedup_clusters_chain" ->
       "pointer-jump rounds grow O(log d) with the chain; the factor reflects per-round linear cost x log-rounds",
+    "join_revenue_by_status" ->
+      "fact-fact shuffle join where BOTH sides are replicated tables: shuffled bytes and matched rows grow exactly linearly, so the expected factor IS the 10x linear bar and the measurement hovers at it plus run noise (10.2x in round 9, 12.7x on a self-loaded box in round 10 - the only >12x reading in ten rounds). The bucketed variant join_revenue_by_status_bucketed is the scale path that removes the per-run shuffle entirely",
+    "dedup_semantic_clusters" ->
+      "bounded-output twin of dedup_semantic_pairs: exact bag-of-words duplicates collapse to one representative before the SRP self-join, so the 10x corpus (every doc gaining 10 bag-identical copies) measures ~5x wall where the pair form measures ~29x for ~850x output rows; residual factor is the collapse window + CC rounds over 10x nodes",
+    "dedup_edit_clusters" ->
+      "bounded-output twin of dedup_edit_pairs: identical boilerplate texts collapse to one representative before the gated DP, so the tier cliques stop growing candidates/verifies/output with corpus size - ~2x wall at 10x rows where the pair form measures ~12x",
     "sim_knn_join" ->
       "adaptive band width p = max(8, ceil(log2(n/8))) holds per-band bucket population flat as the corpus grows — round 8 measured the fixed-width form at 21x for 10x rows and retired it to spec-level contrast; the registered adaptive query measures ~2x",
     "sim_ivf_topk_sampled" ->
