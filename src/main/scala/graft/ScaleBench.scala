@@ -397,12 +397,31 @@ object ScaleBench {
   * synthesizes an sf10-equivalent corpus (100× fact rows, same
   * perturbation discipline as [[ScaleBench.synthesize]]) and times ONLY
   * the frontier panel — the slowest / highest-factor queries of the 10×
-  * artifact plus the new bounded-output cluster forms — cold + warm-once
-  * (min-of-N at this scale would double a multi-hour run for noise
-  * rejection the 10× panel already provides). Gate semantics carry over
-  * scaled: linear in rows is ~100, threshold 120, the same notes
-  * allowlist justifies known output growth, and crashes land in
-  * failed_at_scale. Artifact: BENCH_SCALE100.json.
+  * artifact plus the new bounded-output cluster forms. Three mechanics
+  * keep a potentially multi-hour probe honest AND bounded:
+  *
+  *  - '''warm-once at big scale''': the two small-dir passes warm
+  *    codegen for the identical plan shape, so the big pass runs once —
+  *    a second big pass would double the cost of the most expensive
+  *    measurements purely for noise rejection the 10× min-of-3 panel
+  *    already provides.
+  *  - '''gate-derived timebox''': each big pass is capped at
+  *    max(120 s, 130 × small_s). 130× small is already past the 120×
+  *    gate, so a query that hits its cap has DEFINITIVELY failed the
+  *    linearity bar — the row records the cap as a lower bound
+  *    (scale_x_lower_bound = cap/small) instead of burning an unbounded
+  *    slice of the round on a measurement whose verdict is known. A
+  *    timeboxed row must carry a [[ScaleBench.notes]] justification or
+  *    it lands in gate_violations; it never masquerades as a crash.
+  *  - '''sidecar resume''': every finished query appends to a TSV
+  *    sidecar and rewrites the artifact (with panel_remaining listing
+  *    what's left), so a killed probe restarts where it stopped instead
+  *    of from zero.
+  *
+  * Gate semantics otherwise carry over scaled: linear in rows is ~100,
+  * threshold 120, the same notes allowlist justifies known output
+  * growth, and crashes land in failed_at_scale. Artifact:
+  * BENCH_SCALE100.json.
   */
 object ScaleBench100 {
 
@@ -411,20 +430,43 @@ object ScaleBench100 {
   /** 120 = 100×-linear + the same 20% noise margin the 10× gate uses. */
   val GateThreshold = 120.0
 
+  /** Big-pass cap: 130 × small is already over the 120× gate, so
+    * hitting it proves the verdict; the 120 s floor keeps sub-second
+    * small times from capping a big pass that merely pays fixed
+    * overhead. */
+  def capSeconds(smallS: Double): Double = math.max(120.0, 130.0 * smallS)
+
+  /** A timeboxed row is a measured ">cap/small at 100×" finding; like
+    * any over-threshold factor it needs a [[ScaleBench.notes]]
+    * justification or it is a gate violation. Pure so the spec pins it. */
+  def timeboxViolations(capped: Seq[String]): Seq[String] =
+    capped.filterNot(ScaleBench.notes.contains)
+
   /** The frontier: every 10× row ≥ ~3× (candidate-growth suspects), the
     * forced posting-path probe, and the cluster twins whose collapse
-    * must hold the quadratic fixtures flat.
+    * must hold the quadratic fixtures flat. Ordered cheapest-first (by
+    * expected big-pass time) so an interrupted probe banks the most
+    * coverage per minute.
     */
   val Panel: Seq[String] = Seq(
-    "dedup_char_jaccard_pairs", "dedup_jaccard_pairs", "dedup_containment",
-    "dedup_funnel_report", "dedup_clusters_chain", "dedup_edit_pairs",
-    "dedup_semantic_pairs", "dedup_semantic_clusters", "dedup_edit_clusters",
-    "dedup_char_lsh_skewed", "sim_knn_join", "dedup_char_jaccard_posting")
+    "sim_knn_join", "dedup_char_lsh_skewed", "dedup_edit_pairs",
+    "dedup_edit_clusters", "dedup_jaccard_pairs", "dedup_containment",
+    "dedup_funnel_report", "dedup_semantic_pairs", "dedup_char_jaccard_pairs",
+    "dedup_char_jaccard_posting", "dedup_clusters_chain",
+    "dedup_semantic_clusters")
+
+  /** name, small_s, big_s (-2 = timeboxed, -1 = crashed), factor, cap
+    * (0 unless timeboxed). */
+  final case class Row100(name: String, small: Double, big: Double,
+                          factor: Double, cap: Double)
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE100_DIR", "/tmp/graft_scale_sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE100_OUT", "BENCH_SCALE100.json")
+    val sidecar = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE100_PROGRESS", "/tmp/graft_scale100_progress.tsv"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -440,48 +482,118 @@ object ScaleBench100 {
     val registry = (SparkEntry.queries.toSeq ++ ScaleBench.Extras.toSeq).toMap
     val panel = Panel.filter(n => only.forall(_.contains(n)))
 
-    def timed(name: String, dir: String): Double = {
+    val done: scala.collection.mutable.LinkedHashMap[String, Row100] =
+      scala.collection.mutable.LinkedHashMap.empty
+    if (java.nio.file.Files.exists(sidecar)) {
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(sidecar)).asScala.foreach { line =>
+        line.split('\t') match {
+          case Array(n, s, b, f, c) if panel.contains(n) =>
+            done(n) = Row100(n, s.toDouble, b.toDouble, f.toDouble, c.toDouble)
+          case _ => ()
+        }
+      }
+      if (done.nonEmpty) System.err.println(
+        s"[scale100] resuming: ${done.size} rows from $sidecar (${done.keys.mkString(", ")})")
+    }
+
+    def timedSmall(name: String): Double = {
       val q0 = System.nanoTime()
-      try { registry(name)(spark, dir).count(); (System.nanoTime() - q0) / 1e9 }
+      try { registry(name)(spark, smallDir).count(); (System.nanoTime() - q0) / 1e9 }
       catch { case e: Throwable =>
-        System.err.println(s"[scale100] $name @ $dir failed: ${e.getMessage}")
+        System.err.println(s"[scale100] $name @ $smallDir failed: ${e.getMessage}")
         -1.0 }
     }
 
-    val rows = panel.map { name =>
-      timed(name, smallDir) // cold (codegen) discarded
-      val s = timed(name, smallDir)
-      timed(name, bigDir)
-      val b = timed(name, bigDir)
-      val f = if (s > 0 && b > 0) b / s else -1.0
-      System.err.println(
-        f"[scale100] $name%-32s small=$s%8.2fs big=$b%9.2fs x=$f%8.2f")
-      (name, s, b, f)
+    /** One capped big pass: a repeating timer cancels the query's job
+      * group once past the cap (repeating because AQE launches follow-on
+      * jobs the first cancel can miss). Returns big_s, or -2 when the
+      * cap fired, or -1 on a genuine failure. */
+    def timedBig(name: String, capSec: Double): Double = {
+      val sc = spark.sparkContext
+      val group = s"scale100-$name"
+      @volatile var hitCap = false
+      val timer = new java.util.Timer("scale100-cap", true)
+      val q0 = System.nanoTime()
+      sc.setJobGroup(group, s"scale100 big $name", interruptOnCancel = true)
+      timer.scheduleAtFixedRate(new java.util.TimerTask {
+        def run(): Unit =
+          if ((System.nanoTime() - q0) / 1e9 >= capSec) {
+            hitCap = true; sc.cancelJobGroup(group)
+          }
+      }, 1000L, 2000L)
+      try { registry(name)(spark, bigDir).count(); (System.nanoTime() - q0) / 1e9 }
+      catch { case e: Throwable =>
+        if (hitCap) -2.0
+        else {
+          System.err.println(s"[scale100] $name @ $bigDir failed: ${e.getMessage}")
+          -1.0
+        }
+      } finally { timer.cancel(); sc.clearJobGroup() }
     }
-    val factors = rows.map(r => (r._1, r._4))
-    val violations = factors.collect {
-      case (n, f) if f > GateThreshold && !ScaleBench.notes.contains(n) => n }
-    val failed = ScaleBench.failedAtScale(factors)
 
-    def facts(dir: String): String =
-      Seq("documents", "embeddings", "events", "orders", "lineitem").map { t =>
-        s""""$t":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
+    lazy val factsSmall = facts(spark, smallDir)
+    lazy val factsBig = facts(spark, bigDir)
+
+    def writeArtifact(): Unit = {
+      val rows = done.values.toSeq
+      val completed = rows.filter(r => r.cap == 0.0 && r.factor >= 0)
+      val timeboxed = rows.filter(_.cap > 0.0)
+      val crashed = rows.filter(r => r.cap == 0.0 && r.factor < 0).map(_.name)
+      val violations = (completed.collect {
+        case r if r.factor > GateThreshold && !ScaleBench.notes.contains(r.name) => r.name
+      } ++ timeboxViolations(timeboxed.map(_.name))).sorted
+      val remaining = panel.filterNot(done.contains)
+      val qjson = rows.map {
+        case Row100(n, s, b, _, cap) if cap > 0.0 =>
+          val lb = math.rint(cap / s * 100) / 100
+          s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":null,"scale_x":null,"timeboxed_at_s":${math.rint(cap * 10) / 10},"scale_x_lower_bound":$lb}"""
+        case Row100(n, s, b, f, _) =>
+          s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100}}"""
       }.mkString("{", ",", "}")
-    val qjson = rows.map { case (n, s, b, f) =>
-      f""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100}}"""
-    }.mkString("{", ",", "}")
-    val json =
-      s"""{"factor":$Factor,"sf_small":"$smallDir","sf_big":"$bigDir",
-         |"synth_sec":${math.rint(synthSec * 10) / 10},
-         |"gate_threshold_x":$GateThreshold,"warm_passes":1,
-         |"gate_violations":${violations.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},
-         |"failed_at_scale":${failed.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},
-         |"rows_small":${facts(smallDir)},"rows_big":${facts(bigDir)},
-         |"queries":$qjson}""".stripMargin
-    java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_SCALE100_OUT", "BENCH_SCALE100.json")),
-      json.getBytes("UTF-8"))
-    println(json)
+      def arr(xs: Seq[String]) = xs.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
+      val json =
+        s"""{"factor":$Factor,"sf_small":"$smallDir","sf_big":"$bigDir",
+           |"synth_sec":${math.rint(synthSec * 10) / 10},
+           |"gate_threshold_x":$GateThreshold,"warm_passes":1,
+           |"big_pass":"single (codegen warmed by the small passes; identical plan shape)",
+           |"cap_rule":"max(120, 130*small_s) seconds; a capped row is a measured >=cap/small factor, noted or it violates",
+           |"gate_violations":${arr(violations)},
+           |"failed_at_scale":${arr(crashed)},
+           |"timeboxed":${arr(timeboxed.map(_.name))},
+           |"panel_remaining":${arr(remaining)},
+           |"rows_small":$factsSmall,"rows_big":$factsBig,
+           |"queries":$qjson}""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        json.getBytes("UTF-8"))
+      if (remaining.isEmpty) println(json)
+    }
+
+    panel.filterNot(done.contains).foreach { name =>
+      timedSmall(name) // cold (codegen) discarded; warms the big pass's plan too
+      val s = timedSmall(name)
+      val row = if (s < 0) Row100(name, s, -1.0, -1.0, 0.0) else {
+        val cap = capSeconds(s)
+        val b = timedBig(name, cap)
+        if (b == -2.0) Row100(name, s, -2.0, -2.0, cap)
+        else Row100(name, s, b, if (b > 0) b / s else -1.0, 0.0)
+      }
+      val verdict =
+        if (row.cap > 0) f"TIMEBOXED at ${row.cap}%.0fs (>=${row.cap / row.small}%.0fx)"
+        else f"big=${row.big}%9.2fs x=${row.factor}%8.2f"
+      System.err.println(f"[scale100] $name%-32s small=$s%8.2fs $verdict")
+      done(name) = row
+      java.nio.file.Files.write(sidecar,
+        s"${row.name}\t${row.small}\t${row.big}\t${row.factor}\t${row.cap}\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      writeArtifact()
+    }
+    if (done.size == panel.size) writeArtifact()
     spark.stop()
   }
+
+  private def facts(spark: SparkSession, dir: String): String =
+    Seq("documents", "embeddings", "events", "orders", "lineitem").map { t =>
+      s""""$t":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
+    }.mkString("{", ",", "}")
 }

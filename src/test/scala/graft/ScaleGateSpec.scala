@@ -57,7 +57,22 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"100x panel names not in the registry: $missing")
   }
 
-  test("committed BENCH_SCALE100.json (if present) is gate- and crash-clean") {
+  test("a timeboxed 100x row needs a notes justification like any over-gate factor") {
+    // hitting the cap (130 x small > the 120 gate) IS an over-threshold
+    // measurement — it must be allowlisted by notes, and an unnoted cap
+    // hit is a violation, not a crash
+    assert(ScaleBench100.timeboxViolations(Seq("dedup_semantic_pairs")).isEmpty)
+    assert(ScaleBench100.timeboxViolations(Seq("totally_new_op")) == Seq("totally_new_op"))
+  }
+
+  test("the 100x cap is gate-derived: always past the threshold, floored for tiny queries") {
+    // cap/small >= 130 > GateThreshold for any small time above the floor
+    assert(ScaleBench100.capSeconds(2.0) == 260.0)
+    assert(ScaleBench100.capSeconds(0.1) == 120.0) // floor: sub-second smalls aren't capped at 13 s
+    assert(ScaleBench100.capSeconds(1.0) / 1.0 > ScaleBench100.GateThreshold)
+  }
+
+  test("committed BENCH_SCALE100.json (if present) is gate- and crash-clean, timeboxes noted") {
     val f = new java.io.File("BENCH_SCALE100.json")
     if (f.exists()) {
       val json = new String(
@@ -66,6 +81,20 @@ class ScaleGateSpec extends AnyFunSuite {
         s""""$k":\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(json).foreach { g =>
           assert(g.group(1).trim.isEmpty, s"BENCH_SCALE100.json $k: ${g.group(1)}")
         }
+      }
+      // a committed artifact may carry timeboxed rows only when each is
+      // notes-justified (the probe folds unnoted ones into
+      // gate_violations; this re-checks the committed file independently)
+      """"timeboxed":\s*\[([^\]]*)\]""".r.findFirstMatchIn(json).foreach { g =>
+        val names = g.group(1).split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+        val unnoted = ScaleBench100.timeboxViolations(names)
+        assert(unnoted.isEmpty, s"BENCH_SCALE100.json timeboxed without notes: $unnoted")
+      }
+      // and the probe must have covered the whole panel
+      """"panel_remaining":\s*\[([^\]]*)\]""".r.findFirstMatchIn(json).foreach { g =>
+        assert(g.group(1).trim.isEmpty,
+          s"BENCH_SCALE100.json is a partial run: remaining ${g.group(1)}")
       }
     }
   }
