@@ -417,6 +417,17 @@ object ScaleBench {
   *    sidecar and rewrites the artifact (with panel_remaining listing
   *    what's left), so a killed probe restarts where it stopped instead
   *    of from zero.
+  *  - '''one query per JVM''' (tools/scale100_drive.sh): a cancelled
+  *    hot-bucket join can leave interrupt-immune zombie tasks — the
+  *    generated sort-merge inner loop evaluates the join condition per
+  *    candidate pair with no kill-flag check, so a 100×-clique task
+  *    spins for hours after its job is cancelled (observed live:
+  *    AQE submitted a follow-on stage in the seconds between the cap
+  *    cancel and the count() throw, and its five tasks burned full
+  *    cores through every later measurement). No in-process reaper can
+  *    kill such a thread; the only clean isolation is process death, so
+  *    the drive script runs each panel query in its own JVM via
+  *    SPARK_GRAFT_SCALE_ONLY and the sidecar carries state across runs.
   *
   * Gate semantics otherwise carry over scaled: linear in rows is ~100,
   * threshold 120, the same notes allowlist justifies known output
@@ -488,7 +499,7 @@ object ScaleBench100 {
       scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(sidecar)).asScala.foreach { line =>
         line.split('\t') match {
-          case Array(n, s, b, f, c) if panel.contains(n) =>
+          case Array(n, s, b, f, c) if Panel.contains(n) =>
             done(n) = Row100(n, s.toDouble, b.toDouble, f.toDouble, c.toDouble)
           case _ => ()
         }
@@ -543,7 +554,7 @@ object ScaleBench100 {
       val violations = (completed.collect {
         case r if r.factor > GateThreshold && !ScaleBench.notes.contains(r.name) => r.name
       } ++ timeboxViolations(timeboxed.map(_.name))).sorted
-      val remaining = panel.filterNot(done.contains)
+      val remaining = Panel.filterNot(done.contains)
       val qjson = rows.map {
         case Row100(n, s, b, _, cap) if cap > 0.0 =>
           val lb = math.rint(cap / s * 100) / 100
@@ -588,8 +599,15 @@ object ScaleBench100 {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       writeArtifact()
     }
-    if (done.size == panel.size) writeArtifact()
-    spark.stop()
+    writeArtifact() // consolidation run (all rows already in the sidecar)
+    // Graceful stop, but never let interrupt-immune zombie tasks from a
+    // capped query hold the JVM hostage: bounded join, then hard exit
+    // (run is forked; all outputs above are synchronous Files.write).
+    val stopper = new Thread(() => spark.stop(), "scale100-stop")
+    stopper.setDaemon(true)
+    stopper.start()
+    stopper.join(30000)
+    sys.exit(0)
   }
 
   private def facts(spark: SparkSession, dir: String): String =
