@@ -569,6 +569,7 @@ object ScaleBench100 {
            |"gate_threshold_x":$GateThreshold,"warm_passes":1,
            |"big_pass":"single (codegen warmed by the small passes; identical plan shape)",
            |"cap_rule":"max(120, 130*small_s) seconds; a capped row is a measured >=cap/small factor, noted or it violates",
+           |"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
            |"gate_violations":${arr(violations)},
            |"failed_at_scale":${arr(crashed)},
            |"timeboxed":${arr(timeboxed.map(_.name))},

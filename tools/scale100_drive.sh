@@ -14,6 +14,12 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# At 100x one local JVM stands in for an entire cluster; the default 8g
+# (-> 256 MB per local[32] task) is far below any realistic executor and
+# OOMed the containment verify. 48g = 1.5 GB/core, ordinary executor
+# sizing, on a 128 GiB box.
+export SPARK_DRIVER_MEM="${SPARK_GRAFT_SCALE100_MEM:-48g}"
+
 # Must match ScaleBench100.Panel (cheapest-first).
 PANEL="sim_knn_join dedup_char_lsh_skewed dedup_edit_pairs dedup_edit_clusters
 dedup_jaccard_pairs dedup_containment dedup_funnel_report dedup_semantic_pairs
