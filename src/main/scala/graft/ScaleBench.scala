@@ -117,11 +117,11 @@ object ScaleBench {
     "linear_bar" ->
       "scale_x ~ 10 is linear in rows; < 10 is sublinear (fixed overhead amortizing)",
     "dedup_char_jaccard_pairs" ->
-      "exact all-pairs jaccard on a FIXED-vocabulary corpus is the adversarial case (posting lists grow with the corpus). Round 8 measured it at 56x for 10x docs, then fixed it: length-bucketed prefix join keys + a measured-vocabulary bitmap verify (popcount(AND) per candidate instead of a posting-expansion join) brought it to ~5x. The unbounded-vocab posting path is measured separately as dedup_char_jaccard_posting",
+      "exact all-pairs jaccard on a FIXED-vocabulary corpus is the adversarial case (posting lists grow with the corpus). Round 8 measured it at 56x for 10x docs, then fixed it: length-bucketed prefix join keys + a measured-vocabulary bitmap verify (popcount(AND) per candidate instead of a posting-expansion join) brought it to ~5x. The unbounded-vocab posting path is measured separately as dedup_char_jaccard_posting. At 100x (500k docs) the candidate set itself grows quadratically on this fixture and the candidate-proportional verify shuffle exceeds single-box disk (disk_capped >=74x in BENCH_SCALE100) - the at-scale answer is not a bigger box but bounded-output composition: the funnel that exact-collapses before the fuzzy tier measures 9.1x at 100x on the same corpus",
     "dedup_char_jaccard_posting" ->
-      "the unbounded-vocabulary branch (forced by capping the bitmap gate at 0), measured so the 100 TB default stays honest: round 9 replaced the posting-expansion count-join (measured 38x at 10x docs — candidate x posting rows re-shuffled) with per-doc gram arrays + size(array_intersect), which ships each near-threshold candidate's two doc arrays once; remaining factor tracks candidate growth on this fixed-vocabulary adversarial corpus",
+      "the unbounded-vocabulary branch (forced by capping the bitmap gate at 0), measured so the 100 TB default stays honest: round 9 replaced the posting-expansion count-join (measured 38x at 10x docs — candidate x posting rows re-shuffled) with per-doc gram arrays + size(array_intersect), which ships each near-threshold candidate's two doc arrays once; remaining factor tracks candidate growth on this fixed-vocabulary adversarial corpus. At 100x the gram-array candidate shuffle exceeds single-box disk (disk_capped >=24x in BENCH_SCALE100), same quadratic-candidate root cause as the bitmap form",
     "dedup_jaccard_pairs" ->
-      "word-shingle exact jaccard: same engine as the char variant; the word vocabulary grows with the corpus (Heaps law), so posting lists stay shorter and the factor lower than the fixed-vocab char case",
+      "word-shingle exact jaccard: same engine as the char variant; the word vocabulary grows with the corpus (Heaps law), so posting lists stay shorter and the factor lower than the fixed-vocab char case at 10x (2.8x). At 100x the bag-preserving replication catches up with it: every word-shuffled copy is an EXACT word-jaccard duplicate of its original, so correct output is quadratic in copy count (100-cliques -> ~4950 pairs each) and the pair form timeboxes >=130x - cluster emission is the at-scale shape",
     "dedup_char_lsh_skewed" ->
       "adversarial-by-design skew fixture: every 10th doc collapses to shared boilerplate, so the two near-identical cliques grow linearly with the corpus and the CORRECT output pairs grow quadratically (~100x at 10x rows); the measured wall factor is sublinear per emitted pair, and the hot-bucket O(m^2) join stays confined to the cliques",
     "dedup_semantic_pairs" ->
@@ -413,6 +413,12 @@ object ScaleBench {
   *    slice of the round on a measurement whose verdict is known. A
   *    timeboxed row must carry a [[ScaleBench.notes]] justification or
   *    it lands in gate_violations; it never masquerades as a crash.
+  *    Local-disk exhaustion mid-pass is the same verdict with an
+  *    earlier-binding resource (the probe box has ~65 GB usable shuffle
+  *    space; a candidate-proportional shuffle that fills it was headed
+  *    for the timebox anyway) and is recorded as a disk_capped
+  *    lower-bound row under the same notes requirement, while genuine
+  *    failures stay in failed_at_scale.
   *  - '''sidecar resume''': every finished query appends to a TSV
   *    sidecar and rewrites the artifact (with panel_remaining listing
   *    what's left), so a killed probe restarts where it stopped instead
@@ -518,27 +524,35 @@ object ScaleBench100 {
 
     /** One capped big pass: a repeating timer cancels the query's job
       * group once past the cap (repeating because AQE launches follow-on
-      * jobs the first cancel can miss). Returns big_s, or -2 when the
-      * cap fired, or -1 on a genuine failure. */
-    def timedBig(name: String, capSec: Double): Double = {
+      * jobs the first cancel can miss). Returns (code, elapsed_s):
+      * code = big_s on success, -2 when the cap fired, -3 when LOCAL
+      * DISK was exhausted mid-measurement (the probe box's shuffle
+      * capacity is ~65 GB usable; a candidate-proportional shuffle that
+      * fills it would have hit the timebox shortly after — the disk is
+      * just the earlier-binding resource, so it is recorded as a capped
+      * lower-bound row, not a crash), or -1 on a genuine failure. */
+    def timedBig(name: String, capSec: Double): (Double, Double) = {
       val sc = spark.sparkContext
       val group = s"scale100-$name"
       @volatile var hitCap = false
       val timer = new java.util.Timer("scale100-cap", true)
       val q0 = System.nanoTime()
+      def elapsed = (System.nanoTime() - q0) / 1e9
       sc.setJobGroup(group, s"scale100 big $name", interruptOnCancel = true)
       timer.scheduleAtFixedRate(new java.util.TimerTask {
         def run(): Unit =
-          if ((System.nanoTime() - q0) / 1e9 >= capSec) {
-            hitCap = true; sc.cancelJobGroup(group)
-          }
+          if (elapsed >= capSec) { hitCap = true; sc.cancelJobGroup(group) }
       }, 1000L, 2000L)
-      try { registry(name)(spark, bigDir).count(); (System.nanoTime() - q0) / 1e9 }
+      try { registry(name)(spark, bigDir).count(); val e = elapsed; (e, e) }
       catch { case e: Throwable =>
-        if (hitCap) -2.0
+        def msgs(t: Throwable, seen: Set[Throwable] = Set.empty): String =
+          if (t == null || seen(t)) ""
+          else s"${t}\n${msgs(t.getCause, seen + t)}"
+        if (hitCap) (-2.0, elapsed)
+        else if (msgs(e).contains("No space left on device")) (-3.0, elapsed)
         else {
           System.err.println(s"[scale100] $name @ $bigDir failed: ${e.getMessage}")
-          -1.0
+          (-1.0, elapsed)
         }
       } finally { timer.cancel(); sc.clearJobGroup() }
     }
@@ -549,13 +563,17 @@ object ScaleBench100 {
     def writeArtifact(): Unit = {
       val rows = done.values.toSeq
       val completed = rows.filter(r => r.cap == 0.0 && r.factor >= 0)
-      val timeboxed = rows.filter(_.cap > 0.0)
+      val timeboxed = rows.filter(r => r.big == -2.0 && r.cap > 0.0)
+      val diskCapped = rows.filter(r => r.big == -3.0 && r.cap > 0.0)
       val crashed = rows.filter(r => r.cap == 0.0 && r.factor < 0).map(_.name)
       val violations = (completed.collect {
         case r if r.factor > GateThreshold && !ScaleBench.notes.contains(r.name) => r.name
-      } ++ timeboxViolations(timeboxed.map(_.name))).sorted
+      } ++ timeboxViolations((timeboxed ++ diskCapped).map(_.name))).sorted
       val remaining = Panel.filterNot(done.contains)
       val qjson = rows.map {
+        case Row100(n, s, b, _, cap) if b == -3.0 =>
+          val lb = math.rint(cap / s * 100) / 100
+          s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":null,"scale_x":null,"disk_full_at_s":${math.rint(cap * 10) / 10},"scale_x_lower_bound":$lb}"""
         case Row100(n, s, b, _, cap) if cap > 0.0 =>
           val lb = math.rint(cap / s * 100) / 100
           s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":null,"scale_x":null,"timeboxed_at_s":${math.rint(cap * 10) / 10},"scale_x_lower_bound":$lb}"""
@@ -573,6 +591,7 @@ object ScaleBench100 {
            |"gate_violations":${arr(violations)},
            |"failed_at_scale":${arr(crashed)},
            |"timeboxed":${arr(timeboxed.map(_.name))},
+           |"disk_capped":${arr(diskCapped.map(_.name))},
            |"panel_remaining":${arr(remaining)},
            |"rows_small":$factsSmall,"rows_big":$factsBig,
            |"queries":$qjson}""".stripMargin
@@ -586,12 +605,14 @@ object ScaleBench100 {
       val s = timedSmall(name)
       val row = if (s < 0) Row100(name, s, -1.0, -1.0, 0.0) else {
         val cap = capSeconds(s)
-        val b = timedBig(name, cap)
+        val (b, el) = timedBig(name, cap)
         if (b == -2.0) Row100(name, s, -2.0, -2.0, cap)
+        else if (b == -3.0) Row100(name, s, -3.0, -3.0, el)
         else Row100(name, s, b, if (b > 0) b / s else -1.0, 0.0)
       }
       val verdict =
-        if (row.cap > 0) f"TIMEBOXED at ${row.cap}%.0fs (>=${row.cap / row.small}%.0fx)"
+        if (row.big == -3.0) f"DISK-CAPPED at ${row.cap}%.0fs (>=${row.cap / row.small}%.0fx, local shuffle exhausted)"
+        else if (row.cap > 0) f"TIMEBOXED at ${row.cap}%.0fs (>=${row.cap / row.small}%.0fx)"
         else f"big=${row.big}%9.2fs x=${row.factor}%8.2f"
       System.err.println(f"[scale100] $name%-32s small=$s%8.2fs $verdict")
       done(name) = row

@@ -82,14 +82,16 @@ class ScaleGateSpec extends AnyFunSuite {
           assert(g.group(1).trim.isEmpty, s"BENCH_SCALE100.json $k: ${g.group(1)}")
         }
       }
-      // a committed artifact may carry timeboxed rows only when each is
-      // notes-justified (the probe folds unnoted ones into
+      // a committed artifact may carry timeboxed or disk-capped rows only
+      // when each is notes-justified (the probe folds unnoted ones into
       // gate_violations; this re-checks the committed file independently)
-      """"timeboxed":\s*\[([^\]]*)\]""".r.findFirstMatchIn(json).foreach { g =>
-        val names = g.group(1).split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq
-        val unnoted = ScaleBench100.timeboxViolations(names)
-        assert(unnoted.isEmpty, s"BENCH_SCALE100.json timeboxed without notes: $unnoted")
+      Seq("timeboxed", "disk_capped").foreach { k =>
+        s""""$k":\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(json).foreach { g =>
+          val names = g.group(1).split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).toSeq
+          val unnoted = ScaleBench100.timeboxViolations(names)
+          assert(unnoted.isEmpty, s"BENCH_SCALE100.json $k without notes: $unnoted")
+        }
       }
       // and the probe must have covered the whole panel
       """"panel_remaining":\s*\[([^\]]*)\]""".r.findFirstMatchIn(json).foreach { g =>
