@@ -24,20 +24,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Cli {
 
   /** Index of the first statement-terminating ';' in `s` — one outside
-    * any single-quoted literal, double-quoted string, or backtick-quoted
-    * identifier — or -1. SQL's '' escape inside a literal is just two
-    * adjacent literals to this scan, so it falls out correctly. A raw
-    * indexOf split `select ';' as x;` mid-literal into two garbage
-    * fragments; an unterminated quote keeps accumulating lines, exactly
-    * like a real SQL shell waiting for the closing quote.
+    * any single-quoted literal, double-quoted string, backtick-quoted
+    * identifier, `--`-to-end-of-line comment, or (nestable, as Spark's
+    * lexer allows) bracketed comment — or -1. SQL's '' escape inside a
+    * literal is just two adjacent literals to this scan, so it falls out
+    * correctly, and Spark's backslash escapes (`\'` inside a single-
+    * quoted literal) skip the escaped character rather than closing the
+    * region. A raw indexOf split `select ';' as x;` mid-literal into two
+    * garbage fragments; an unterminated quote or comment keeps
+    * accumulating lines, exactly like a real SQL shell waiting for the
+    * closing delimiter.
     */
   private[graft] def terminatorIndex(s: CharSequence): Int = {
     var i = 0
     var quote: Char = 0 // 0 = outside any quoted region
+    var comment = 0 // bracketed-comment nesting depth
+    var lineComment = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      val next = if (i + 1 < s.length) s.charAt(i + 1) else 0.toChar
+      if (lineComment) { if (c == '\n') lineComment = false }
+      else if (comment > 0) {
+        if (c == '*' && next == '/') { comment -= 1; i += 1 }
+        else if (c == '/' && next == '*') { comment += 1; i += 1 }
+      } else if (quote != 0) {
+        // backslash escapes apply inside string literals only; backtick
+        // identifiers escape via doubled backticks (two adjacent regions)
+        if (c == '\\' && quote != '`') i += 1
+        else if (c == quote) quote = 0
+      }
       else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if (c == '-' && next == '-') { lineComment = true; i += 1 }
+      else if (c == '/' && next == '*') { comment = 1; i += 1 }
       else if (c == ';') return i
       i += 1
     }

@@ -32,6 +32,20 @@ import graft.functions.DetHash
   */
 object Dedup {
 
+  /** ceil(num·sz/den) in TRULY exact integer arithmetic, shared by the
+    * AllPairs prefix and the containment pigeonhole. Spark's `/` always
+    * divides as double, so `floor((num·sz+den−1)/den)` alone is exact
+    * only while double rounding cannot cross an integer; here the
+    * numerator is first reduced to an exact multiple of den (subtracting
+    * its pmod — pure long arithmetic), and dividing an exact multiple
+    * below 2⁵³ by its divisor is correctly rounded to the exact integer
+    * quotient. num·sz stays < 2⁵³ for any real gram count at den = 10⁶.
+    */
+  private def ceilRational(num: Long, sz: Column, den: Long): Column = {
+    val x = lit(num) * sz + lit(den - 1)
+    ((x - pmod(x, lit(den))) / lit(den)).cast("long")
+  }
+
   /** Word n-gram shingle set of the normalized text. Two projections so the
     * token array materializes once per row before the per-shingle lambda
     * (see [[graft.functions.GraftFunctions.shinglesFromTokens]]); the double
@@ -453,15 +467,14 @@ object Dedup {
       .repartition(col("doc_id"))
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    // ceil(threshold·sz) in INTEGER arithmetic: threshold as the rational
-    // num/10⁶, so ceil = (num·sz + den−1) div den. A float ceil(0.9·sz)
-    // can round UP at exactly-integer products (0.9·10 → 9.0000000000002
-    // → ceil 10), shrinking the pigeonhole slack m below the guarantee
-    // and dropping a true pair the exact verify would keep. num·sz stays
-    // < 2⁵³ for any real gram count, so the double divide is exact.
+    // ceil(threshold·sz) in INTEGER arithmetic ([[ceilRational]]):
+    // threshold as the rational num/10⁶. A float ceil(0.9·sz) can round
+    // UP at exactly-integer products (0.9·10 → 9.0000000000002 → ceil
+    // 10), shrinking the pigeonhole slack m below the guarantee and
+    // dropping a true pair the exact verify would keep.
     val den = 1000000L
     val num = math.round(threshold * den)
-    val m = col("sz") - floor((lit(num) * col("sz") + lit(den - 1)) / lit(den))
+    val m = col("sz") - ceilRational(num, col("sz"), den)
     val probeLen = least(col("sz"), lit(2) * m + 1)
     val ranked = grams.join(df, "g")
       .withColumn("rn", row_number().over(w.orderBy(col("df"), col("g"))))
@@ -896,14 +909,14 @@ object Dedup {
     // vocabulary (measured 56x time at 10x docs before this; the +-2
     // window still prunes everything beyond a (1/t)^3 size ratio).
     val bucketW = math.log(1.0 / threshold)
-    // ceil(threshold·sz) in INTEGER arithmetic (same rational num/den
-    // formulation as [[containmentPairs]]): a float ceil(0.9·10) rounds
-    // 9.0000000000000018 up to 10 and shortens the prefix below the
-    // AllPairs guarantee, silently dropping a true pair at exactly
-    // jac = t. num·sz stays < 2⁵³ for any real gram count.
+    // ceil(threshold·sz) in INTEGER arithmetic ([[ceilRational]], same
+    // rational num/den formulation as [[containmentPairs]]): a float
+    // ceil(0.9·10) rounds 9.0000000000000018 up to 10 and shortens the
+    // prefix below the AllPairs guarantee, silently dropping a true pair
+    // at exactly jac = t.
     val den = 1000000L
     val num = math.round(threshold * den)
-    val ceilTSz = floor((lit(num) * col("sz") + lit(den - 1)) / lit(den))
+    val ceilTSz = ceilRational(num, col("sz"), den)
     val prefix = ranked
       .filter(col("rn") <= (col("sz") - ceilTSz + 1).cast("int"))
       .select(col("doc_id"), col("sz"), col("rn"), col("g"),

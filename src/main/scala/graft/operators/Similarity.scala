@@ -230,6 +230,14 @@ object Similarity {
     * ESTIMATE is as good as the exact count here. Floored at p=8, the
     * fixed variant's width, so small corpora plan identically to
     * [[knnJoin]].
+    *
+    * CONTRACT: plan statistics are trusted as-is, so callers on ANALYZEd
+    * catalog tables must keep those stats fresh — a rowCount collected
+    * before a large append is arbitrarily stale and silently sizes a
+    * different band width p than the count() path would (approximate
+    * results shift with p; correctness of any downstream exact verify
+    * does not). Order-of-magnitude staleness is harmless; orders-of-
+    * magnitude staleness means re-ANALYZE the table, not this operator.
     */
   def knnJoinAuto(emb: DataFrame, k: Int = 3, bands: Int = 8,
                   targetBucket: Int = 8, dims: Int = 64): DataFrame = {

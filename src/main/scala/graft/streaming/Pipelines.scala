@@ -1033,6 +1033,7 @@ object Pipelines {
                              trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     import graft.operators.{CorpusOps, TextAnalysis}
     val snapshotDir = s"$outDir/snapshot"
+    val sid = streamInstanceId(records.sparkSession, checkpoint)
     records
       .select(col("value"), graft.functions.AvroCodec.avroDecodeEvolving(
         col("value"), readerSchema, registry, ids).as("r"))
@@ -1043,9 +1044,38 @@ object Pipelines {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         referenceTopologyBatch(batch, batchId, outDir, snapshotDir,
-          buckets, lang, minQuality)
+          buckets, lang, minQuality, streamId = sid)
       }
       .start()
+  }
+
+  /** The INGEST-RUN identity a checkpoint carries: batch ids restart at 0
+    * whenever a stream starts from a fresh (or reset) checkpoint, so any
+    * artifact keyed by batch id alone collides across checkpoint
+    * generations — a fresh batch 0 would match the previous generation's
+    * `_GRAFT_APPLIED` marker and be silently SKIPPED (rows consumed,
+    * nothing written). The id therefore lives IN the checkpoint dir
+    * (`_GRAFT_STREAM_ID`, created on first start): restarts from the same
+    * checkpoint — the replay window the staged-commit protocol protects —
+    * read the same id, while a deleted/new checkpoint mints a new one and
+    * gets its own artifact namespace. Read-or-create, never cached in the
+    * JVM, so an in-process checkpoint reset is detected too.
+    */
+  private[graft] def streamInstanceId(spark: SparkSession,
+                                      checkpoint: String): String = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val idPath = new org.apache.hadoop.fs.Path(s"$checkpoint/_GRAFT_STREAM_ID")
+    val fs = idPath.getFileSystem(hconf)
+    if (fs.exists(idPath)) {
+      val in = fs.open(idPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString.take(12)
+      val out = fs.create(idPath, false)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      id
+    }
   }
 
   /** One [[startReferenceTopology]] micro-batch, factored so the replay
@@ -1053,30 +1083,43 @@ object Pipelines {
     * retries expose (committed snapshot, uncommitted checkpoint).
     * Staged-commit protocol per batch N:
     *
-    *   dead letters → curated rows to `stage/batch_id=N` (overwrite) →
-    *   manifest FROM THE STAGE → snapshot upsert FROM THE STAGE →
-    *   `_GRAFT_APPLIED` marker in the stage dir.
+    *   dead letters → curated rows to `stage/run=S/batch_id=N`
+    *   (overwrite) → `_GRAFT_STAGED` marker → manifest FROM THE STAGE →
+    *   snapshot upsert FROM THE STAGE → `_GRAFT_APPLIED` marker in the
+    *   stage dir.
     *
-    * Replay cases: marker present → fully committed, skip; stage
-    * `_SUCCESS` present but no marker → re-drive manifest + upsert from
-    * the staged rows (both idempotent: overwrite of the same dir,
-    * latest-wins merge of identical rows) — NEVER recompute, because the
-    * cross-batch anti-join would now see this batch's own fingerprints
-    * in the snapshot and curate an empty frame over the good manifest;
-    * no stage → first attempt, compute from the batch. All paths use the
+    * Every per-batch artifact path (stage, manifest, dead letters) is
+    * namespaced by the checkpoint's [[streamInstanceId]]: batch ids are
+    * only unique within one checkpoint generation, so un-namespaced
+    * paths made a fresh-checkpoint restart against an existing outDir
+    * match the PREVIOUS generation's markers — fresh batches silently
+    * skipped — and overwrite its `manifest/batch_id=N` accounting.
+    *
+    * Replay cases: applied marker present → fully committed, skip;
+    * `_GRAFT_STAGED` present (an explicit marker written after the stage
+    * parquet — NOT the committer's `_SUCCESS`, which object-store
+    * deployments often disable via marksuccessfuljobs=false) but no
+    * applied marker → re-drive manifest + upsert from the staged rows
+    * (both idempotent: overwrite of the same dir, latest-wins merge of
+    * identical rows) — NEVER recompute, because the cross-batch
+    * anti-join would now see this batch's own fingerprints in the
+    * snapshot and curate an empty frame over the good manifest; no stage
+    * → first attempt, compute from the batch. All paths use the
     * path-derived FileSystem so `s3a://` out dirs resolve correctly.
     */
   private[graft] def referenceTopologyBatch(batch: DataFrame, batchId: Long,
                                             outDir: String, snapshotDir: String,
                                             buckets: Int, lang: String,
-                                            minQuality: Double): Unit = {
+                                            minQuality: Double,
+                                            streamId: String = "direct"): Unit = {
     import graft.operators.{CorpusOps, TextAnalysis}
     val spark = batch.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val stageDir = s"$outDir/stage/batch_id=$batchId"
+    val stageDir = s"$outDir/stage/run=$streamId/batch_id=$batchId"
     val fs = p(stageDir).getFileSystem(hconf)
     val appliedMarker = p(s"$stageDir/_GRAFT_APPLIED")
+    val stagedMarker = p(s"$stageDir/_GRAFT_STAGED")
     if (fs.exists(appliedMarker)) return // replay of a committed batch
     val staged = batch.persist()
     // the rate source's immediate trigger (and a quiet topic) produce
@@ -1084,13 +1127,13 @@ object Pipelines {
     // artifacts (no `return`: that would be a non-local return issue
     // inside foreachBatch closures; here we are a plain method)
     try {
-      val replayFromStage = fs.exists(p(s"$stageDir/_SUCCESS"))
+      val replayFromStage = fs.exists(stagedMarker)
       if (!replayFromStage && staged.isEmpty) return
       if (!replayFromStage) {
         val dead = staged.filter(col("r").isNull).select(col("value"))
         if (!dead.isEmpty)
           dead.write.mode("overwrite")
-            .parquet(s"$outDir/dead_letter/batch_id=$batchId")
+            .parquet(s"$outDir/dead_letter/run=$streamId/batch_id=$batchId")
         val docs = staged.filter(col("r").isNotNull).select(col("r.*"))
           .withColumn("dt_update", timestamp_millis(col("dt_update")))
         // curation gates + IN-BATCH fingerprint dedup (earliest wins)
@@ -1119,11 +1162,12 @@ object Pipelines {
         // pin the previous localCheckpoint provided, now durable so a
         // replay can re-drive the batch without recomputing)
         fresh.write.mode("overwrite").parquet(stageDir)
+        fs.create(stagedMarker, true).close()
       }
       val curated = spark.read.parquet(stageDir)
       CorpusOps.manifest(curated)
         .write.mode("overwrite")
-        .parquet(s"$outDir/manifest/batch_id=$batchId")
+        .parquet(s"$outDir/manifest/run=$streamId/batch_id=$batchId")
       CdcSnapshot.applyUpsert(spark, snapshotDir,
         curated.select(
           col("doc_id").as("key"),

@@ -59,6 +59,19 @@ class CliSpec extends SparkSpec {
     assert(outStr.contains("a;b") && outStr.contains("it's; fine"), outStr)
   }
 
+  test("backslash escapes and SQL comments do not split statements") {
+    // the round-10 advisory fix, pinned: Spark's parser treats \' as an
+    // escaped quote inside a literal, and ';' inside -- or /* */
+    // comments is not a terminator
+    val (n, outStr) = runScript(
+      "select 'it\\'s; fine' as z;\n" +
+        "select 1 as a -- not a terminator: ;\n;\n" +
+        "select /* nor ; here /* nested; */ still */ 2 as b;\n")
+    assert(n == 3, s"out=$outStr")
+    assert(!outStr.contains("[cli] error:"), outStr)
+    assert(outStr.contains("it's; fine"), outStr)
+  }
+
   test("head is bounded: big table prints 20 rows + marker, never the corpus") {
     val (n, outStr) = runScript("select l_orderkey from lineitem;\n")
     assert(n == 1)

@@ -143,9 +143,16 @@ class ReferenceTopologySpec extends SparkSpec {
         .option("sourceHandle", "spec_ref_restart").load(),
       reader, registry, Seq(1, 2), out, ckpt,
       buckets = 8, queryName = "spec_ref_restart_q")
+    // batch dirs live under the checkpoint generation's run=<id> namespace
+    def batchDirs() = {
+      val root = new java.io.File(s"$out/manifest")
+      root.listFiles().filter(_.isDirectory).flatMap(run =>
+        run.listFiles().filter(_.isDirectory)
+          .map(b => s"${run.getName}/${b.getName}")).toSet
+    }
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop()
-    val batchDirsAfter1 = new java.io.File(s"$out/manifest").list().toSet
+    val batchDirsAfter1 = batchDirs()
     feed = feed ++ phase2
     val q2 = start() // NEW query, SAME checkpoint
     try q2.processAllAvailable() finally q2.stop()
@@ -154,7 +161,8 @@ class ReferenceTopologySpec extends SparkSpec {
     assert(s == Map(1L -> updatedEn, 5L -> otherEn, 7L -> thirdEn),
       s"restart diverged: ${s.keySet}")
     // phase-1 batch dirs untouched, phase-2 landed under NEW batch ids
-    val batchDirsAfter2 = new java.io.File(s"$out/manifest").list().toSet
+    // in the SAME run namespace (same checkpoint → same stream id)
+    val batchDirsAfter2 = batchDirs()
     assert(batchDirsAfter1.subsetOf(batchDirsAfter2), "phase-1 manifests lost")
     assert(batchDirsAfter2.size > batchDirsAfter1.size, "phase 2 not ingested")
     // manifest totals = all released rows, counted once each
@@ -185,7 +193,7 @@ class ReferenceTopologySpec extends SparkSpec {
       enc(1, 5L, otherEn, "api", 5000L, None)).toDF("value")
     val batch = recs.select($"value",
       AvroCodec.avroDecodeEvolving($"value", reader, registry, Seq(1, 2)).as("r"))
-    def manifestRows() = spark.read.parquet(s"$out/manifest/batch_id=0")
+    def manifestRows() = spark.read.parquet(s"$out/manifest/run=direct/batch_id=0")
       .select($"source", $"n_docs", $"n_tokens", $"content_xor")
       .collect().map(_.toSeq).toSet
     def snapshotRows() = CdcSnapshot.readUpsert(spark, snap)
@@ -197,8 +205,14 @@ class ReferenceTopologySpec extends SparkSpec {
 
     // crash window: snapshot committed, checkpoint not — simulated by
     // removing the applied marker and re-driving the same (batch, id)
-    val marker = new java.io.File(s"$out/stage/batch_id=0/_GRAFT_APPLIED")
+    val marker = new java.io.File(s"$out/stage/run=direct/batch_id=0/_GRAFT_APPLIED")
     assert(marker.exists(), "staged-commit marker missing after success")
+    // replay detection keys on the engine's own staged marker, not the
+    // committer's _SUCCESS (object-store deployments often disable
+    // marksuccessfuljobs — the protocol must not depend on it)
+    val stagedMarker = new java.io.File(s"$out/stage/run=direct/batch_id=0/_GRAFT_STAGED")
+    assert(stagedMarker.exists(), "explicit staged marker missing")
+    new java.io.File(s"$out/stage/run=direct/batch_id=0/_SUCCESS").delete()
     assert(marker.delete())
     Pipelines.referenceTopologyBatch(batch, 0L, out, snap, 8, "en", 0.7)
     assert(manifestRows() == m1,
@@ -208,6 +222,40 @@ class ReferenceTopologySpec extends SparkSpec {
     // replay of a FULLY committed batch (marker present): pure no-op
     Pipelines.referenceTopologyBatch(batch, 0L, out, snap, 8, "en", 0.7)
     assert(manifestRows() == m1 && snapshotRows() == s1)
+  }
+
+  test("fresh-checkpoint restart against an existing outDir is not skipped") {
+    // the round-10 advisory finding: batch ids restart at 0 on a reset
+    // checkpoint, so an un-namespaced batch 0 matched the previous
+    // generation's _GRAFT_APPLIED marker and was silently dropped (rows
+    // consumed, nothing written). Artifact paths now carry the
+    // checkpoint's stream id — a new generation gets its own namespace.
+    val out = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    val snap = s"$out/snapshot"
+    def mkBatch(id: Long, text: String, ms: Long) =
+      Seq(enc(2, id, text, "web", ms, Some("en"))).toDF("value")
+        .select($"value",
+          AvroCodec.avroDecodeEvolving($"value", reader, registry, Seq(1, 2)).as("r"))
+    // generation A commits its batch 0
+    Pipelines.referenceTopologyBatch(mkBatch(1L, goodEn, 1000L), 0L, out, snap,
+      8, "en", 0.7, streamId = "genA")
+    // generation B (fresh checkpoint → new stream id) replays batch id 0
+    // with DIFFERENT data — it must be applied, not skipped
+    Pipelines.referenceTopologyBatch(mkBatch(7L, thirdEn, 2000L), 0L, out, snap,
+      8, "en", 0.7, streamId = "genB")
+    val s = CdcSnapshot.readUpsert(spark, snap)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s == Set(1L, 7L), s"generation B's batch was skipped: $s")
+    assert(new java.io.File(s"$out/manifest/run=genA/batch_id=0").exists())
+    assert(new java.io.File(s"$out/manifest/run=genB/batch_id=0").exists(),
+      "generation B's manifest missing")
+    // and the stream id itself: minted once, stable across restarts from
+    // the same checkpoint, re-minted for a reset checkpoint
+    val ck = java.nio.file.Files.createTempDirectory("graft_gen_ck").toString
+    val id1 = Pipelines.streamInstanceId(spark, ck)
+    assert(id1 == Pipelines.streamInstanceId(spark, ck), "id not stable")
+    new java.io.File(s"$ck/_GRAFT_STREAM_ID").delete()
+    assert(id1 != Pipelines.streamInstanceId(spark, ck), "reset not detected")
   }
 
   test("applyUpsert disk face equals the pure upsertResult merge") {
