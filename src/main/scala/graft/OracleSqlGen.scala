@@ -1136,6 +1136,29 @@ object OracleSqlGen {
         SELECT a, b, round(inter::DOUBLE / sza::DOUBLE, 4) AS containment
         FROM pairs WHERE inter::DOUBLE / sza::DOUBLE >= $threshold"""
 
+  /** Mirrors Dedup.containmentReport: the FULL (uncollapsed) pair
+    * relation aggregated per contained doc — distinct container count,
+    * max (rounded) containment, and the smallest container id among
+    * those at the max. The Spark side collapses exact duplicates and
+    * expands family-level results by counting algebra; this oracle
+    * deliberately does not, so the green row proves the collapse exact.
+    */
+  def containmentReportDirSql(n: Int, threshold: Double): String =
+    s"""WITH pr AS (${containmentPairsSql(n, threshold)}),
+        mx AS (SELECT a, count(*) AS n_containers,
+                 max(containment) AS top_containment
+               FROM pr GROUP BY a)
+        SELECT mx.a AS doc_id, mx.n_containers,
+          min(pr.b) AS top_container, mx.top_containment
+        FROM mx JOIN pr ON pr.a = mx.a AND pr.containment = mx.top_containment
+        GROUP BY mx.a, mx.n_containers, mx.top_containment"""
+
+  /** Mirrors Dedup.charJaccardClusters: recursive closure over the full
+    * char-gram jaccard pair relation (collapse-free, like the other
+    * cluster oracles). */
+  def charJaccardClustersSql(n: Int, threshold: Double): String =
+    componentsOverPairsSql(charJaccardPairsSql(n, threshold))
+
   def jaccardPairsSql(n: Int, threshold: Double): String =
     s"""${toksCte()},
         sh AS (SELECT doc_id, ${shingles(n)} AS shingles FROM t),

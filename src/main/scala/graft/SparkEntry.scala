@@ -146,6 +146,12 @@ object SparkEntry {
     // prefix probes the index, verify is the count-based posting join
     "dedup_containment" -> q((s, d) =>
       Dedup.containmentPairs(Tables.load(s, d, "documents"), 3, 0.9)),
+    // bounded-output containment: per contained doc, container count +
+    // strongest container — k-member duplicate families emit k rows
+    // where the pair form emits k(k-1); exact-collapse-first keeps the
+    // pair chain on unique texts (the 100 TB shape for directed overlap)
+    "dedup_containment_report" -> q((s, d) =>
+      Dedup.containmentReport(Tables.load(s, d, "documents"), 3, 0.9)),
     // char-LSH candidates verified by EXACT levenshtein (few-character
     // edits, not shingle overlap): the DP runs only on gated pairs —
     // the tier-1 clique survives at dist <= 2, boilerplate-prefix
@@ -345,6 +351,11 @@ object SparkEntry {
     // sf0.1; n=5's hotter grams cost ~2x) — the Spark side prefix-filters
     // and is parameter-insensitive
     "dedup_char_jaccard_pairs" -> q((s, d) => Dedup.charJaccardPairs(Tables.load(s, d, "documents"), 7, 0.9)),
+    // bounded-output twin over the char-gram jaccard relation (the family
+    // whose pair forms exhausted shuffle disk at 100×): component labels
+    // with exact-collapse-first, so duplicate families cost one
+    // representative in the posting chain and k label rows out
+    "dedup_char_jaccard_clusters" -> q((s, d) => Dedup.charJaccardClusters(Tables.load(s, d, "documents"), 7, 0.9)),
     "dedup_simhash" -> q((s, d) => Dedup.simhashSignatures(Tables.load(s, d, "documents"))),
     // pigeonhole block joins (Manku et al. WWW'07): hamming<=3 pairs via
     // 4 equality self-joins + popcount verify — never an all-pairs distance
@@ -696,12 +707,14 @@ object SparkEntry {
     "dedup_char_lsh_skewed" -> OracleSqlGen.charLshPairsSkewedSql(5, 0.8),
     "dedup_edit_pairs" -> OracleSqlGen.editPairsSkewedSql(5, 0.8, 2),
     "dedup_containment" -> OracleSqlGen.containmentPairsSql(3, 0.9),
+    "dedup_containment_report" -> OracleSqlGen.containmentReportDirSql(3, 0.9),
     "dedup_funnel_report" -> OracleSqlGen.dedupFunnelSql(3, 0.8),
     "dedup_substring_spans" -> OracleSqlGen.dupSpansSql(30),
     "dedup_substring_removed" -> OracleSqlGen.substringRemovedSql(30),
     "dedup_paragraphs" -> OracleSqlGen.paragraphDedupSql,
     "dedup_boilerplate" -> OracleSqlGen.boilerplateRemovedSql(10),
     "dedup_char_jaccard_pairs" -> OracleSqlGen.charJaccardPairsSql(7, 0.9),
+    "dedup_char_jaccard_clusters" -> OracleSqlGen.charJaccardClustersSql(7, 0.9),
     "asof_attribution" -> OracleSqlGen.asofAttributionSql,
     "asof_attribution_tol" -> OracleSqlGen.asofAttributionWithinSql(600),
     "session_counts" -> OracleSqlGen.sessionCountsSql(5),

@@ -501,6 +501,99 @@ object Dedup {
           .as("containment"))
   }
 
+  /** BOUNDED-OUTPUT form of [[containmentPairs]] — the directional
+    * analog of what [[semanticClusters]]/[[editClusters]] do for pair
+    * explosion. Containment is a DIRECTED relation, so the bounded shape
+    * is not cluster labels but a per-contained-doc report (the
+    * [[graft.operators.CorpusOps.contaminationReport]] shape): for every
+    * document contained (≥ t) in at least one other, the number of
+    * containing documents and the strongest container (ties to the
+    * smaller doc_id). k members of a duplicate family produce k report
+    * rows where the pair form emits k·(k−1) rows — the 100× probe
+    * timeboxed the pair form ≥130× on exactly that output growth.
+    *
+    * The quadratic CANDIDATE term dies with the output via the
+    * exact-collapse-first discipline ([[collapseByValue]] on the
+    * NORMALIZED text — grams derive from it, so identical normalized
+    * texts have identical gram multisets): the pigeonhole-probed pair
+    * chain runs on unique texts only, and family-level results expand to
+    * members by pure counting algebra, exact by construction:
+    *  - within a family of k docs with a non-empty gram set, every
+    *    member is contained in the k−1 others at containment 1.0 (and
+    *    empty-gram docs are never a contained side — they have no
+    *    probes — nor a container — intersection 0 — matching the pair
+    *    op, which emits nothing for them);
+    *  - for rep pairs A→B at containment c, every member of A is
+    *    contained in every member of B at exactly c (identical gram
+    *    sets on both sides), so the count expands by |B| and the best
+    *    container id at c is B's min id = B's representative;
+    *  - the per-member best container compares the internal candidate
+    *    (1.0, min of own family minus self) against the best external
+    *    (max c, then min rep id) — on ROUNDED c, the comparison the
+    *    oracle's max/argmin makes.
+    */
+  def containmentReport(docs: DataFrame, n: Int = 3,
+                        threshold: Double = 0.9): DataFrame = {
+    val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("text"))
+    val (reps0, members0) = collapseByValue(norm)
+    val reps = reps0.localCheckpoint(true) // 4-consumer pair chain below
+    val members = members0.localCheckpoint(true) // 3 narrow consumers
+    val repPairs = containmentPairs(reps, n, threshold)
+    val fam = members.groupBy(col("rep")).agg(count(lit(1)).as("k"))
+    val m2 = members.filter(col("doc_id") =!= col("rep"))
+      .groupBy(col("rep")).agg(min(col("doc_id")).as("m2"))
+    val famInfo = fam.join(m2, Seq("rep"), "left")
+      .join(reps.select(col("doc_id").as("rep"),
+        (size(shinglesFromTokens(tokens(col("text")), n)) > 0).as("has_grams")),
+        Seq("rep"))
+    val ext = repPairs
+      .join(fam.select(col("rep").as("b"), col("k").as("kb")), Seq("b"))
+      .groupBy(col("a"))
+      .agg(sum(col("kb")).as("ext_cnt"),
+        min(struct((-col("containment")).as("nc"), col("b").as("bid"))).as("best"))
+    val rows = members
+      .join(famInfo, Seq("rep"))
+      .join(ext.select(col("a").as("rep"), col("ext_cnt"), col("best")),
+        Seq("rep"), "left")
+    val intCnt = when(col("has_grams") && col("k") > 1, col("k") - 1)
+      .otherwise(lit(0L))
+    val intId = when(col("doc_id") === col("rep"), col("m2")).otherwise(col("rep"))
+    val extC = -col("best.nc")
+    val useInt = intCnt > 0 && (col("best").isNull || lit(1.0) > extC ||
+      (lit(1.0) === extC && intId < col("best.bid")))
+    rows
+      .select(col("doc_id"),
+        (intCnt + coalesce(col("ext_cnt"), lit(0L))).as("n_containers"),
+        when(useInt, intId).otherwise(col("best.bid")).as("top_container"),
+        when(useInt, lit(1.0)).otherwise(extC).as("top_containment"))
+      .filter(col("n_containers") > 0)
+  }
+
+  /** BOUNDED-OUTPUT cluster labels over the EXACT char-gram jaccard
+    * relation ([[charJaccardPairs]]) — the twin that replaces the
+    * disk-capped pair enumeration at 100×: connected components of the
+    * jac ≥ t graph, labeled min doc_id, with the exact-collapse-first
+    * discipline of [[editClusters]]. Identical normalized texts have
+    * identical char-gram multisets (jac = 1 ≥ t), so they provably share
+    * their representative's component and cross-group jaccards equal the
+    * rep-pair jaccards — the closure is unchanged. Docs shorter than n
+    * normalized chars have EMPTY gram sets: the pair op emits nothing
+    * for them (no shared gram, and jac would be 0/0), so they are NOT
+    * collapsed — identical empty-gram docs stay separate singletons,
+    * exactly as the oracle's closure leaves them.
+    */
+  def charJaccardClusters(docs: DataFrame, n: Int = 7,
+                          threshold: Double = 0.9): DataFrame = {
+    val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("text"))
+    val (reps0, members) = collapseByValue(norm.filter(length(col("text")) >= n))
+    val reps = reps0.localCheckpoint(true)
+    val repPairs = charJaccardPairs(reps, n, threshold).select(col("a"), col("b"))
+    val memberEdges = members.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    componentLabels(docs.select(col("doc_id")),
+      repPairs.union(memberEdges), "charjac_cc")._1
+  }
+
   /** EDIT-DISTANCE near-dup pairs: the char-LSH candidate chain
     * ([[charLshPairs]] — banded signatures + estimate gate) verified by
     * EXACT levenshtein distance instead of a similarity estimate — the
@@ -1363,20 +1456,20 @@ object Dedup {
       graft.functions.HashEmbed.hashEmbedCounts(
         tokens(normalizeText(col("text"))), dims)
         .cast("array<double>").as("embedding"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("embedding"))
     val zero = aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x) === 0.0
-    // one embedding-keyed exchange assigns every nonzero-embedding doc
-    // its group representative; zero vectors stay singleton nodes
-    val grouped = emb.filter(!zero)
-      .withColumn("rep", min(col("vec_id")).over(w))
-      .localCheckpoint(true) // reps feed 2 consumers + the CC loop re-reads
-    val repPairs = embeddingNearDupPairs(
-      grouped.filter(col("vec_id") === col("rep"))
-        .select(col("vec_id"), col("embedding")),
-      bands, planesPerBand, dims, threshold).select(col("a"), col("b"))
-    val memberEdges = grouped.filter(col("vec_id") =!= col("rep"))
+    // the embedding derivation (the dominant per-row CPU) materializes
+    // once for its three consumers (collapse agg, member assignment,
+    // node list); zero vectors stay singleton nodes (their cosine is
+    // NULL, so the pair graph leaves them isolated — merging them would
+    // invent a component the oracle's closure doesn't have)
+    val embC = emb.localCheckpoint(true)
+    val (reps0, members) = collapseByValue(embC.filter(!zero))
+    val reps = reps0.localCheckpoint(true) // feeds the 4-consumer pair chain
+    val repPairs = embeddingNearDupPairs(reps, bands, planesPerBand,
+      dims, threshold).select(col("a"), col("b"))
+    val memberEdges = members.filter(col("vec_id") =!= col("rep"))
       .select(col("rep").as("a"), col("vec_id").as("b"))
-    componentLabels(emb.select(col("vec_id").as("doc_id")),
+    componentLabels(embC.select(col("vec_id").as("doc_id")),
       repPairs.union(memberEdges), "semantic_cc")._1
   }
 
@@ -1392,25 +1485,63 @@ object Dedup {
     * the pair form's correct output grow quadratically (every near-
     * identical template fill pairs with every other) each collapse to
     * one representative — candidates, DP verifies, and output all stop
-    * growing with the tier size. The collapse window ships each text
-    * once; at 100 TB pre-key it with `fingerprint(text)` so the
-    * exchange carries 8-byte keys (the equality-of-text guarantee then
-    * rides the fingerprint, exactly like [[exactDedup]]).
+    * growing with the tier size. The collapse rides [[collapseByValue]]'s
+    * hash keys, so no exchange in the collapse carries document bodies
+    * keyed by themselves — each distinct text crosses the wire once (in
+    * its representative's aggregation struct), everything else is
+    * (id, 12-byte key) rows.
     */
   def editClusters(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
                    maxEdits: Int = 2): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
-    val grouped = docs.select(col("doc_id"), col("text"))
-      .withColumn("rep", min(col("doc_id")).over(w))
-      .localCheckpoint(true)
-    val repPairs = editDistancePairs(
-      grouped.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id"), col("text")),
-      n, threshold, maxEdits).select(col("a"), col("b"))
-    val memberEdges = grouped.filter(col("doc_id") =!= col("rep"))
+    val (reps0, members) = collapseByValue(docs.select(col("doc_id"), col("text")))
+    val reps = reps0.localCheckpoint(true) // feeds the 3-consumer pair chain
+    val repPairs = editDistancePairs(reps, n, threshold, maxEdits)
+      .select(col("a"), col("b"))
+    val memberEdges = members.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("b"))
-    componentLabels(grouped.select(col("doc_id")),
+    componentLabels(docs.select(col("doc_id")),
       repPairs.union(memberEdges), "edit_cc")._1
+  }
+
+  /** EXACT-DUPLICATE COLLAPSE keyed by value hashes — the shared first
+    * tier of every bounded-output cluster op. Input: a 2-column
+    * (id, value) frame; output: `reps` = one (id, value) row per
+    * distinct value (the min-id member), and `members` = (id, rep)
+    * assigning every input row its representative.
+    *
+    * Wire shape, the reason this exists: grouping BY the value itself
+    * (a window `partitionBy(text)` / `partitionBy(embedding)`) makes
+    * every exchange key a full document body or embedding array — the
+    * whole corpus's payload crosses the collapse exchange and sorts by
+    * multi-KB comparisons. Here equality rides a 12-byte
+    * (xxhash64, murmur3) key pair instead, exactly like [[exactDedup]]'s
+    * md5: the collapse aggregation is a map-side-combined `min_by`, so
+    * each distinct value crosses the wire once per map partition (inside
+    * its representative's struct) rather than once per duplicate, and
+    * the member-assignment join shuffles only (id, key) rows.
+    * PlanMetricsSpec pins the bytes.
+    *
+    * Key-collision contract (same standard as [[exactDedup]] accepting
+    * md5): two DISTINCT values colliding on both independent hashes
+    * (~2⁻⁹⁶) would merge two groups. Acceptable for dedup candidate
+    * tiers at any realistic corpus size; the downstream pair chain
+    * re-verifies representatives exactly, so a collision's blast radius
+    * is one spurious cluster merge, never a dropped true pair.
+    */
+  private[graft] def collapseByValue(rows: DataFrame): (DataFrame, DataFrame) = {
+    val Seq(idc, vc) = rows.columns.toSeq
+    val keyed = rows.select(col(idc).as("__id"), col(vc).as("__v"),
+      xxhash64(col(vc)).as("__fp"), hash(col(vc)).as("__fp2"))
+    val agg = keyed
+      .select(col("__fp"), col("__fp2"), struct(col("__id"), col("__v")).as("r"))
+      .groupBy(col("__fp"), col("__fp2"))
+      .agg(min_by(col("r"), col("r.__id")).as("r"))
+    val reps = agg.select(col("r.__id").as(idc), col("r.__v").as(vc))
+    val members = keyed.select(col("__id"), col("__fp"), col("__fp2"))
+      .join(agg.select(col("__fp"), col("__fp2"), col("r.__id").as("__rep")),
+        Seq("__fp", "__fp2"))
+      .select(col("__id").as(idc), col("__rep").as("rep"))
+    (reps, members)
   }
 
   def embeddingNearDupPairs(emb: DataFrame, bands: Int = 16,

@@ -104,6 +104,39 @@ class PlanMetricsSpec extends SparkSpec {
       s"skew leaked onto the wire: $skewStats vs $plain (pairs=$vSkew)")
   }
 
+  test("duplicate collapse exchanges carry hash keys, never document bodies") {
+    // the round-10 advisory fix, pinned: editClusters/semanticClusters'
+    // exact-duplicate collapse used to key its window by the full text /
+    // embedding array, shipping every document body through the collapse
+    // exchange. collapseByValue keys by (xxhash64, murmur3) instead —
+    // each distinct value crosses once (map-side-combined min_by), all
+    // other exchange rows are (id, 12-byte key).
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // incompressible ~1 KB bodies (hex), 5 distinct texts over 400 docs,
+      // 2 map partitions — so "text on the wire" would be unmissable in
+      // compressed shuffle bytes while keys + 10 partial structs are tiny
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val body = (0 until 32).map(i => hex("body" + i)).mkString(" ")
+      val n = 400
+      val docs = spark.range(n).coalesce(2)
+        .select($"id".as("doc_id"),
+          concat(lit(body), lit(" v"), ($"id" % 5).cast("string")).as("text"))
+      val (reps, members) = operators.Dedup.collapseByValue(docs)
+      val (cnt, stats) = PlanMetrics.measure(members)
+      assert(cnt == n)
+      val corpusBytes = n.toLong * body.length
+      assert(stats.bytesWritten < corpusBytes / 4,
+        s"collapse shipped document bodies: $stats vs corpus $corpusBytes B")
+      // and the collapse itself is exact: 5 min-id representatives
+      val repIds = reps.select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(repIds == Seq(0L, 1L, 2L, 3L, 4L), s"reps: $repIds")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("curation chain shuffles only survivor fingerprints") {
     val docs = Tables.load(spark, sf, "documents")
     val (kept, stats) = PlanMetrics.measure(
