@@ -370,6 +370,11 @@ object SparkEntry {
     // one surviving doc per near-dup cluster, chosen by token count
     // (RefinedWeb keep-the-longest policy), not min id
     "dedup_cluster_reps" -> q((s, d) => Dedup.clusterRepresentatives(Tables.load(s, d, "documents"), 3, 0.8)),
+    // incremental cluster maintenance: today's batch (doc_id%10>=8)
+    // updates yesterday's PERSISTED label table via band-index probe +
+    // contracted-component merge — untouched history passes through
+    // unshuffled; oracle = the full-recompute closure over all docs
+    "dedup_clusters_incremental" -> q((s, d) => Dedup.incrementalClusterLabels(s, d, 3, 0.8)),
     // LSH-level train/eval decontamination: near-dup leakage that shares
     // few exact 8-grams still surfaces via signature similarity
     "corpus_decontaminate_fuzzy" -> q((s, d) => Dedup.fuzzyDecontaminate(Tables.load(s, d, "documents"), 3, 0.8)),
@@ -783,6 +788,10 @@ object SparkEntry {
     "dedup_simhash" -> OracleSqlGen.simhashSql,
     "dedup_simhash_pairs" -> OracleSqlGen.simhashPairsSql(3),
     "dedup_clusters" -> OracleSqlGen.clustersSql(3, 0.8),
+    // the increment must land exactly on the full-recompute closure —
+    // same oracle as dedup_clusters, driven through the persisted-state
+    // update path instead
+    "dedup_clusters_incremental" -> OracleSqlGen.clustersSql(3, 0.8),
     "dedup_clusters_chain" -> OracleSqlGen.clustersChainSql(3, 0.8),
     "dedup_cluster_reps" -> OracleSqlGen.clusterRepsSql(3, 0.8),
     "corpus_decontaminate_fuzzy" -> OracleSqlGen.fuzzyDecontaminateSql(3, 0.8),

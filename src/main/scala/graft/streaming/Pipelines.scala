@@ -256,6 +256,58 @@ object Pipelines {
       .dropDuplicatesWithinWatermark(Seq("doc_id", "matched_doc_id"))
   }
 
+  /** Streaming CLUSTER-LABEL MAINTENANCE — the streaming face of
+    * [[graft.operators.Dedup.incrementalClusterLabels]]: every arriving
+    * document gets a PROVISIONAL cluster id against yesterday's
+    * persisted state — the minimum of its own id and the labels of every
+    * old component it verifiably near-dups into. Matching is the
+    * [[streamingNearDupMatches]] band-probe pattern (stream-static join
+    * on the bucketed band index, zero streaming state for the corpus),
+    * but verification is the EXACT jaccard of [[Dedup.minhashLshPairs]]
+    * against the persisted shingle index — the same edge relation the
+    * batch incremental op uses, so for an arriving doc with no
+    * same-batch near-dups the provisional label IS the batch
+    * incremental's answer (the nightly [[Dedup.incrementalClusterLabels]]
+    * run refines the remaining case: merges that need new-new edges or
+    * multi-hop closure, which no per-record pass can see).
+    *
+    * Scale shape: both static sides are persisted bucketed indexes read
+    * from disk per micro-batch; the arriving doc's shingles ride its own
+    * row (computed scan-fused, never joined back — a join-back would be
+    * a stream-stream self-join). The only stateful operator is the
+    * watermark-bounded per-(doc, event-time) min aggregation.
+    */
+  def streamingClusterLabels(docs: DataFrame, bandIndex: DataFrame,
+                             shingleIndex: DataFrame, labels: DataFrame,
+                             eventTimeCol: String, delay: String,
+                             n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.GraftFunctions.{normalizeText, shinglesFromTokens, tokens}
+    val probes = Dedup.withBandedSignature(
+        docs.withColumn("__ns",
+          shinglesFromTokens(tokens(normalizeText(col("text"))), n)), n)
+      .select(col("doc_id"), col(eventTimeCol), col("__ns").as("ns"), col("bk"))
+    val verified = probes
+      .join(bandIndex.select(col("bk"), col("doc_id").as("m_id")), Seq("bk"), "left")
+      .join(shingleIndex.select(col("doc_id").as("m_id"),
+        col("shingles").as("os")), Seq("m_id"), "left")
+      .withColumn("inter",
+        size(array_intersect(col("ns"), col("os"))).cast("long"))
+      .withColumn("ok", col("m_id").isNotNull && col("inter").cast("double")
+        / (size(col("ns")).cast("long") + size(col("os")).cast("long")
+          - col("inter")).cast("double") >= threshold)
+      .join(labels.select(col("doc_id").as("m_id"),
+        col("cluster_id").as("m_lab")), Seq("m_id"), "left")
+    verified
+      .withWatermark(eventTimeCol, delay)
+      .groupBy(col("doc_id"), col(eventTimeCol))
+      .agg(min(when(col("ok"), col("m_lab"))).as("m_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("m_min"), col("doc_id")))
+          .as("cluster_id"),
+        col(eventTimeCol))
+  }
+
   /** Streaming SIMILARITY ALERTS — the ANN twin of
     * [[streamingNearDupMatches]]: a stream of query vectors probes the
     * PERSISTED partitioned ANN index

@@ -240,6 +240,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected batch-side exchanges only, saw $exchanges")
   }
 
+  test("incremental cluster labels: history never feeds a shuffle exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val q = Dedup.incrementalClusterLabels(spark, sf, 3, 0.8)
+    q.count() // finalize AQE so the executed plan is the real one
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a) ++ walk(a.executedPlan)
+      case s: QueryStageExec => Seq(s) ++ walk(s.plan)
+      case other => Seq(other) ++ other.children.flatMap(walk)
+    }
+    def lblScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      walk(p).collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith("graft_lblidx")) => f
+      }
+    val all = walk(q.queryExecution.executedPlan)
+    // the persisted label table is consumed by BOTH history fan-ins
+    // (pass-through anti-join + touched remap)...
+    assert(lblScans(q.queryExecution.executedPlan).size >= 2,
+      "label-index scans missing from the final plan")
+    // ...and NO shuffle exchange anywhere has it in its subtree: history
+    // rows ride broadcast joins of the bounded touched-label map — a
+    // hashpartitioning exchange here would re-shuffle the accumulated
+    // corpus' labels on every daily increment
+    val leaking = all.collect {
+      case e: ShuffleExchangeLike if lblScans(e.child).nonEmpty => e
+    }
+    assert(leaking.isEmpty,
+      s"history labels crossed a shuffle exchange:\n${leaking.mkString("\n")}")
+  }
+
   test("knn join: banded candidates only — no cartesian or nested-loop join") {
     val p = plan(Similarity.knnJoin(
       Tables.load(spark, sf, "embeddings"), 3, 8, 8, 64))

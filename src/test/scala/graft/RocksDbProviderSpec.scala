@@ -78,6 +78,56 @@ class RocksDbProviderSpec extends SparkSpec {
     }
   }
 
+  test("streaming cluster labels on RocksDB: provisional ids batch-exact vs persisted state") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.length
+    val sf = "/root/testdata/sf0.001"
+    val bandIdx = Dedup.lshBandIndex(spark, sf).filter($"doc_id" % 10 < 8)
+    val shIdx = Dedup.shingleIndex(spark, sf).filter($"doc_id" % 10 < 8)
+    val labels = Dedup.clusterLabelIndex(spark, sf, 3, 0.8)
+    // a known old-slice document re-arriving with case/punct noise: same
+    // normalized shingles → exact jaccard 1.0 → its component's label
+    val corpusDoc = Tables.load(spark, sf, "documents")
+      .filter($"doc_id" % 10 < 8 && length($"text") > 50)
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(1).collect()(0)
+    val oldLab = labels.filter($"doc_id" === corpusDoc.getLong(0))
+      .select($"cluster_id").as[Long].head()
+    val ts = new java.sql.Timestamp(1000000L)
+    val arrivals = Seq(
+      (900001L, corpusDoc.getString(1).toUpperCase + "!!", ts),
+      (900002L, "zxqv wkjh plmn qrst uvwx yzab cdef ghij klmn opqr", ts))
+    // the batch face of the SAME chain is the expected emission set — and
+    // on a fixture with no same-batch near-dups it is exactly what the
+    // nightly Dedup.incrementalClusterLabels merge would assign these docs
+    val expected = Pipelines.streamingClusterLabels(
+      arrivals.toDF("doc_id", "text", "ts"), bandIdx, shIdx, labels,
+      "ts", "1 minute")
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+    assert(expected == Set(
+      (900001L, math.min(900001L, oldLab)), (900002L, 900002L)),
+      s"batch face drifted: $expected (old label $oldLab)")
+    withRocksDb {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = Pipelines.startMemorySink(
+        Pipelines.streamingClusterLabels(
+          mem.toDF().toDF("doc_id", "text", "ts"), bandIdx, shIdx, labels,
+          "ts", "1 minute"),
+        "cluster_labels_t", OutputMode.Append)
+      try {
+        mem.addData(arrivals.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData((999999L, "window advance",
+          new java.sql.Timestamp(ts.getTime + 3600L * 1000L)))
+        q.processAllAvailable()
+        val got = spark.table("cluster_labels_t")
+          .filter($"doc_id" < 999999L)
+          .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+        assert(got == expected, s"replay drifted: $got vs $expected")
+        assertRanOnRocksDb(q)
+      } finally q.stop()
+    }
+  }
+
   test("streaming windowed KMV on RocksDB: sketch state batch-exact") {
     val all = (0 until 100).map(u =>
       (new java.sql.Timestamp(30000L + u), 1000L + u, "click"))
