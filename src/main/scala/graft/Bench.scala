@@ -1,49 +1,160 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Five passes over every registered query:
+/** Benchmark main — PROCESS-SHARDED from round 11 on.
+  *
+  * Round 10 proved (BENCH_DRIFT.md) that a single JVM running the whole
+  * registry accumulates ~700 plan executions of JVM state whose tax
+  * inflates every later query uniformly (the fixed Spark calibration
+  * probe degrades 0.17 → 0.44 s within one run; a fresh JVM on the same
+  * box re-measures the "regressed" queries at round-8 times). That tax
+  * grows with REGISTRY SIZE, so committed full-run totals drifted upward
+  * as queries were added even with flat per-query performance. The fix
+  * is the same isolation the 100× probe uses: the registry runs in K
+  * fresh child JVMs (sequentially — timing runs never share the box),
+  * each child executes the full five-pass protocol over its shard, and
+  * the orchestrator aggregates. `seq_total` is now the SUM over shards
+  * of each shard's fastest warm pass — the fresh-JVM number
+  * BENCH_DRIFT.md measured by hand, produced by construction.
+  *
+  * Per-shard protocol (unchanged from rounds 9-10):
   *
   *  1. COLD sequential (pool=1): first execution of each plan, charged
-  *     its one-time janino/codegen compilation (~1-9 s for the big fused
-  *     plans — constant work, amortized to nothing at 100 TB). Reported
-  *     under `queries_cold` for visibility, NOT as the headline.
-  *  2-4. WARM sequential ×3 (pool=1): repeated execution of the same
-  *     plans — per-row work only. The headline `queries` map is the
-  *     PER-QUERY MIN across the passes (round 6 lost a day to
-  *     seven untouched queries "regressing" 1.3-2.1× on a contended
-  *     box; one noisy pass can no longer masquerade as a regression).
-  *     `seq_total` is the fastest whole-pass wall-clock. Every raw
-  *     pass lands in BENCH_DETAIL.json with its PRE-PASS 1-minute load
-  *     average and two fixed CALIBRATION probe times (single-thread
-  *     xorshift; fixed 64-partition Spark range-sum) — round 9's whole
-  *     registry read uniformly ~1.38× slower with unchanged code/plans
-  *     and the artifact couldn't prove it was box contention; the
-  *     calibration ratio now separates "box slower" from "plan worse".
-  *     (Round 10 ran the experiments: the drift is within-JVM
-  *     accumulated-state tax, not contention or plan regressions —
-  *     evidence chain in BENCH_DRIFT.md.)
-  *     If fewer than 2 of the base passes ran uncontended (pre-pass
-  *     load over the gate, or calibration >1.5× the best), up to 2
-  *     replacement passes run.
-  *  5. CONCURRENT drain (pool=6): batch throughput. One tiny query alone
-  *     cannot saturate local[32] (small shuffle stages leave cores idle
-  *     between tasks), so the drain wall-clock `value` is the honest
-  *     engine-throughput metric, directly comparable to earlier rounds.
+  *     its one-time janino/codegen compilation. Reported under
+  *     `queries_cold`, NOT as the headline.
+  *  2-4. WARM sequential ×3 (pool=1): headline `queries` map is the
+  *     PER-QUERY MIN across passes. Every pass lands in
+  *     BENCH_DETAIL.json with its pre-pass 1-minute load average, two
+  *     fixed CALIBRATION probes (single-thread xorshift; fixed
+  *     64-partition Spark range-sum), and cumulative GC/heap — the
+  *     contended-pass replacement logic (up to 2 extras) is per shard.
+  *  5. CONCURRENT drain (pool=6): batch throughput over the shard;
+  *     `drain_total` aggregates as the sum of shard drains (shards are
+  *     sequential, so the sum is the end-to-end drain wall-clock).
   *
-  * Output contract: the LAST stdout line is one compact JSON object —
-  * values rounded to ms, warm `queries` map only — sized to fit entirely
-  * inside a 2 000-character tail capture (the full-precision line with
-  * both maps was ~5.5 kB and was truncated out of every prior round's
-  * harvested artifact). The full detail (cold / warm / per-query drain,
-  * full precision) goes to `BENCH_DETAIL.json` in the working directory.
+  * Output contract (unchanged): the LAST stdout line is one compact JSON
+  * object sized for the driver's ~2000-char tail capture; the full
+  * detail goes to BENCH_DETAIL.json (with a per-shard breakdown under
+  * "shards"), the full headline to BENCH_HEADLINE.json, and the
+  * streaming micro-bench (run once, after all shards, in the
+  * orchestrator's own session) to STREAM_METRICS.json.
   *
-  * Semantics note (recorded in the JSON itself as `headline`): from round
-  * 4 on, `queries` is the WARM second run; rounds 1-3 published cold
-  * first-run numbers, so cross-round per-query deltas vs r1-r3 include
-  * the removed one-time codegen compile (~1-9 s on the big fused plans).
+  * Child mode is selected by SPARK_GRAFT_BENCH_SHARD="i/K" (set only by
+  * the orchestrator): the child runs shard i of K (queries sorted by
+  * name, round-robin by index so slow families spread across shards),
+  * writes its own detail JSON, and prints nothing to stdout.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
+
+  def main(args: Array[String]): Unit =
+    sys.env.get("SPARK_GRAFT_BENCH_SHARD") match {
+      case Some(spec) =>
+        val Array(i, k) = spec.split("/").map(_.toInt)
+        runShard(i, k)
+      case None => orchestrate()
+    }
+
+  // ------------------------------------------------------------ orchestrator
+
+  private def orchestrate(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val shards = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARDS", "4").toInt.max(1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_shards")
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      .filterNot(_.startsWith("-agentlib")) // no debugger hand-me-downs
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    // shards run SEQUENTIALLY — concurrent children would contend for the
+    // box and the per-pass load/calibration gates would replace every pass
+    val shardDetails = (0 until shards).map { i =>
+      val detailPath = s"$tmp/shard_$i.json"
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_BENCH_SHARD", s"$i/$shards")
+      pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detailPath)
+      // child stdout must not pollute the parent's last-line contract
+      pb.redirectOutput(new java.io.File(s"$tmp/shard_$i.log"))
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      System.err.println(s"[bench] shard $i/$shards starting")
+      val rc = pb.start().waitFor()
+      require(rc == 0 && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(detailPath)),
+        s"bench shard $i/$shards failed (rc=$rc); log: $tmp/shard_$i.log")
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(detailPath)), "UTF-8")
+      org.json4s.jackson.JsonMethods.parse(txt)
+    }
+
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    def mapOf(j: JValue, field: String): Map[String, Double] =
+      (j \ field) match {
+        case JObject(fs) => fs.map { case (k, v) => k -> v.extract[Double] }.toMap
+        case _ => Map.empty
+      }
+    def num(j: JValue, field: String): Double = (j \ field).extract[Double]
+    val warm = shardDetails.map(mapOf(_, "queries_warm")).reduce(_ ++ _).toSeq.sortBy(_._1)
+    val cold = shardDetails.map(mapOf(_, "queries_cold")).reduce(_ ++ _).toSeq.sortBy(_._1)
+    val drain = shardDetails.map(mapOf(_, "queries_drain")).reduce(_ ++ _).toSeq.sortBy(_._1)
+    val seqTotal = shardDetails.map(num(_, "seq_total")).sum
+    val drainTotal = shardDetails.map(num(_, "drain_total")).sum
+    val calibJvmBest = shardDetails.map(num(_, "calib_jvm_best_s")).min
+    val calibSparkBest = shardDetails.map(num(_, "calib_spark_best_s")).min
+    val loadStart = num(shardDetails.head, "load_avg_start")
+
+    def jsonMap(m: Seq[(String, Double)], f: Double => Double = identity) = m
+      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val shardJson = shardDetails.zipWithIndex.map { case (j, i) =>
+      s""""shard_$i":${org.json4s.jackson.JsonMethods.compact(j)}"""
+    }.mkString(",")
+    val detail =
+      s"""{"sf":"$sfDir","sharding":"$shards fresh JVMs, sequential","drain_total":$drainTotal,"seq_total":$seqTotal,
+         |"calib_jvm_best_s":$calibJvmBest,"calib_spark_best_s":$calibSparkBest,
+         |"queries_warm":${jsonMap(warm)},
+         |"queries_cold":${jsonMap(cold)},
+         |"queries_drain":${jsonMap(drain)},
+         |"shards":{$shardJson}}""".stripMargin
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+
+    // streaming micro-bench once, in this process's own session, AFTER
+    // every timed shard has exited (never concurrent with timing)
+    try {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try graft.streaming.StreamMetrics.microBench(spark)
+      finally {
+        spark.sparkContext.setLogLevel("OFF")
+        spark.stop()
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream micro-bench failed: ${e.getMessage}") }
+
+    def ms(v: Double) = math.rint(v * 100) / 100
+    val calib = s""""calib_jvm_s":${ms(calibJvmBest)},"calib_spark_s":${ms(calibSparkBest)}"""
+    val headline = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(warm, ms)},"seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},$calib,"headline":"warm min-of-3+ per query, $shards fresh JVM shards (detail in BENCH_DETAIL.json)","sf":"$sfDir"}"""
+    val slowest = warm.sortBy(-_._2).take(25).sortBy(_._1)
+    val compact = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(slowest, ms)},"n_queries":${warm.size},"queries_note":"${slowest.size} slowest of ${warm.size}; full map in BENCH_DETAIL.json","seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},$calib,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_HEADLINE.json"), headline.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(headline)
+    println(compact)
+    System.out.flush()
+  }
+
+  // ------------------------------------------------------------ shard child
+
+  private def runShard(shardIdx: Int, shardCount: Int): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -64,6 +175,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .zipWithIndex
+      .filter { case (_, i) => i % shardCount == shardIdx }
+      .map(_._1)
     // failed queries report -1, not a healthy-looking fast duration
     def timed(name: String, fn: SparkEntry.Q): Double = {
       val q0 = System.nanoTime()
@@ -77,19 +191,10 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg
 
-    // CALIBRATION workload (round-9 verdict: the whole registry read
-    // ~1.38× slower than round 8 with unchanged code, plans, and
-    // fixtures, and the artifact couldn't distinguish sandbox contention
-    // from a real global regression). Two fixed probes, run before every
-    // pass, whose ONLY variable is the environment:
-    //  - calib_jvm: single-thread xorshift loop — pure CPU, no Spark, no
-    //    allocation; tracks per-core speed (noisy-neighbor steal, cgroup
-    //    throttling, thermal clamps).
-    //  - calib_spark: fixed 64-partition range-sum through the same
-    //    session — adds scheduler + codegen'd task execution; tracks
-    //    JVM-internal drift (GC pressure, JIT state) on top.
-    // Cross-round, per-query ratios divided by the calibration ratio
-    // separate "the box was slower" from "the plan got worse".
+    // CALIBRATION probes (round-9 verdict): two fixed workloads run
+    // before every pass whose ONLY variable is the environment —
+    // calib_jvm (single-thread xorshift: per-core speed) and calib_spark
+    // (fixed 64-partition range-sum: scheduler + JVM-internal drift).
     def calibJvm(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9e3779b97f4a7c15L; var acc = 0L; var i = 0
@@ -106,12 +211,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibJvm(); calibSpark() // JIT/codegen warm-up, untimed
-    // cumulative GC time + live heap alongside the calibration: round 10
-    // traced the uniform r8→r9 "drift" to JVM-state accumulation across
-    // the ~700 plan executions of a full run (the fixed Spark probe
-    // degrades ~0.24 s → ~0.40 s within one run; a fresh JVM on the same
-    // box recovers round-8 times), and these two series show directly
-    // whether collector pressure tracks that degradation
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -130,14 +229,9 @@ object Bench {
     val coldMeta = meta("cold")
     val cold = named.map { case (name, fn) => name -> timed(name, fn) }
 
-    // warm sequential passes — headline = per-query MIN, so a transient
-    // box-contention spike in one pass cannot read as a regression of an
-    // untouched query. Base 3 passes; a pass whose pre-pass 1-minute
-    // load average exceeds LoadGate (external work — this process is
-    // between passes, so its own executors are quiesced) or whose
-    // calibration runs >1.5× the best observed gets one replacement
-    // pass, up to 2 extras, so a fully-contended trio can't silently
-    // become the round's headline.
+    // warm sequential passes — headline = per-query MIN; contended passes
+    // (pre-pass load over the gate, or calibration >1.5× best) get up to
+    // 2 replacements
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE",
       (cpus.toInt / 2).toString).toDouble
     def contended(m: PassMeta, bestCj: Double, bestCs: Double): Boolean =
@@ -164,8 +258,8 @@ object Bench {
     val seqTotal = warmPasses.map(_._2).min
     val calibBest = (passes.map(_._1.cj).min, passes.map(_._1.cs).min)
 
-    // pass 3: concurrent drain (plans/codegen warm from passes 1-2, so
-    // this measures scheduling + execution throughput, not compilation)
+    // concurrent drain (plans/codegen warm, so this measures scheduling +
+    // execution throughput, not compilation)
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -178,17 +272,9 @@ object Bench {
     val drainTotal = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
-    // centiseconds are plenty for second-scale headline queries, and the
-    // rounding keeps the line inside the 2000-char tail-capture window as
-    // the query count grows (full precision lives in BENCH_DETAIL.json)
-    def ms(v: Double) = math.rint(v * 100) / 100
-    def jsonMap(m: Seq[(String, Double)], f: Double => Double = identity) = m
-      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    def jsonMap(m: Seq[(String, Double)]) = m
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    // full-precision detail artifact (not size-constrained); every pass
-    // carries its pre-pass load average + calibration probe times so a
-    // contended run is visible per-pass, and cross-round comparisons can
-    // normalize by the environment instead of guessing
     val loadEnd = loadAvg
     def metaJson(m: PassMeta) =
       s""""load_pre":${m.load},"calib_jvm_s":${m.cj},"calib_spark_s":${m.cs},"gc_total_ms":${m.gc},"heap_used_mb":${m.heap}"""
@@ -197,7 +283,7 @@ object Bench {
         s""""${m.label}":{"total":$total,${metaJson(m)},"queries":${jsonMap(run)}}""" }
       .mkString(",")
     val detail =
-      s"""{"sf":"$sfDir","drain_total":$drainTotal,"seq_total":$seqTotal,
+      s"""{"sf":"$sfDir","shard":"$shardIdx/$shardCount","drain_total":$drainTotal,"seq_total":$seqTotal,
          |"load_avg_start":$loadStart,"load_avg_end":$loadEnd,
          |"load_gate":$loadGate,"extra_passes":$extras,
          |"calib_jvm_best_s":${calibBest._1},"calib_spark_best_s":${calibBest._2},
@@ -207,48 +293,12 @@ object Bench {
          |"queries_cold":${jsonMap(cold)},
          |"queries_drain":${jsonMap(drain)}}""".stripMargin
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      detail.getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-
-    // streaming micro-bench: per-batch latency/rate of the reference's two
-    // pipeline shapes at its 500 ms poll cadence → STREAM_METRICS.json
-    // (the streaming twin of BENCH_DETAIL; never disturbs the stdout
-    // contract — the headline line below stays LAST)
-    try graft.streaming.StreamMetrics.microBench(spark)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] stream micro-bench failed: ${e.getMessage}") }
-
-    // Quiesce and stop Spark BEFORE emitting the result lines. Round 8's
-    // driver artifact lost the JSON because asynchronous shutdown ERROR
-    // stacktraces (TaskResultGetter RejectedExecutionException) printed
-    // after it and pushed it out of the tail capture. Silencing the
-    // loggers and stopping first makes the JSON the true last stdout.
-    //
-    // TWO result lines, full first, COMPACT LAST: the driver keeps a
-    // ~2000-char stdout tail and parses the end of it, and at 135
-    // registered queries the full per-query map is ~3.5 kB — a single
-    // full line gets its HEAD (metric/value) truncated out of the tail,
-    // which is why every prior round's harvested bench artifact parsed
-    // null. The last line now carries the headline numbers alone (~200
-    // chars, always inside the tail); the full map precedes it for log
-    // readers and lands in BENCH_HEADLINE.json + BENCH_DETAIL.json.
-    val calib = s""""calib_jvm_s":${ms(calibBest._1)},"calib_spark_s":${ms(calibBest._2)}"""
-    val headline = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(seq, ms)},"seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},$calib,"headline":"warm min-of-3+ (passes in BENCH_DETAIL.json)","sf":"$sfDir"}"""
-    // schema-true subset: the 25 slowest warm queries (all-float values,
-    // ~900 chars) so any consumer iterating `queries` sees real numbers
-    val slowest = seq.sortBy(-_._2).take(25).sortBy(_._1)
-    val compact = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(slowest, ms)},"n_queries":${seq.size},"queries_note":"${slowest.size} slowest of ${seq.size}; full map in BENCH_DETAIL.json","seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},$calib,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_HEADLINE.json"), headline.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
     try {
       spark.sparkContext.setLogLevel("OFF")
       spark.stop()
     } catch { case _: Throwable => () }
-    println(headline)
-    println(compact)
-    System.out.flush()
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes("UTF-8"))
+    ()
   }
 }

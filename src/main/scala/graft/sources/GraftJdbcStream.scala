@@ -272,13 +272,27 @@ private[graft] class GraftJdbcMicroBatchStream(
 
   /** Bounded re-read of a committed range — timestamp mode's append-only
     * assumption makes this deterministic (rows at or before a committed
-    * offset never change).
+    * offset never change). The stash fallback must never hold an
+    * UNBOUNDED chunk on the driver: a committed range is probe-sized
+    * (≤ maxRowsPerPoll plus an equal-timestamp run) under append-only,
+    * so the re-read is capped at 2×maxRowsPerPoll and anything past the
+    * cap fails LOUDLY — it means the append-only assumption broke (rows
+    * inserted below a committed offset), and silently stashing an
+    * arbitrarily large range would OOM the driver instead of naming the
+    * misconfiguration.
     */
   private def replay(s: GraftJdbcOffset, e: GraftJdbcOffset): Array[Row] =
     e.pos match {
       case None => Array.empty
       case Some(endPos) =>
-        val all = source.chunk(s.pos, Some(endPos.ts), None).collect()
+        val cap = 2 * maxRows
+        val all = source.chunk(s.pos, Some(endPos.ts), Some(cap + 1)).collect()
+        require(all.length <= cap,
+          s"graft-jdbc stash replay exceeded its driver cap ($cap rows) for " +
+            s"range (${s.json()}, ${e.json()}]: the source violated the " +
+            "append-only assumption or maxRowsPerPoll was lowered across a " +
+            "restart; use a rangeFetcher source (parallelReads=true) or " +
+            "restore the original maxRowsPerPoll")
         (endPos.id, source.incrementingCol) match {
           case (Some(endId), Some(idCol)) =>
             val tsIdx = schema.fieldIndex(source.timestampCol)

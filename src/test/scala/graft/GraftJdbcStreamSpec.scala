@@ -188,6 +188,37 @@ class GraftJdbcStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stash replay is hard-capped: oversized committed range fails loudly") {
+    // the round-10 advisory retirement: the driver-stash fallback used to
+    // re-read a committed range UNCAPPED onto the driver on restart; it
+    // now fetches at most 2×maxRowsPerPoll rows and refuses past that —
+    // an oversized range means the append-only assumption broke, and the
+    // failure names the fix instead of OOMing the driver
+    val snap = table((1L to 50L).map(i => (i, 1000L * i)): _*)
+    val key = handle(new SnapshotChunkSource(() => snap)) // no fetcher → stash
+    val stream = new graft.sources.GraftJdbcMicroBatchStream(snap.schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("sourceHandle", key, "maxRowsPerPoll", "10")))
+    val e = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(
+        graft.sources.GraftJdbcOffset(None),
+        graft.sources.GraftJdbcOffset(Some(JdbcOffset(new Timestamp(50000L)))))
+    }
+    assert(e.getMessage.contains("driver cap"), e.getMessage)
+    // a probe-sized committed range still replays through the same path
+    val parts = stream.planInputPartitions(
+      graft.sources.GraftJdbcOffset(None),
+      graft.sources.GraftJdbcOffset(Some(JdbcOffset(new Timestamp(15000L)))))
+    val factory = stream.createReaderFactory()
+    val got = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(0)
+      buf
+    }
+    assert(got.sorted.toSeq == (1L to 15L))
+  }
+
   test("offset json round-trips both modes") {
     import graft.sources.JdbcOffset
     val src = new SnapshotChunkSource(() => table((1L, 1000L)))
