@@ -87,7 +87,9 @@ object ScaleBench {
     "dedup_semantic_clusters", "dedup_edit_clusters",
     "dedup_boilerplate", "text_tfidf_keywords",
     "sketch_corpus_overlap", "events_anomalies",
-    "dedup_containment", "corpus_interleave", "mm_image_dhash")
+    "dedup_containment", "corpus_interleave", "mm_image_dhash",
+    "dedup_containment_report", "dedup_char_jaccard_clusters",
+    "dedup_clusters_incremental", "corpus_pack_shards", "sim_ivfpq_topk")
 
   /** Code-path probes that are NOT registered queries: same operators,
     * forced onto the branch the registered run doesn't take at this
@@ -460,17 +462,40 @@ object ScaleBench100 {
     capped.filterNot(ScaleBench.notes.contains)
 
   /** The frontier: every 10× row ≥ ~3× (candidate-growth suspects), the
-    * forced posting-path probe, and the cluster twins whose collapse
-    * must hold the quadratic fixtures flat. Ordered cheapest-first (by
-    * expected big-pass time) so an interrupted probe banks the most
+    * forced posting-path probe, the cluster twins whose collapse must
+    * hold the quadratic fixtures flat, and (round 11) the slowest
+    * representative of each remaining family — similarity (IVF+PQ
+    * trained in-query), corpus assembly (two-phase prefix sum,
+    * incremental curation), text (BPE merge loop), CDC — plus the
+    * round-11 bounded-output forms (containment report, char-jaccard
+    * clusters, incremental label maintenance). Ordered cheapest-first
+    * (by expected big-pass time) so an interrupted probe banks the most
     * coverage per minute.
     */
   val Panel: Seq[String] = Seq(
-    "sim_knn_join", "dedup_char_lsh_skewed", "dedup_edit_pairs",
+    "corpus_pack_shards", "cdc_merge_apply", "text_bpe_merges",
+    "corpus_incremental_curation", "sim_ivfpq_topk", "sim_knn_join",
+    "dedup_clusters_incremental", "dedup_char_lsh_skewed", "dedup_edit_pairs",
     "dedup_edit_clusters", "dedup_jaccard_pairs", "dedup_containment",
-    "dedup_funnel_report", "dedup_semantic_pairs", "dedup_char_jaccard_pairs",
-    "dedup_char_jaccard_posting", "dedup_clusters_chain",
+    "dedup_containment_report", "dedup_funnel_report", "dedup_semantic_pairs",
+    "dedup_char_jaccard_pairs", "dedup_char_jaccard_posting",
+    "dedup_char_jaccard_clusters", "dedup_clusters_chain",
     "dedup_semantic_clusters")
+
+  /** UNTIMED per-query setup at the big dir: persisted-state ops read
+    * "yesterday's" indexes, which a daily pipeline amortizes across
+    * runs — building them inside the single timed big pass would measure
+    * the full recompute the incremental op exists to avoid. The small
+    * dir needs no hook (the discarded cold small pass builds its
+    * indexes).
+    */
+  val Prewarm: Map[String, (SparkSession, String) => Unit] = Map(
+    "dedup_clusters_incremental" -> ((s, d) => {
+      graft.operators.Dedup.lshBandIndex(s, d)
+      graft.operators.Dedup.shingleIndex(s, d)
+      graft.operators.Dedup.clusterLabelIndex(s, d, 3, 0.8)
+      ()
+    }))
 
   /** name, small_s, big_s (-2 = timeboxed, -1 = crashed), factor, cap
     * (0 unless timeboxed). */
@@ -605,6 +630,10 @@ object ScaleBench100 {
       val s = timedSmall(name)
       val row = if (s < 0) Row100(name, s, -1.0, -1.0, 0.0) else {
         val cap = capSeconds(s)
+        Prewarm.get(name).foreach { f =>
+          System.err.println(s"[scale100] $name: untimed big-dir prewarm (persisted state)")
+          f(spark, bigDir)
+        }
         val (b, el) = timedBig(name, cap)
         if (b == -2.0) Row100(name, s, -2.0, -2.0, cap)
         else if (b == -3.0) Row100(name, s, -3.0, -3.0, el)
