@@ -133,9 +133,15 @@ object ScaleBench {
     "join_revenue_by_status" ->
       "fact-fact shuffle join where BOTH sides are replicated tables: shuffled bytes and matched rows grow exactly linearly, so the expected factor IS the 10x linear bar and the measurement hovers at it plus run noise (10.2x in round 9, 12.7x on a self-loaded box in round 10 - the only >12x reading in ten rounds). The bucketed variant join_revenue_by_status_bucketed is the scale path that removes the per-run shuffle entirely",
     "dedup_semantic_clusters" ->
-      "bounded-output twin of dedup_semantic_pairs: exact bag-of-words duplicates collapse to one representative before the SRP self-join, so the 10x corpus (every doc gaining 10 bag-identical copies) measures ~5x wall where the pair form measures ~29x for ~850x output rows; residual factor is the collapse window + CC rounds over 10x nodes",
+      "bounded-output twin of dedup_semantic_pairs: exact bag-of-words duplicates collapse to one representative before the SRP self-join, so every doc gaining bag-identical copies costs one rep in the pair chain and k label rows out. Round 11 re-keyed the collapse by (xxhash64, murmur3) of the embedding with a map-side-combined min_by (the r10 form window-partitioned BY the 64-double array): 10x fell ~5x -> 1.8x and 100x fell 35.8x -> 7.7x, where the pair form timeboxes >=130x",
     "dedup_edit_clusters" ->
-      "bounded-output twin of dedup_edit_pairs: identical boilerplate texts collapse to one representative before the gated DP, so the tier cliques stop growing candidates/verifies/output with corpus size - ~2x wall at 10x rows where the pair form measures ~12x",
+      "bounded-output twin of dedup_edit_pairs: identical texts collapse to one representative before the gated DP, so the tier cliques stop growing candidates/verifies/output with corpus size - ~1.9x at 10x where the pair form measures ~17x. Round 11's hash-keyed collapse (12-byte keys instead of window-partitioning by full text) improved 100x from 98.8x to 62.0x (pair form timeboxes >=130x); the residual is the LSH-gated DP + CC rounds over the short-doc exact-dup families the 100x word-shuffle replication creates",
+    "dedup_clusters_incremental" ->
+      "persisted-state label maintenance: the timed pass probes the bucketed band index with the batch, exact-verifies against the bucketed shingle index, and runs CC on the contracted batch+touched-labels graph - 1.2x at 10x, 5.2x at 100x (the full-recompute sibling dedup_clusters measures 3.4x at 10x and the pair-relation chains timebox at 100x); untimed prewarm builds yesterday's indexes, the cost a daily pipeline amortizes",
+    "dedup_containment_report" ->
+      "bounded-output form of dedup_containment: output-quadratic duplicate-family growth is defused (2.2x at 10x vs the pair form's 5.9x) and its longer gate-derived cap (130 x 8.7s small) let the rep-level candidate stage run 731s before exhausting the box's ~65 GB shuffle space (disk_capped >=84.5x; the pair form's 340s timebox cuts the same stage earlier). The binding resource at 100x is CANDIDATE volume, not output: the word-shuffle replication leaves ~500k unique texts (only 1-3-word docs collapse as exact duplicates), and exact directed containment over them is pigeonhole-gated but still candidate-proportional on a hot-vocabulary corpus. Single-box disk is the environmental bound - cluster shuffle space scales with nodes - and the approximate at-scale gate for this family is LSH banding (corpus_decontaminate_fuzzy's shape), not exact posting containment",
+    "dedup_char_jaccard_clusters" ->
+      "bounded-output twin over the char-gram jaccard relation: label output is linear and exact-dup families collapse, but this family's 100x limit is CANDIDATE volume, not output - the fixed ~6.8k 7-gram vocabulary over ~500k unique word-shuffled texts makes the rep-level PPJoin candidate shuffle itself quadratic-ish, and it exhausts the box's ~65 GB shuffle space (disk_capped >=50.4x) exactly like the pair forms (>=61x/>=24x). Collapse can only remove byte-identical texts; at 10x (where the shuffle fits) the twin grades 3.96x. Same environmental bound and same at-scale answer as dedup_char_jaccard_pairs: shuffle space scales with cluster nodes, and duplicate-family-driven corpora (the shape the twins target) collapse before the join",
     "sim_knn_join" ->
       "adaptive band width p = max(8, ceil(log2(n/8))) holds per-band bucket population flat as the corpus grows — round 8 measured the fixed-width form at 21x for 10x rows and retired it to spec-level contrast; the registered adaptive query measures ~2x",
     "sim_ivf_topk_sampled" ->
