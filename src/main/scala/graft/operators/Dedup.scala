@@ -666,17 +666,18 @@ object Dedup {
   def containmentReport(docs: DataFrame, n: Int = 3,
                         threshold: Double = 0.9): DataFrame = {
     val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("text"))
-    val (reps0, members0) = collapseByValue(norm)
-    val reps = reps0.localCheckpoint(true) // 4-consumer pair chain below
-    val members = members0.localCheckpoint(true) // 3 narrow consumers
+    val (reps, members0) = collapseByValue(norm)
+    val members = members0.localCheckpoint(true) // 2 narrow consumers
     val repPairs = containmentPairs(reps, n, threshold)
-    val fam = members.groupBy(col("rep")).agg(count(lit(1)).as("k"))
-    val m2 = members.filter(col("doc_id") =!= col("rep"))
-      .groupBy(col("rep")).agg(min(col("doc_id")).as("m2"))
-    val famInfo = fam.join(m2, Seq("rep"), "left")
+    // one members pass: family size + second-smallest id (the internal
+    // top container when x IS the representative) in a single agg;
+    // has_grams needs only the token count (>= 1 n-gram ⇔ >= n tokens),
+    // never a re-shingling of the representative texts
+    val fam = members.groupBy(col("rep")).agg(count(lit(1)).as("k"),
+      min(when(col("doc_id") =!= col("rep"), col("doc_id"))).as("m2"))
+    val famInfo = fam
       .join(reps.select(col("doc_id").as("rep"),
-        (size(shinglesFromTokens(tokens(col("text")), n)) > 0).as("has_grams")),
-        Seq("rep"))
+        (size(tokens(col("text"))) >= n).as("has_grams")), Seq("rep"))
     val ext = repPairs
       .join(fam.select(col("rep").as("b"), col("k").as("kb")), Seq("b"))
       .groupBy(col("a"))
@@ -716,8 +717,7 @@ object Dedup {
   def charJaccardClusters(docs: DataFrame, n: Int = 7,
                           threshold: Double = 0.9): DataFrame = {
     val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("text"))
-    val (reps0, members) = collapseByValue(norm.filter(length(col("text")) >= n))
-    val reps = reps0.localCheckpoint(true)
+    val (reps, members) = collapseByValue(norm.filter(length(col("text")) >= n))
     val repPairs = charJaccardPairs(reps, n, threshold).select(col("a"), col("b"))
     val memberEdges = members.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("b"))
@@ -1594,8 +1594,7 @@ object Dedup {
     // NULL, so the pair graph leaves them isolated — merging them would
     // invent a component the oracle's closure doesn't have)
     val embC = emb.localCheckpoint(true)
-    val (reps0, members) = collapseByValue(embC.filter(!zero))
-    val reps = reps0.localCheckpoint(true) // feeds the 4-consumer pair chain
+    val (reps, members) = collapseByValue(embC.filter(!zero))
     val repPairs = embeddingNearDupPairs(reps, bands, planesPerBand,
       dims, threshold).select(col("a"), col("b"))
     val memberEdges = members.filter(col("vec_id") =!= col("rep"))
@@ -1624,8 +1623,7 @@ object Dedup {
     */
   def editClusters(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
                    maxEdits: Int = 2): DataFrame = {
-    val (reps0, members) = collapseByValue(docs.select(col("doc_id"), col("text")))
-    val reps = reps0.localCheckpoint(true) // feeds the 3-consumer pair chain
+    val (reps, members) = collapseByValue(docs.select(col("doc_id"), col("text")))
     val repPairs = editDistancePairs(reps, n, threshold, maxEdits)
       .select(col("a"), col("b"))
     val memberEdges = members.filter(col("doc_id") =!= col("rep"))
@@ -1663,10 +1661,15 @@ object Dedup {
     val Seq(idc, vc) = rows.columns.toSeq
     val keyed = rows.select(col(idc).as("__id"), col(vc).as("__v"),
       xxhash64(col(vc)).as("__fp"), hash(col(vc)).as("__fp2"))
+    // the aggregation materializes ONCE (eager local checkpoint): both
+    // returned frames consume it, and the heavy pair chains every caller
+    // builds on `reps` re-read it several times — without the pin each
+    // consumer would re-run the whole scan+hash+agg subtree
     val agg = keyed
       .select(col("__fp"), col("__fp2"), struct(col("__id"), col("__v")).as("r"))
       .groupBy(col("__fp"), col("__fp2"))
       .agg(min_by(col("r"), col("r.__id")).as("r"))
+      .localCheckpoint(true)
     val reps = agg.select(col("r.__id").as(idc), col("r.__v").as(vc))
     val members = keyed.select(col("__id"), col("__fp"), col("__fp2"))
       .join(agg.select(col("__fp"), col("__fp2"), col("r.__id").as("__rep")),
