@@ -41,7 +41,7 @@ object Dedup {
     * below 2⁵³ by its divisor is correctly rounded to the exact integer
     * quotient. num·sz stays < 2⁵³ for any real gram count at den = 10⁶.
     */
-  private def ceilRational(num: Long, sz: Column, den: Long): Column = {
+  private[graft] def ceilRational(num: Long, sz: Column, den: Long): Column = {
     val x = lit(num) * sz + lit(den - 1)
     ((x - pmod(x, lit(den))) / lit(den)).cast("long")
   }

@@ -180,4 +180,27 @@ class PropertySpec extends SparkSpec {
       assert(total >= lo * n && total <= hi * n, s"f=$f total=$total n=$n")
     }
   }
+
+  test("ceilRational ≡ exact BigInt ceil(num·sz/den) — boundary products included") {
+    // the round-10 advisory fix, property-pinned: a float ceil(0.9·10)
+    // rounds 9.000000000000002 up to 10, shrinking the AllPairs prefix /
+    // containment pigeonhole below their guarantees. The reduced-multiple
+    // division must match BigInt arithmetic exactly — especially at
+    // exact-integer products (sz a multiple of den/gcd), so the
+    // generator mixes random sizes with constructed boundary cases.
+    val den = 1000000L
+    val tGen = Gen.oneOf(0.5, 0.8, 0.9, 0.95, 0.99)
+    val szGen = Gen.oneOf(Gen.choose(0L, 5000L),
+      Gen.choose(1L, 500L).map(_ * 10L), // 0.9·(k·10) lands exactly on ints
+      Gen.const(1000000000L)) // the 1e9-gram extreme the claim covers
+    forAll2(tGen, Gen.listOfN(40, szGen)) { (t, szs) =>
+      val num = math.round(t * den)
+      val got = szs.toDF("sz")
+        .select(graft.operators.Dedup.ceilRational(num, col("sz"), den).as("c"))
+        .as[Long].collect().toSeq
+      val want = szs.map(sz =>
+        ((BigInt(num) * sz + den - 1) / den).toLong)
+      assert(got == want, s"t=$t diverged: ${got.zip(want).filter(p => p._1 != p._2).take(3)}")
+    }
+  }
 }
