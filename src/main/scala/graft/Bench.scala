@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   * of each shard's fastest warm pass — the fresh-JVM number
   * BENCH_DRIFT.md measured by hand, produced by construction.
   *
+  * Round 12 tightened the isolation: K defaults to 12 (~12 queries per
+  * child — round 11's 4×35 shards still accrued a measurable within-JVM
+  * tax), and every phase after the cold pass starts behind a LOAD-DECAY
+  * QUIESCE (System.gc() + a bounded wait for the 1-minute load average
+  * to fall to cpus/4) so warm passes stop inheriting the previous
+  * phase's residual GC/cleanup/writeback activity. Waited seconds are
+  * recorded per pass (`quiesce_wait_s` in BENCH_DETAIL.json).
+  *
   * Per-shard protocol (unchanged from rounds 9-10):
   *
   *  1. COLD sequential (pool=1): first execution of each plan, charged
@@ -58,7 +66,13 @@ object Bench {
 
   private def orchestrate(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val shards = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARDS", "4").toInt.max(1)
+    // 12 shards (round-12, was 4): round 11 proved the residual warm-pass
+    // tax is WITHIN-shard accumulated state — ~35 queries × 5 passes per
+    // child re-accrued enough JVM state that median per-query warm ran
+    // 1.46× over fresh-JVM spot measurements with flat calibration.
+    // ~12 queries per child keeps each JVM within ~60 plan executions of
+    // fresh; the extra session startups are untimed.
+    val shards = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARDS", "12").toInt.max(1)
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench_shards")
     import scala.jdk.CollectionConverters._
     val jvmArgs = java.lang.management.ManagementFactory
@@ -102,7 +116,9 @@ object Bench {
     val drainTotal = shardDetails.map(num(_, "drain_total")).sum
     val calibJvmBest = shardDetails.map(num(_, "calib_jvm_best_s")).min
     val calibSparkBest = shardDetails.map(num(_, "calib_spark_best_s")).min
-    val loadStart = num(shardDetails.head, "load_avg_start")
+    // max over shards (ADVICE r11): shard 0's pre-run load alone hid the
+    // load later shards started under
+    val loadStart = shardDetails.map(num(_, "load_avg_start")).max
 
     def jsonMap(m: Seq[(String, Double)], f: Double => Double = identity) = m
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
@@ -151,9 +167,9 @@ object Bench {
 
     def ms(v: Double) = math.rint(v * 100) / 100
     val calib = s""""calib_jvm_s":${ms(calibJvmBest)},"calib_spark_s":${ms(calibSparkBest)}"""
-    val headline = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(warm, ms)},"seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},$calib,"headline":"warm min-of-3+ per query, $shards fresh JVM shards (detail in BENCH_DETAIL.json)","sf":"$sfDir"}"""
+    val headline = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(warm, ms)},"seq_total":${ms(seqTotal)},"sharded":$shards,"load_avg":${ms(loadStart)},$calib,"headline":"warm min-of-3+ per query, $shards fresh JVM shards, sequential; drain_total = sum of per-shard pool-6 drains; load_avg = max shard start load (detail in BENCH_DETAIL.json)","sf":"$sfDir"}"""
     val slowest = warm.sortBy(-_._2).take(25).sortBy(_._1)
-    val compact = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(slowest, ms)},"n_queries":${warm.size},"queries_note":"${slowest.size} slowest of ${warm.size}; full map in BENCH_DETAIL.json","seq_total":${ms(seqTotal)},"load_avg":${ms(loadStart)},$calib,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(slowest, ms)},"n_queries":${warm.size},"queries_note":"${slowest.size} slowest of ${warm.size}; full map in BENCH_DETAIL.json","seq_total":${ms(seqTotal)},"sharded":$shards,"load_avg":${ms(loadStart)},$calib,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_HEADLINE.json"), headline.getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -231,9 +247,29 @@ object Bench {
       (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
     }
     case class PassMeta(label: String, load: Double, cj: Double, cs: Double,
-                        gc: Long, heap: Long)
-    def meta(label: String) =
-      PassMeta(label, loadAvg, calibJvm(), calibSpark(), gcMs, heapMb)
+                        gc: Long, heap: Long, quiesceS: Double)
+    def meta(label: String, quiesceS: Double = 0.0) =
+      PassMeta(label, loadAvg, calibJvm(), calibSpark(), gcMs, heapMb, quiesceS)
+
+    // LOAD-DECAY QUIESCE between phases (round-12): a phase's first
+    // queries otherwise run while the previous phase's residual activity
+    // still drains — GC of its garbage, ContextCleaner broadcast/shuffle
+    // cleanup, page-cache writeback of its shuffle files (round 11's
+    // warm_1 passes recorded load_pre 9.9-15.4 on the 32-cpu box).
+    // gc() pulls the cleanup forward; the bounded wait gives writeback a
+    // window to finish. The waited seconds land in the pass meta so
+    // BENCH_DETAIL shows what each pass actually started under.
+    val quiesceTarget = math.max(2.0, cpus.toInt / 4.0)
+    val quiesceMaxMs = sys.env.getOrElse("SPARK_GRAFT_QUIESCE_MS", "20000").toLong
+    def quiesce(): Double = {
+      val t0 = System.nanoTime()
+      System.gc()
+      var waited = 0L
+      while (loadAvg > quiesceTarget && waited < quiesceMaxMs) {
+        Thread.sleep(2000); waited += 2000
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // pass 1: cold sequential (codegen compile included — reported apart)
     val coldMeta = meta("cold")
@@ -248,7 +284,8 @@ object Bench {
       m.load > loadGate || m.cj > bestCj * 1.5 || m.cs > bestCs * 1.5
     var passes = Vector.empty[(PassMeta, Seq[(String, Double)], Double)]
     def runPass(label: String): Unit = {
-      val m = meta(label)
+      val q = quiesce()
+      val m = meta(label, q)
       val s0 = System.nanoTime()
       val run = named.map { case (name, fn) => name -> timed(name, fn) }
       passes :+= ((m, run, (System.nanoTime() - s0) / 1e9))
@@ -270,6 +307,7 @@ object Bench {
 
     // concurrent drain (plans/codegen warm, so this measures scheduling +
     // execution throughput, not compilation)
+    val drainQuiesce = quiesce()
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -287,15 +325,15 @@ object Bench {
 
     val loadEnd = loadAvg
     def metaJson(m: PassMeta) =
-      s""""load_pre":${m.load},"calib_jvm_s":${m.cj},"calib_spark_s":${m.cs},"gc_total_ms":${m.gc},"heap_used_mb":${m.heap}"""
+      s""""load_pre":${m.load},"quiesce_wait_s":${m.quiesceS},"calib_jvm_s":${m.cj},"calib_spark_s":${m.cs},"gc_total_ms":${m.gc},"heap_used_mb":${m.heap}"""
     val warmRuns = passes
       .map { case (m, run, total) =>
         s""""${m.label}":{"total":$total,${metaJson(m)},"queries":${jsonMap(run)}}""" }
       .mkString(",")
     val detail =
       s"""{"sf":"$sfDir","shard":"$shardIdx/$shardCount","drain_total":$drainTotal,"seq_total":$seqTotal,
-         |"load_avg_start":$loadStart,"load_avg_end":$loadEnd,
-         |"load_gate":$loadGate,"extra_passes":$extras,
+         |"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"drain_quiesce_s":$drainQuiesce,
+         |"load_gate":$loadGate,"extra_passes":$extras,"quiesce_target":$quiesceTarget,
          |"calib_jvm_best_s":${calibBest._1},"calib_spark_best_s":${calibBest._2},
          |"cold_meta":{${metaJson(coldMeta)}},
          |"queries_warm":${jsonMap(seq)},

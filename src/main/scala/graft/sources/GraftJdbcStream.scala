@@ -280,26 +280,54 @@ private[graft] class GraftJdbcMicroBatchStream(
     * inserted below a committed offset), and silently stashing an
     * arbitrarily large range would OOM the driver instead of naming the
     * misconfiguration.
+    *
+    * The cap counts only rows the COMMITTED RANGE itself holds — what
+    * the forward path could legitimately have delivered in one poll:
+    *
+    *  - COMPOSITE mode: the fetch's upper bound is the coarse `ts`, so
+    *    boundary-timestamp rows appended AFTER the commit (id > endId —
+    *    the regime composite mode exists for) land in the fetch but are
+    *    beyond the range. They trim away BEFORE the length check; the
+    *    (ts, id) ordering makes the committed range a PREFIX of the
+    *    fetch, so a trimmed prefix within the cap is complete whenever
+    *    the fetch was not truncated or saw a beyond-range row.
+    *  - PURE-TIMESTAMP mode: an offset may only land on a distinct-ts
+    *    edge, and the forward path delivers an equal-ts boundary run
+    *    UNCAPPED by design (the unavoidable pure-ts corner — see
+    *    [[IncrementalJdbc.chunkRows]]). The replay honors the same
+    *    contract: only rows STRICTLY before the committed ts count
+    *    against the cap; an over-cap fetch re-reads the range unbounded
+    *    and fails only if the strictly-before prefix itself exceeds it.
     */
   private def replay(s: GraftJdbcOffset, e: GraftJdbcOffset): Array[Row] =
     e.pos match {
       case None => Array.empty
       case Some(endPos) =>
         val cap = 2 * maxRows
-        val all = source.chunk(s.pos, Some(endPos.ts), Some(cap + 1)).collect()
-        require(all.length <= cap,
+        def capMsg =
           s"graft-jdbc stash replay exceeded its driver cap ($cap rows) for " +
             s"range (${s.json()}, ${e.json()}]: the source violated the " +
             "append-only assumption or maxRowsPerPoll was lowered across a " +
             "restart; use a rangeFetcher source (parallelReads=true) or " +
-            "restore the original maxRowsPerPoll")
+            "restore the original maxRowsPerPoll"
+        val fetched = source.chunk(s.pos, Some(endPos.ts), Some(cap + 1)).collect()
+        val tsIdx = schema.fieldIndex(source.timestampCol)
         (endPos.id, source.incrementingCol) match {
           case (Some(endId), Some(idCol)) =>
-            val tsIdx = schema.fieldIndex(source.timestampCol)
             val idIdx = schema.fieldIndex(idCol)
-            all.filter(r => r.getTimestamp(tsIdx).before(endPos.ts) ||
-              r.getLong(idIdx) <= endId)
-          case _ => all
+            val trimmed = fetched.filter(r =>
+              r.getTimestamp(tsIdx).before(endPos.ts) ||
+                r.getLong(idIdx) <= endId)
+            require(trimmed.length <= cap, capMsg)
+            trimmed
+          case _ =>
+            if (fetched.length <= cap) fetched
+            else {
+              val all = source.chunk(s.pos, Some(endPos.ts), None).collect()
+              require(all.count(_.getTimestamp(tsIdx).before(endPos.ts)) <= cap,
+                capMsg)
+              all
+            }
         }
     }
 

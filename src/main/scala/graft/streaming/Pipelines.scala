@@ -1085,6 +1085,7 @@ object Pipelines {
                              trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     import graft.operators.{CorpusOps, TextAnalysis}
     val snapshotDir = s"$outDir/snapshot"
+    requireNoLegacyStage(records.sparkSession, outDir, checkpoint)
     val sid = streamInstanceId(records.sparkSession, checkpoint)
     records
       .select(col("value"), graft.functions.AvroCodec.avroDecodeEvolving(
@@ -1099,6 +1100,45 @@ object Pipelines {
           buckets, lang, minQuality, streamId = sid)
       }
       .start()
+  }
+
+  /** UPGRADE GUARD: pre-namespace layouts wrote `stage/batch_id=N`
+    * directly under outDir (no `run=` segment). An id-namespaced restart
+    * against such an outDir cannot adopt them — the replay probe would
+    * look under `run=<id>/`, recompute a batch whose stage already
+    * exists (the empty-curated-frame hazard the staged-commit protocol
+    * documents), and its manifests would double-count next to the legacy
+    * `manifest/batch_id=N` dirs. If the CHECKPOINT already carries an id
+    * the stream was born namespaced and legacy dirs belong to some other
+    * producer — fine; but a first id mint over legacy artifacts fails
+    * loudly naming the migration (drain and commit the stream under the
+    * pre-upgrade binary, or move the legacy stage/manifest dirs aside)
+    * instead of silently starting a second accounting namespace.
+    */
+  private[graft] def requireNoLegacyStage(spark: SparkSession,
+                                          outDir: String,
+                                          checkpoint: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(outDir).getFileSystem(hconf)
+    val minted = p(s"$checkpoint/_GRAFT_STREAM_ID")
+      .getFileSystem(hconf).exists(p(s"$checkpoint/_GRAFT_STREAM_ID"))
+    if (minted) return
+    val legacy = Seq("stage", "manifest", "dead_letter").flatMap { d =>
+      val dir = p(s"$outDir/$d")
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+        .map(n => s"$d/$n")
+    }
+    require(legacy.isEmpty,
+      s"outDir '$outDir' holds pre-upgrade artifacts written without a " +
+        s"run= namespace (${legacy.take(3).mkString(", ")}${
+          if (legacy.size > 3) ", ..." else ""}) and checkpoint " +
+        s"'$checkpoint' has no _GRAFT_STREAM_ID yet: a namespaced restart " +
+        "cannot re-drive the legacy crash window. Drain and commit the " +
+        "stream under the pre-upgrade binary, or move the legacy " +
+        "stage/manifest/dead_letter batch_id= dirs aside before starting")
   }
 
   /** The INGEST-RUN identity a checkpoint carries: batch ids restart at 0
@@ -1118,15 +1158,31 @@ object Pipelines {
     val hconf = spark.sessionState.newHadoopConf()
     val idPath = new org.apache.hadoop.fs.Path(s"$checkpoint/_GRAFT_STREAM_ID")
     val fs = idPath.getFileSystem(hconf)
-    if (fs.exists(idPath)) {
+    def readId(): String = {
       val in = fs.open(idPath)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    } else {
+    }
+    if (fs.exists(idPath)) readId()
+    else {
+      // two drivers starting from the same checkpoint can both pass the
+      // exists() probe; the loser must ADOPT the winner's id (both
+      // namespace the same checkpoint generation), never fail the stream
+      // and never read a half-written file. Publication is therefore
+      // write-to-temp + atomic rename: idPath only ever appears with its
+      // full content, and exactly one rename wins.
+      // Exactly-one-winner relies on rename-refuses-existing-destination —
+      // the HDFS/S3A FileSystem contract checkpoints run on. POSIX local
+      // rename can overwrite instead; the read-back below converges
+      // every minter whose rename raced onto whatever the file finally
+      // holds (content is complete either way — rename is atomic).
       val id = java.util.UUID.randomUUID().toString.take(12)
-      val out = fs.create(idPath, false)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$checkpoint/._GRAFT_STREAM_ID.$id.tmp")
+      val out = fs.create(tmp, false)
       try out.write(id.getBytes("UTF-8")) finally out.close()
-      id
+      if (!fs.rename(tmp, idPath)) fs.delete(tmp, false)
+      readId()
     }
   }
 

@@ -219,6 +219,49 @@ class GraftJdbcStreamSpec extends SparkSpec {
     assert(got.sorted.toSeq == (1L to 15L))
   }
 
+  test("stash replay cap counts only the committed range (round-11 advisory)") {
+    def drain(stream: graft.sources.GraftJdbcMicroBatchStream,
+              parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Seq[Long] = {
+      val factory = stream.createReaderFactory()
+      parts.flatMap { p =>
+        val r = factory.createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (r.next()) buf += r.get().getLong(0)
+        buf
+      }.sorted.toSeq
+    }
+    // COMPOSITE: rows appended at the boundary timestamp AFTER the commit
+    // (the coarse-ts regime composite mode exists for) land in the ts<=end
+    // fetch but are beyond the committed range — they must not trip the
+    // cap. 15 strict-before rows + 25 boundary-ts rows, committed id=20:
+    // the range is 20 rows (== cap), the fetch is 40.
+    val comp = table(((1L to 15L).map(i => (i, 1000L * i)) ++
+      (16L to 40L).map(i => (i, 16000L))): _*)
+    val compStream = new graft.sources.GraftJdbcMicroBatchStream(comp.schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("sourceHandle",
+          handle(new SnapshotChunkSource(() => comp, incrementingCol = Some("id"))),
+          "maxRowsPerPoll", "10")))
+    val compParts = compStream.planInputPartitions(
+      graft.sources.GraftJdbcOffset(None),
+      graft.sources.GraftJdbcOffset(
+        Some(JdbcOffset(new Timestamp(16000L), Some(20L)))))
+    assert(drain(compStream, compParts) == (1L to 20L))
+    // PURE-TS: an equal-ts run is delivered uncapped by design on the
+    // forward path (an offset can only land on a distinct-ts edge), so a
+    // committed 30-row run past the 20-row cap must stay replayable.
+    val run = table((1L to 30L).map(i => (i, 1000L)): _*)
+    val runStream = new graft.sources.GraftJdbcMicroBatchStream(run.schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("sourceHandle",
+          handle(new SnapshotChunkSource(() => run)),
+          "maxRowsPerPoll", "10")))
+    val runParts = runStream.planInputPartitions(
+      graft.sources.GraftJdbcOffset(None),
+      graft.sources.GraftJdbcOffset(Some(JdbcOffset(new Timestamp(1000L)))))
+    assert(drain(runStream, runParts) == (1L to 30L))
+  }
+
   test("offset json round-trips both modes") {
     import graft.sources.JdbcOffset
     val src = new SnapshotChunkSource(() => table((1L, 1000L)))

@@ -258,6 +258,45 @@ class ReferenceTopologySpec extends SparkSpec {
     assert(id1 != Pipelines.streamInstanceId(spark, ck), "reset not detected")
   }
 
+  test("legacy un-namespaced outDir blocks a first id mint; loser of a mint race adopts") {
+    // round-11 advisory: pre-namespace layouts wrote stage/batch_id=N with
+    // no run= segment. A namespaced restart can't re-drive that crash
+    // window, so the first mint against such an outDir must fail loudly.
+    val out = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_legacy_ck").toString
+    new java.io.File(s"$out/stage/batch_id=3").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.requireNoLegacyStage(spark, out, ck)
+    }
+    assert(e.getMessage.contains("pre-upgrade"), e.getMessage)
+    // a checkpoint that ALREADY carries an id was born namespaced: legacy
+    // dirs next to it belong to another producer and must not block it
+    Pipelines.streamInstanceId(spark, ck)
+    Pipelines.requireNoLegacyStage(spark, out, ck)
+    // namespaced dirs alone never block a fresh mint
+    val out2 = java.nio.file.Files.createTempDirectory("graft_legacy2").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_legacy_ck2").toString
+    new java.io.File(s"$out2/stage/run=genA/batch_id=3").mkdirs()
+    Pipelines.requireNoLegacyStage(spark, out2, ck2)
+    // mint-race loser: the id file appearing between the exists() probe
+    // and the create() must be ADOPTED, not thrown — simulated by the
+    // non-overwriting create hitting a pre-existing file... the public
+    // behavior pinned here is that concurrent minters converge on ONE id
+    val ck3 = java.nio.file.Files.createTempDirectory("graft_legacy_ck3").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futs = (1 to 4).map(_ => pool.submit(
+      new java.util.concurrent.Callable[String] {
+        def call(): String = {
+          gate.await(); Pipelines.streamInstanceId(spark, ck3)
+        }
+      }))
+    gate.countDown()
+    val ids = futs.map(_.get()).toSet
+    pool.shutdown()
+    assert(ids.size == 1, s"concurrent minters diverged: $ids")
+  }
+
   test("applyUpsert disk face equals the pure upsertResult merge") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_pure").toString
     val init = Seq((1L, 0L, "a"), (2L, 0L, "b"), (9L, 0L, "z"))
