@@ -1153,6 +1153,13 @@ object Pipelines {
     * gets its own artifact namespace. Read-or-create, never cached in the
     * JVM, so an in-process checkpoint reset is detected too.
     */
+  /** In-JVM serialization of first mints: the common double-mint is two
+    * threads of ONE driver (a restarted query + a stale handle on the
+    * same checkpoint), where a lock makes adoption deterministic.
+    */
+  private val mintLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def streamInstanceId(spark: SparkSession,
                                       checkpoint: String): String = {
     val hconf = spark.sessionState.newHadoopConf()
@@ -1163,26 +1170,27 @@ object Pipelines {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     }
-    if (fs.exists(idPath)) readId()
-    else {
-      // two drivers starting from the same checkpoint can both pass the
-      // exists() probe; the loser must ADOPT the winner's id (both
-      // namespace the same checkpoint generation), never fail the stream
-      // and never read a half-written file. Publication is therefore
-      // write-to-temp + atomic rename: idPath only ever appears with its
-      // full content, and exactly one rename wins.
-      // Exactly-one-winner relies on rename-refuses-existing-destination —
-      // the HDFS/S3A FileSystem contract checkpoints run on. POSIX local
-      // rename can overwrite instead; the read-back below converges
-      // every minter whose rename raced onto whatever the file finally
-      // holds (content is complete either way — rename is atomic).
-      val id = java.util.UUID.randomUUID().toString.take(12)
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$checkpoint/._GRAFT_STREAM_ID.$id.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(id.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, idPath)) fs.delete(tmp, false)
-      readId()
+    if (fs.exists(idPath)) return readId()
+    mintLocks.computeIfAbsent(checkpoint, _ => new Object).synchronized {
+      // two minters racing past the exists() probe must both end up on
+      // ONE id, never an exception and never a half-written read. The
+      // lock serializes same-JVM minters; across drivers, publication is
+      // write-to-temp + atomic rename, so idPath only ever appears with
+      // its full content and exactly one rename wins under the
+      // rename-refuses-existing-destination contract (HDFS/S3A — what
+      // checkpoints run on; POSIX local rename can overwrite, where the
+      // cross-JVM race narrows to Spark's own no-concurrent-drivers-per-
+      // checkpoint rule). Losers adopt by re-reading.
+      if (fs.exists(idPath)) readId()
+      else {
+        val id = java.util.UUID.randomUUID().toString.take(12)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$checkpoint/._GRAFT_STREAM_ID.$id.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, idPath)) fs.delete(tmp, false)
+        readId()
+      }
     }
   }
 
