@@ -1159,6 +1159,58 @@ object OracleSqlGen {
   def charJaccardClustersSql(n: Int, threshold: Double): String =
     componentsOverPairsSql(charJaccardPairsSql(n, threshold))
 
+  /** Mirrors Dedup.charLshClusters: recursive closure over the
+    * UNCOLLAPSED banded char-LSH pair relation (the gated relation is
+    * the contract, exactly like dedup_char_lsh's own oracle), so the
+    * green row proves the collapse-first Spark plan exact against a
+    * collapse-free recompute. The auto band width resolves to the fixed
+    * 4×4 split at oracle scales, which is what this SQL hardcodes.
+    */
+  def charLshClustersSql(n: Int, threshold: Double): String =
+    componentsOverPairsSql(charLshPairsSql(n, threshold))
+
+  /** Mirrors Dedup.containmentPairsLsh: banded minhash candidates
+    * (unordered, the same bands/cand CTEs as the other word-LSH
+    * oracles) + exact count-based containment verify, emitted in both
+    * directions from one intersection count.
+    */
+  def containmentPairsLshSql(n: Int, threshold: Double): String =
+    s"""${sigCteOver(wordShCte(n))},
+        bands AS (SELECT doc_id, unnest([$bandKeysSql]) AS bk FROM sig
+                  WHERE len(shingles) > 0),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+        posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        szs AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        iv AS (SELECT cand.a, cand.b, za.sz AS sza, zb.sz AS szb,
+            count(*) AS inter
+          FROM cand JOIN szs za ON cand.a = za.doc_id
+                    JOIN szs zb ON cand.b = zb.doc_id
+                    JOIN posting pa ON cand.a = pa.doc_id
+                    JOIN posting pb ON cand.b = pb.doc_id AND pb.s = pa.s
+          GROUP BY 1, 2, 3, 4)
+        SELECT a, b, round(inter::DOUBLE / sza::DOUBLE, 4) AS containment
+        FROM iv WHERE inter::DOUBLE / sza::DOUBLE >= $threshold
+        UNION ALL
+        SELECT b AS a, a AS b,
+          round(inter::DOUBLE / szb::DOUBLE, 4) AS containment
+        FROM iv WHERE inter::DOUBLE / szb::DOUBLE >= $threshold"""
+
+  /** Mirrors Dedup.containmentReportLsh: the containmentReportDirSql
+    * aggregation over the UNCOLLAPSED gated relation — the green row
+    * proves the collapse + counting-algebra expansion exact over the
+    * banded relation too.
+    */
+  def containmentReportLshSql(n: Int, threshold: Double): String =
+    s"""WITH pr AS (${containmentPairsLshSql(n, threshold)}),
+        mx AS (SELECT a, count(*) AS n_containers,
+                 max(containment) AS top_containment
+               FROM pr GROUP BY a)
+        SELECT mx.a AS doc_id, mx.n_containers,
+          min(pr.b) AS top_container, mx.top_containment
+        FROM mx JOIN pr ON pr.a = mx.a AND pr.containment = mx.top_containment
+        GROUP BY mx.a, mx.n_containers, mx.top_containment"""
+
   def jaccardPairsSql(n: Int, threshold: Double): String =
     s"""${toksCte()},
         sh AS (SELECT doc_id, ${shingles(n)} AS shingles FROM t),

@@ -152,6 +152,14 @@ object SparkEntry {
     // pair chain on unique texts (the 100 TB shape for directed overlap)
     "dedup_containment_report" -> q((s, d) =>
       Dedup.containmentReport(Tables.load(s, d, "documents"), 3, 0.9)),
+    // the AT-SCALE twin of the report: banded minhash candidates (full
+    // band-key collision, not shared-hot-gram) + exact containment
+    // verify on survivors — the gate whose intermediates stay linear on
+    // fixed-vocabulary corpora where the pigeonhole form's candidate
+    // shuffle exceeds single-box disk at 100x; the exact form stays
+    // registered for oracle-scale corpora
+    "dedup_containment_report_lsh" -> q((s, d) =>
+      Dedup.containmentReportLsh(Tables.load(s, d, "documents"), 3, 0.9)),
     // char-LSH candidates verified by EXACT levenshtein (few-character
     // edits, not shingle overlap): the DP runs only on gated pairs —
     // the tier-1 clique survives at dist <= 2, boilerplate-prefix
@@ -356,6 +364,13 @@ object SparkEntry {
     // with exact-collapse-first, so duplicate families cost one
     // representative in the posting chain and k label rows out
     "dedup_char_jaccard_clusters" -> q((s, d) => Dedup.charJaccardClusters(Tables.load(s, d, "documents"), 7, 0.9)),
+    // the AT-SCALE twin of the cluster labels: edges from the banded
+    // char-LSH gate (auto band width, constant-work signature verify)
+    // instead of the exact PPJoin relation — candidate volume is band
+    // collisions, never shared-hot-gram postings, so the intermediates
+    // stay linear on the fixed-vocabulary corpus that disk-capped the
+    // exact twin at 100x
+    "dedup_char_jaccard_clusters_lsh" -> q((s, d) => Dedup.charLshClusters(Tables.load(s, d, "documents"), 7, 0.9)),
     "dedup_simhash" -> q((s, d) => Dedup.simhashSignatures(Tables.load(s, d, "documents"))),
     // pigeonhole block joins (Manku et al. WWW'07): hamming<=3 pairs via
     // 4 equality self-joins + popcount verify — never an all-pairs distance
@@ -713,6 +728,7 @@ object SparkEntry {
     "dedup_edit_pairs" -> OracleSqlGen.editPairsSkewedSql(5, 0.8, 2),
     "dedup_containment" -> OracleSqlGen.containmentPairsSql(3, 0.9),
     "dedup_containment_report" -> OracleSqlGen.containmentReportDirSql(3, 0.9),
+    "dedup_containment_report_lsh" -> OracleSqlGen.containmentReportLshSql(3, 0.9),
     "dedup_funnel_report" -> OracleSqlGen.dedupFunnelSql(3, 0.8),
     "dedup_substring_spans" -> OracleSqlGen.dupSpansSql(30),
     "dedup_substring_removed" -> OracleSqlGen.substringRemovedSql(30),
@@ -720,6 +736,7 @@ object SparkEntry {
     "dedup_boilerplate" -> OracleSqlGen.boilerplateRemovedSql(10),
     "dedup_char_jaccard_pairs" -> OracleSqlGen.charJaccardPairsSql(7, 0.9),
     "dedup_char_jaccard_clusters" -> OracleSqlGen.charJaccardClustersSql(7, 0.9),
+    "dedup_char_jaccard_clusters_lsh" -> OracleSqlGen.charLshClustersSql(7, 0.9),
     "asof_attribution" -> OracleSqlGen.asofAttributionSql,
     "asof_attribution_tol" -> OracleSqlGen.asofAttributionWithinSql(600),
     "session_counts" -> OracleSqlGen.sessionCountsSql(5),

@@ -204,10 +204,21 @@ object Dedup {
     * band key are LSH candidates.
     */
   private def bandKeys(sig: Column): Column =
-    array((0 until Bands).map { b =>
-      val parts = lit(b) +: (0 until RowsPerBand).map(r => sig.getItem(b * RowsPerBand + r))
+    bandKeysWith(sig, Bands, RowsPerBand)
+
+  /** [[bandKeys]] at an EXPLICIT (bands, rowsPerBand) split of the same
+    * NumHashes-slot signature — the banding knob [[charLshPairsAuto]]
+    * turns with corpus size. bands × rowsPerBand must cover the
+    * signature exactly so every slot keeps contributing to one band.
+    */
+  private def bandKeysWith(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands * rowsPerBand == NumHashes,
+      s"banding $bands x $rowsPerBand must tile the $NumHashes-slot signature")
+    array((0 until bands).map { b =>
+      val parts = lit(b) +: (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r))
       concat_ws(":", parts.map(_.cast("string")): _*)
     }: _*)
+  }
 
   /** Adds the minhash `sig` and an exploded band key `bk` while KEEPING
     * every existing column — streaming probes need their event-time
@@ -526,7 +537,57 @@ object Dedup {
     * integer signature slots instead: constant work per candidate, the
     * standard signature-only LSH trade (estimate, not exact jaccard).
     */
-  def charLshPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8): DataFrame = {
+  def charLshPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8): DataFrame =
+    charLshPairsWith(docs, n, threshold, Bands, RowsPerBand)
+
+  /** Corpus-size bound past which [[charLshPairsAuto]] doubles the band
+    * width: the fixed 4×4 split is measured comfortable through ~65k
+    * docs (the sf1 scale the oracle fixtures run at), and each doubling
+    * SQUARES the per-band collision probability of a background pair
+    * (s^rp), so one doubling buys roughly two decades of corpus growth
+    * before hot-bucket occupancy climbs back.
+    */
+  val RebandAt: Long = 65536L
+
+  /** rowsPerBand for a corpus of `n` docs: the fixed width up to
+    * [[RebandAt]], doubled (4 → 8 → 16, always tiling the 16-slot
+    * signature) each time the corpus grows another 256× past it.
+    */
+  private[graft] def autoRowsPerBand(n: Long): Int = {
+    val k =
+      if (n <= RebandAt) 0
+      else math.ceil(
+        math.log(n.toDouble / RebandAt) / math.log(256.0)).toInt
+    math.min(NumHashes, RowsPerBand << k)
+  }
+
+  /** [[charLshPairs]] with the BAND WIDTH chosen from the corpus size —
+    * the [[graft.operators.Similarity.knnJoinAuto]] pattern for the
+    * minhash gate. A fixed 4-slot band admits a background pair at
+    * similarity s with probability ~4·s⁴ per doc pair, so candidate
+    * volume on a low-entropy corpus grows ~quadratically once the
+    * corpus outgrows the width the constant was tuned for; doubling
+    * rowsPerBand squares the per-band term (s⁴ → s⁸), holding per-band
+    * bucket occupancy ~flat while `bands = 16/rowsPerBand` keeps the
+    * whole signature in play. Width resolves to the FIXED split at
+    * oracle scales (n ≤ [[RebandAt]]), so registered relations are
+    * unchanged where the DuckDB oracle runs; past it the candidate GATE
+    * narrows (an approximate op's recall knob, like knnJoinAuto's p) —
+    * any downstream EXACT verify ([[editDistancePairs]]' bounded DP)
+    * stays exact on whatever the gate admits.
+    *
+    * Row count comes from plan statistics when present, else one
+    * column-pruned count() — [[graft.operators.Similarity.corpusRows]],
+    * same staleness contract as knnJoinAuto.
+    */
+  def charLshPairsAuto(docs: DataFrame, n: Int = 5,
+                       threshold: Double = 0.8): DataFrame = {
+    val rp = autoRowsPerBand(Similarity.corpusRows(docs)._1)
+    charLshPairsWith(docs, n, threshold, NumHashes / rp, rp)
+  }
+
+  private[graft] def charLshPairsWith(docs: DataFrame, n: Int, threshold: Double,
+                                      nBands: Int, rowsPerBand: Int): DataFrame = {
     // the signature rides along with each band key (16 longs/row), so the
     // band self-join yields BOTH signatures directly — no signature
     // re-joins, and the estimate filter runs BEFORE the pair distinct,
@@ -544,7 +605,8 @@ object Dedup {
     // below the scan fan-out (measured 13× on this query).
     val bands = signaturesOverHashes(charShingled(docs, n))
       .select(col("doc_id"), col("sig"),
-        explode_outer(when(size(col("shingles")) > 0, bandKeys(col("sig"))))
+        explode_outer(when(size(col("shingles")) > 0,
+          bandKeysWith(col("sig"), nBands, rowsPerBand)))
           .as("bk"))
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
@@ -664,11 +726,47 @@ object Dedup {
     *    oracle's max/argmin makes.
     */
   def containmentReport(docs: DataFrame, n: Int = 3,
-                        threshold: Double = 0.9): DataFrame = {
+                        threshold: Double = 0.9): DataFrame =
+    containmentReportOver(docs, n)(containmentPairs(_, n, threshold))
+
+  /** The AT-SCALE twin of [[containmentReport]]: same bounded output and
+    * counting-algebra expansion, but the rep-level pair relation is
+    * [[containmentPairsLsh]] — banded minhash candidates with the exact
+    * count-based containment verify on survivors — instead of the
+    * pigeonhole-gated exact relation. The exact report's 100× limit is
+    * the CANDIDATE shuffle (pigeonhole probes admit candidate volume
+    * proportional to posting hotness on a fixed-vocabulary corpus; the
+    * verify shuffle exceeded single-box disk at ≥84.5×); the band gate
+    * caps that term structurally — a candidate needs a full band-key
+    * collision, so the posting-expansion verify runs on band survivors
+    * only. The trade is the standard LSH one: the gate is symmetric
+    * (jaccard-shaped), so a contained doc dwarfed by its container
+    * (|B| ≫ |A|) may not band-collide — recall narrows to containment
+    * within bounded size ratios, which is why the exact form stays
+    * registered for oracle-scale corpora. The expansion algebra is
+    * unchanged and stays exact over the gated relation: identical
+    * normalized texts share band keys (candidates at any threshold) and
+    * verify at containment 1.0, and cross-family candidacy/containment
+    * are pure functions of the representative texts.
+    */
+  def containmentReportLsh(docs: DataFrame, n: Int = 3,
+                           threshold: Double = 0.9): DataFrame =
+    containmentReportOver(docs, n)(containmentPairsLsh(_, n, threshold))
+
+  /** The collapse + counting-algebra expansion shared by
+    * [[containmentReport]] and [[containmentReportLsh]]: `pairsOf`
+    * produces the DIRECTED (a, b, containment) relation over the
+    * collapsed representatives; the expansion to members is exact for
+    * any relation that is a pure function of the normalized text on
+    * both sides and contains every identical-text pair at 1.0 (see
+    * [[containmentReport]]'s algebra notes).
+    */
+  private def containmentReportOver(docs: DataFrame, n: Int)
+                                   (pairsOf: DataFrame => DataFrame): DataFrame = {
     val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("text"))
     val (reps, members0) = collapseByValue(norm)
     val members = members0.localCheckpoint(true) // 2 narrow consumers
-    val repPairs = containmentPairs(reps, n, threshold)
+    val repPairs = pairsOf(reps)
     // one members pass: family size + second-smallest id (the internal
     // top container when x IS the representative) in a single agg;
     // has_grams needs only the token count (>= 1 n-gram ⇔ >= n tokens),
@@ -701,6 +799,52 @@ object Dedup {
       .filter(col("n_containers") > 0)
   }
 
+  /** DIRECTED containment pairs gated by BANDED MINHASH instead of the
+    * pigeonhole prefix filter — the at-scale candidate gate
+    * ([[fuzzyDecontaminate]]'s shape) with [[containmentPairs]]' exact
+    * count-based verify on the survivors. One symmetric band self-join
+    * produces unordered candidates; ONE posting-expansion verify counts
+    * |A∩B| per candidate; both directions then emit from that single
+    * intersection (containment is direction-specific only in its
+    * denominator). Docs with empty shingle sets never band (the
+    * generator-expression guard [[charLshPairs]] documents), matching
+    * the exact op, which emits nothing for them.
+    */
+  def containmentPairsLsh(docs: DataFrame, n: Int = 3,
+                          threshold: Double = 0.9): DataFrame = {
+    val banded = withBandedSignature(docs, n)
+      .select(col("doc_id"), col("bk"))
+    val cand = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // one ReusedExchange feeds the three gram consumers (sizes + both
+    // posting sides) — the containmentPairs single-evaluation discipline
+    val grams = shingled(docs, n).repartition(col("doc_id"))
+    val sizes = grams.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val pa = grams.select(col("doc_id").as("a"),
+      explode_outer(col("shingles")).as("g"))
+    val pb = grams.select(col("doc_id").as("b"),
+      explode_outer(col("shingles")).as("g"))
+    val inter = cand
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .join(pa, "a").join(pb, Seq("b", "g"))
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+    // both directions emit from ONE pass over the intersection counts —
+    // a generator expression, not a union of two copies of the verify
+    val ca = col("inter").cast("double") / col("sza").cast("double")
+    val cb = col("inter").cast("double") / col("szb").cast("double")
+    inter
+      .select(explode(filter(array(
+        struct(col("a").as("x"), col("b").as("y"), ca.as("c")),
+        struct(col("b").as("x"), col("a").as("y"), cb.as("c"))),
+        s => s.getField("c") >= threshold)).as("p"))
+      .select(col("p.x").as("a"), col("p.y").as("b"),
+        round(col("p.c"), 4).as("containment"))
+  }
+
   /** BOUNDED-OUTPUT cluster labels over the EXACT char-gram jaccard
     * relation ([[charJaccardPairs]]) — the twin that replaces the
     * disk-capped pair enumeration at 100×: connected components of the
@@ -725,6 +869,43 @@ object Dedup {
       repPairs.union(memberEdges), "charjac_cc")._1
   }
 
+  /** The AT-SCALE twin of [[charJaccardClusters]]: cluster labels whose
+    * edges come from the BANDED char-LSH gate ([[charLshPairsAuto]] —
+    * minhash band collisions verified by the constant-work signature
+    * estimate) instead of the exact PPJoin candidate relation. The exact
+    * form is the oracle-scale tool; its 100× limit is CANDIDATE volume —
+    * on a fixed-vocabulary corpus every document shares hot grams with
+    * every other, so the length-bucketed prefix join's candidate shuffle
+    * grows quadratic-ish and exceeds single-box disk long before the
+    * (linear) label output does. Banding caps that term structurally:
+    * candidates need a full band-key match (probability s^rowsPerBand
+    * per band, NOT shared-hot-gram probability), the verify is 16 slot
+    * comparisons per candidate with no posting expansion, and
+    * [[charLshPairsAuto]] widens the bands as the corpus grows so
+    * per-band bucket occupancy stays ~flat.
+    *
+    * Same exact-collapse-first discipline, and provably exact w.r.t.
+    * the GATED relation's closure (the oracle recomputes exactly that,
+    * uncollapsed): identical normalized texts have identical gram sets,
+    * hence identical signatures and band keys — they collide on every
+    * band and estimate at 1.0 ≥ t, so members share their
+    * representative's component; and any cross-group pair band-collides
+    * and estimates identically to its rep pair, so the closure is
+    * unchanged. Docs shorter than n normalized chars never band (the
+    * empty-shingle guard) — they stay singletons, uncollapsed, exactly
+    * as the gated relation leaves them.
+    */
+  def charLshClusters(docs: DataFrame, n: Int = 7,
+                      threshold: Double = 0.9): DataFrame = {
+    val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("text"))
+    val (reps, members) = collapseByValue(norm.filter(length(col("text")) >= n))
+    val repPairs = charLshPairsAuto(reps, n, threshold).select(col("a"), col("b"))
+    val memberEdges = members.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    componentLabels(docs.select(col("doc_id")),
+      repPairs.union(memberEdges), "charlsh_cc")._1
+  }
+
   /** EDIT-DISTANCE near-dup pairs: the char-LSH candidate chain
     * ([[charLshPairs]] — banded signatures + estimate gate) verified by
     * EXACT levenshtein distance instead of a similarity estimate — the
@@ -743,7 +924,11 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8,
                         maxDist: Int = 2): DataFrame = {
     val texts = docs.select(col("doc_id"), col("text"))
-    charLshPairs(docs, n, threshold)
+    // auto band width (round-12): the gate widens its bands as the corpus
+    // grows, holding candidate volume per doc ~flat; resolves to the
+    // fixed 4×4 split at oracle scales, so the registered relation is
+    // unchanged where the DuckDB oracle runs
+    charLshPairsAuto(docs, n, threshold)
       .join(texts.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
       .join(texts.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
       // native bounded levenshtein: prefix/suffix strip + Ukkonen band

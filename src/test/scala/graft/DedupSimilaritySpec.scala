@@ -906,4 +906,93 @@ class DedupSimilaritySpec extends SparkSpec {
     val (n2, fromStats2) = Similarity.corpusRows(pq)
     assert(!fromStats2 && n2 == pq.count(), "parquet fallback broken")
   }
+
+  test("autoRowsPerBand: fixed width at oracle scales, doubles per 256x, tiles") {
+    // the contract the oracle SQL depends on: every corpus the DuckDB
+    // fixtures run at resolves to the FIXED 4-slot width
+    assert(Dedup.autoRowsPerBand(500) == 4)
+    assert(Dedup.autoRowsPerBand(65536) == 4)
+    // one doubling per 256x past the bound, capped at the signature
+    assert(Dedup.autoRowsPerBand(65537) == 8)
+    assert(Dedup.autoRowsPerBand(500000) == 8) // the 100x probe corpus
+    assert(Dedup.autoRowsPerBand(65536L * 256) == 8)
+    assert(Dedup.autoRowsPerBand(65536L * 256 + 1) == 16)
+    assert(Dedup.autoRowsPerBand(Long.MaxValue / 2) == 16) // capped
+  }
+
+  test("wide-band gate admits a subset of the fixed gate (recall knob, one-way)") {
+    // a wide-band collision (slots 0-7 equal) implies both 4-slot
+    // sub-band collisions, so widening can only REMOVE candidates —
+    // never invent pairs the fixed relation lacks. Pinned on the skewed
+    // fixture, where both tiers exercise hot buckets.
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val skewed = Dedup.skewedDocs(base)
+    def pairsAt(rp: Int): Set[(Long, Long)] =
+      Dedup.charLshPairsWith(skewed, 5, 0.8, Dedup.NumHashes / rp, rp)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val fixed = pairsAt(4)
+    val wide = pairsAt(8)
+    assert(wide.subsetOf(fixed),
+      s"wide-band invented pairs: ${(wide -- fixed).take(5)}")
+    // identical normalized texts collide at EVERY width (the collapse
+    // contract charLshClusters relies on): the tier-1 clique pair set
+    // survives widening
+    val clique = fixed.filter { case (a, b) => a % 10 == 0 && b % 10 == 0 }
+    assert(clique.nonEmpty && clique.subsetOf(wide),
+      "identical-text clique lost under the wide gate")
+  }
+
+  test("charLshClusters: labels match closure of the gated relation + singletons") {
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val labels = Dedup.charLshClusters(base, 7, 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == base.count(), "every doc labeled exactly once")
+    // reference closure: union-find over the registered pair relation
+    val pairs = Dedup.charLshPairs(base, 7, 0.9)
+      .select("a", "b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map(labels.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = labels.keys.map(k => k -> find(k)).toMap
+    assert(labels == expect, "labels diverge from the gated closure")
+  }
+
+  test("containmentPairsLsh: exact verify on banded candidates, both directions") {
+    // excerpt 1 is fully contained in doc 0; 0 is NOT contained in 1
+    // (direction matters); 2 is unrelated; 3/4 are identical texts
+    // (mutual containment 1.0); 5 is too short for any 3-shingle
+    val cdocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words live in this unrelated document here"),
+      (3L, "shared duplicate sentence content for the family pair case"),
+      (4L, "shared duplicate sentence content for the family pair case"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsLsh(cdocs, 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // 1 ⊂ 0: |A∩B|/|A| = 6/6 = 1.0 (A = 1's six 3-shingles, all in 0)
+    assert(got.contains((1L, 0L, 1.0)), s"missing contained excerpt: $got")
+    assert(!got.exists(p => p._1 == 0L && p._2 == 1L),
+      "container direction leaked: 0 is not contained in 1")
+    assert(got.contains((3L, 4L, 1.0)) && got.contains((4L, 3L, 1.0)),
+      "identical texts must be mutually contained at 1.0")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
+      "empty-shingle doc must never pair")
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc paired")
+    // and the report twin's expansion agrees with a direct aggregation
+    // of the pair relation on this fixture (no collapse effects: 3,4
+    // are the only family and both relations see them identically)
+    val rep = Dedup.containmentReportLsh(cdocs, 3, 0.9)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val byA = got.groupBy(_._1).map { case (a, ps) =>
+      val best = ps.map(p => (-p._3, p._2)).min
+      (a, ps.size.toLong, best._2, -best._1)
+    }.toSet
+    assert(rep == byA, s"report expansion diverged:\n$rep\nvs\n$byA")
+  }
 }
