@@ -2295,8 +2295,20 @@ object OracleSqlGen {
     * changeset, latest-per-key squash via arg_max, full-outer apply with
     * D filtered, decimal-exact per-status totals.
     */
-  def cdcMergeSql: String =
-    s"""WITH ch AS (
+  def cdcMergeSql: String = cdcMergeSqlWhere("")
+
+  /** Mirrors Relational.cdcMergeApplyBucketed: the SAME unpruned merge
+    * over the bucket-sparse changeset slice (change keys in the first
+    * `shards` of `buckets` hash buckets) — the oracle deliberately does
+    * not model the bucketed layout or the summary partials, so a green
+    * row proves the pruned + summary-merged plan value-exact against a
+    * whole-snapshot recompute.
+    */
+  def cdcMergeSparseSql(buckets: Int, shards: Int): String =
+    cdcMergeSqlWhere(s"WHERE key % $buckets < $shards")
+
+  private def cdcMergeSqlWhere(sparse: String): String =
+    s"""WITH ch0 AS (
           SELECT o_orderkey AS key, 1 AS seq, 'U:X' AS payload FROM orders
             WHERE o_orderkey % 5 = 0
           UNION ALL SELECT o_orderkey, 2, 'U:Y' FROM orders
@@ -2305,6 +2317,7 @@ object OracleSqlGen {
             WHERE o_orderkey % 7 = 3
           UNION ALL SELECT o_orderkey + 100000000, 1, 'I:N' FROM orders
             WHERE o_orderkey % 97 = 0),
+        ch AS (SELECT * FROM ch0 $sparse),
         latest AS (SELECT key, arg_max(payload, seq) AS payload
           FROM ch GROUP BY key),
         m AS (SELECT

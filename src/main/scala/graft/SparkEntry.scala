@@ -298,6 +298,12 @@ object SparkEntry {
       TextAnalysis.novelty(Tables.load(s, d, "documents"), 8)),
     // MERGE INTO semantics on plain parquet: squash changeset to latest-
     // per-key (max_by), one full-outer apply join, per-status datasheet
+    // bucket-pruned batch face: the snapshot lives partitionBy(bucket),
+    // the bucket-sparse daily shard merges only its touched directories,
+    // and persisted per-bucket summaries restore the global datasheet —
+    // per-batch cost ∝ touched buckets, never snapshot size
+    "cdc_merge_apply_bucketed" -> q((s, d) =>
+      Relational.cdcMergeApplyBucketed(s, d, 32)),
     "cdc_merge_apply" -> q((s, d) => Relational.cdcMergeApply(
       Tables.load(s, d, "orders"),
       Relational.cdcChangeset(Tables.load(s, d, "orders")))),
@@ -776,6 +782,7 @@ object SparkEntry {
     "corpus_weighted_sample" -> OracleSqlGen.weightedSampleSql(100),
     "corpus_incremental_curation" -> OracleSqlGen.incrementalCurationSql,
     "cdc_merge_apply" -> OracleSqlGen.cdcMergeSql,
+    "cdc_merge_apply_bucketed" -> OracleSqlGen.cdcMergeSparseSql(32, 2),
     "cdc_upsert_latest" ->
       """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
                  o_totalprice AS price FROM orders),

@@ -272,6 +272,37 @@ class PlanShapeSpec extends SparkSpec {
       s"history labels crossed a shuffle exchange:\n${leaking.mkString("\n")}")
   }
 
+  test("bucketed CDC merge: snapshot scan prunes to touched bucket directories") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val q = Relational.cdcMergeApplyBucketed(spark, sf, 32)
+    q.count() // finalize AQE
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a) ++ walk(a.executedPlan)
+      case s: QueryStageExec => Seq(s) ++ walk(s.plan)
+      case other => Seq(other) ++ other.children.flatMap(walk)
+    }
+    val plan = walk(q.queryExecution.executedPlan)
+    val snapScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("graft_cdcsnap")) => f
+    }
+    // the merge's only snapshot consumer carries the touched-bucket
+    // partition filter — untouched directories are pruned by METADATA,
+    // never opened
+    assert(snapScans.nonEmpty, "bucketed snapshot scan missing")
+    assert(snapScans.forall(s => s.partitionFilters.exists(
+      _.references.exists(_.name == "bucket"))),
+      s"snapshot scan lost its bucket partition filter:\n${snapScans.mkString("\n")}")
+    // untouched buckets' contribution comes from the persisted SUMMARY
+    // table, not a second (unpruned) snapshot scan
+    assert(plan.exists {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("graft_cdcsum"))
+      case _ => false
+    }, "persisted per-bucket summaries not consumed")
+  }
+
   test("knn join: banded candidates only — no cartesian or nested-loop join") {
     val p = plan(Similarity.knnJoin(
       Tables.load(spark, sf, "embeddings"), 3, 8, 8, 64))
