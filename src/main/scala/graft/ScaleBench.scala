@@ -89,7 +89,9 @@ object ScaleBench {
     "sketch_corpus_overlap", "events_anomalies",
     "dedup_containment", "corpus_interleave", "mm_image_dhash",
     "dedup_containment_report", "dedup_char_jaccard_clusters",
-    "dedup_clusters_incremental", "corpus_pack_shards", "sim_ivfpq_topk")
+    "dedup_clusters_incremental", "corpus_pack_shards", "sim_ivfpq_topk",
+    "dedup_containment_report_lsh", "dedup_char_jaccard_clusters_lsh",
+    "dedup_containment_incremental", "cdc_merge_apply_bucketed")
 
   /** Code-path probes that are NOT registered queries: same operators,
     * forced onto the branch the registered run doesn't take at this
@@ -138,6 +140,8 @@ object ScaleBench {
       "bounded-output twin of dedup_edit_pairs: identical texts collapse to one representative before the gated DP, so the tier cliques stop growing candidates/verifies/output with corpus size - ~1.9x at 10x where the pair form measures ~17x. Round 11's hash-keyed collapse (12-byte keys instead of window-partitioning by full text) improved 100x from 98.8x to 62.0x (pair form timeboxes >=130x); the residual is the LSH-gated DP + CC rounds over the short-doc exact-dup families the 100x word-shuffle replication creates",
     "dedup_clusters_incremental" ->
       "persisted-state label maintenance: the timed pass probes the bucketed band index with the batch, exact-verifies against the bucketed shingle index, and runs CC on the contracted batch+touched-labels graph - 1.2x at 10x, 5.2x at 100x (the full-recompute sibling dedup_clusters measures 3.4x at 10x and the pair-relation chains timebox at 100x); untimed prewarm builds yesterday's indexes, the cost a daily pipeline amortizes",
+    "dedup_containment_incremental" ->
+      "persisted-state EXACT containment maintenance: the timed pass ranks the batch's grams against the persisted df model, pigeonhole-probes the g-bucketed posting/probe indexes in both directions, exact-verifies one intersection count per candidate, and full-outer-merges into yesterday's persisted report. Cost tracks BATCH-involved candidate volume - on the hot-vocabulary fixture that term is quadratic-ish in the batch (the same adversarial shape that disk-caps the full pair relation), but the corpus-sized old-old relation is never recomputed and the corpus is never re-shingled; the registered 20% batch is a worst-case daily increment. Untimed prewarm builds yesterday's report container-SLICED (containmentReportSliced: S sequential jobs, each holding 1/S of the candidate shuffle - the build path for the state the full recompute cannot materialize on one box at 100x)",
     "dedup_containment_report" ->
       "bounded-output form of dedup_containment: output-quadratic duplicate-family growth is defused (2.2x at 10x vs the pair form's 5.9x) and its longer gate-derived cap (130 x 8.7s small) let the rep-level candidate stage run 731s before exhausting the box's ~65 GB shuffle space (disk_capped >=84.5x; the pair form's 340s timebox cuts the same stage earlier). The binding resource at 100x is CANDIDATE volume, not output: the word-shuffle replication leaves ~500k unique texts (only 1-3-word docs collapse as exact duplicates), and exact directed containment over them is pigeonhole-gated but still candidate-proportional on a hot-vocabulary corpus. Single-box disk is the environmental bound - cluster shuffle space scales with nodes - and the approximate at-scale gate for this family is LSH banding (corpus_decontaminate_fuzzy's shape), not exact posting containment",
     "dedup_char_jaccard_clusters" ->
@@ -479,11 +483,14 @@ object ScaleBench100 {
     * coverage per minute.
     */
   val Panel: Seq[String] = Seq(
-    "corpus_pack_shards", "cdc_merge_apply", "text_bpe_merges",
+    "cdc_merge_apply_bucketed", "corpus_pack_shards", "cdc_merge_apply",
+    "text_bpe_merges",
     "corpus_incremental_curation", "sim_ivfpq_topk", "sim_knn_join",
+    "dedup_char_jaccard_clusters_lsh", "dedup_containment_report_lsh",
     "dedup_clusters_incremental", "dedup_char_lsh_skewed", "dedup_edit_pairs",
     "dedup_edit_clusters", "dedup_jaccard_pairs", "dedup_containment",
-    "dedup_containment_report", "dedup_funnel_report", "dedup_semantic_pairs",
+    "dedup_containment_report", "dedup_containment_incremental",
+    "dedup_funnel_report", "dedup_semantic_pairs",
     "dedup_char_jaccard_pairs", "dedup_char_jaccard_posting",
     "dedup_char_jaccard_clusters", "dedup_clusters_chain",
     "dedup_semantic_clusters")
@@ -500,6 +507,20 @@ object ScaleBench100 {
       graft.operators.Dedup.lshBandIndex(s, d)
       graft.operators.Dedup.shingleIndex(s, d)
       graft.operators.Dedup.clusterLabelIndex(s, d, 3, 0.8)
+      ()
+    }),
+    "dedup_containment_incremental" -> ((s, d) => {
+      graft.operators.Dedup.containmentPostingIndex(s, d, 3)
+      graft.operators.Dedup.containmentDfIndex(s, d, 3)
+      graft.operators.Dedup.containmentProbeIndex(s, d, 3, 0.9)
+      // yesterday's report builds container-SLICED past 65k docs
+      // (sequential 1/S-candidate-shuffle jobs) — the state a one-plan
+      // full recompute cannot materialize on this box at 100×
+      graft.operators.Dedup.containmentReportIndex(s, d, 3, 0.9)
+      ()
+    }),
+    "cdc_merge_apply_bucketed" -> ((s, d) => {
+      graft.operators.Relational.cdcBucketedLayout(s, d, 32)
       ()
     }))
 

@@ -160,6 +160,12 @@ object SparkEntry {
     // registered for oracle-scale corpora
     "dedup_containment_report_lsh" -> q((s, d) =>
       Dedup.containmentReportLsh(Tables.load(s, d, "documents"), 3, 0.9)),
+    // incremental maintenance of the report: today's batch probes the
+    // persisted posting/probe/df indexes and MERGES into yesterday's
+    // persisted report — per-batch cost sized by the batch's grams, the
+    // corpus is never re-shingled; oracle = full recompute over all docs
+    "dedup_containment_incremental" -> q((s, d) =>
+      Dedup.incrementalContainmentReport(s, d, 3, 0.9)),
     // char-LSH candidates verified by EXACT levenshtein (few-character
     // edits, not shingle overlap): the DP runs only on gated pairs —
     // the tier-1 clique survives at dist <= 2, boilerplate-prefix
@@ -735,6 +741,7 @@ object SparkEntry {
     "dedup_containment" -> OracleSqlGen.containmentPairsSql(3, 0.9),
     "dedup_containment_report" -> OracleSqlGen.containmentReportDirSql(3, 0.9),
     "dedup_containment_report_lsh" -> OracleSqlGen.containmentReportLshSql(3, 0.9),
+    "dedup_containment_incremental" -> OracleSqlGen.containmentReportDirSql(3, 0.9),
     "dedup_funnel_report" -> OracleSqlGen.dedupFunnelSql(3, 0.8),
     "dedup_substring_spans" -> OracleSqlGen.dupSpansSql(30),
     "dedup_substring_removed" -> OracleSqlGen.substringRemovedSql(30),

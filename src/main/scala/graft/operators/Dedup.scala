@@ -425,6 +425,255 @@ object Dedup {
     untouched.unionByName(remapped).unionByName(newLabels)
   }
 
+  // -------------------------------------------------------------------
+  // Incremental containment-report maintenance (persisted indexes)
+  // -------------------------------------------------------------------
+
+  /** The PERSISTED CONTAINMENT POSTING INDEX over the accumulated slice
+    * (doc_id % 10 < 8): one (doc_id, sz, g) row per word n-gram,
+    * bucketed by g — batch probes join it with NO index-side exchange,
+    * and the verify's (doc_id, g) equi-join rides the same g-bucketed
+    * layout (bucket keys ⊆ join keys). The exact-containment sibling of
+    * [[shingleIndex]]; sz rides every row so the verify needs no
+    * separate size join.
+    */
+  def containmentPostingIndex(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, n: Int = 3,
+                              buckets: Int = 32): DataFrame =
+    Dedup.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_cntpost_n${n}_b$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        shingled(graft.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 10 < 8), n)
+          .select(col("doc_id"), size(col("shingles")).as("sz"),
+            explode(col("shingles")).as("g"))
+          .write.bucketBy(buckets, "g")
+          .option("path", path).mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** Document frequency per gram over the accumulated slice — the
+    * (vocabulary-sized) rarity model batch probes rank against. Kept as
+    * its own table so a probe never re-aggregates the posting index.
+    */
+  def containmentDfIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, n: Int = 3,
+                         buckets: Int = 32): DataFrame =
+    Dedup.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val name = s"graft_cntdf_n${n}_b$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        containmentPostingIndex(spark, dir, n, buckets)
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .write.bucketBy(buckets, "g")
+          .option("path", path).mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** The PERSISTED PROBE INDEX: each accumulated doc's rarest
+    * min(sz, 2m+1) grams with its (sz, m, plen) pigeonhole budget,
+    * bucketed by g. This is the OLD side's half of the containment
+    * candidate gate — a batch gram matching a probe row is pigeonhole
+    * evidence that the old doc might be contained in the batch doc —
+    * and it is ~2m+1 rows per doc (m ≈ sz/10 at t = 0.9) against the
+    * posting index's sz, so the hot-vocabulary probe term stays a
+    * fraction of a full posting join.
+    */
+  def containmentProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, n: Int = 3, threshold: Double = 0.9,
+                            buckets: Int = 32): DataFrame =
+    Dedup.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val t1000 = math.round(threshold * 1000)
+      val name = s"graft_cntprobe_n${n}_t${t1000}_b$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        val den = 1000000L
+        val num = math.round(threshold * den)
+        val m = col("sz") - ceilRational(num, col("sz"), den)
+        val plen = least(col("sz"), lit(2) * m + 1)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+        containmentPostingIndex(spark, dir, n, buckets)
+          .join(containmentDfIndex(spark, dir, n, buckets), Seq("g"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= plen)
+          .select(col("doc_id"), col("g"), col("sz"), m.as("m"), plen.as("plen"))
+          .write.bucketBy(buckets, "g")
+          .option("path", path).mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** [[containmentReport]] built as `slices` SEQUENTIAL container-slice
+    * jobs ([[containmentPairsSliced]]) whose per-contained partials
+    * (count sum, best-struct min — both decomposable) merge exactly:
+    * value-identical to the one-plan form at any slice count, but one
+    * box's spill space only ever holds 1/slices of the candidate
+    * shuffle. The build knob for [[containmentReportIndex]] at scales
+    * where the whole-relation shuffle exceeds local disk; a cluster gets
+    * the same bound from aggregate shuffle capacity.
+    */
+  private[graft] def containmentReportSliced(docs: DataFrame, n: Int,
+                                             threshold: Double,
+                                             slices: Int): DataFrame =
+    if (slices <= 1) containmentReport(docs, n, threshold)
+    else containmentReportExt(docs, n) { (reps, famKb) =>
+      val spark = docs.sparkSession
+      val famB = famKb.localCheckpoint(true) // one agg, `slices` consumers
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cnt_ext").toString
+      (0 until slices).foreach { s =>
+        containmentPairsSliced(reps, n, threshold, Some((s, slices)))
+          .join(famB, Seq("b"))
+          .groupBy(col("a"))
+          .agg(sum(col("kb")).as("ext_cnt"),
+            min(struct((-col("containment")).as("nc"), col("b").as("bid")))
+              .as("best"))
+          .write.mode("overwrite").parquet(s"$tmp/ext_$s")
+      }
+      spark.read.parquet((0 until slices).map(s => s"$tmp/ext_$s"): _*)
+        .groupBy(col("a"))
+        .agg(sum(col("ext_cnt")).as("ext_cnt"), min(col("best")).as("best"))
+    }
+
+  /** The PERSISTED CONTAINMENT REPORT for the accumulated slice — the
+    * state [[incrementalContainmentReport]] UPDATES instead of
+    * recomputing (the audit-artifact sibling of [[clusterLabelIndex]]).
+    * Small corpora build it in one plan; past 65k docs the build runs
+    * container-sliced ([[containmentReportSliced]], value-identical) so
+    * its candidate shuffle never exceeds one box's spill space.
+    */
+  def containmentReportIndex(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, n: Int = 3,
+                             threshold: Double = 0.9): DataFrame =
+    Dedup.synchronized {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.DetHash.base60(dir) & 0xffffffffL)
+      val t1000 = math.round(threshold * 1000)
+      val name = s"graft_cntrep_n${n}_t${t1000}_b$tag"
+      graft.Tables.ensurePersisted(spark, name) { path =>
+        val old = graft.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 10 < 8)
+        val slices =
+          if (Similarity.corpusRows(old)._1 <= 65536L) 1 else 8
+        containmentReportSliced(old, n, threshold, slices)
+          .write.option("path", path).mode("overwrite").saveAsTable(name)
+      }
+    }
+
+  /** INCREMENTAL CONTAINMENT-REPORT MAINTENANCE — the directed-overlap
+    * sibling of [[incrementalClusterLabels]]: today's batch
+    * (doc_id % 10 >= 8) UPDATES yesterday's persisted report instead of
+    * recomputing the corpus. Output: the full report over old ∪ new,
+    * EQUAL to a full recompute (the oracle runs exactly that), because
+    * the containment relation restricted to pairs touching the batch
+    * decomposes exactly:
+    *
+    *  - OLD→OLD pairs are already aggregated inside yesterday's report
+    *    (exact by its own oracle-proven operator);
+    *  - NEW→NEW pairs are [[containmentPairs]] on the batch;
+    *  - NEW↔OLD pairs come from TWO pigeonhole gates — the batch doc's
+    *    rarest grams (ranked by the persisted df model; ANY
+    *    min(sz, 2m+1)-subset keeps the completeness guarantee, df only
+    *    tunes candidate volume) probing the posting index, and the
+    *    batch's full grams matching the persisted probe index — then
+    *    ONE exact intersection count per unordered candidate verifies
+    *    BOTH directions (containment differs only in the denominator).
+    *
+    * The merge is a full-outer join of the persisted report with the
+    * per-contained aggregate of the new edges: counts add, and the best
+    * container is the min of two (−containment, container-id) structs —
+    * both sides rounded to 4 places, the same total order the oracle's
+    * max/argmin induces. Report rows for docs no new edge touches PASS
+    * THROUGH from the index scan unmodified; per-batch cost is sized by
+    * the batch's gram volume against the persisted indexes, never by a
+    * corpus re-shingle.
+    */
+  def incrementalContainmentReport(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, n: Int = 3,
+                                   threshold: Double = 0.9): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    val oldReport = containmentReportIndex(spark, dir, n, threshold)
+    val posting = containmentPostingIndex(spark, dir, n)
+    val probeIdx = containmentProbeIndex(spark, dir, n, threshold)
+    val dfIdx = containmentDfIndex(spark, dir, n)
+    val den = 1000000L
+    val num = math.round(threshold * den)
+    // one shingling pass over the batch; (a) partitioning feeds the
+    // probe-ranking window and is reused by the other two consumers
+    val bg = shingled(batch, n)
+      .select(col("doc_id").as("a"), size(col("shingles")).as("sza"),
+        explode(col("shingles")).as("g"))
+      .repartition(col("a"))
+    val mA = col("sza") - ceilRational(num, col("sza"), den)
+    val plenA = least(col("sza"), lit(2) * mA + 1)
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(coalesce(col("df"), lit(0L)), col("g"))
+    // direction NEW-contained-in-OLD: the batch doc's rarest plen grams
+    // (grams unseen by the accumulated corpus have df 0 — rarest, and
+    // correctly so) probe the posting index
+    val probesA = bg.join(dfIdx, Seq("g"), "left")
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= plenA)
+      .select(col("a"), col("g"), mA.as("m"), plenA.as("plen"))
+    val cand1 = probesA
+      .join(posting.select(col("doc_id").as("x"), col("g")), Seq("g"))
+      .groupBy(col("a"), col("x"), col("m"), col("plen"))
+      .agg(count(lit(1)).as("pm"))
+      .filter(col("pm") >= col("plen") - col("m"))
+      .select(col("x"), col("a"))
+    // direction OLD-contained-in-NEW: batch grams match the persisted
+    // probe rows (the old doc's own pigeonhole budget rides each row)
+    val cand2 = bg.select(col("a"), col("g"))
+      .join(probeIdx.select(col("doc_id").as("x"), col("g"),
+        col("m"), col("plen")), Seq("g"))
+      .groupBy(col("x"), col("a"), col("m"), col("plen"))
+      .agg(count(lit(1)).as("pm"))
+      .filter(col("pm") >= col("plen") - col("m"))
+      .select(col("x"), col("a"))
+    val cands = cand1.unionByName(cand2).distinct()
+    // ONE exact intersection count per candidate; both directions emit
+    // from it (a generator expression, same shape as containmentPairsLsh)
+    val iv = cands
+      .join(bg.select(col("a"), col("sza"), col("g")), Seq("a"))
+      .join(posting.select(col("doc_id").as("x"), col("sz").as("szx"),
+        col("g")), Seq("x", "g"))
+      .groupBy(col("x"), col("a"), col("sza"), col("szx"))
+      .agg(count(lit(1)).as("inter"))
+    val ca = col("inter").cast("double") / col("sza").cast("double")
+    val cx = col("inter").cast("double") / col("szx").cast("double")
+    val crossEdges = iv
+      .select(explode(filter(array(
+        struct(col("a").as("d"), col("x").as("c"), ca.as("v")),
+        struct(col("x").as("d"), col("a").as("c"), cx.as("v"))),
+        s => s.getField("v") >= threshold)).as("p"))
+      .select(col("p.d").as("contained"), col("p.c").as("container"),
+        round(col("p.v"), 4).as("cv"))
+    val withinBatch = containmentPairs(batch, n, threshold)
+      .select(col("a").as("contained"), col("b").as("container"),
+        col("containment").as("cv"))
+    val newAgg = crossEdges.unionByName(withinBatch)
+      .groupBy(col("contained").as("doc_id"))
+      .agg(count(lit(1)).as("n_new"),
+        min(struct((-col("cv")).as("nc"), col("container").as("bid")))
+          .as("best_new"))
+    val old = oldReport.select(col("doc_id"), col("n_containers").as("n_old"),
+      struct((-col("top_containment")).as("nc"),
+        col("top_container").as("bid")).as("best_old"))
+    old.join(newAgg, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_containers"),
+        least(col("best_old"), col("best_new")).as("top"))
+      .select(col("doc_id"), col("n_containers"),
+        col("top.bid").as("top_container"),
+        (-col("top.nc")).as("top_containment"))
+  }
+
   /** FUZZY decontamination: train documents whose minhash signature
     * near-matches any EVAL document — the LSH-level generalization of
     * [[graft.operators.CorpusOps.decontaminate]]'s exact-gram overlap
@@ -646,7 +895,23 @@ object Dedup {
     * posting join (no gram arrays move).
     */
   def containmentPairs(docs: DataFrame, n: Int = 3,
-                       threshold: Double = 0.9): DataFrame = {
+                       threshold: Double = 0.9): DataFrame =
+    containmentPairsSliced(docs, n, threshold, None)
+
+  /** [[containmentPairs]] restricted to CONTAINER-side slice `s` of
+    * `of` (`pmod(b, of) = s`): the relation is the disjoint union over
+    * slices, because slicing only narrows which b-postings candidates
+    * and verifies join — the probe set (a-side, globally df-ranked) and
+    * the pigeonhole guarantee are b-independent, so each true pair
+    * (a, b) survives exactly in b's slice. This is how the persisted
+    * report builds at scales where the WHOLE relation's candidate
+    * shuffle would exceed one box's spill space: S sequential jobs each
+    * carry 1/S of the candidate volume (a cluster gets the same effect
+    * from aggregate shuffle capacity; a box has to schedule it).
+    */
+  private[graft] def containmentPairsSliced(
+      docs: DataFrame, n: Int, threshold: Double,
+      containerSlice: Option[(Int, Int)]): DataFrame = {
     // repartition at operator entry: four consumers (df model, probe
     // ranking, both verify posting sides) read ONE ReusedExchange of the
     // shingled grams instead of re-tokenizing the corpus four times —
@@ -658,6 +923,9 @@ object Dedup {
         explode_outer(shinglesFromTokens(tokens(normalizeText(col("text"))), n))
           .as("g"))
       .repartition(col("doc_id"))
+    val gramsB = containerSlice.fold(grams) { case (s, of) =>
+      grams.filter(pmod(col("doc_id"), lit(of)) === s)
+    }
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     // ceil(threshold·sz) in INTEGER arithmetic ([[ceilRational]]):
@@ -677,7 +945,7 @@ object Dedup {
       .select(col("doc_id").as("a"), col("g"), col("sz").as("sza"),
         m.as("m"), probeLen.as("plen"))
     val cand = probeA
-      .join(grams.select(col("doc_id").as("b"), col("g")), Seq("g"))
+      .join(gramsB.select(col("doc_id").as("b"), col("g")), Seq("g"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"), col("sza"), col("m"), col("plen"))
       .agg(count(lit(1)).as("pmatch"))
@@ -685,7 +953,7 @@ object Dedup {
       .select(col("a"), col("b"), col("sza"))
     cand
       .join(grams.select(col("doc_id").as("a"), col("g")), Seq("a"))
-      .join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .join(gramsB.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
       .groupBy(col("a"), col("b"), col("sza"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast("double") / col("sza").cast("double") >= threshold)
@@ -762,11 +1030,28 @@ object Dedup {
     * [[containmentReport]]'s algebra notes).
     */
   private def containmentReportOver(docs: DataFrame, n: Int)
-                                   (pairsOf: DataFrame => DataFrame): DataFrame = {
+                                   (pairsOf: DataFrame => DataFrame): DataFrame =
+    containmentReportExt(docs, n) { (reps, famKb) =>
+      pairsOf(reps)
+        .join(famKb, Seq("b"))
+        .groupBy(col("a"))
+        .agg(sum(col("kb")).as("ext_cnt"),
+          min(struct((-col("containment")).as("nc"), col("b").as("bid"))).as("best"))
+    }
+
+  /** The collapse + expansion with the EXT aggregation pluggable:
+    * `extOf(reps, famKb)` must return one row per contained
+    * representative `a` with `ext_cnt` (containing DOCS, i.e. family
+    * sizes summed) and `best` (min (−containment, container-rep) struct)
+    * — [[containmentReportIndexState]] computes it as a union of
+    * sequential container-slice jobs so one box never holds the whole
+    * candidate shuffle at once.
+    */
+  private def containmentReportExt(docs: DataFrame, n: Int)
+      (extOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("text"))
     val (reps, members0) = collapseByValue(norm)
     val members = members0.localCheckpoint(true) // 2 narrow consumers
-    val repPairs = pairsOf(reps)
     // one members pass: family size + second-smallest id (the internal
     // top container when x IS the representative) in a single agg;
     // has_grams needs only the token count (>= 1 n-gram ⇔ >= n tokens),
@@ -776,11 +1061,7 @@ object Dedup {
     val famInfo = fam
       .join(reps.select(col("doc_id").as("rep"),
         (size(tokens(col("text"))) >= n).as("has_grams")), Seq("rep"))
-    val ext = repPairs
-      .join(fam.select(col("rep").as("b"), col("k").as("kb")), Seq("b"))
-      .groupBy(col("a"))
-      .agg(sum(col("kb")).as("ext_cnt"),
-        min(struct((-col("containment")).as("nc"), col("b").as("bid"))).as("best"))
+    val ext = extOf(reps, fam.select(col("rep").as("b"), col("k").as("kb")))
     val rows = members
       .join(famInfo, Seq("rep"))
       .join(ext.select(col("a").as("rep"), col("ext_cnt"), col("best")),

@@ -907,6 +907,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!fromStats2 && n2 == pq.count(), "parquet fallback broken")
   }
 
+  test("container-sliced report build equals the one-plan form") {
+    // the build knob containmentReportIndex turns at scale: S sequential
+    // container-slice jobs whose partials merge — value-identical
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val whole = Dedup.containmentReport(base, 3, 0.9)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val sliced = Dedup.containmentReportSliced(base, 3, 0.9, 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(whole.nonEmpty && sliced == whole,
+      s"sliced build diverged: ${(sliced -- whole).take(3)} vs ${(whole -- sliced).take(3)}")
+  }
+
   test("autoRowsPerBand: fixed width at oracle scales, doubles per 256x, tiles") {
     // the contract the oracle SQL depends on: every corpus the DuckDB
     // fixtures run at resolves to the FIXED 4-slot width

@@ -272,6 +272,50 @@ class PlanShapeSpec extends SparkSpec {
       s"history labels crossed a shuffle exchange:\n${leaking.mkString("\n")}")
   }
 
+  test("incremental containment: corpus-sized indexes never feed a shuffle exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val q = Dedup.incrementalContainmentReport(spark, sf, 3, 0.9)
+    q.count() // finalize AQE
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a) ++ walk(a.executedPlan)
+      case s: QueryStageExec => Seq(s) ++ walk(s.plan)
+      case other => Seq(other) ++ other.children.flatMap(walk)
+    }
+    def idxScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      walk(p).collect {
+        case f: FileSourceScanExec if f.tableIdentifier.exists(t =>
+          t.table.startsWith("graft_cntpost") ||
+            t.table.startsWith("graft_cntprobe")) => f
+      }
+    val all = walk(q.queryExecution.executedPlan)
+    // the posting index is consumed by the two candidate gates and the
+    // verify; the probe index by the old-side gate
+    assert(idxScans(q.queryExecution.executedPlan).size >= 3,
+      "containment index scans missing from the final plan")
+    // ...and no shuffle exchange repartitions the RAW index: an index
+    // scan reaching an exchange without crossing a join means the
+    // accumulated corpus' postings re-exchange on a daily increment
+    // (post-join shuffles are edge/candidate-sized — those are fine;
+    // at probe scale the index rides broadcast joins, at corpus scale
+    // the g-bucketed layout feeds the joins in place)
+    def rawReach(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => Nil
+      case f: FileSourceScanExec if f.tableIdentifier.exists(t =>
+        t.table.startsWith("graft_cntpost") ||
+          t.table.startsWith("graft_cntprobe")) => Seq(f)
+      case a: AdaptiveSparkPlanExec => rawReach(a.executedPlan)
+      case s: QueryStageExec => rawReach(s.plan)
+      case other => other.children.flatMap(rawReach)
+    }
+    val leaking = all.collect {
+      case e: ShuffleExchangeLike if rawReach(e.child).nonEmpty => e
+    }
+    assert(leaking.isEmpty,
+      s"containment index re-shuffled raw:\n${leaking.mkString("\n")}")
+  }
+
   test("bucketed CDC merge: snapshot scan prunes to touched bucket directories") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
