@@ -286,7 +286,8 @@ object Pipelines {
     val probes = Dedup.withBandedSignature(
         docs.withColumn("__ns",
           shinglesFromTokens(tokens(normalizeText(col("text"))), n)), n)
-      .select(col("doc_id"), col(eventTimeCol), col("__ns").as("ns"), col("bk"))
+      .select(col("doc_id"), col(eventTimeCol), col("__ns").as("ns"),
+        size(col("__ns")).cast("long").as("nsz"), col("bk"))
     val verified = probes
       .join(bandIndex.select(col("bk"), col("doc_id").as("m_id")), Seq("bk"), "left")
       .join(shingleIndex.select(col("doc_id").as("m_id"),
@@ -294,7 +295,7 @@ object Pipelines {
       .withColumn("inter",
         size(array_intersect(col("ns"), col("os"))).cast("long"))
       .withColumn("ok", col("m_id").isNotNull && col("inter").cast("double")
-        / (size(col("ns")).cast("long") + size(col("os")).cast("long")
+        / (col("nsz") + size(col("os")).cast("long")
           - col("inter")).cast("double") >= threshold)
       .join(labels.select(col("doc_id").as("m_id"),
         col("cluster_id").as("m_lab")), Seq("m_id"), "left")

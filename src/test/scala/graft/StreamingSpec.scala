@@ -939,4 +939,72 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("day+night label composition: stream provisional + nightly incremental == full recompute") {
+    // the end-to-end contract a 100 TB pipeline actually runs: during the
+    // day, arriving docs get PROVISIONAL labels from the persisted-index
+    // stream probe (zero corpus-side state); nightly,
+    // incrementalClusterLabels merges the day's batch into the persisted
+    // label table. Composed, the final state must equal a full recompute
+    // of the closure — and the provisional answers must be sound interim
+    // labels: they only ever MERGE DOWNWARD overnight, and they are
+    // already final for every doc whose component gained no second batch
+    // doc (the refinement gap the operator's scaladoc scopes to same-
+    // batch duplicates and multi-hop closure).
+    import graft.operators.Dedup
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents")
+    val batchIds = docs.filter($"doc_id" % 10 >= 8)
+      .select($"doc_id").as[Long].collect().toSet
+    val bandIdx = Dedup.lshBandIndex(spark, sf).filter($"doc_id" % 10 < 8)
+    val shIdx = Dedup.shingleIndex(spark, sf).filter($"doc_id" % 10 < 8)
+    val oldLabels = Dedup.clusterLabelIndex(spark, sf, 3, 0.8)
+
+    // DAY: the whole batch arrives on a real stream, two micro-batches
+    val ts = new java.sql.Timestamp(1000000L)
+    val arrivals = docs.filter($"doc_id" % 10 >= 8)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t, ts) }.toIndexedSeq
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingClusterLabels(
+        mem.toDF().toDF("doc_id", "text", "ts"), bandIdx, shIdx, oldLabels,
+        "ts", "1 minute"),
+      "compose_labels_t", OutputMode.Append)
+    val provisional = try {
+      val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData((99999999L, "window advance",
+        new java.sql.Timestamp(ts.getTime + 3600L * 1000L)))
+      q.processAllAvailable()
+      spark.table("compose_labels_t").filter($"doc_id" =!= 99999999L)
+        .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    } finally q.stop()
+    assert(provisional.keySet == batchIds,
+      s"stream must label every arriving doc: ${batchIds -- provisional.keySet}")
+
+    // NIGHT: the incremental merge; the composed state == full recompute
+    val nightly = Dedup.incrementalClusterLabels(spark, sf, 3, 0.8)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.clusters(docs, 3, 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(nightly == full,
+      s"composed state diverges from the full recompute: ${
+        nightly.toSet.diff(full.toSet).take(5)}")
+
+    // provisional soundness: overnight refinement only merges downward
+    batchIds.foreach { id =>
+      assert(nightly(id) <= provisional(id),
+        s"doc $id: nightly ${nightly(id)} > provisional ${provisional(id)}")
+    }
+    // exactness wherever the final component holds no OTHER batch doc
+    val members = nightly.groupBy(_._2).view.mapValues(_.keySet).toMap
+    val alone = batchIds.filter(id => members(nightly(id)).count(batchIds) == 1)
+    assert(alone.nonEmpty, "fixture lost its singleton-batch components")
+    alone.foreach { id =>
+      assert(provisional(id) == nightly(id),
+        s"doc $id (no same-batch peer): provisional ${provisional(id)} != final ${nightly(id)}")
+    }
+  }
 }
