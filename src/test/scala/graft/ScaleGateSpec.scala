@@ -72,6 +72,18 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(ScaleBench100.capSeconds(1.0) / 1.0 > ScaleBench100.GateThreshold)
   }
 
+  test("the drive script's panel matches ScaleBench100.Panel exactly") {
+    // the one-query-per-JVM driver hardcodes the panel; a drift means a
+    // probe run silently skips (or measures a stale) query set
+    val sh = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/scale100_drive.sh")), "UTF-8")
+    val m = "(?s)PANEL=\"([^\"]+)\"".r.findFirstMatchIn(sh)
+    assert(m.isDefined, "PANEL block missing from tools/scale100_drive.sh")
+    val names = m.get.group(1).split("\\s+").filter(_.nonEmpty).toSeq
+    assert(names == ScaleBench100.Panel,
+      s"drive script panel drifted:\n script=$names\n code=${ScaleBench100.Panel}")
+  }
+
   test("committed BENCH_SCALE100.json (if present) is gate- and crash-clean, timeboxes noted") {
     val f = new java.io.File("BENCH_SCALE100.json")
     if (f.exists()) {

@@ -21,11 +21,14 @@ cd "$(dirname "$0")/.."
 export SPARK_DRIVER_MEM="${SPARK_GRAFT_SCALE100_MEM:-48g}"
 
 # Must match ScaleBench100.Panel (cheapest-first).
-PANEL="corpus_pack_shards cdc_merge_apply text_bpe_merges
+PANEL="cdc_merge_apply_bucketed corpus_pack_shards cdc_merge_apply
+text_bpe_merges
 corpus_incremental_curation sim_ivfpq_topk sim_knn_join
+dedup_char_jaccard_clusters_lsh dedup_containment_report_lsh
 dedup_clusters_incremental dedup_char_lsh_skewed dedup_edit_pairs
 dedup_edit_clusters dedup_jaccard_pairs dedup_containment
-dedup_containment_report dedup_funnel_report dedup_semantic_pairs
+dedup_containment_report dedup_containment_incremental
+dedup_funnel_report dedup_semantic_pairs
 dedup_char_jaccard_pairs dedup_char_jaccard_posting
 dedup_char_jaccard_clusters dedup_clusters_chain dedup_semantic_clusters"
 SIDECAR="${SPARK_GRAFT_SCALE100_PROGRESS:-/tmp/graft_scale100_progress.tsv}"
