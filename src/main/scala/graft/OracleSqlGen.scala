@@ -480,6 +480,23 @@ object OracleSqlGen {
              THEN 'eval' ELSE 'train' END AS split
         FROM documents"""
 
+  /** Mirrors CorpusOps.leakageSafeSplit over Dedup.clusters labels: the
+    * full recursive-CTE min-label closure of [[clustersSql]] embeds as a
+    * nested-WITH CTE (the [[componentsOverPairsSql]] embedding pattern),
+    * then the split CASE hashes cluster_id with the SAME
+    * [[CorpusOps.hexThreshold]] literal as the Spark plan. Singleton
+    * clusters (cluster_id = doc_id) reproduce [[splitAssignmentsSql]]
+    * bit-for-bit under the same salt.
+    */
+  def leakageSafeSplitSql(n: Int, threshold: Double, evalRate: Double,
+                          salt: String = "split"): String =
+    s"""WITH labs AS (${clustersSql(n, threshold)})
+        SELECT doc_id, cluster_id,
+          CASE WHEN substr(md5('$salt:' || cluster_id), 1, 8)
+                 < '${CorpusOps.hexThreshold(evalRate)}'
+               THEN 'eval' ELSE 'train' END AS split
+        FROM labs"""
+
   /** Mirrors CorpusOps.mixCorpus: the CASE arms render from the SAME
     * weight map as the Spark plan (source values are distinct, so arm
     * order is immaterial; the ELSE is the default rate).

@@ -232,6 +232,11 @@ object SparkEntry {
     // --- corpus assembly (documents) ---
     // deterministic hash-sampled train/eval split (md5 cell, no rand())
     "corpus_split" -> q((s, d) => CorpusOps.splitAssignments(Tables.load(s, d, "documents"), 0.05)),
+    // leakage-safe variant: the split hashes the near-dup CLUSTER label,
+    // so near-duplicate families never straddle train/eval (a daily
+    // pipeline feeds the PERSISTED label table instead of recomputing)
+    "corpus_split_leakage_safe" -> q((s, d) => CorpusOps.leakageSafeSplit(
+      Dedup.clusters(Tables.load(s, d, "documents"), 3, 0.8), 0.05)),
     // per-domain weighted downsampling; scan-fused per-row predicate
     "corpus_mix" -> q((s, d) => CorpusOps.mixCorpus(Tables.load(s, d, "documents"))),
     // train docs sharing >=1 word 8-gram with the eval split (broadcast
@@ -772,6 +777,7 @@ object SparkEntry {
     "text_winnow_fp" -> OracleSqlGen.winnowingSql(5, 4),
     "curate_corpus" -> OracleSqlGen.curateSql("en", 0.7),
     "corpus_split" -> OracleSqlGen.splitAssignmentsSql(0.05),
+    "corpus_split_leakage_safe" -> OracleSqlGen.leakageSafeSplitSql(3, 0.8, 0.05),
     "corpus_mix" -> OracleSqlGen.mixCorpusSql(),
     "corpus_decontaminate" -> OracleSqlGen.decontaminateSql(8, 0.05),
     "corpus_pack_shards" -> OracleSqlGen.packShardsSql(1000L),

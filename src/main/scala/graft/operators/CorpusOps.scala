@@ -61,6 +61,29 @@ object CorpusOps {
       when(hexCell(col("doc_id"), salt) < lit(hexThreshold(evalRate)), lit("eval"))
         .otherwise(lit("train")).as("split"))
 
+  /** LEAKAGE-SAFE train/eval split: the assignment hashes the near-dup
+    * CLUSTER label instead of the document id, so every member of a
+    * near-duplicate family lands in the SAME split — the train/test
+    * contamination guard [[splitAssignments]] cannot give (a doc and its
+    * near-copy split independently put paraphrases of eval data in
+    * train). `labels` is any (doc_id, cluster_id) relation —
+    * [[graft.operators.Dedup.clusters]] for a from-scratch run, or the
+    * persisted table [[graft.operators.Dedup.incrementalClusterLabels]]
+    * maintains in a daily pipeline, where this op then adds ZERO work
+    * beyond a scan: the split is a per-row hash predicate on the label
+    * column, no shuffle, no state.
+    *
+    * Contract (spec-pinned): a singleton cluster has cluster_id ==
+    * doc_id, so under the same salt its assignment is IDENTICAL to
+    * [[splitAssignments]] — the leakage-safe split differs from the
+    * naive one ONLY for documents inside multi-doc near-dup families.
+    */
+  def leakageSafeSplit(labels: DataFrame, evalRate: Double,
+                       salt: String = "split"): DataFrame =
+    labels.select(col("doc_id"), col("cluster_id"),
+      when(hexCell(col("cluster_id"), salt) < lit(hexThreshold(evalRate)),
+        lit("eval")).otherwise(lit("train")).as("split"))
+
   /** Default per-domain mixing weights for the registered query: exercise
     * keep-all, heavy/light downsampling, and the default in one plan.
     * [[graft.OracleSqlGen.mixCorpusSql]] renders its CASE expression from

@@ -109,6 +109,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sub.forall { case (id, s) => a(id) == s })
   }
 
+  test("leakageSafeSplit: families never straddle; singletons match the naive split") {
+    // labels with three multi-doc families (reps 0, 7, 20) and singletons
+    val labels = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L),
+      (7L, 7L), (9L, 7L),
+      (20L, 20L), (21L, 20L), (25L, 20L)
+    ).toDF("doc_id", "cluster_id")
+      .union(spark.range(100, 600).select($"id".as("doc_id"), $"id".as("cluster_id")))
+    val got = CorpusOps.leakageSafeSplit(labels, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every member of a family carries its family's single split
+    val byFam = got.groupBy(_._2).map { case (c, rows) => c -> rows.map(_._3).distinct }
+    assert(byFam.values.forall(_.length == 1), s"straddling families: $byFam")
+    // a family's split is the rep's hash decision: doc 25 follows cluster 20,
+    // NOT its own doc-id hash — pin by comparing against the naive split of
+    // the cluster ids themselves (same salt, same cell)
+    val naive = CorpusOps.splitAssignments(
+        labels.select($"cluster_id".as("doc_id")).distinct(), 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (_, c, s) => naive(c) == s })
+    // singleton clusters (cluster_id == doc_id) reproduce splitAssignments
+    // bit-for-bit — the leakage guard only changes multi-doc families
+    val single = got.filter { case (d, c, _) => d == c }.map(t => t._1 -> t._3).toMap
+    val plain = CorpusOps.splitAssignments(
+        labels.filter($"doc_id" === $"cluster_id").select($"doc_id"), 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(single == plain)
+    // and the guard is not vacuous on this fixture: at least one family
+    // member's naive doc-id split would have disagreed with its family split
+    val naiveAll = CorpusOps.splitAssignments(labels.select($"doc_id"), 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.exists { case (d, c, s) => d != c && naiveAll(d) != s })
+  }
+
   test("mixCorpus: per-source keep rates follow the weight map; no shuffle") {
     val docs = spark.range(20000).select($"id".as("doc_id"),
       concat(lit("src"), ($"id" % 5).cast("string")).as("source"))
