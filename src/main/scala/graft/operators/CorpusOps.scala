@@ -77,6 +77,14 @@ object CorpusOps {
     * doc_id, so under the same salt its assignment is IDENTICAL to
     * [[splitAssignments]] — the leakage-safe split differs from the
     * naive one ONLY for documents inside multi-doc near-dup families.
+    *
+    * Over STREAMING provisional labels
+    * ([[graft.streaming.Pipelines.streamingClusterLabels]]) the
+    * assignment is exactly as provisional as the label: the nightly
+    * merge only ever lowers a label, which can flip the split — a
+    * routing decision is final precisely when the label is (final for
+    * every doc whose component gained no same-batch near-dup, the
+    * day+night composition spec's pinned refinement scope).
     */
   def leakageSafeSplit(labels: DataFrame, evalRate: Double,
                        salt: String = "split"): DataFrame =
