@@ -1377,6 +1377,30 @@ object OracleSqlGen {
   def clustersSql(n: Int, threshold: Double): String =
     clustersSqlOver(sigCte(n), threshold)
 
+  /** Mirrors Dedup.familyStats over Dedup.clusters labels: the
+    * recursive-CTE closure embeds as a nested-WITH CTE, then the same
+    * two-aggregate datasheet (family sizes + per-source rollup).
+    * Integer counts throughout; dup_rate is the one float, rounded to 4
+    * on a double division both engines perform identically.
+    */
+  def familyStatsSql(n: Int, threshold: Double): String =
+    s"""WITH labs AS (${clustersSql(n, threshold)}),
+        sized AS (SELECT l.doc_id, l.cluster_id, d.source
+          FROM labs l JOIN documents d USING (doc_id)),
+        fam AS (SELECT cluster_id, count(*) AS fsize,
+            count(DISTINCT source) AS nsrc
+          FROM sized GROUP BY cluster_id)
+        SELECT source,
+          count(*) AS n_docs,
+          count(DISTINCT s.cluster_id) AS n_families,
+          CAST(sum(CASE WHEN fsize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+          CAST(sum(CASE WHEN nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS cross_source_docs,
+          round(sum(CASE WHEN fsize > 1 THEN 1 ELSE 0 END)::DOUBLE
+            / count(*)::DOUBLE, 4) AS dup_rate
+        FROM sized s JOIN fam USING (cluster_id)
+        GROUP BY source"""
+
   /** Mirrors Dedup.clustersPointerJump over the CHAIN stress fixture
     * (Dedup.chainedDocs): even docs rebuilt as sliding `tok{j}` windows
     * in SQL, then the identical closure — pointer jumping reaches the

@@ -141,6 +141,12 @@ object SparkEntry {
     // the exact survivors, per-tier survivor counts in one plan
     "dedup_funnel_report" -> q((s, d) =>
       Dedup.dedupFunnelReport(Tables.load(s, d, "documents"), 3, 0.8)),
+    // per-source dedup datasheet: duplication + cross-source mirror
+    // rates from cluster labels (persisted-table fed in a pipeline)
+    "dedup_family_stats" -> q((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.familyStats(docs, Dedup.clusters(docs, 3, 0.8))
+    }),
     // DIRECTED containment |A∩B|/|A| >= 0.9 — quote/excerpt detection
     // jaccard can't express; only the contained side's rarest-gram
     // prefix probes the index, verify is the count-based posting join
@@ -748,6 +754,7 @@ object SparkEntry {
     "dedup_containment_report_lsh" -> OracleSqlGen.containmentReportLshSql(3, 0.9),
     "dedup_containment_incremental" -> OracleSqlGen.containmentReportDirSql(3, 0.9),
     "dedup_funnel_report" -> OracleSqlGen.dedupFunnelSql(3, 0.8),
+    "dedup_family_stats" -> OracleSqlGen.familyStatsSql(3, 0.8),
     "dedup_substring_spans" -> OracleSqlGen.dupSpansSql(30),
     "dedup_substring_removed" -> OracleSqlGen.substringRemovedSql(30),
     "dedup_paragraphs" -> OracleSqlGen.paragraphDedupSql,

@@ -758,6 +758,43 @@ object Dedup {
       .unionAll(tier(2, "near_dup_reps", reps))
   }
 
+  /** PER-SOURCE DEDUP DATASHEET — the duplication-audit table a corpus
+    * release publishes next to the funnel: for every source, how many
+    * documents it contributed, how many near-dup FAMILIES they form,
+    * how many of its docs sit in a multi-doc family (`dup_docs`,
+    * `dup_rate`), and how many sit in a family that SPANS sources
+    * (`cross_source_docs` — the "site B mirrors site A" contamination
+    * signal that per-source dedup rates alone cannot show; a family is
+    * counted once per source it touches, so `n_families` sums over
+    * sources to more than the global family count exactly when mirrors
+    * exist).
+    *
+    * `labels` is any (doc_id, cluster_id) relation — [[clusters]]
+    * inline, or the persisted table [[incrementalClusterLabels]]
+    * maintains, where the datasheet costs two hash aggregations and one
+    * label-keyed join over the label table: no text, no pair relation,
+    * no candidate generation. Family sizes are data-bounded aggregates
+    * (a family's row count), so nothing here is output- or
+    * candidate-quadratic at any corpus size.
+    */
+  def familyStats(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val sized = labels.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val fam = sized.groupBy(col("cluster_id")).agg(
+      count(lit(1)).as("fsize"),
+      count_distinct(col("source")).as("nsrc"))
+    sized.join(fam, Seq("cluster_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_families"),
+        sum(when(col("fsize") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("nsrc") > 1, 1L).otherwise(0L)).as("cross_source_docs"))
+      .select(col("source"), col("n_docs"), col("n_families"),
+        col("dup_docs"), col("cross_source_docs"),
+        round(col("dup_docs").cast("double") / col("n_docs").cast("double"), 4)
+          .as("dup_rate"))
+  }
+
   /** Signature-estimate similarity: matching minhash slots / NumHashes —
     * the constant-work candidate verifier shared by [[charLshPairs]] and
     * the streaming near-dup filter.

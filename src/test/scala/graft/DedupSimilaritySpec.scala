@@ -126,6 +126,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map("raw" -> 5L, "exact" -> 4L, "near_dup_reps" -> 3L), got)
   }
 
+  test("family stats: per-source dup and cross-source mirror counts") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      // family {1,2}: near-dups WITHIN srcA
+      (1L, base, "srcA"),
+      (2L, base + " lambda", "srcA"),
+      // family {3,4}: byte-identical MIRROR across srcA/srcB
+      (3L, "same content here exactly repeated tokens", "srcA"),
+      (4L, "same content here exactly repeated tokens", "srcB"),
+      // singletons, one per source
+      (5L, "completely different unique text", "srcA"),
+      (6L, "another entirely unrelated document body", "srcB")
+    ).map { case (id, t, s) => (id, t, "en", s) }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.familyStats(docs, Dedup.clusters(docs, 3, 0.8))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // srcA: 4 docs in 3 families ({1,2}, {3,4}-part, {5}); 3 of them in
+    // multi-doc families; only doc 3 sits in a cross-source family
+    assert(got("srcA") == ((4L, 3L, 3L, 1L, 0.75)), got("srcA"))
+    // srcB: 2 docs, 2 families; the mirror doc 4 is both dup and cross
+    assert(got("srcB") == ((2L, 2L, 1L, 1L, 0.5)), got("srcB"))
+    // mirrors make per-source family counts sum PAST the global count
+    val global = Dedup.clusters(docs, 3, 0.8)
+      .select($"cluster_id").distinct().count()
+    assert(got.values.map(_._2).sum > global && global == 4L)
+  }
+
   test("bounded levenshtein equals Spark's builtin on random strings") {
     import graft.functions.BoundedLevenshtein
     val rnd = new scala.util.Random(42)
