@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — PER-QUERY JVM ISOLATION from round 12 on.
+/** Benchmark main — TWO protocols over the same child machinery.
   *
   * Round 10 proved (BENCH_DRIFT.md) that a JVM hosting many plan
   * executions accumulates state whose tax inflates every later
@@ -15,46 +15,51 @@ import org.apache.spark.sql.SparkSession
   * shard size fixes that — only a JVM whose profile holds a single
   * query's code measures that query at full speed.
   *
-  * So the round-12 protocol isolates COMPLETELY:
+  * FULL protocol (`SPARK_GRAFT_BENCH_FULL=1` — the committed-artifact
+  * run): one fresh child JVM per query, sequential (cold + convergence-
+  * gated warm passes, min wins), then ONE shared drain JVM (cold pass +
+  * pool-6 concurrent drain of the whole registry — the pre-round-11
+  * semantics), then the streaming micro-bench. ~60–75 min for the full
+  * registry; writes BENCH_HEADLINE.json + BENCH_DETAIL.json.
   *
-  *  1. WARM (headline `queries` map): one fresh child JVM per query,
-  *     sequential. Each child starts a session, runs an untimed
-  *     warm-up, the query COLD (codegen charged, reported under
-  *     `queries_cold`), then 3 timed warm passes (min wins; up to 2
-  *     extra passes if the per-pass calibration probes flag
-  *     contention). The committed number IS the fresh-JVM number by
-  *     construction — the quantity BENCH_DRIFT.md's hand spot-checks
-  *     measured. `seq_total` = sum of per-query warm minima.
-  *  2. DRAIN (`drain_total`, the compact line's "value"): ONE shared
-  *     JVM runs the whole registry — cold compile pass, quiesce, then
-  *     a pool-6 concurrent drain. This restores the pre-round-11
-  *     single-JVM whole-registry drain semantics that sharding had
-  *     silently changed (the r11 advisory): it measures scheduler +
-  *     execution throughput with warm plans, where accumulated-state
-  *     effects are part of the workload being modeled (a real driver
-  *     hosting a query mix).
-  *  3. STREAMING micro-bench once, after all timed children, in the
-  *     orchestrator's own session (STREAM_METRICS.json).
+  * BUDGETED protocol (the DEFAULT — what the round driver runs): round
+  * 12's full-isolation run exceeded the driver's timebox (BENCH_r12 is
+  * rc=124/parsed-null), so the default now fits a wall-clock budget
+  * (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1200 s — sized under the
+  * timebox round 11's ~25 min run fit) and DEGRADES PASSES BEFORE
+  * COMPLETENESS:
   *
-  * Children never run concurrently — timing runs never share the box.
-  * In warm children the inter-pass quiesce is System.gc() only: the
-  * predecessors are dead processes, so the 1-minute load average is
-  * stale information and waiting on it would add minutes of idle per
-  * round for nothing.
+  *   1. per-query-isolated children (the full protocol's numbers, 3
+  *      passes) while the remaining budget still covers the rest of the
+  *      registry grouped plus the drain child;
+  *   2. then grouped children of ≤13 queries per fresh JVM (under the
+  *      measured megamorphic-saturation onset) with budget-chosen warm
+  *      passes (3 → 2 → 1);
+  *   3. then drain-only: queries never covered by a warm child take
+  *      their number from the drain child's sequential cold pass,
+  *      flagged per-query in `warm_srcs`.
   *
-  * Output contract (unchanged): the LAST stdout line is one compact
-  * JSON object sized for the driver's ~2000-char tail capture; full
-  * detail goes to BENCH_DETAIL.json (per-query child details under
-  * "singles", the drain child under "drain_shard"), the full headline
-  * to BENCH_HEADLINE.json.
+  *   The drain child always runs (its drain total is the compact line's
+  *   "value") under a hard timeout inside the remaining budget; the
+  *   streaming micro-bench is skipped (STREAM_METRICS.json is refreshed
+  *   by full runs). The LAST stdout line is ALWAYS one compact JSON
+  *   object — on any internal failure it carries an "error" field
+  *   instead of going missing — and the budgeted run writes its detail
+  *   to BENCH_DRIVER_DETAIL.json so the committed isolated artifacts
+  *   are never overwritten by a degraded run.
+  *
+  * Children never run concurrently — timing runs never share the box —
+  * and child stderr goes to the per-child log file, never to the
+  * parent's captured streams (round 12's INHERIT flooded the driver's
+  * 2000-char tail with Spark startup INFO).
   *
   * Child mode is selected by SPARK_GRAFT_BENCH_SHARD="i/K" (set only
   * by the orchestrator): the child runs the queries whose sorted index
-  * ≡ i (mod K) — the orchestrator sets K = registry size so each warm
-  * child gets exactly one. SPARK_GRAFT_BENCH_PHASE picks the protocol:
-  * "warm" (cold + warm passes, no drain), "drain" (cold + drain, no
-  * warm passes), "full" (all phases — the default, for direct local
-  * invocations).
+  * ≡ i (mod K), optionally narrowed by the SPARK_GRAFT_BENCH_ONLY name
+  * list (how grouped children get their chunk). SPARK_GRAFT_BENCH_PHASE
+  * picks the protocol: "warm" (cold + warm passes, no drain), "drain"
+  * (cold + drain, no warm passes), "full" (all phases — the default,
+  * for direct local invocations).
   */
 object Bench {
 
@@ -69,6 +74,25 @@ object Bench {
   // ------------------------------------------------------------ orchestrator
 
   private def orchestrate(): Unit = {
+    val fullMode = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    val budgetS =
+      if (fullMode) Double.MaxValue
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toDouble
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    def remaining: Double = budgetS - elapsed
+    try orchestrateBody(fullMode, budgetS, () => remaining)
+    catch { case e: Throwable =>
+      // the handoff contract: the last stdout line parses NO MATTER WHAT
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("[\"\\\\\n\r]", " ").take(300)
+      println(s"""{"metric":"total","value":-1,"unit":"sec","queries":{},"error":"$msg","protocol":${if (fullMode) "\"full\"" else "\"budgeted\""},"sf":"${sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}"}""")
+        System.out.flush()
+    }
+  }
+
+  private def orchestrateBody(fullMode: Boolean, budgetS: Double,
+                              remaining: () => Double): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench_singles")
     import scala.jdk.CollectionConverters._
@@ -85,40 +109,6 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val n = names.size
 
-    // children run SEQUENTIALLY — concurrent children would contend for
-    // the box and the per-pass load/calibration gates would replace
-    // every pass
-    def runChild(env: Map[String, String], detailPath: String,
-                 logPath: String, what: String): org.json4s.JValue = {
-      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
-      val pb = new ProcessBuilder(cmd.asJava)
-      env.foreach { case (k, v) => pb.environment().put(k, v) }
-      pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detailPath)
-      // child stdout must not pollute the parent's last-line contract
-      pb.redirectOutput(new java.io.File(logPath))
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      System.err.println(s"[bench] $what starting")
-      val rc = pb.start().waitFor()
-      require(rc == 0 && java.nio.file.Files.exists(
-        java.nio.file.Paths.get(detailPath)),
-        s"bench child $what failed (rc=$rc); log: $logPath")
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(detailPath)), "UTF-8")
-      org.json4s.jackson.JsonMethods.parse(txt)
-    }
-
-    val singleDetails = (0 until n).map { i =>
-      names(i) -> runChild(
-        Map("SPARK_GRAFT_BENCH_SHARD" -> s"$i/$n",
-            "SPARK_GRAFT_BENCH_PHASE" -> "warm"),
-        s"$tmp/single_$i.json", s"$tmp/single_$i.log",
-        s"warm ${i + 1}/$n ${names(i)}")
-    }
-    val drainDetail = runChild(
-      Map("SPARK_GRAFT_BENCH_SHARD" -> "0/1",
-          "SPARK_GRAFT_BENCH_PHASE" -> "drain"),
-      s"$tmp/drain.json", s"$tmp/drain.log", "drain full-registry")
-
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
     def mapOf(j: JValue, field: String): Map[String, Double] =
@@ -126,77 +116,255 @@ object Bench {
         case JObject(fs) => fs.map { case (k, v) => k -> v.extract[Double] }.toMap
         case _ => Map.empty
       }
-    def num(j: JValue, field: String): Double = (j \ field).extract[Double]
-    val allDetails = singleDetails.map(_._2) :+ drainDetail
-    val warm = singleDetails.map(s => mapOf(s._2, "queries_warm"))
-      .reduce(_ ++ _).toSeq.sortBy(_._1)
-    // cold from the singles: the true fresh-JVM first execution incl.
-    // codegen (the drain child's cold pass is its plan-compile warm-up)
-    val cold = singleDetails.map(s => mapOf(s._2, "queries_cold"))
-      .reduce(_ ++ _).toSeq.sortBy(_._1)
-    val drain = mapOf(drainDetail, "queries_drain").toSeq.sortBy(_._1)
+    def num(j: JValue, field: String): Double =
+      (j \ field).extractOpt[Double].getOrElse(0.0)
+
+    // PER-QUERY RUNTIME ESTIMATES feed the budget planner: the committed
+    // headline's warm map when present (it tracks the registry across
+    // rounds), 1 s for anything unknown. Estimates only schedule —
+    // measurements are always real.
+    val priorEst: Map[String, Double] =
+      (try {
+        val p = java.nio.file.Paths.get("BENCH_HEADLINE.json")
+        if (java.nio.file.Files.exists(p))
+          mapOf(org.json4s.jackson.JsonMethods.parse(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8")), "queries")
+        else Map.empty[String, Double]
+      } catch { case _: Throwable => Map.empty[String, Double] })
+    def est(name: String): Double = math.max(0.1, priorEst.getOrElse(name, 1.0))
+    val sumEstAll = names.map(est).sum
+    // drain child: startup/warmup + sequential cold pass (~1.8× warm) +
+    // pool-6 drain (~0.5× warm sum, floor 60 s) + quiesce
+    def estDrain: Double = 30 + 1.8 * sumEstAll + math.max(60, 0.5 * sumEstAll) + 25
+    var childOverhead = 25.0 // startup + warmup + calib; adapted from observed
+
+    // children run SEQUENTIALLY — concurrent children would contend for
+    // the box and the per-pass load/calibration gates would replace
+    // every pass. Returns None on child failure/timeout (budgeted mode
+    // degrades instead of dying; full mode still fails loudly).
+    var degradedNotes = Vector.empty[String]
+    def runChild(env: Map[String, String], detailPath: String,
+                 logPath: String, what: String,
+                 timeoutS: Double): Option[org.json4s.JValue] = {
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
+      pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detailPath)
+      // neither child stream may pollute the parent's captured output:
+      // stdout would break the last-line contract, stderr (r12's
+      // INHERIT) flooded the driver's tail capture with Spark INFO
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(logPath))
+      System.err.println(s"[bench] $what starting (timeout ${timeoutS.toInt}s)")
+      val proc = pb.start()
+      val finished = proc.waitFor(
+        math.max(30, timeoutS).toLong, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroyForcibly(); proc.waitFor()
+        degradedNotes :+= s"child '$what' exceeded ${timeoutS.toInt}s and was killed"
+        if (fullMode) throw new IllegalStateException(
+          s"bench child $what timed out; log: $logPath")
+        None
+      } else if (proc.exitValue() != 0 || !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(detailPath))) {
+        degradedNotes :+= s"child '$what' failed rc=${proc.exitValue()}"
+        if (fullMode) throw new IllegalStateException(
+          s"bench child $what failed (rc=${proc.exitValue()}); log: $logPath")
+        None
+      } else {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(detailPath)), "UTF-8")
+        Some(org.json4s.jackson.JsonMethods.parse(txt))
+      }
+    }
+
+    // ---- PLAN: how many warm passes can the grouped tier afford?
+    val groupSize = 13 // under the measured megamorphic-saturation onset
+    def estGrouped(queue: Seq[String], passes: Int): Double = {
+      if (queue.isEmpty) 0.0
+      else math.ceil(queue.size.toDouble / groupSize) * childOverhead +
+        (1.8 + passes) * queue.map(est).sum // cold (~1.8× warm) + warm passes
+    }
+    val groupPasses =
+      if (fullMode) 3
+      else Seq(3, 2, 1).find(p =>
+        estGrouped(names, p) + estDrain < budgetS * 0.9).getOrElse(1)
+    def estSingle(name: String): Double = childOverhead + (1.8 + 3) * est(name)
+
+    // ---- PHASE W: per-query isolation while the budget holds
+    val singlePasses = if (fullMode) "6" else "3"
+    val extras = if (fullMode) "2" else "0"
+    var singleDetails = Vector.empty[(String, org.json4s.JValue)]
+    var queue: Seq[String] = names
+    var singleObs = Vector.empty[Double] // observed single-child durations
+    while (queue.nonEmpty && (fullMode || {
+      val head = queue.head
+      remaining() > estDrain + estSingle(head) + estGrouped(queue.tail, groupPasses)
+    })) {
+      val name = queue.head
+      val i = names.indexOf(name)
+      val c0 = System.nanoTime()
+      runChild(
+        Map("SPARK_GRAFT_BENCH_SHARD" -> s"$i/$n",
+            "SPARK_GRAFT_BENCH_PHASE" -> "warm",
+            "SPARK_GRAFT_BENCH_PASSES" -> singlePasses,
+            "SPARK_GRAFT_BENCH_EXTRAS" -> extras),
+        s"$tmp/single_$i.json", s"$tmp/single_$i.log",
+        s"warm ${singleDetails.size + 1}/$n $name",
+        timeoutS = if (fullMode) 14400 else math.max(120, 4 * estSingle(name)))
+        .foreach { j => singleDetails :+= (name -> j) }
+      val dur = (System.nanoTime() - c0) / 1e9
+      singleObs :+= math.max(5.0, dur - (1.8 + 3) * est(name))
+      childOverhead = singleObs.sum / singleObs.size // adapt the planner
+      queue = queue.tail
+    }
+
+    // ---- PHASE G: grouped ≤13-query children for what's left
+    var groupDetails = Vector.empty[org.json4s.JValue]
+    var groupedNames = Vector.empty[String]
+    if (!fullMode) {
+      var chunks = queue.grouped(groupSize).toVector
+      var gi = 0
+      while (chunks.nonEmpty &&
+        remaining() > estDrain + estGrouped(chunks.head, groupPasses)) {
+        val chunk = chunks.head
+        runChild(
+          Map("SPARK_GRAFT_BENCH_SHARD" -> "0/1",
+              "SPARK_GRAFT_BENCH_ONLY" -> chunk.mkString(","),
+              "SPARK_GRAFT_BENCH_PHASE" -> "warm",
+              "SPARK_GRAFT_BENCH_PASSES" -> groupPasses.toString,
+              "SPARK_GRAFT_BENCH_EXTRAS" -> "0"),
+          s"$tmp/group_$gi.json", s"$tmp/group_$gi.log",
+          s"warm-group ${gi + 1} (${chunk.size} queries, $groupPasses passes)",
+          timeoutS = math.max(120, 3 * estGrouped(chunk, groupPasses)))
+          .foreach { j => groupDetails :+= j; groupedNames ++= chunk }
+        chunks = chunks.tail
+        gi += 1
+      }
+      val uncovered = chunks.flatten
+      if (uncovered.nonEmpty) degradedNotes :+=
+        s"${uncovered.size} queries fell through to the drain child's cold pass"
+      queue = uncovered
+    }
+
+    // ---- PHASE D: the shared drain JVM (always attempted — "value")
+    val drainDetail = runChild(
+      Map("SPARK_GRAFT_BENCH_SHARD" -> "0/1",
+          "SPARK_GRAFT_BENCH_PHASE" -> "drain"),
+      s"$tmp/drain.json", s"$tmp/drain.log", "drain full-registry",
+      timeoutS = if (fullMode) 14400 else math.max(120, remaining() - 15))
+
+    val allDetails = singleDetails.map(_._2) ++ groupDetails ++ drainDetail
+    val warmSingle = singleDetails.map(s => mapOf(s._2, "queries_warm"))
+      .foldLeft(Map.empty[String, Double])(_ ++ _)
+    val warmGroup = groupDetails.map(mapOf(_, "queries_warm"))
+      .foldLeft(Map.empty[String, Double])(_ ++ _)
+    val drainCold = drainDetail.map(mapOf(_, "queries_cold")).getOrElse(Map.empty)
+    // merged per-query map, best-protocol-wins; drain-cold only fills holes
+    val warm = (drainCold ++ warmGroup ++ warmSingle).toSeq.sortBy(_._1)
+    val warmSrcs = Map(
+      "single" -> warmSingle.size,
+      "group" -> (warmGroup.keySet -- warmSingle.keySet).size,
+      "drain_cold" -> (drainCold.keySet -- warmGroup.keySet -- warmSingle.keySet).size)
+    val cold = (singleDetails.map(s => mapOf(s._2, "queries_cold"))
+      .foldLeft(Map.empty[String, Double])(_ ++ _) ++ Map.empty).toSeq.sortBy(_._1)
+    val drain = drainDetail.map(mapOf(_, "queries_drain")).getOrElse(Map.empty)
+      .toSeq.sortBy(_._1)
     val seqTotal = warm.map(_._2).filter(_ >= 0).sum
-    val drainTotal = num(drainDetail, "drain_total")
-    val calibJvmBest = allDetails.map(num(_, "calib_jvm_best_s")).min
-    val calibSparkBest = allDetails.map(num(_, "calib_spark_best_s")).min
+    val drainTotal = drainDetail.map(num(_, "drain_total")).getOrElse(-1.0)
+    if (drainDetail.isEmpty) degradedNotes :+=
+      "drain child unavailable; value falls back to the warm sum"
+    val headlineValue = if (drainTotal > 0) drainTotal else seqTotal
+    val calibJvmBest = if (allDetails.isEmpty) -1.0
+      else allDetails.map(num(_, "calib_jvm_best_s")).min
+    val calibSparkBest = if (allDetails.isEmpty) -1.0
+      else allDetails.map(num(_, "calib_spark_best_s")).min
     // max over children (ADVICE r11): the first child's pre-run load
     // alone would hide the load later children started under
-    val loadStart = allDetails.map(num(_, "load_avg_start")).max
+    val loadStart = if (allDetails.isEmpty) -1.0
+      else allDetails.map(num(_, "load_avg_start")).max
 
     def jsonMap(m: Seq[(String, Double)], f: Double => Double = identity) = m
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val singlesJson = singleDetails.map { case (name, j) =>
       s""""$name":${org.json4s.jackson.JsonMethods.compact(j)}"""
     }.mkString(",")
+    val groupsJson = groupDetails.zipWithIndex.map { case (j, i) =>
+      s""""group_$i":${org.json4s.jackson.JsonMethods.compact(j)}"""
+    }.mkString(",")
+    val drainJson = drainDetail
+      .map(org.json4s.jackson.JsonMethods.compact).getOrElse("null")
+    val protocol = if (fullMode) "full" else "budgeted"
+    val degraded =
+      if (degradedNotes.isEmpty && queue.isEmpty && !fullMode &&
+          warmSrcs("single") < n) Vector("passes degraded to fit the budget")
+      else degradedNotes
+    val degradedJson =
+      if (degraded.isEmpty) "null"
+      else "\"" + degraded.mkString("; ").replaceAll("[\"\\\\]", " ") + "\""
+    val srcsJson = warmSrcs.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"sf":"$sfDir","isolation":"one fresh JVM per query ($n) + one shared drain JVM, sequential","drain_total":$drainTotal,"seq_total":$seqTotal,
+      s"""{"sf":"$sfDir","protocol":"$protocol","budget_s":${if (fullMode) -1 else budgetS},"isolation":"${warmSrcs("single")} isolated + ${warmSrcs("group")} grouped(<=13, $groupPasses passes) + ${warmSrcs("drain_cold")} drain-cold, sequential children","drain_total":$drainTotal,"seq_total":$seqTotal,
+         |"protocol_degraded":$degradedJson,"warm_srcs":$srcsJson,
          |"calib_jvm_best_s":$calibJvmBest,"calib_spark_best_s":$calibSparkBest,
          |"queries_warm":${jsonMap(warm)},
          |"queries_cold":${jsonMap(cold)},
          |"queries_drain":${jsonMap(drain)},
-         |"singles":{$singlesJson},
-         |"drain_shard":${org.json4s.jackson.JsonMethods.compact(drainDetail)}}""".stripMargin
+         |"singles":{$singlesJson},"groups":{$groupsJson},
+         |"drain_shard":$drainJson}""".stripMargin
+    // a budgeted (possibly degraded) run must never overwrite the
+    // committed full-isolation artifacts
+    val detailFile =
+      if (fullMode) "BENCH_DETAIL.json" else "BENCH_DRIVER_DETAIL.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
+      java.nio.file.Paths.get(detailFile), detail.getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
 
     // streaming micro-bench once, in this process's own session, AFTER
-    // every timed child has exited (never concurrent with timing)
-    try {
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+    // every timed child has exited (never concurrent with timing).
+    // Budgeted runs skip it: STREAM_METRICS.json is refreshed by the
+    // full committed runs, and the window is better spent inside the
+    // driver's timebox.
+    if (fullMode) {
       try {
-        // the orchestrator's session is COLD (the children did the query
-        // work in their own JVMs), so the first streaming trigger pays
-        // 2-3 s of codegen and a 4 s capture window would record empty
-        // batches. One discarded warm-up invocation compiles the
-        // pipelines; the recorded run then measures warm per-batch
-        // latency like the pre-sharding bench did.
-        try graft.streaming.StreamMetrics.microBench(spark,
-          outPath = s"$tmp/stream_warmup.json")
-        catch { case _: Throwable => () }
-        graft.streaming.StreamMetrics.microBench(spark)
-      } finally {
-        spark.sparkContext.setLogLevel("OFF")
-        spark.stop()
-      }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] stream micro-bench failed: ${e.getMessage}") }
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+        val spark = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        try {
+          // the orchestrator's session is COLD (the children did the query
+          // work in their own JVMs), so the first streaming trigger pays
+          // 2-3 s of codegen and a 4 s capture window would record empty
+          // batches. One discarded warm-up invocation compiles the
+          // pipelines; the recorded run then measures warm per-batch
+          // latency like the pre-sharding bench did.
+          try graft.streaming.StreamMetrics.microBench(spark,
+            outPath = s"$tmp/stream_warmup.json")
+          catch { case _: Throwable => () }
+          graft.streaming.StreamMetrics.microBench(spark)
+        } finally {
+          spark.sparkContext.setLogLevel("OFF")
+          spark.stop()
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream micro-bench failed: ${e.getMessage}") }
+    }
 
     def ms(v: Double) = math.rint(v * 100) / 100
     val calib = s""""calib_jvm_s":${ms(calibJvmBest)},"calib_spark_s":${ms(calibSparkBest)}"""
-    val headline = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(warm, ms)},"seq_total":${ms(seqTotal)},"sharded":$n,"isolation":"per-query","load_avg":${ms(loadStart)},$calib,"headline":"warm min-of-3+ per query, one fresh JVM per query; seq_total = sum of per-query warm minima; drain_total (value) = pool-6 concurrent drain of the full registry in one shared JVM (pre-r11 semantics); load_avg = max child start load (detail in BENCH_DETAIL.json)","sf":"$sfDir"}"""
+    val shared = s""""seq_total":${ms(seqTotal)},"n_queries":${warm.size},"protocol":"$protocol","protocol_degraded":$degradedJson,"warm_srcs":$srcsJson,"load_avg":${ms(loadStart)},$calib,"sf":"$sfDir""""
+    val headline = s"""{"metric":"total","value":${ms(headlineValue)},"unit":"sec","queries":${jsonMap(warm, ms)},"headline":"warm min per query (srcs in warm_srcs: fresh-JVM isolated, grouped <=13/JVM, or drain-child cold); seq_total = sum of warm minima; value = pool-6 concurrent drain of the full registry in one shared JVM (detail in $detailFile)",$shared}"""
     val slowest = warm.sortBy(-_._2).take(25).sortBy(_._1)
-    val compact = s"""{"metric":"total","value":${ms(drainTotal)},"unit":"sec","queries":${jsonMap(slowest, ms)},"n_queries":${warm.size},"queries_note":"${slowest.size} slowest of ${warm.size}; full map in BENCH_DETAIL.json","seq_total":${ms(seqTotal)},"sharded":$n,"isolation":"per-query","load_avg":${ms(loadStart)},$calib,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_HEADLINE.json"), headline.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    val compact = s"""{"metric":"total","value":${ms(headlineValue)},"unit":"sec","queries":${jsonMap(slowest, ms)},"queries_note":"${slowest.size} slowest of ${warm.size}; full map in $detailFile",$shared}"""
+    if (fullMode)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_HEADLINE.json"), headline.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     println(headline)
     println(compact)
     System.out.flush()
@@ -222,8 +390,8 @@ object Bench {
       Tables.load(spark, sfDir, "lineitem").count()
     } catch { case _: Throwable => () }
 
-    // optional comma-separated name filter for local iteration (the
-    // driver never sets it — full set)
+    // optional comma-separated name filter — how the orchestrator hands a
+    // grouped child its chunk, and a local-iteration knob
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -303,7 +471,8 @@ object Bench {
 
     // warm sequential passes — headline = per-query MIN; contended passes
     // (pre-pass load over the gate, or calibration >1.5× best) get up to
-    // 2 replacements
+    // SPARK_GRAFT_BENCH_EXTRAS replacements (budgeted children set 0 so
+    // their wall-clock stays plannable)
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE",
       (cpus.toInt / 2).toString).toDouble
     def contended(m: PassMeta, bestCj: Double, bestCs: Double): Boolean =
@@ -319,11 +488,13 @@ object Bench {
     // A fresh single-query JVM is still JIT-compiling ITS OWN hot paths
     // well past the third execution (first full run: 94/145 children had
     // warm_3 fastest, 81 strictly declining), so 3 passes under-measures
-    // fast queries. Default 6 passes with early exit once a pass stops
-    // improving the min by >2% — converged children stop at ~4, slow
-    // movers get their tail measured.
+    // fast queries. Full-protocol default: 6 passes with early exit once
+    // a pass stops improving the min by >2% — converged children stop at
+    // ~4, slow movers get their tail measured. Budgeted children get
+    // their pass count from the orchestrator's planner (3 → 2 → 1).
     val warmPassTarget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "6").toInt.max(1)
+    val maxExtras = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRAS", "2").toInt
     // sum of per-query minima so far — the quantity the headline commits
     // (a plain min over one query for the orchestrator's warm children)
     def bestWarm: Double = named.indices.map { i =>
@@ -331,8 +502,8 @@ object Bench {
       if (ts.isEmpty) Double.MaxValue else ts.min
     }.sum
     if (doWarm) {
-      (1 to 3).foreach(i => runPass(s"warm_$i"))
-      var i = 3
+      (1 to math.min(3, warmPassTarget)).foreach(i => runPass(s"warm_$i"))
+      var i = math.min(3, warmPassTarget)
       while (i < warmPassTarget && {
         val before = bestWarm
         runPass(s"warm_${i + 1}")
@@ -340,7 +511,7 @@ object Bench {
         bestWarm < before * 0.98
       }) ()
       var extras = 0
-      while (extras < 2 && {
+      while (extras < maxExtras && {
         val bestCj = passes.map(_._1.cj).min
         val bestCs = passes.map(_._1.cs).min
         passes.count(p => !contended(p._1, bestCj, bestCs)) < 2
