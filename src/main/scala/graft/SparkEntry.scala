@@ -155,9 +155,12 @@ object SparkEntry {
     // bounded-output containment: per contained doc, container count +
     // strongest container — k-member duplicate families emit k rows
     // where the pair form emits k(k-1); exact-collapse-first keeps the
-    // pair chain on unique texts (the 100 TB shape for directed overlap)
+    // pair chain on unique texts (the 100 TB shape for directed overlap).
+    // Auto-sliced past 65k docs (value-identical sequential container
+    // slices), so the EXACT registered form completes at 100x instead
+    // of disk-capping on the candidate/verify shuffle
     "dedup_containment_report" -> q((s, d) =>
-      Dedup.containmentReport(Tables.load(s, d, "documents"), 3, 0.9)),
+      Dedup.containmentReportAuto(Tables.load(s, d, "documents"), 3, 0.9)),
     // the AT-SCALE twin of the report: banded minhash candidates (full
     // band-key collision, not shared-hot-gram) + exact containment
     // verify on survivors — the gate whose intermediates stay linear on
@@ -381,7 +384,9 @@ object SparkEntry {
     // full posting self-join tractable in DuckDB (measured 85 s at
     // sf0.1; n=5's hotter grams cost ~2x) — the Spark side prefix-filters
     // and is parameter-insensitive
-    "dedup_char_jaccard_pairs" -> q((s, d) => Dedup.charJaccardPairs(Tables.load(s, d, "documents"), 7, 0.9)),
+    // auto-sliced past 65k docs (disjoint build-side slices, value-
+    // identical union) — the exact PPJoin form's 100x path
+    "dedup_char_jaccard_pairs" -> q((s, d) => Dedup.charJaccardPairsAuto(Tables.load(s, d, "documents"), 7, 0.9)),
     // bounded-output twin over the char-gram jaccard relation (the family
     // whose pair forms exhausted shuffle disk at 100×): component labels
     // with exact-collapse-first, so duplicate families cost one

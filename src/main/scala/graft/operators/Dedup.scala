@@ -523,21 +523,50 @@ object Dedup {
     else containmentReportExt(docs, n) { (reps, famKb) =>
       val spark = docs.sparkSession
       val famB = famKb.localCheckpoint(true) // one agg, `slices` consumers
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_cnt_ext").toString
-      (0 until slices).foreach { s =>
+      stagedUnion(spark, "cnt_ext", slices) { s =>
         containmentPairsSliced(reps, n, threshold, Some((s, slices)))
           .join(famB, Seq("b"))
           .groupBy(col("a"))
           .agg(sum(col("kb")).as("ext_cnt"),
             min(struct((-col("containment")).as("nc"), col("b").as("bid")))
               .as("best"))
-          .write.mode("overwrite").parquet(s"$tmp/ext_$s")
       }
-      spark.read.parquet((0 until slices).map(s => s"$tmp/ext_$s"): _*)
         .groupBy(col("a"))
         .agg(sum(col("ext_cnt")).as("ext_cnt"), min(col("best")).as("best"))
     }
+
+  /** Run `slices` SEQUENTIAL jobs, parquet-staging each result, and
+    * return their union — the isolation primitive the sliced builds
+    * share. A plain `union` of the slice subplans would be ONE job whose
+    * independent map stages all materialize their shuffles before the
+    * reduces drain them, so peak spill is NOT divided; sequential jobs
+    * are the point.
+    *
+    * The staging dir lives under [[graft.Tables.persistedTableRoot]] —
+    * the same all-executors-shared storage contract every persisted
+    * index already relies on (`local[*]` satisfies it trivially; a
+    * cluster points that root at shared storage). A driver-local
+    * `createTempDirectory` path would silently scatter executor-written
+    * partials across machines off local[*]. The union is materialized
+    * eagerly (`localCheckpoint` — slice results are bounded aggregates /
+    * true pairs, never candidate volume) so the staging dir can be
+    * deleted before the DataFrame is handed back.
+    */
+  private def stagedUnion(spark: org.apache.spark.sql.SparkSession,
+                          tag: String, slices: Int)
+                         (job: Int => DataFrame): DataFrame = {
+    val staging = s"${graft.Tables.persistedTableRoot(spark)}/_staging_${tag}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val hPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      (0 until slices).foreach { s =>
+        job(s).write.mode("overwrite").parquet(s"$staging/slice_$s")
+      }
+      spark.read.parquet((0 until slices).map(s => s"$staging/slice_$s"): _*)
+        .localCheckpoint(true)
+    } finally fs.delete(hPath, true)
+  }
 
   /** The PERSISTED CONTAINMENT REPORT for the accumulated slice — the
     * state [[incrementalContainmentReport]] UPDATES instead of
@@ -557,9 +586,7 @@ object Dedup {
       graft.Tables.ensurePersisted(spark, name) { path =>
         val old = graft.Tables.load(spark, dir, "documents")
           .filter(col("doc_id") % 10 < 8)
-        val slices =
-          if (Similarity.corpusRows(old)._1 <= 65536L) 1 else 8
-        containmentReportSliced(old, n, threshold, slices)
+        containmentReportAuto(old, n, threshold)
           .write.option("path", path).mode("overwrite").saveAsTable(name)
       }
     }
@@ -863,14 +890,31 @@ object Dedup {
     * stays exact on whatever the gate admits.
     *
     * Row count comes from plan statistics when present, else one
-    * column-pruned count() — [[graft.operators.Similarity.corpusRows]],
-    * same staleness contract as knnJoinAuto.
+    * column-pruned count() — [[graft.operators.Similarity.corpusRows]].
+    * UNLIKE knnJoinAuto's purely-tuning knob, the width here changes
+    * the REGISTERED RELATION of oracle-checked queries (the gate is the
+    * candidate set), so a stale/inflated stats estimate near the
+    * [[RebandAt]] boundary must not flip it: when a stats-derived
+    * estimate lands within 4× of the bound on either side, one exact
+    * column-pruned count() settles which side the corpus is actually on
+    * (far from the bound, even a 4×-off estimate picks the same width,
+    * so stats stay free in the common case).
     */
   def charLshPairsAuto(docs: DataFrame, n: Int = 5,
                        threshold: Double = 0.8): DataFrame = {
-    val rp = autoRowsPerBand(Similarity.corpusRows(docs)._1)
+    val (est, fromStats) = Similarity.corpusRows(docs)
+    val rp = autoRowsPerBand(gateRows(est, fromStats, docs.count()))
     charLshPairsWith(docs, n, threshold, NumHashes / rp, rp)
   }
+
+  /** The [[charLshPairsAuto]] boundary rule, factored for its spec: a
+    * stats estimate within 4× of [[RebandAt]] on either side defers to
+    * the exact count (lazily evaluated — never run when stats are
+    * decisive or the estimate was already an exact count).
+    */
+  private[graft] def gateRows(est: Long, fromStats: Boolean,
+                              exact: => Long): Long =
+    if (fromStats && est > RebandAt / 4 && est <= RebandAt * 4) exact else est
 
   private[graft] def charLshPairsWith(docs: DataFrame, n: Int, threshold: Double,
                                       nBands: Int, rowsPerBand: Int): DataFrame = {
@@ -1033,6 +1077,23 @@ object Dedup {
   def containmentReport(docs: DataFrame, n: Int = 3,
                         threshold: Double = 0.9): DataFrame =
     containmentReportOver(docs, n)(containmentPairs(_, n, threshold))
+
+  /** [[containmentReport]] with the build AUTO-SLICED past the corpus
+    * bound ([[RebandAt]] — the same 65k knee every other size dispatch
+    * uses): one plan at oracle scales, `slices` sequential container-
+    * slice jobs ([[containmentReportSliced]]) past it, so the registered
+    * EXACT query completes at 100× instead of disk-capping on the
+    * candidate/verify shuffle. Unlike [[charLshPairsAuto]]'s band-width
+    * dispatch, slicing is VALUE-IDENTICAL at any slice count (the
+    * relation is a disjoint union over container slices), so a stale
+    * row-count estimate near the bound can only shift the plan shape,
+    * never the rows the oracle hashes — no exact-count fallback needed.
+    */
+  def containmentReportAuto(docs: DataFrame, n: Int = 3,
+                            threshold: Double = 0.9): DataFrame = {
+    val slices = if (Similarity.corpusRows(docs)._1 <= RebandAt) 1 else 8
+    containmentReportSliced(docs, n, threshold, slices)
+  }
 
   /** The AT-SCALE twin of [[containmentReport]]: same bounded output and
     * counting-algebra expansion, but the rep-level pair relation is
@@ -1379,6 +1440,38 @@ object Dedup {
   def charJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.8): DataFrame =
     jaccardPairsOver(charShingled(docs, n), threshold)
 
+  /** [[charJaccardPairs]] with the build AUTO-SLICED past [[RebandAt]] —
+    * the [[containmentReportAuto]] discipline for the symmetric-jaccard
+    * exact form. Each unordered pair (a, b) with a < b survives exactly
+    * in b's slice (the candidate self-join orders by doc_id, so slicing
+    * the build side partitions the relation disjointly), making the
+    * union VALUE-IDENTICAL at any slice count; the df model, ranks and
+    * length buckets are global per slice job (computed over ALL docs),
+    * so the per-pair filters are unchanged. What slicing divides is the
+    * quadratic-ish terms that disk-capped the one-plan form at 100×
+    * (the candidate aggregate and the verify payload, ~1/slices per
+    * sequential job); the corpus-linear gram/rank subplans are re-paid
+    * per slice — the same trade [[containmentReportSliced]] accepted.
+    */
+  def charJaccardPairsAuto(docs: DataFrame, n: Int = 5,
+                           threshold: Double = 0.8): DataFrame = {
+    val slices = if (Similarity.corpusRows(docs)._1 <= RebandAt) 1 else 8
+    charJaccardPairsStaged(docs, n, threshold, slices)
+  }
+
+  /** [[charJaccardPairs]] as `slices` sequential staged jobs (see
+    * [[charJaccardPairsAuto]] for why the union is value-identical and
+    * [[stagedUnion]] for the isolation mechanics — true pairs are the
+    * only thing staged, never candidate volume).
+    */
+  private[graft] def charJaccardPairsStaged(docs: DataFrame, n: Int,
+                                            threshold: Double,
+                                            slices: Int): DataFrame =
+    if (slices <= 1) charJaccardPairs(docs, n, threshold)
+    else stagedUnion(docs.sparkSession, "charjac", slices) { s =>
+      jaccardPairsOver(charShingled(docs, n), threshold, Some((s, slices)))
+    }
+
   // -------------------------------------------------------------------
   // Duplicated-substring spans (exact substring-level dedup)
   // -------------------------------------------------------------------
@@ -1607,7 +1700,8 @@ object Dedup {
     * pushdown re-inlines the whole array expression into it below the scan
     * fan-out (measured 10×).
     */
-  private def jaccardPairsOver(sh: DataFrame, threshold: Double): DataFrame = {
+  private def jaccardPairsOver(sh: DataFrame, threshold: Double,
+                               buildSlice: Option[(Int, Int)] = None): DataFrame = {
     val grams = sh.select(col("doc_id"), explode_outer(col("shingles")).as("g"))
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // Per-doc (df, gram)-order RANK + set size as two windows over ONE
@@ -1663,8 +1757,16 @@ object Dedup {
     // here, so the verify now expands only near-threshold survivors.
     val probe = prefix.withColumn("lb",
       explode(sequence(col("lb") - 2, col("lb") + 2)))
+    // BUILD-SIDE slice (charJaccardPairsAuto): pair (a, b), a < b, is
+    // generated only at b's prefix rows, so restricting the y side to
+    // `pmod(doc_id, of) = s` partitions the relation disjointly while
+    // df/ranks/buckets stay global — the probe side and every per-pair
+    // filter are untouched
+    def bSlice(df: DataFrame) = buildSlice.fold(df) { case (s, of) =>
+      df.filter(pmod(col("doc_id"), lit(of)) === s)
+    }
     val cand = probe.as("x")
-      .join(prefix.as("y"),
+      .join(bSlice(prefix).as("y"),
         col("x.g") === col("y.g") && col("x.lb") === col("y.lb"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -1718,7 +1820,7 @@ object Dedup {
           .agg(graft.functions.BitSetOps.bitsetOr(col("bid"), width).as("bm"))
         candSized
           .join(bitmaps.select(col("doc_id").as("a"), col("bm").as("bma")), "a")
-          .join(bitmaps.select(col("doc_id").as("b"), col("bm").as("bmb")), "b")
+          .join(bSlice(bitmaps).select(col("doc_id").as("b"), col("bm").as("bmb")), "b")
           .select(col("a"), col("b"), col("sza"), col("szb"),
             graft.functions.BitSetOps.bitAndCount(col("bma"), col("bmb")).as("inter"))
       } else {
@@ -1726,7 +1828,7 @@ object Dedup {
           .agg(collect_list(col("g")).as("gs"))
         candSized
           .join(arrays.select(col("doc_id").as("a"), col("gs").as("ga")), "a")
-          .join(arrays.select(col("doc_id").as("b"), col("gs").as("gb")), "b")
+          .join(bSlice(arrays).select(col("doc_id").as("b"), col("gs").as("gb")), "b")
           .select(col("a"), col("b"), col("sza"), col("szb"),
             size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"))
       }

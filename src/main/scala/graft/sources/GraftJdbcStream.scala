@@ -323,6 +323,16 @@ private[graft] class GraftJdbcMicroBatchStream(
           case _ =>
             if (fetched.length <= cap) fetched
             else {
+              // chunk() is (ts)-ordered, so a truncated cap+1 fetch whose
+              // rows are ALL strictly before endPos.ts already proves the
+              // strictly-before prefix exceeds the cap — fail HERE, before
+              // the unbounded re-fetch collect()s the very range the cap
+              // exists to keep off the driver. Only when the overflow row
+              // is the equal-ts boundary run (the documented uncapped
+              // pure-ts contract) does the unbounded read proceed, and the
+              // prefix re-check after it stays as the exact gate.
+              require(fetched.count(_.getTimestamp(tsIdx).before(endPos.ts)) <= cap,
+                capMsg)
               val all = source.chunk(s.pos, Some(endPos.ts), None).collect()
               require(all.count(_.getTimestamp(tsIdx).before(endPos.ts)) <= cap,
                 capMsg)

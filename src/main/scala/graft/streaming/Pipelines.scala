@@ -1172,7 +1172,12 @@ object Pipelines {
       finally in.close()
     }
     if (fs.exists(idPath)) return readId()
-    mintLocks.computeIfAbsent(checkpoint, _ => new Object).synchronized {
+    // the lock key is the QUALIFIED path, not the raw string: trailing-
+    // slash/relative spellings of one checkpoint must serialize on one
+    // lock, not mint concurrently under two
+    val lockKey = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(checkpoint)).toString
+    mintLocks.computeIfAbsent(lockKey, _ => new Object).synchronized {
       // two minters racing past the exists() probe must both end up on
       // ONE id, never an exception and never a half-written read. The
       // lock serializes same-JVM minters; across drivers, publication is
@@ -1189,7 +1194,16 @@ object Pipelines {
           s"$checkpoint/._GRAFT_STREAM_ID.$id.tmp")
         val out = fs.create(tmp, false)
         try out.write(id.getBytes("UTF-8")) finally out.close()
-        if (!fs.rename(tmp, idPath)) fs.delete(tmp, false)
+        if (!fs.rename(tmp, idPath)) {
+          fs.delete(tmp, false)
+          // a failed rename means "another minter won" ONLY if the id now
+          // exists; any other failure (transient FS error) must surface as
+          // a mint failure, not as readId()'s opaque FileNotFoundException
+          require(fs.exists(idPath),
+            s"stream-id mint failed: rename to $idPath was refused but no " +
+              "winner published an id — filesystem error during mint, not " +
+              "a lost race; retry the stream start")
+        }
         readId()
       }
     }

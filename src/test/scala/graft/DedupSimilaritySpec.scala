@@ -948,6 +948,38 @@ class DedupSimilaritySpec extends SparkSpec {
       s"sliced build diverged: ${(sliced -- whole).take(3)} vs ${(whole -- sliced).take(3)}")
   }
 
+  test("staged char-jaccard build equals the one-plan form and cleans its staging") {
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val whole = Dedup.charJaccardPairs(base, 7, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val staged = Dedup.charJaccardPairsStaged(base, 7, 0.9, 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(whole.nonEmpty && staged == whole,
+      s"staged build diverged: ${(staged -- whole).take(3)} vs ${(whole -- staged).take(3)}")
+    // the staging dir is deleted once the union is checkpointed (r12
+    // advisory: the sliced build used to leak its temp dir)
+    val root = new java.io.File(Tables.persistedTableRoot(spark))
+    val leaked = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_staging_"))
+    assert(leaked.isEmpty, s"staging dirs leaked: ${leaked.map(_.getName).toSeq}")
+  }
+
+  test("auto-band gate: stats estimates near the reband boundary defer to an exact count") {
+    // the oracle-protection rule (r12 advisory): a stale/inflated stats
+    // estimate near RebandAt must not silently flip the band width of
+    // oracle-pinned relations — within 4x of the bound the exact count
+    // decides; far from it (or when the estimate IS an exact count)
+    // stats stay free
+    assert(Dedup.gateRows(100000L, fromStats = true, exact = 1000L) == 1000L)
+    assert(Dedup.gateRows(20000L, fromStats = true, exact = 999L) == 999L)
+    assert(Dedup.gateRows(10000L, fromStats = true,
+      exact = fail("exact count must not run far below the bound")) == 10000L)
+    assert(Dedup.gateRows(1000000L, fromStats = true,
+      exact = fail("exact count must not run far above the bound")) == 1000000L)
+    assert(Dedup.gateRows(100000L, fromStats = false,
+      exact = fail("an exact estimate never recounts")) == 100000L)
+  }
+
   test("autoRowsPerBand: fixed width at oracle scales, doubles per 256x, tiles") {
     // the contract the oracle SQL depends on: every corpus the DuckDB
     // fixtures run at resolves to the FIXED 4-slot width

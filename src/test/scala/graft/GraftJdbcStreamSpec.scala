@@ -219,6 +219,59 @@ class GraftJdbcStreamSpec extends SparkSpec {
     assert(got.sorted.toSeq == (1L to 15L))
   }
 
+  test("oversized pure-ts replay fails from the truncated fetch, before any unbounded read") {
+    // r12 advisory: when the capped cap+1 fetch already proves the
+    // strictly-before prefix exceeds the cap (every fetched row is
+    // strictly before the committed ts), the cap error must fire THERE —
+    // the unbounded re-fetch would collect() onto the driver exactly the
+    // range the cap exists to keep off it
+    val snap = table((1L to 50L).map(i => (i, 1000L * i)): _*)
+    val inner = new SnapshotChunkSource(() => snap)
+    var unbounded = 0
+    val counting = new graft.sources.ChunkSource {
+      override def timestampCol: String = inner.timestampCol
+      override def incrementingCol: Option[String] = inner.incrementingCol
+      override def chunk(lower: Option[graft.sources.JdbcOffset],
+                         upper: Option[Timestamp],
+                         limit: Option[Int]): DataFrame = {
+        if (limit.isEmpty && upper.isDefined) unbounded += 1
+        inner.chunk(lower, upper, limit)
+      }
+    }
+    GraftJdbcStream.registry.put("spec_precheck", counting)
+    val stream = new graft.sources.GraftJdbcMicroBatchStream(snap.schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("sourceHandle", "spec_precheck", "maxRowsPerPoll", "10")))
+    val e = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(
+        graft.sources.GraftJdbcOffset(None),
+        graft.sources.GraftJdbcOffset(Some(JdbcOffset(new Timestamp(50000L)))))
+    }
+    assert(e.getMessage.contains("driver cap"), e.getMessage)
+    assert(unbounded == 0,
+      "the cap must fail from the truncated fetch; an unbounded re-read ran first")
+    // the equal-ts boundary run (the documented uncapped contract) still
+    // reaches the unbounded read and replays completely
+    val run = table((1L to 30L).map(i => (i, 1000L)): _*)
+    val runInner = new SnapshotChunkSource(() => run)
+    GraftJdbcStream.registry.put("spec_precheck_run", runInner)
+    val runStream = new graft.sources.GraftJdbcMicroBatchStream(run.schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("sourceHandle", "spec_precheck_run",
+          "maxRowsPerPoll", "10")))
+    val parts = runStream.planInputPartitions(
+      graft.sources.GraftJdbcOffset(None),
+      graft.sources.GraftJdbcOffset(Some(JdbcOffset(new Timestamp(1000L)))))
+    val factory = runStream.createReaderFactory()
+    val got = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(0)
+      buf
+    }
+    assert(got.sorted.toSeq == (1L to 30L))
+  }
+
   test("stash replay cap counts only the committed range (round-11 advisory)") {
     def drain(stream: graft.sources.GraftJdbcMicroBatchStream,
               parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Seq[Long] = {

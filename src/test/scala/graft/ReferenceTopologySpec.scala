@@ -295,6 +295,14 @@ class ReferenceTopologySpec extends SparkSpec {
     val ids = futs.map(_.get()).toSet
     pool.shutdown()
     assert(ids.size == 1, s"concurrent minters diverged: $ids")
+    // r12 advisory: path spellings of ONE checkpoint (trailing slash,
+    // double separator) serialize on one qualified-path lock and read
+    // one id — distinct raw-string lock keys would let two spellings
+    // mint concurrently
+    val ck4 = java.nio.file.Files.createTempDirectory("graft_legacy_ck4").toString
+    val id4 = Pipelines.streamInstanceId(spark, ck4)
+    assert(Pipelines.streamInstanceId(spark, s"$ck4/") == id4)
+    assert(Pipelines.streamInstanceId(spark, ck4.replace("/graft_", "//graft_")) == id4)
   }
 
   test("applyUpsert disk face equals the pure upsertResult merge") {
