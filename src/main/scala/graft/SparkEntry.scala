@@ -147,6 +147,13 @@ object SparkEntry {
       val docs = Tables.load(s, d, "documents")
       Dedup.familyStats(docs, Dedup.clusters(docs, 3, 0.8))
     }),
+    // the PIPELINE form: the datasheet reads the MAINTAINED label table
+    // (incrementalClusterLabels over the persisted index) instead of
+    // re-clustering the corpus inline — two hash aggs + one label-keyed
+    // join; the only text work is the daily batch's (plan-pinned)
+    "dedup_family_stats_indexed" -> q((s, d) => Dedup.familyStats(
+      Tables.load(s, d, "documents"),
+      Dedup.incrementalClusterLabels(s, d, 3, 0.8))),
     // DIRECTED containment |A∩B|/|A| >= 0.9 — quote/excerpt detection
     // jaccard can't express; only the contained side's rarest-gram
     // prefix probes the index, verify is the count-based posting join
@@ -246,6 +253,11 @@ object SparkEntry {
     // pipeline feeds the PERSISTED label table instead of recomputing)
     "corpus_split_leakage_safe" -> q((s, d) => CorpusOps.leakageSafeSplit(
       Dedup.clusters(Tables.load(s, d, "documents"), 3, 0.8), 0.05)),
+    // the PIPELINE form: the split hashes labels from the MAINTAINED
+    // table — a zero-shuffle per-row predicate over the label relation
+    // (history labels never cross an exchange, plan-pinned)
+    "corpus_split_leakage_safe_indexed" -> q((s, d) => CorpusOps.leakageSafeSplit(
+      Dedup.incrementalClusterLabels(s, d, 3, 0.8), 0.05)),
     // per-domain weighted downsampling; scan-fused per-row predicate
     "corpus_mix" -> q((s, d) => CorpusOps.mixCorpus(Tables.load(s, d, "documents"))),
     // train docs sharing >=1 word 8-gram with the eval split (broadcast
@@ -760,6 +772,10 @@ object SparkEntry {
     "dedup_containment_incremental" -> OracleSqlGen.containmentReportDirSql(3, 0.9),
     "dedup_funnel_report" -> OracleSqlGen.dedupFunnelSql(3, 0.8),
     "dedup_family_stats" -> OracleSqlGen.familyStatsSql(3, 0.8),
+    // the maintained-label form computes the SAME closure (the
+    // incremental merge is oracle-equal to the full recompute, the
+    // dedup_clusters_incremental contract), so the oracle is unchanged
+    "dedup_family_stats_indexed" -> OracleSqlGen.familyStatsSql(3, 0.8),
     "dedup_substring_spans" -> OracleSqlGen.dupSpansSql(30),
     "dedup_substring_removed" -> OracleSqlGen.substringRemovedSql(30),
     "dedup_paragraphs" -> OracleSqlGen.paragraphDedupSql,
@@ -790,6 +806,7 @@ object SparkEntry {
     "curate_corpus" -> OracleSqlGen.curateSql("en", 0.7),
     "corpus_split" -> OracleSqlGen.splitAssignmentsSql(0.05),
     "corpus_split_leakage_safe" -> OracleSqlGen.leakageSafeSplitSql(3, 0.8, 0.05),
+    "corpus_split_leakage_safe_indexed" -> OracleSqlGen.leakageSafeSplitSql(3, 0.8, 0.05),
     "corpus_mix" -> OracleSqlGen.mixCorpusSql(),
     "corpus_decontaminate" -> OracleSqlGen.decontaminateSql(8, 0.05),
     "corpus_pack_shards" -> OracleSqlGen.packShardsSql(1000L),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{CorpusOps, Dedup, Relational, Similarity}
 
 /** Regression guards on PHYSICAL PLAN SHAPE — the properties that keep
   * these operators viable at 100 TB (SURVEY.md §4, build-prompt scale
@@ -270,6 +270,68 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(leaking.isEmpty,
       s"history labels crossed a shuffle exchange:\n${leaking.mkString("\n")}")
+  }
+
+  test("indexed label consumers: maintained labels in, no closure recompute") {
+    // the pipeline forms of the datasheet and the leakage-safe split read
+    // the MAINTAINED label table; "no closure recompute" is pinned as: the
+    // only document scans that read text are the daily-batch slice
+    // (doc_id % 10 >= 8) — re-clustering the corpus would tokenize ALL text
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a) ++ walk(a.executedPlan)
+      case s: QueryStageExec => Seq(s) ++ walk(s.plan)
+      case other => Seq(other) ++ other.children.flatMap(walk)
+    }
+    def batchSliced(p: SparkPlan, guarded: Boolean): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => batchSliced(a.executedPlan, guarded)
+        case s: QueryStageExec => batchSliced(s.plan, guarded)
+        case f: FilterExec =>
+          batchSliced(f.child,
+            guarded || f.condition.sql.contains("% 10"))
+        case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+               _.toString.contains("documents.parquet")) &&
+             sc.output.exists(_.name == "text") && !guarded &&
+             !sc.dataFilters.exists(_.sql.contains("% 10")) => Seq(sc)
+        case other => other.children.flatMap(batchSliced(_, guarded))
+      }
+    def pin(q: org.apache.spark.sql.DataFrame, labelShuffleForbidden: Boolean): Unit = {
+      q.count() // finalize AQE
+      val plan = q.queryExecution.executedPlan
+      val all = walk(plan)
+      val lblScans = all.collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith("graft_lblidx")) => f
+      }
+      assert(lblScans.nonEmpty, "maintained label table missing from the plan")
+      val unsliced = batchSliced(plan, guarded = false)
+      assert(unsliced.isEmpty,
+        s"full-corpus text scan found (closure recompute):\n${unsliced.mkString("\n")}")
+      if (labelShuffleForbidden) {
+        val leaking = all.collect {
+          case e: ShuffleExchangeLike if walk(e.child).exists {
+            case f: FileSourceScanExec =>
+              f.tableIdentifier.exists(_.table.startsWith("graft_lblidx"))
+            case _ => false
+          } => e
+        }
+        assert(leaking.isEmpty,
+          s"history labels crossed a shuffle exchange:\n${leaking.mkString("\n")}")
+      }
+    }
+    // the split is a per-row predicate: history labels must stay
+    // exchange-free end-to-end; the datasheet aggregates labels (two
+    // hash aggs + one label-keyed join IS its advertised cost)
+    pin(CorpusOps.leakageSafeSplit(
+      Dedup.incrementalClusterLabels(spark, sf, 3, 0.8), 0.05),
+      labelShuffleForbidden = true)
+    pin(Dedup.familyStats(Tables.load(spark, sf, "documents"),
+      Dedup.incrementalClusterLabels(spark, sf, 3, 0.8)),
+      labelShuffleForbidden = false)
   }
 
   test("incremental containment: corpus-sized indexes never feed a shuffle exchange") {
