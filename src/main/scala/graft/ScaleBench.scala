@@ -471,6 +471,51 @@ object ScaleBench100 {
   def timeboxViolations(capped: Seq[String]): Seq[String] =
     capped.filterNot(ScaleBench.notes.contains)
 
+  /** Queries whose cost contract is "∝ the DAILY BATCH, not the corpus":
+    * both maintain persisted state against the batch slice
+    * (doc_id % 10 ≥ 8), which the replication grows with the corpus —
+    * so their RAW factor tracks batch growth (∼100 at 100×) by design,
+    * and the 120× threshold would misfire the day a batch-linear op's
+    * batch grows faster than the corpus. These rows are graded on
+    * PER-BATCH-DOC FLATNESS instead (a first-class artifact field, not
+    * a notes narrative): cost-per-batch-doc at 100× may exceed the
+    * small-scale cost by at most [[IncrementalFlatBound]], and the raw
+    * factor is exempt from the notes gate. The flatness gate is
+    * notes-INDEPENDENT — a blown per-batch-doc cost is a violation even
+    * for an allowlisted name.
+    */
+  val IncrementalBatch: Set[String] =
+    Set("dedup_clusters_incremental", "dedup_containment_incremental")
+
+  /** Max allowed growth of per-batch-doc cost from small to 100×. The
+    * committed rounds measure ~1.0× (containment) and ~0.05× (labels);
+    * 3× leaves room for candidate-density shifts without letting a
+    * corpus-proportional term hide inside "the batch grew too".
+    */
+  val IncrementalFlatBound = 3.0
+
+  /** Cost per batch document in milliseconds — the unit the incremental
+    * ops' contract is written in. Pure so the spec pins it. */
+  def perBatchDocMs(timeS: Double, batchDocs: Long): Double =
+    if (batchDocs <= 0) -1.0 else timeS * 1000.0 / batchDocs
+
+  /** The incremental ops' gate: per-batch-doc cost growth beyond
+    * [[IncrementalFlatBound]] — applied to completed rows of
+    * [[IncrementalBatch]] names regardless of notes; their raw factor
+    * is exempt from the threshold gate (it tracks batch growth by
+    * contract). Pure so the spec pins it. Inputs: (name, small_s,
+    * big_s) plus the measured batch sizes at each scale.
+    */
+  def incrementalFlatViolations(rows: Seq[(String, Double, Double)],
+                                batchSmall: Long,
+                                batchBig: Long): Seq[String] =
+    rows.collect {
+      case (name, s, b)
+        if IncrementalBatch(name) && s > 0 && b > 0 &&
+          perBatchDocMs(b, batchBig) >
+            IncrementalFlatBound * perBatchDocMs(s, batchSmall) => name
+    }
+
   /** The frontier: every 10× row ≥ ~3× (candidate-growth suspects), the
     * forced posting-path probe, the cluster twins whose collapse must
     * hold the quadratic fixtures flat, and (round 11) the slowest
@@ -611,6 +656,13 @@ object ScaleBench100 {
 
     lazy val factsSmall = facts(spark, smallDir)
     lazy val factsBig = facts(spark, bigDir)
+    // the daily-batch slice both *_incremental ops maintain against —
+    // the denominator of their machine-checkable ∝-batch contract
+    def batchDocs(dir: String): Long =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 >= 8).count()
+    lazy val batchSmall = batchDocs(smallDir)
+    lazy val batchBig = batchDocs(bigDir)
 
     def writeArtifact(): Unit = {
       val rows = done.values.toSeq
@@ -618,9 +670,14 @@ object ScaleBench100 {
       val timeboxed = rows.filter(r => r.big == -2.0 && r.cap > 0.0)
       val diskCapped = rows.filter(r => r.big == -3.0 && r.cap > 0.0)
       val crashed = rows.filter(r => r.cap == 0.0 && r.factor < 0).map(_.name)
+      val needBatch = rows.exists(r => IncrementalBatch(r.name))
+      val (bS, bB) = if (needBatch) (batchSmall, batchBig) else (0L, 0L)
       val violations = (completed.collect {
-        case r if r.factor > GateThreshold && !ScaleBench.notes.contains(r.name) => r.name
-      } ++ timeboxViolations((timeboxed ++ diskCapped).map(_.name))).sorted
+        case r if r.factor > GateThreshold && !IncrementalBatch(r.name) &&
+          !ScaleBench.notes.contains(r.name) => r.name
+      } ++ timeboxViolations((timeboxed ++ diskCapped).map(_.name))
+        ++ incrementalFlatViolations(
+          completed.map(r => (r.name, r.small, r.big)), bS, bB)).sorted
       val remaining = Panel.filterNot(done.contains)
       val qjson = rows.map {
         case Row100(n, s, b, _, cap) if b == -3.0 =>
@@ -629,6 +686,11 @@ object ScaleBench100 {
         case Row100(n, s, b, _, cap) if cap > 0.0 =>
           val lb = math.rint(cap / s * 100) / 100
           s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":null,"scale_x":null,"timeboxed_at_s":${math.rint(cap * 10) / 10},"scale_x_lower_bound":$lb}"""
+        case Row100(n, s, b, f, _) if IncrementalBatch(n) =>
+          val pbS = math.rint(perBatchDocMs(s, bS) * 1000) / 1000
+          val pbB = math.rint(perBatchDocMs(b, bB) * 1000) / 1000
+          val flat = if (pbS > 0) math.rint(pbB / pbS * 100) / 100 else -1.0
+          s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100},"per_batch_doc_ms_small":$pbS,"per_batch_doc_ms_big":$pbB,"per_batch_doc_flat_x":$flat}"""
         case Row100(n, s, b, f, _) =>
           s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100}}"""
       }.mkString("{", ",", "}")
@@ -639,6 +701,8 @@ object ScaleBench100 {
            |"gate_threshold_x":$GateThreshold,"warm_passes":1,
            |"big_pass":"single (codegen warmed by the small passes; identical plan shape)",
            |"cap_rule":"max(120, 130*small_s) seconds; a capped row is a measured >=cap/small factor, noted or it violates",
+           |"incremental_rule":"*_incremental rows are graded on per_batch_doc_flat_x <= $IncrementalFlatBound (cost ∝ batch, notes-independent); their raw factor tracks batch growth by contract and is exempt from the $GateThreshold x gate",
+           |"batch_docs_small":${if (needBatch) bS else -1},"batch_docs_big":${if (needBatch) bB else -1},
            |"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
            |"gate_violations":${arr(violations)},
            |"failed_at_scale":${arr(crashed)},

@@ -429,6 +429,37 @@ object Dedup {
   // Incremental containment-report maintenance (persisted indexes)
   // -------------------------------------------------------------------
 
+  /** The containment posting RELATION — one (doc_id, sz, g) row per word
+    * n-gram of each document. Pure frame so the streaming face and specs
+    * can build it over any corpus; [[containmentPostingIndex]] persists
+    * it g-bucketed for the accumulated slice.
+    */
+  def containmentPostingFrame(docs: DataFrame, n: Int = 3): DataFrame =
+    shingled(docs, n)
+      .select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("g"))
+
+  /** The containment PROBE RELATION from a posting relation and a df
+    * model: each doc's rarest min(sz, 2m+1) grams with its pigeonhole
+    * budget (m, plen) — the old side's half of the candidate gate. Pure
+    * frame backing [[containmentProbeIndex]]; also the corpus-side input
+    * of [[graft.streaming.Pipelines.streamingContainmentFlags]].
+    */
+  def containmentProbeFrame(posting: DataFrame, dfModel: DataFrame,
+                            threshold: Double): DataFrame = {
+    val den = 1000000L
+    val num = math.round(threshold * den)
+    val m = col("sz") - ceilRational(num, col("sz"), den)
+    val plen = least(col("sz"), lit(2) * m + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    posting
+      .join(dfModel, Seq("g"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= plen)
+      .select(col("doc_id"), col("g"), col("sz"), m.as("m"), plen.as("plen"))
+  }
+
   /** The PERSISTED CONTAINMENT POSTING INDEX over the accumulated slice
     * (doc_id % 10 < 8): one (doc_id, sz, g) row per word n-gram,
     * bucketed by g — batch probes join it with NO index-side exchange,
@@ -445,10 +476,8 @@ object Dedup {
         graft.functions.DetHash.base60(dir) & 0xffffffffL)
       val name = s"graft_cntpost_n${n}_b$tag"
       graft.Tables.ensurePersisted(spark, name) { path =>
-        shingled(graft.Tables.load(spark, dir, "documents")
+        containmentPostingFrame(graft.Tables.load(spark, dir, "documents")
           .filter(col("doc_id") % 10 < 8), n)
-          .select(col("doc_id"), size(col("shingles")).as("sz"),
-            explode(col("shingles")).as("g"))
           .write.bucketBy(buckets, "g")
           .option("path", path).mode("overwrite").saveAsTable(name)
       }
@@ -491,17 +520,9 @@ object Dedup {
       val t1000 = math.round(threshold * 1000)
       val name = s"graft_cntprobe_n${n}_t${t1000}_b$tag"
       graft.Tables.ensurePersisted(spark, name) { path =>
-        val den = 1000000L
-        val num = math.round(threshold * den)
-        val m = col("sz") - ceilRational(num, col("sz"), den)
-        val plen = least(col("sz"), lit(2) * m + 1)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-        containmentPostingIndex(spark, dir, n, buckets)
-          .join(containmentDfIndex(spark, dir, n, buckets), Seq("g"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= plen)
-          .select(col("doc_id"), col("g"), col("sz"), m.as("m"), plen.as("plen"))
+        containmentProbeFrame(
+          containmentPostingIndex(spark, dir, n, buckets),
+          containmentDfIndex(spark, dir, n, buckets), threshold)
           .write.bucketBy(buckets, "g")
           .option("path", path).mode("overwrite").saveAsTable(name)
       }

@@ -309,6 +309,104 @@ object Pipelines {
         col(eventTimeCol))
   }
 
+  /** Streaming CONTAINMENT MAINTENANCE — the directed-overlap face of
+    * [[graft.operators.Dedup.incrementalContainmentReport]], completing
+    * the day+night story for the containment family the way
+    * [[streamingClusterLabels]] does for labels: every arriving document
+    * is checked against the accumulated corpus's persisted containment
+    * indexes and emits the EXACT directed cross edges
+    * (contained, container, containment ≥ t) between itself and old
+    * docs, both directions. Same-day (new-new) containment is the
+    * nightly [[graft.operators.Dedup.incrementalContainmentReport]]
+    * run's job — no per-record pass can see pairs whose second member
+    * hasn't arrived — so the composed state equals a full recompute
+    * (spec-pinned) while the stream's own flags are already exact, not
+    * estimates: quarantine decisions taken at ingest never need to be
+    * walked back.
+    *
+    * Candidate generation is gated in BOTH directions so the join never
+    * expands hot-gram postings corpus-wide:
+    *  - NEW-contained-in-OLD: the arrival's pigeonhole probe set — ANY
+    *    min(sz, 2m+1)-subset of its grams keeps the completeness
+    *    guarantee (miss at most m ⇒ at least m+1 of any 2m+1 in the
+    *    container), and the batch op ranks by global df only to shrink
+    *    candidate volume. A stream can't rank per-doc against the
+    *    vocabulary-sized df model without a second stateful pass, so the
+    *    probe subset is chosen per-row in gram-HASH order (deterministic,
+    *    scan-fused) — candidates cost average-df postings instead of
+    *    rarest-df, the documented stream-side trade.
+    *  - OLD-contained-in-NEW: the arrival's full grams match the
+    *    persisted PROBE index (each old doc's rarest ~2m+1 grams with
+    *    its own budget riding the row) — the same gate the batch op's
+    *    cand2 uses, ~plen rows per old doc.
+    * Each gated candidate then verifies EXACTLY against the persisted
+    * shingle index (`array_intersect` with the arrival's own gram array,
+    * which rides its row — never a stream-stream join), so emitted
+    * containments are the batch op's values to the same 4-place
+    * rounding. Scale shape: all three static sides are persisted
+    * bucketed indexes read from disk per micro-batch — the accumulated
+    * 100 TB participates as on-disk state, never as streaming state; the
+    * only stateful operator is the watermark-bounded per
+    * (arrival, event-time, old-doc) collapse of duplicate gate evidence.
+    */
+  def streamingContainmentFlags(docs: DataFrame, posting: DataFrame,
+                                probeIdx: DataFrame, shingleIdx: DataFrame,
+                                eventTimeCol: String, delay: String,
+                                n: Int = 3,
+                                threshold: Double = 0.9): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.GraftFunctions.{normalizeText, shinglesFromTokens, tokens}
+    val den = 1000000L
+    val num = math.round(threshold * den)
+    // watermark at the SOURCE, before the gate joins: an arrival that
+    // matches nothing still advances the watermark (an inner-join-side
+    // watermark would stall append emission until a matching doc arrives)
+    val base = docs
+      .withWatermark(eventTimeCol, delay)
+      .withColumn("__ns",
+        shinglesFromTokens(tokens(normalizeText(col("text"))), n))
+      .select(col("doc_id").as("a"), col(eventTimeCol), col("__ns").as("ns"),
+        size(col("__ns")).cast("long").as("sza"))
+      .filter(col("sza") > 0) // gram-less docs are never a containment side
+    val m = col("sza") - Dedup.ceilRational(num, col("sza"), den)
+    val plen = least(col("sza"), lit(2) * m + 1)
+    // the hash-ordered pigeonhole probe subset, chosen scan-fused per row
+    val withProbe = base.withColumn("pg",
+      slice(array_sort(transform(col("ns"),
+        g => struct(xxhash64(g).as("h"), g.as("g")))), lit(1), plen.cast("int")))
+    val ev1 = withProbe
+      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"),
+        explode(col("pg.g")).as("g"))
+      .join(posting.select(col("doc_id").as("x"), col("g")), Seq("g"))
+      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"), col("x"))
+    val ev2 = base
+      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"),
+        explode(col("ns")).as("g"))
+      .join(probeIdx.select(col("doc_id").as("x"), col("g")), Seq("g"))
+      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"), col("x"))
+    val scored = ev1.unionByName(ev2)
+      .join(shingleIdx.select(col("doc_id").as("x"),
+        col("shingles").as("os")), Seq("x"))
+      .select(col("a"), col(eventTimeCol), col("x"), col("sza"),
+        size(col("os")).cast("long").as("szx"),
+        size(array_intersect(col("ns"), col("os"))).cast("long").as("inter"))
+    val agg = scored
+      .groupBy(col("a"), col(eventTimeCol), col("x"))
+      .agg(max(col("sza")).as("sza"), max(col("szx")).as("szx"),
+        max(col("inter")).as("inter"))
+    // both directions emit from the one exact intersection, the batch
+    // op's generator-expression shape
+    val ca = col("inter").cast("double") / col("sza").cast("double")
+    val cx = col("inter").cast("double") / col("szx").cast("double")
+    agg
+      .select(col(eventTimeCol), explode(filter(array(
+        struct(col("a").as("d"), col("x").as("c"), ca.as("v")),
+        struct(col("x").as("d"), col("a").as("c"), cx.as("v"))),
+        s => s.getField("v") >= threshold)).as("p"))
+      .select(col("p.d").as("contained"), col("p.c").as("container"),
+        round(col("p.v"), 4).as("containment"), col(eventTimeCol))
+  }
+
   /** Streaming SIMILARITY ALERTS — the ANN twin of
     * [[streamingNearDupMatches]]: a stream of query vectors probes the
     * PERSISTED partitioned ANN index

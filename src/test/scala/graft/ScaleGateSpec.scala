@@ -113,6 +113,99 @@ class ScaleGateSpec extends AnyFunSuite {
     }
   }
 
+  test("the incremental flatness gate: ∝-batch cost passes at any raw factor, blown per-doc cost violates") {
+    // dedup_containment_incremental's committed 100x row: factor 104 with
+    // the batch itself grown 100x — per-batch-doc cost ~flat (1.04x),
+    // clean even though 104 is near the 120 raw gate. The same op at the
+    // same raw factor with a batch that only grew 10x would be ~10x per
+    // batch doc — a corpus-proportional term hiding in the batch, flagged
+    // REGARDLESS of its notes entry (the raw-factor allowlist must not
+    // excuse a broken ∝-batch contract).
+    val flat = Seq(("dedup_containment_incremental", 4.0, 416.0)) // 104x
+    assert(ScaleBench100.incrementalFlatViolations(flat, 1000L, 100000L).isEmpty)
+    assert(ScaleBench100.incrementalFlatViolations(flat, 1000L, 10000L) ==
+      Seq("dedup_containment_incremental"))
+    // non-incremental names never reach this gate
+    assert(ScaleBench100.incrementalFlatViolations(
+      Seq(("dedup_containment_report", 4.0, 416.0)), 1000L, 10000L).isEmpty)
+    // boundary: exactly the bound passes, epsilon above fails
+    val b = ScaleBench100.IncrementalFlatBound
+    assert(ScaleBench100.incrementalFlatViolations(
+      Seq(("dedup_clusters_incremental", 1.0, b * 100)), 1000L, 100000L).isEmpty)
+    assert(ScaleBench100.incrementalFlatViolations(
+      Seq(("dedup_clusters_incremental", 1.0, b * 100 + 1)), 1000L, 100000L)
+      == Seq("dedup_clusters_incremental"))
+    // the unit itself: 416 s over 100k batch docs = 4.16 ms/doc
+    assert(math.abs(ScaleBench100.perBatchDocMs(416.0, 100000L) - 4.16) < 1e-9)
+  }
+
+  test("every incremental-contract name is on the 100x panel and a registered query") {
+    // the flatness gate only fires on measured rows — an IncrementalBatch
+    // name missing from the panel would silently skip its ∝-batch check
+    val off = ScaleBench100.IncrementalBatch.filterNot(ScaleBench100.Panel.contains)
+    assert(off.isEmpty, s"incremental-contract names not on the 100x panel: $off")
+    val unregistered = ScaleBench100.IncrementalBatch.filterNot(SparkEntry.queries.contains)
+    assert(unregistered.isEmpty, s"not registered queries: $unregistered")
+  }
+
+  test("committed BENCH_SCALE100.json (if present) carries the per-batch-doc fields for incremental rows") {
+    val f = new java.io.File("BENCH_SCALE100.json")
+    if (f.exists()) {
+      val json = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      import org.json4s._
+      implicit val fmts: Formats = DefaultFormats
+      val parsed = org.json4s.jackson.JsonMethods.parse(json)
+      val queries = (parsed \ "queries").extract[Map[String, JValue]]
+      ScaleBench100.IncrementalBatch.foreach { n =>
+        queries.get(n).foreach { row =>
+          // a COMPLETED incremental row must carry the machine-checkable
+          // ∝-batch fields and be inside the bound
+          if ((row \ "scale_x").extractOpt[Double].exists(_ > 0)) {
+            val flat = (row \ "per_batch_doc_flat_x").extractOpt[Double]
+            assert(flat.isDefined, s"$n row lacks per_batch_doc_flat_x")
+            assert(flat.get <= ScaleBench100.IncrementalFlatBound,
+              s"$n per-batch-doc cost grew ${flat.get}x (> ${ScaleBench100.IncrementalFlatBound})")
+          }
+        }
+      }
+    }
+  }
+
+  test("committed BENCH_SCALE.json (if present) covers the whole registry — no query skips the 10x gate") {
+    // the 10x artifact is only a gate if membership is exhaustive: a
+    // query registered after the last refresh would otherwise silently
+    // skip scale grading until someone notices. Every registered query
+    // (and every forced code-path extra) must appear either in the 10x
+    // panel rows or in the small-only map — and a small-only entry whose
+    // warm time is over the promotion cutoff proves the artifact was
+    // built with different promotion rules than the code now has.
+    val f = new java.io.File("BENCH_SCALE.json")
+    if (f.exists()) {
+      val json = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      import org.json4s._
+      implicit val fmts: Formats = DefaultFormats
+      val parsed = org.json4s.jackson.JsonMethods.parse(json)
+      def keys(field: String): Set[String] = (parsed \ field) match {
+        case JObject(fs) => fs.map(_._1).toSet
+        case _ => Set.empty
+      }
+      val covered = keys("queries") ++ keys("small_only_warm_s")
+      val required = SparkEntry.queries.keySet ++ ScaleBench.Extras.keySet
+      val missing = (required -- covered).toSeq.sorted
+      assert(missing.isEmpty,
+        s"queries absent from BENCH_SCALE.json (refresh the 10x artifact): $missing")
+      val demoted = (parsed \ "small_only_warm_s") match {
+        case JObject(fs) => fs.collect {
+          case (n, JDouble(v)) if v > ScaleBench.SlowCutoffSec => n
+          case (n, JInt(v)) if v.toDouble > ScaleBench.SlowCutoffSec => n
+        }
+        case _ => Nil
+      }
+      assert(demoted.isEmpty,
+        s"small-only rows over the ${ScaleBench.SlowCutoffSec}s promotion cutoff: $demoted")
+    }
+  }
+
   test("committed BENCH_SCALE.json (if present) carries no gate violations") {
     val f = new java.io.File("BENCH_SCALE.json")
     if (f.exists()) {

@@ -1007,4 +1007,78 @@ class StreamingSpec extends SparkSpec {
         s"doc $id (no same-batch peer): provisional ${provisional(id)} != final ${nightly(id)}")
     }
   }
+
+  test("day+night containment composition: stream exact cross flags + nightly incremental == full recompute") {
+    // the directed-overlap sibling of the label composition above:
+    // during the day, arriving docs probe the persisted containment
+    // indexes (posting + probe + shingles, zero corpus-side streaming
+    // state) and emit directed containment edges against the
+    // accumulated corpus; nightly, incrementalContainmentReport merges
+    // the day's batch into the persisted report. The stream's flags are
+    // EXACT (gated candidates, array-intersect verify), not estimates —
+    // they must equal the full relation's cross (batch↔old) slice to
+    // the containment value, and the composed nightly state must equal
+    // a full recompute. Same-batch (new-new) pairs are the nightly
+    // run's refinement gap by construction; the fixture must exercise
+    // it (sf0.001 at t=0.9 holds 24 cross pairs and 2 new-new pairs).
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{count, lit}
+    val sf = "/root/testdata/sf0.001"
+    val t = 0.9
+    val docs = Tables.load(spark, sf, "documents")
+    val isBatch = $"doc_id" % 10 >= 8
+    val old = docs.filter(!isBatch)
+    val posting = Dedup.containmentPostingFrame(old, 3)
+    val dfModel = posting.groupBy($"g").agg(count(lit(1)).as("df"))
+    val probeIdx = Dedup.containmentProbeFrame(posting, dfModel, t)
+    val shIdx = Dedup.shingleIndex(spark, sf, 3).filter($"doc_id" % 10 < 8)
+    val batchIds = docs.filter(isBatch).select($"doc_id").as[Long].collect().toSet
+
+    // DAY: the batch arrives on a real stream, two micro-batches
+    val ts = new Timestamp(1000000L)
+    val arrivals = docs.filter(isBatch)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, tx) => (id, tx, ts) }.toIndexedSeq
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Pipelines.startMemorySink(
+      Pipelines.streamingContainmentFlags(
+        mem.toDF().toDF("doc_id", "text", "ts"), posting, probeIdx, shIdx,
+        "ts", "1 minute", 3, t),
+      "compose_containment_t", OutputMode.Append)
+    val streamed = try {
+      val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData((99999999L, "window advance",
+        new Timestamp(ts.getTime + 3600L * 1000L)))
+      q.processAllAvailable()
+      spark.table("compose_containment_t")
+        .select($"contained", $"container", $"containment")
+        .as[(Long, Long, Double)].collect().toSet
+    } finally q.stop()
+
+    // the stream's contract: EXACTLY the cross slice of the full
+    // directed relation — recall by the pigeonhole gates (any
+    // min(sz, 2m+1)-subset completeness + the persisted probe index),
+    // precision by the array-intersect verify
+    val full = Dedup.containmentPairs(docs, 3, t)
+      .as[(Long, Long, Double)].collect().toSet
+    val cross = full.filter { case (a, b, _) => batchIds(a) != batchIds(b) }
+    val newNew = full.filter { case (a, b, _) => batchIds(a) && batchIds(b) }
+    assert(cross.nonEmpty, "fixture lost its cross containment pairs")
+    assert(newNew.nonEmpty,
+      "fixture lost its same-batch pairs — the nightly refinement gap is unexercised")
+    assert(streamed == cross,
+      s"stream flags diverge from the exact cross relation: missing=${
+        (cross -- streamed).take(5)} extra=${(streamed -- cross).take(5)}")
+
+    // NIGHT: the incremental merge == a full recompute of the report
+    val nightly = Dedup.incrementalContainmentReport(spark, sf, 3, t)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val fullReport = Dedup.containmentReport(docs, 3, t)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(nightly == fullReport,
+      s"composed nightly state diverges from the full recompute: ${
+        nightly.diff(fullReport).take(5)} / ${fullReport.diff(nightly).take(5)}")
+  }
 }
