@@ -121,7 +121,7 @@ object ScaleBench {
     "linear_bar" ->
       "scale_x ~ 10 is linear in rows; < 10 is sublinear (fixed overhead amortizing)",
     "dedup_char_jaccard_pairs" ->
-      "exact all-pairs jaccard on a FIXED-vocabulary corpus is the adversarial case (posting lists grow with the corpus). Round 8 measured it at 56x for 10x docs, then fixed it: length-bucketed prefix join keys + a measured-vocabulary bitmap verify (popcount(AND) per candidate instead of a posting-expansion join) brought it to ~5x. The unbounded-vocab posting path is measured separately as dedup_char_jaccard_posting. At 100x (500k docs) the candidate set itself grows quadratically on this fixture and the candidate-proportional verify shuffle exceeds single-box disk (disk_capped >=74x in BENCH_SCALE100) - the at-scale answer is not a bigger box but bounded-output composition: the funnel that exact-collapses before the fuzzy tier measures 9.1x at 100x on the same corpus",
+      "exact all-pairs jaccard on a FIXED-vocabulary corpus is the adversarial case (posting lists grow with the corpus). Round 8 measured it at 56x for 10x docs, then fixed it: length-bucketed prefix join keys + a measured-vocabulary bitmap verify (popcount(AND) per candidate instead of a posting-expansion join) brought it to ~5x. The unbounded-vocab posting path is measured separately as dedup_char_jaccard_posting. At 100x (500k docs) the candidate set itself grows quadratically on this fixture; round 13's build-side AUTO-SLICING (charJaccardPairsAuto: 8 sequential jobs, value-identical) removed the single-box DISK bound the r12 run hit at 363s (disk_capped >=61x), so the verdict is now a pure compute timebox (>=130x) - candidate volume is quadratic-ish work no one box clears inside the cap; a cluster divides the slice jobs across nodes, and the at-scale answers stay bounded-output composition (funnel 9.1x) and the LSH twin",
     "dedup_char_jaccard_posting" ->
       "the unbounded-vocabulary branch (forced by capping the bitmap gate at 0), measured so the 100 TB default stays honest: round 9 replaced the posting-expansion count-join (measured 38x at 10x docs — candidate x posting rows re-shuffled) with per-doc gram arrays + size(array_intersect), which ships each near-threshold candidate's two doc arrays once; remaining factor tracks candidate growth on this fixed-vocabulary adversarial corpus. At 100x the gram-array candidate shuffle exceeds single-box disk (disk_capped >=24x in BENCH_SCALE100), same quadratic-candidate root cause as the bitmap form",
     "dedup_jaccard_pairs" ->
@@ -143,7 +143,7 @@ object ScaleBench {
     "dedup_containment_incremental" ->
       "persisted-state EXACT containment maintenance: the timed pass ranks the batch's grams against the persisted df model, pigeonhole-probes the g-bucketed posting/probe indexes in both directions, exact-verifies one intersection count per candidate, and full-outer-merges into yesterday's persisted report. Cost tracks BATCH-involved candidate volume - on the hot-vocabulary fixture that term is quadratic-ish in the batch (the same adversarial shape that disk-caps the full pair relation), but the corpus-sized old-old relation is never recomputed and the corpus is never re-shingled; the registered 20% batch is a worst-case daily increment. Untimed prewarm builds yesterday's report container-SLICED (containmentReportSliced: S sequential jobs, each holding 1/S of the candidate shuffle - the build path for the state the full recompute cannot materialize on one box at 100x)",
     "dedup_containment_report" ->
-      "bounded-output form of dedup_containment: output-quadratic duplicate-family growth is defused (2.2x at 10x vs the pair form's 5.9x) and its longer gate-derived cap (130 x 8.7s small) let the rep-level candidate stage run 731s before exhausting the box's ~65 GB shuffle space (disk_capped >=84.5x; the pair form's 340s timebox cuts the same stage earlier). The binding resource at 100x is CANDIDATE volume, not output: the word-shuffle replication leaves ~500k unique texts (only 1-3-word docs collapse as exact duplicates), and exact directed containment over them is pigeonhole-gated but still candidate-proportional on a hot-vocabulary corpus. Single-box disk is the environmental bound - cluster shuffle space scales with nodes - and the approximate at-scale gate for this family is LSH banding (corpus_decontaminate_fuzzy's shape), not exact posting containment",
+      "bounded-output form of dedup_containment: output-quadratic duplicate-family growth is defused (2.2x at 10x vs the pair form's 5.9x). The binding resource at 100x is CANDIDATE volume, not output: the word-shuffle replication leaves ~500k unique texts (only 1-3-word docs collapse as exact duplicates), and exact directed containment over them is pigeonhole-gated but still candidate-proportional on a hot-vocabulary corpus. Round 12's one-plan build exhausted the box's ~65 GB shuffle space at 731s (disk_capped >=84.5x); round 13 routes the registered query through the container-SLICED build (containmentReportAuto: 8 sequential jobs, each holding 1/8 of the candidate shuffle, value-identical), which removed the disk bound (peak spill observed well under capacity) - the verdict is now a pure compute timebox (>=130x): the candidate/verify work itself exceeds what 32 cores clear inside the cap, and a cluster completes it by running the slice jobs across nodes. The at-scale gates for this family stay the LSH twin (dedup_containment_report_lsh, 8.3x) and the persisted-index incremental path (flat per-batch-doc cost)",
     "dedup_char_jaccard_clusters" ->
       "bounded-output twin over the char-gram jaccard relation: label output is linear and exact-dup families collapse, but this family's 100x limit is CANDIDATE volume, not output - the fixed ~6.8k 7-gram vocabulary over ~500k unique word-shuffled texts makes the rep-level PPJoin candidate shuffle itself quadratic-ish, and it exhausts the box's ~65 GB shuffle space (disk_capped >=50.4x) exactly like the pair forms (>=61x/>=24x). Collapse can only remove byte-identical texts; at 10x (where the shuffle fits) the twin grades 3.96x. Same environmental bound and same at-scale answer as dedup_char_jaccard_pairs: shuffle space scales with cluster nodes, and duplicate-family-driven corpora (the shape the twins target) collapse before the join",
     "sim_knn_join" ->
