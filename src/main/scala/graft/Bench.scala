@@ -195,7 +195,12 @@ object Bench {
     val singlePasses = if (fullMode) "6" else "3"
     val extras = if (fullMode) "2" else "0"
     var singleDetails = Vector.empty[(String, org.json4s.JValue)]
-    var queue: Seq[String] = names
+    // SLOWEST FIRST (prior-round warm estimate, name-tiebroken): when the
+    // budget degrades, what falls through to the drain child's cold pass
+    // must be the cheap tail — r13's alphabetical order left the 25
+    // slowest queries (the dedup family the 2× bar cares most about) on
+    // drain-cold numbers while 117 sub-second queries got warm children
+    var queue: Seq[String] = names.sortBy(n => (-est(n), n))
     var singleObs = Vector.empty[Double] // observed single-child durations
     while (queue.nonEmpty && (fullMode || {
       val head = queue.head

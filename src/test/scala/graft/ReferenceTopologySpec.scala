@@ -303,6 +303,12 @@ class ReferenceTopologySpec extends SparkSpec {
     val id4 = Pipelines.streamInstanceId(spark, ck4)
     assert(Pipelines.streamInstanceId(spark, s"$ck4/") == id4)
     assert(Pipelines.streamInstanceId(spark, ck4.replace("/graft_", "//graft_")) == id4)
+    // r13 advisory: the mint-lock map must not grow one entry per
+    // checkpoint for the life of the driver — every mint above (race
+    // pool included) has published its id, so every lock is evictable
+    // and the map must be empty again
+    assert(Pipelines.mintLockCount == 0,
+      s"mint locks leaked: ${Pipelines.mintLockCount} entries after all mints published")
   }
 
   test("applyUpsert disk face equals the pure upsertResult merge") {

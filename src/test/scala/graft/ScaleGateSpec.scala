@@ -137,6 +137,15 @@ class ScaleGateSpec extends AnyFunSuite {
       == Seq("dedup_clusters_incremental"))
     // the unit itself: 416 s over 100k batch docs = 4.16 ms/doc
     assert(math.abs(ScaleBench100.perBatchDocMs(416.0, 100000L) - 4.16) < 1e-9)
+    // r13 advisory: an UNMEASURABLE denominator (empty/misread batch
+    // slice → count <= 0) is a violation for a completed incremental
+    // row, never a silent clean grade off perBatchDocMs' -1 sentinel
+    assert(ScaleBench100.incrementalFlatViolations(flat, 0L, 100000L) ==
+      Seq("dedup_containment_incremental"))
+    assert(ScaleBench100.incrementalFlatViolations(flat, 1000L, 0L) ==
+      Seq("dedup_containment_incremental"))
+    assert(ScaleBench100.incrementalFlatViolations(flat, -1L, -1L) ==
+      Seq("dedup_containment_incremental"))
   }
 
   test("every incremental-contract name is on the 100x panel and a registered query") {
