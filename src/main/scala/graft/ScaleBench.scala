@@ -145,7 +145,7 @@ object ScaleBench {
     "dedup_containment_report" ->
       "bounded-output form of dedup_containment: output-quadratic duplicate-family growth is defused (2.2x at 10x vs the pair form's 5.9x). The binding resource at 100x is CANDIDATE volume, not output: the word-shuffle replication leaves ~500k unique texts (only 1-3-word docs collapse as exact duplicates), and exact directed containment over them is pigeonhole-gated but still candidate-proportional on a hot-vocabulary corpus. Round 12's one-plan build exhausted the box's ~65 GB shuffle space at 731s (disk_capped >=84.5x); round 13 routes the registered query through the container-SLICED build (containmentReportAuto: 8 sequential jobs, each holding 1/8 of the candidate shuffle, value-identical), which removed the disk bound (peak spill observed well under capacity) - the verdict is now a pure compute timebox (>=130x): the candidate/verify work itself exceeds what 32 cores clear inside the cap, and a cluster completes it by running the slice jobs across nodes. The at-scale gates for this family stay the LSH twin (dedup_containment_report_lsh, 8.3x) and the persisted-index incremental path (flat per-batch-doc cost)",
     "dedup_char_jaccard_clusters" ->
-      "bounded-output twin over the char-gram jaccard relation: label output is linear and exact-dup families collapse, but this family's 100x limit is CANDIDATE volume, not output - the fixed ~6.8k 7-gram vocabulary over ~500k unique word-shuffled texts makes the rep-level PPJoin candidate shuffle itself quadratic-ish, and it exhausts the box's ~65 GB shuffle space (disk_capped >=50.4x) exactly like the pair forms (>=61x/>=24x). Collapse can only remove byte-identical texts; at 10x (where the shuffle fits) the twin grades 3.96x. Same environmental bound and same at-scale answer as dedup_char_jaccard_pairs: shuffle space scales with cluster nodes, and duplicate-family-driven corpora (the shape the twins target) collapse before the join",
+      "bounded-output twin over the char-gram jaccard relation: label output is linear and exact-dup families collapse, but this family's 100x limit is CANDIDATE volume, not output - the fixed ~6.8k 7-gram vocabulary over ~500k unique word-shuffled texts makes the rep-level PPJoin candidate shuffle itself quadratic-ish. Round 14 routed the edge relation through charJaccardPairsAuto's staged disjoint build-side slices (closure over the value-identical union), which removed the single-box DISK bound (r13: disk_capped >=50.4x at 388s) - the row is now a pure compute timebox (>=130x at the 882s cap), the same verdict as dedup_char_jaccard_pairs: quadratic-ish candidate work a cluster divides across nodes by spreading the slice jobs. At 10x (where one plan fits) the twin grades 3.96x; duplicate-family-driven corpora (the shape the twins target) collapse before the join",
     "sim_knn_join" ->
       "adaptive band width p = max(8, ceil(log2(n/8))) holds per-band bucket population flat as the corpus grows — round 8 measured the fixed-width form at 21x for 10x rows and retired it to spec-level contrast; the registered adaptive query measures ~2x",
     "sim_ivf_topk_sampled" ->
