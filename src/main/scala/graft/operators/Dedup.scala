@@ -921,6 +921,30 @@ object Dedup {
     math.min(NumHashes, RowsPerBand << k)
   }
 
+  /** [[autoRowsPerBand]] under a RECALL-FLOOR cap: the schedule's width,
+    * clamped to `maxRowsPerBand` (itself clamped to a signature-tiling
+    * width in [RowsPerBand, NumHashes]). The r14 recall curve
+    * (CharLshWidthRecallSpec: near-threshold recall 63%/22%/7% at
+    * rp = 4/8/16) made the doubling schedule's trade a number; this is
+    * the lever for pipelines that must HOLD a recall floor past
+    * [[RebandAt]] without paying the exact form. Cost model: capping at
+    * width `rp` pins per-pair band-collision probability at ~s^rp
+    * (recall stays AT the pinned curve's value for that width at every
+    * corpus size), while candidate volume grows ~n²·s^rp/bucket-space
+    * instead of being held ~flat by the doubling — the caller buys
+    * recall with candidate compute, exactly [[graft.operators.Similarity.knnJoinAuto]]'s
+    * targetBucket trade in the opposite direction.
+    */
+  private[graft] def cappedRowsPerBand(n: Long, maxRowsPerBand: Int): Int = {
+    // clamp the cap itself to a valid tiling width: bands = 16/rp must
+    // tile the signature, so snap DOWN to the nearest power-of-two width
+    // in [RowsPerBand, NumHashes] (a cap below the base width means "the
+    // base width" — there is no finer schedule to hold)
+    val snapped = Integer.highestOneBit(
+      maxRowsPerBand.max(RowsPerBand).min(NumHashes))
+    math.min(autoRowsPerBand(n), snapped)
+  }
+
   /** [[charLshPairs]] with the BAND WIDTH chosen from the corpus size —
     * the [[graft.operators.Similarity.knnJoinAuto]] pattern for the
     * minhash gate. A fixed 4-slot band admits a background pair at
@@ -936,6 +960,13 @@ object Dedup {
     * any downstream EXACT verify ([[editDistancePairs]]' bounded DP)
     * stays exact on whatever the gate admits.
     *
+    * `maxRowsPerBand` is the RECALL-FLOOR cap on that schedule
+    * ([[cappedRowsPerBand]] — cost model there): a pipeline that must
+    * hold, say, the rp = 4 near-threshold recall (63% on the pinned
+    * curve) past [[RebandAt]] passes 4 and pays candidate volume
+    * instead of recall. The default (NumHashes) never binds, so
+    * registered relations are unchanged.
+    *
     * Row count comes from plan statistics when present, else one
     * column-pruned count() — [[graft.operators.Similarity.corpusRows]].
     * UNLIKE knnJoinAuto's purely-tuning knob, the width here changes
@@ -948,9 +979,11 @@ object Dedup {
     * so stats stay free in the common case).
     */
   def charLshPairsAuto(docs: DataFrame, n: Int = 5,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8,
+                       maxRowsPerBand: Int = NumHashes): DataFrame = {
     val (est, fromStats) = Similarity.corpusRows(docs)
-    val rp = autoRowsPerBand(gateRows(est, fromStats, docs.count()))
+    val rp = cappedRowsPerBand(
+      gateRows(est, fromStats, docs.count()), maxRowsPerBand)
     charLshPairsWith(docs, n, threshold, NumHashes / rp, rp)
   }
 

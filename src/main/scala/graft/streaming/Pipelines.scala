@@ -370,9 +370,18 @@ object Pipelines {
                                 eventTimeCol: String, delay: String,
                                 n: Int = 3,
                                 threshold: Double = 0.9,
-                                hotGrams: Seq[String] = Nil): DataFrame = {
+                                hotGrams: Option[Seq[String]] = None): DataFrame = {
+    // DEFAULT path derives the avoid-list from the posting index itself
+    // (r14 verdict: the hash-order fallback is the 56,407-row regime on
+    // hot vocabularies, and the df model the probe order needs is already
+    // implied by the posting relation). One bounded aggregate + ≤256-row
+    // collect at pipeline CONSTRUCTION time — driver-side, once per
+    // stream start, never per micro-batch. Callers opt out explicitly
+    // with Some(Nil) (pure gram-hash order, the documented zero-model
+    // trade) or supply their own ranked list with Some(grams).
+    val hot = hotGrams.getOrElse(derivedHotGrams(posting))
     val cands = streamingContainmentCandidates(docs, posting, probeIdx,
-      eventTimeCol, delay, n, threshold, hotGrams)
+      eventTimeCol, delay, n, threshold, hot)
     // one row per candidate in, one row per candidate out — the verify
     // needs no post-join re-aggregation
     val scored = cands
@@ -393,6 +402,18 @@ object Pipelines {
       .select(col("p.d").as("contained"), col("p.c").as("container"),
         round(col("p.v"), 4).as("containment"), col(eventTimeCol))
   }
+
+  /** The hot-gram avoid-list [[streamingContainmentFlags]] derives when
+    * the caller passes none: the df model aggregated from the persisted
+    * posting index, ranked by [[graft.operators.Dedup.hottestGrams]]
+    * (bounded ≤256 rows, relative-df floored). Factored `private[graft]`
+    * so the gate spec can pin that the DEFAULT path's avoid-list is
+    * non-empty on a hot-vocabulary corpus and buys the measured
+    * gate-volume reduction without caller opt-in.
+    */
+  private[graft] def derivedHotGrams(posting: DataFrame): Seq[String] =
+    graft.operators.Dedup.hottestGrams(
+      posting.groupBy(col("g")).agg(count(lit(1)).as("df")))
 
   /** The CANDIDATE GATE of [[streamingContainmentFlags]], factored so
     * its volume is measurable on its own (the hot-gram spec runs it in
@@ -1342,18 +1363,74 @@ object Pipelines {
     * same checkpoint), where a lock makes adoption deterministic. An
     * entry is only needed during the mint race window — once the id
     * file exists every caller returns at the exists() fast path — so
-    * each successful mint EVICTS its key: a long-lived driver hosting
-    * many streams holds at most the locks of mints in flight, not one
-    * entry per checkpoint forever. (A thread that raced past eviction
-    * into a fresh lock object re-checks exists() inside the critical
-    * section and adopts — the same losers-adopt path as cross-JVM
-    * minters, safe under the rename contract.)
+    * each mint attempt EVICTS its key on completion: a long-lived
+    * driver hosting many streams holds at most the locks of mints in
+    * flight, not one entry per checkpoint forever.
+    *
+    * Eviction is safe ONLY because every critical section first
+    * verifies its lock object is still the map's CURRENT entry
+    * ([[withMintLock]]). Without that check, a FAILED mint's eviction
+    * reopens a same-JVM concurrent-mint window: a waiter still
+    * synchronized on the removed lock object and a new caller on a
+    * fresh lock object both reach the mint path pre-publication — on
+    * HDFS/S3A the rename contract resolves it (loser adopts), but POSIX
+    * local rename OVERWRITES, so two threads of one JVM could adopt
+    * different ids for one checkpoint. The staleness re-check closes
+    * it: a thread that wakes on an evicted lock never runs the mint
+    * body — it retries on the current entry and adopts at exists().
     */
   private val mintLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Visible to the concurrent-mint spec: the live mint-lock count. */
   private[graft] def mintLockCount: Int = mintLocks.size()
+
+  /** Visible to the concurrent-mint spec: whether `key`'s qualified
+    * lock entry is live (the leak assertion scoped to ONE checkpoint,
+    * so a mint in flight on another suite's thread can't flake it).
+    */
+  private[graft] def mintLockHeld(key: String): Boolean =
+    mintLocks.containsKey(key)
+
+  /** The qualified-path lock key [[streamInstanceId]] serializes on,
+    * factored so the spec's scoped leak assertion targets exactly the
+    * entries its own mints would create.
+    */
+  private[graft] def mintLockKey(spark: SparkSession,
+                                 checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+  }
+
+  /** Test seam for the eviction-race interleaving spec: invoked inside
+    * the mint critical section, after the losers-adopt exists() re-check
+    * and before publication — the exact point the post-eviction race
+    * targets. Production no-op.
+    */
+  private[graft] var mintTestHook: String => Unit = _ => ()
+
+  /** Run `body` under the CURRENT mint lock for `key`: acquire the
+    * map's entry, then verify the acquired object is still that entry —
+    * a stale hit (the holder evicted while this thread waited) retries
+    * on the fresh entry instead of minting concurrently beside it. The
+    * entry is evicted on completion (success or failure) while the lock
+    * is still held, so at most one thread ever runs `body` per key at a
+    * time and the map never outlives the race window.
+    */
+  @annotation.tailrec
+  private def withMintLock[T](key: String)(body: => T): T = {
+    val lock = mintLocks.computeIfAbsent(key, _ => new Object)
+    val ran = lock.synchronized {
+      if (mintLocks.get(key) eq lock)
+        try Some(body) finally mintLocks.remove(key, lock)
+      else None
+    }
+    ran match {
+      case Some(t) => t
+      case None => withMintLock(key)(body)
+    }
+  }
 
   private[graft] def streamInstanceId(spark: SparkSession,
                                       checkpoint: String): String = {
@@ -1369,20 +1446,22 @@ object Pipelines {
     // the lock key is the QUALIFIED path, not the raw string: trailing-
     // slash/relative spellings of one checkpoint must serialize on one
     // lock, not mint concurrently under two
-    val lockKey = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(checkpoint)).toString
-    try mintLocks.computeIfAbsent(lockKey, _ => new Object).synchronized {
+    val lockKey = mintLockKey(spark, checkpoint)
+    withMintLock(lockKey) {
       // two minters racing past the exists() probe must both end up on
       // ONE id, never an exception and never a half-written read. The
-      // lock serializes same-JVM minters; across drivers, publication is
-      // write-to-temp + atomic rename, so idPath only ever appears with
-      // its full content and exactly one rename wins under the
-      // rename-refuses-existing-destination contract (HDFS/S3A — what
-      // checkpoints run on; POSIX local rename can overwrite, where the
-      // cross-JVM race narrows to Spark's own no-concurrent-drivers-per-
-      // checkpoint rule). Losers adopt by re-reading.
+      // staleness-checked lock serializes ALL same-JVM minters (a thread
+      // waking on an evicted lock retries, never mints beside the fresh
+      // entry's holder); across drivers, publication is write-to-temp +
+      // atomic rename, so idPath only ever appears with its full content
+      // and exactly one rename wins under the rename-refuses-existing-
+      // destination contract (HDFS/S3A — what checkpoints run on; POSIX
+      // local rename can overwrite, where the cross-JVM race narrows to
+      // Spark's own no-concurrent-drivers-per-checkpoint rule). Losers
+      // adopt by re-reading.
       if (fs.exists(idPath)) readId()
       else {
+        mintTestHook(lockKey)
         val id = java.util.UUID.randomUUID().toString.take(12)
         val tmp = new org.apache.hadoop.fs.Path(
           s"$checkpoint/._GRAFT_STREAM_ID.$id.tmp")
@@ -1401,10 +1480,6 @@ object Pipelines {
         readId()
       }
     }
-    // once the attempt resolves the lock entry would only leak: a
-    // published id short-circuits every future caller at exists(), and a
-    // FAILED mint's retry re-creates the entry — eviction is always safe
-    finally mintLocks.remove(lockKey)
   }
 
   /** One [[startReferenceTopology]] micro-batch, factored so the replay

@@ -111,11 +111,53 @@ class CharLshWidthRecallSpec extends SparkSpec {
     }
   }
 
+  test("maxRowsPerBand caps the schedule at a tiling width — the recall-floor lever") {
+    // width selection is a pure function; the cap must clamp the
+    // doubling schedule without ever breaking signature tiling
+    assert(Dedup.cappedRowsPerBand(500, 16) == 4, "cap above schedule: no-op")
+    assert(Dedup.cappedRowsPerBand(500000, 16) == 8, "default cap never binds")
+    assert(Dedup.cappedRowsPerBand(500000, 4) == 4,
+      "rp=4 cap must hold the fixed width past RebandAt")
+    assert(Dedup.cappedRowsPerBand(Dedup.RebandAt * 300, 8) == 8,
+      "rp=8 cap binds where the schedule would pick 16")
+    assert(Dedup.cappedRowsPerBand(Dedup.RebandAt * 300, 7) == 4,
+      "non-tiling caps snap DOWN to a power-of-two width")
+    assert(Dedup.cappedRowsPerBand(500000, 1) == 4,
+      "caps below the base width mean the base width")
+    assert(Dedup.cappedRowsPerBand(500000, 1000) == 8,
+      "oversized caps clamp to the signature")
+  }
+
+  test("the capped schedule's relation IS charLshPairsWith at the capped width (recall curve carries over)") {
+    // charLshPairsAuto(maxRowsPerBand = rp) delegates to charLshPairsWith
+    // at width cappedRowsPerBand(n, rp) — the same banded relation this
+    // spec's curve is measured on — so the pinned recall at width rp is
+    // exactly what a capped pipeline holds at ANY corpus size: the width
+    // test above pins the selection for huge n, this pins width →
+    // relation on the fixture, and the curve test pins width → recall.
+    val capped = Dedup.charLshPairsAuto(fixture, 5, 0.8, maxRowsPerBand = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val explicit = Dedup.charLshPairsWith(fixture, 5, 0.8, Dedup.NumHashes / 4, 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped == explicit, "capped auto diverges from the explicit width-4 relation")
+    // and the default cap changes nothing on the registered relation
+    val auto = Dedup.charLshPairsAuto(fixture, 5, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(auto == explicit,
+      "default maxRowsPerBand must leave the registered relation unchanged")
+  }
+
   /** The measured near-threshold curve (see the test's info line):
     * recall 63% at the fixed width, 22% after one doubling, 7% after
     * two — each doubling squares the per-band admission term, and the
     * est_sim ≥ t filter discounts all three uniformly.
+    *
+    * Tolerance is ~2σ of the binomial the counts actually are
+    * (n = 60, p ≈ 0.07–0.63 → σ up to ~3.7; the r14 advisory: a ±3 pin
+    * has a large chance of flaking on a Spark hash-internals re-roll
+    * while claiming to absorb exactly that). Structural width changes
+    * move these by TENS — the signal survives the looser band.
     */
   private val PinnedWidthCurve: Map[Int, Int] = Map(4 -> 38, 8 -> 13, 16 -> 4)
-  private val PinTolerance = 3
+  private val PinTolerance = 8
 }

@@ -101,13 +101,15 @@ class ContainmentLshRecallSpec extends SparkSpec {
     Seq(10.0, 20.0, 50.0).foreach { r =>
       assert(byRatio(r) <= 2, s"ratio $r should be near-blind, got ${byRatio(r)}/$NQuotes")
     }
-    // deterministic pins WITH a small per-ratio tolerance (r13 advisory):
+    // deterministic pins WITH a per-ratio tolerance (r13 advisory):
     // the run is seeded, but the seeding rides Spark's hash internals —
     // a Spark upgrade re-rolling the minhash permutations is binomial
     // re-noise, not a banding change, and the recall GUARANTEE already
     // lives in the >=44 / <=2 bounds above. The tolerance only has to
     // catch structural drift (a band-width or fixture change moves the
-    // curve by tens, not ±3).
+    // curve by tens), so it is sized at ~2σ of the binomial the counts
+    // are (n = 50, p up to 0.92 → σ up to ~3.5; the r14 advisory: ±3
+    // was TIGHTER than the noise it claimed to absorb).
     val drift = Ratios.map(r =>
       r -> math.abs(byRatio(r) - PinnedCurve(r))).filter(_._2 > PinTolerance)
     assert(drift.isEmpty,
@@ -122,5 +124,5 @@ class ContainmentLshRecallSpec extends SparkSpec {
   private val PinnedCurve: Map[Double, Int] =
     Map(1.2 -> 46, 2.0 -> 12, 3.0 -> 1, 5.0 -> 0,
       10.0 -> 0, 20.0 -> 0, 50.0 -> 0)
-  private val PinTolerance = 3
+  private val PinTolerance = 8
 }

@@ -92,18 +92,41 @@ class StreamingContainmentGateSpec extends SparkSpec {
 
   test("probe ordering never changes the emitted flags (any-subset completeness)") {
     val shingleIdx = Dedup.shingled(old, N)
-    def flags(hotGrams: Seq[String]): Set[(Long, Long, Double)] =
+    def flags(hotGrams: Option[Seq[String]]): Set[(Long, Long, Double)] =
       Pipelines.streamingContainmentFlags(arrivals, posting, probeIdx,
         shingleIdx, "ts", "1 minute", N, T, hotGrams)
         .select($"contained", $"container", $"containment")
         .as[(Long, Long, Double)].collect().toSet
-    val viaHash = flags(Nil)
-    val viaHot = flags(hot)
+    val viaHash = flags(Some(Nil))
+    val viaHot = flags(Some(hot))
+    val viaDefault = flags(None) // r15: the no-opt-in path derives the avoid-list
     // the copies are contained both ways at 1.0 — 3 arrivals x 2 directions
     assert(viaHash.size == 6 && viaHash.forall(_._3 == 1.0),
       s"expected the 3 verbatim copies flagged both directions at 1.0: $viaHash")
     assert(viaHot == viaHash,
       s"probe ordering changed the flags: ${(viaHot -- viaHash) ++ (viaHash -- viaHot)}")
+    assert(viaDefault == viaHash,
+      s"the derived default ordering changed the flags: ${
+        (viaDefault -- viaHash) ++ (viaHash -- viaDefault)}")
+  }
+
+  test("the DEFAULT path derives a non-empty avoid-list from the posting index and gets the hot-avoiding volume") {
+    // r14 verdict directive: composed pipelines must get the measured
+    // gate reduction WITHOUT caller opt-in. The derived list must match
+    // what a caller ranking the df model by hand would pass, so the
+    // default path's gate volume IS the hot-avoiding one, not the
+    // 56,407-row hash-order regime.
+    val derived = Pipelines.derivedHotGrams(posting)
+    assert(derived.nonEmpty, "derived avoid-list empty on a hot-vocabulary corpus")
+    assert(derived == hot,
+      s"derived list diverges from the df-model ranking: $derived vs $hot")
+    val defaultVol = gateVolume(derived)
+    val hashVol = gateVolume(Nil)
+    info(s"gate-join volume: default(derived) $defaultVol, hash-order $hashVol")
+    assert(defaultVol == gateVolume(hot),
+      "default path's gate volume must equal the explicit hot-avoiding volume")
+    assert(hashVol >= 10 * math.max(defaultVol, 1),
+      s"default path lost the hot-avoiding reduction: hash $hashVol vs default $defaultVol")
   }
 
   test("hottestGrams: bounded, deterministic, and floored at genuinely-hot df") {

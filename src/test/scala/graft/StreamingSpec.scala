@@ -1040,15 +1040,19 @@ class StreamingSpec extends SparkSpec {
       .select($"doc_id", $"text").as[(Long, String)].collect()
       .map { case (id, tx) => (id, tx, ts) }.toIndexedSeq
     val mem = MemoryStream[(Long, String, Timestamp)]
-    // hot-gram-avoiding probe order through a REAL micro-batch run: the
-    // flags must be identical to hash order (any-subset completeness) —
-    // the batch-mode equivalence is pinned in StreamingContainmentGateSpec,
-    // this exercises the ordering + match-count gates under streaming
-    // aggregation semantics
+    // DEFAULT hot-gram-avoiding probe order through a REAL micro-batch
+    // run (r15: the composition no longer opts in — the flags op derives
+    // the avoid-list from the posting index itself): the flags must be
+    // identical to hash order (any-subset completeness) — the batch-mode
+    // equivalence and the derived-list/gate-volume pins live in
+    // StreamingContainmentGateSpec, this exercises the ordering +
+    // match-count gates under streaming aggregation semantics
+    assert(Pipelines.derivedHotGrams(posting).nonEmpty,
+      "the composition's default avoid-list must be non-empty on this fixture")
     val q = Pipelines.startMemorySink(
       Pipelines.streamingContainmentFlags(
         mem.toDF().toDF("doc_id", "text", "ts"), posting, probeIdx, shIdx,
-        "ts", "1 minute", 3, t, hotGrams = Dedup.hottestGrams(dfModel)),
+        "ts", "1 minute", 3, t),
       "compose_containment_t", OutputMode.Append)
     val streamed = try {
       val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
