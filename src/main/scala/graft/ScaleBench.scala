@@ -104,10 +104,21 @@ object ScaleBench {
     // measures ~6.8k distinct 7-grams, under the cap, so the registered
     // query always rides the bitmap path; forcing the cap to 0 makes the
     // measured vocabulary exceed it and times the unbounded-vocab plan.
+    // Routed through the AUTO-SLICED form (r15, the r14 verdict's top
+    // directive): the forced unbounded-vocab verify branch used to run
+    // the whole candidate shuffle in ONE plan and was the last 100x row
+    // to exhaust single-box disk (403 s, >=95.6x lower bound).
+    // charJaccardPairsAuto stages the same relation as 8 sequential
+    // disjoint build-side slice jobs past RebandAt — value-identical by
+    // the a<b-lands-once argument (jaccardPairsOver applies the slice to
+    // BOTH verify branches, so the gram-array intersect path slices
+    // exactly like the bitmap path) — leaving each job ~1/8 of the
+    // candidate volume, the same discipline that flipped the bitmap
+    // form's row from disk-cap to pure compute timebox in r14.
     "dedup_char_jaccard_posting" -> ((s, d) => {
       val saved = graft.operators.Dedup.BitmapVocabCap
       graft.operators.Dedup.BitmapVocabCap = 0L
-      try graft.operators.Dedup.charJaccardPairs(
+      try graft.operators.Dedup.charJaccardPairsAuto(
         Tables.load(s, d, "documents"), 7, 0.9)
       finally graft.operators.Dedup.BitmapVocabCap = saved
     }))
@@ -123,7 +134,7 @@ object ScaleBench {
     "dedup_char_jaccard_pairs" ->
       "exact all-pairs jaccard on a FIXED-vocabulary corpus is the adversarial case (posting lists grow with the corpus). Round 8 measured it at 56x for 10x docs, then fixed it: length-bucketed prefix join keys + a measured-vocabulary bitmap verify (popcount(AND) per candidate instead of a posting-expansion join) brought it to ~5x. The unbounded-vocab posting path is measured separately as dedup_char_jaccard_posting. At 100x (500k docs) the candidate set itself grows quadratically on this fixture; round 13's build-side AUTO-SLICING (charJaccardPairsAuto: 8 sequential jobs, value-identical) removed the single-box DISK bound the r12 run hit at 363s (disk_capped >=61x), so the verdict is now a pure compute timebox (>=130x) - candidate volume is quadratic-ish work no one box clears inside the cap; a cluster divides the slice jobs across nodes, and the at-scale answers stay bounded-output composition (funnel 9.1x) and the LSH twin",
     "dedup_char_jaccard_posting" ->
-      "the unbounded-vocabulary branch (forced by capping the bitmap gate at 0), measured so the 100 TB default stays honest: round 9 replaced the posting-expansion count-join (measured 38x at 10x docs — candidate x posting rows re-shuffled) with per-doc gram arrays + size(array_intersect), which ships each near-threshold candidate's two doc arrays once; remaining factor tracks candidate growth on this fixed-vocabulary adversarial corpus. At 100x the gram-array candidate shuffle exceeds single-box disk (disk_capped >=24x in BENCH_SCALE100), same quadratic-candidate root cause as the bitmap form",
+      "the unbounded-vocabulary branch (forced by capping the bitmap gate at 0), measured so the 100 TB default stays honest: round 9 replaced the posting-expansion count-join (measured 38x at 10x docs — candidate x posting rows re-shuffled) with per-doc gram arrays + size(array_intersect), which ships each near-threshold candidate's two doc arrays once; remaining factor tracks candidate growth on this fixed-vocabulary adversarial corpus. Round 15 routed the probe through charJaccardPairsAuto's staged disjoint build-side slices (8 sequential jobs past RebandAt, value-identical — the slice applies to BOTH verify branches), removing the single-box DISK bound the one-plan form hit at 403s (r14: disk_capped >=95.6x); the verdict is now the family's pure compute timebox (>=130x) — quadratic-ish candidate work a cluster divides by spreading the slice jobs",
     "dedup_jaccard_pairs" ->
       "word-shingle exact jaccard: same engine as the char variant; the word vocabulary grows with the corpus (Heaps law), so posting lists stay shorter and the factor lower than the fixed-vocab char case at 10x (2.8x). At 100x the bag-preserving replication catches up with it: every word-shuffled copy is an EXACT word-jaccard duplicate of its original, so correct output is quadratic in copy count (100-cliques -> ~4950 pairs each) and the pair form timeboxes >=130x - cluster emission is the at-scale shape",
     "dedup_char_lsh_skewed" ->
@@ -172,13 +183,41 @@ object ScaleBench {
     "corpus_incremental_curation" ->
       "three fp/hash-keyed wide ops (diff join, v1 anti-join, keep-min); text never leaves the scan")
 
+  /** A machine-readable gate adjudication for a row that legitimately
+    * hovers at the threshold: `expected` names the cost shape, `bandX`
+    * is the largest factor consistent with it (noise margin included),
+    * and `atScaleTwin` names the registered form that removes the term
+    * entirely. r14 verdict: `join_revenue_by_status` brushed the 12×
+    * gate three rounds running with the adjudication living in prose —
+    * these fields ride the artifact row JSON, and the gate honors the
+    * BAND for annotated rows instead of the binary notes allowlist, so
+    * a reading past the documented expectation fails even though the
+    * name is noted.
+    */
+  final case class Adjudication(expected: String, bandX: Double,
+                                atScaleTwin: Option[String])
+
+  val adjudications: Map[String, Adjudication] = Map(
+    "join_revenue_by_status" -> Adjudication(
+      expected = "linear",
+      // both join sides are replicated fact tables: shuffled bytes and
+      // matched rows grow exactly 10x, so the expectation IS the linear
+      // bar; 15 = 10x-linear + the same sub-noise margin every reading
+      // since round 9 has stayed inside (10.2 / 12.7 / 11.6 / 11.85)
+      bandX = 15.0,
+      atScaleTwin = Some("join_revenue_by_status_bucketed")))
+
   /** The gate: measured rows whose factor exceeds [[GateThreshold]]
-    * without a [[notes]] justification. Pure so the spec can pin it.
+    * without a [[notes]] justification — except ADJUDICATED rows
+    * ([[adjudications]]), which are graded against their expectation
+    * band: inside it they pass at any reading, past it they violate
+    * regardless of their notes entry. Pure so the spec can pin it.
     */
   def gateViolations(rows: Seq[(String, Double)]): Seq[String] =
     rows.collect {
-      case (name, factor) if factor > GateThreshold && !notes.contains(name) =>
-        name
+      case (name, factor) if adjudications.get(name).fold(
+        factor > GateThreshold && !notes.contains(name))(
+        a => factor > a.bandX) => name
     }
 
   /** Queries measured on the 10× panel whose factor is -1 — i.e. a run
@@ -376,7 +415,14 @@ object ScaleBench {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qjson = rows.map { case ((n, s, b, f), reprobed) =>
       val extra = if (reprobed) ""","reprobed":true""" else ""
-      f""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100}$extra}"""
+      // adjudicated rows carry their expectation in the artifact itself,
+      // so a future over-threshold reading is graded against the
+      // documented band, not re-litigated from prose
+      val adj = adjudications.get(n).fold("") { a =>
+        val twin = a.atScaleTwin.fold("")(t => s""","at_scale_twin":"$t"""")
+        s""","expected":"${esc(a.expected)}","expected_band_x":${a.bandX}$twin"""
+      }
+      f""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100}$extra$adj}"""
     }.mkString("{", ",", "}")
     val smallOnly = small.toSeq.sortBy(_._1).filterNot(kv => bigSet(kv._1))
       .map { case (n, s) => s""""$n":${math.rint(s * 1000) / 1000}""" }
@@ -471,21 +517,60 @@ object ScaleBench100 {
   def timeboxViolations(capped: Seq[String]): Seq[String] =
     capped.filterNot(ScaleBench.notes.contains)
 
-  /** Queries whose cost contract is "∝ the DAILY BATCH, not the corpus":
-    * both maintain persisted state against the batch slice
-    * (doc_id % 10 ≥ 8), which the replication grows with the corpus —
-    * so their RAW factor tracks batch growth (∼100 at 100×) by design,
-    * and the 120× threshold would misfire the day a batch-linear op's
-    * batch grows faster than the corpus. These rows are graded on
-    * PER-BATCH-DOC FLATNESS instead (a first-class artifact field, not
-    * a notes narrative): cost-per-batch-doc at 100× may exceed the
-    * small-scale cost by at most [[IncrementalFlatBound]], and the raw
-    * factor is exempt from the notes gate. The flatness gate is
-    * notes-INDEPENDENT — a blown per-batch-doc cost is a violation even
-    * for an allowlisted name.
+  /** Queries whose cost contract is "∝ the DAILY BATCH (or changeset),
+    * not the corpus": each maintains persisted state against a batch
+    * slice the replication grows with the corpus — so their RAW factor
+    * tracks batch growth (∼100 at 100×) by design, and the 120×
+    * threshold would misfire the day a batch-linear op's batch grows
+    * faster than the corpus. These rows are graded on PER-BATCH-ITEM
+    * FLATNESS instead (a first-class artifact field, not a notes
+    * narrative): cost-per-batch-item at 100× may exceed the small-scale
+    * cost by at most [[IncrementalFlatBound]], and the raw factor is
+    * exempt from the notes gate. The flatness gate is
+    * notes-INDEPENDENT — a blown per-item cost is a violation even for
+    * an allowlisted name.
+    *
+    * r14 verdict directive: the contract covers EVERY `*_incremental`
+    * registered query (ScaleGateSpec enumerates them against this map),
+    * each with ITS OWN measured denominator — the batch slice the op
+    * actually processes:
+    *  - the three dedup incrementals ingest the `doc_id % 10 ≥ 8`
+    *    document slice;
+    *  - `sim_ivf_incremental` assigns the `vec_id % 10 ≥ 8` embedding
+    *    slice;
+    *  - `corpus_incremental_curation` diffs two snapshot views — its
+    *    batch is the CHANGESET (v2 docs added or fingerprint-changed:
+    *    `% 13 ≠ 5 ∧ (% 11 = 3 ∨ % 17 = 2)`), the rows its anti-join +
+    *    keep-min actually work over (the fp scan itself is
+    *    corpus-linear, which the flatness grade absorbs: the changeset
+    *    grows with the corpus by fixture construction);
+    *  - `agg_incremental_revenue` folds the batch ORDER slice
+    *    (`o_orderkey % 10 ≥ 8`) into persisted partials — its items are
+    *    the lineitem rows joining that slice.
     */
-  val IncrementalBatch: Set[String] =
-    Set("dedup_clusters_incremental", "dedup_containment_incremental")
+  val BatchCount: Map[String, (SparkSession, String) => Long] = {
+    val docBatch: (SparkSession, String) => Long = (s, d) =>
+      graft.Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 10 >= 8).count()
+    Map(
+      "dedup_clusters_incremental" -> docBatch,
+      "dedup_containment_incremental" -> docBatch,
+      "dedup_incremental" -> docBatch,
+      "sim_ivf_incremental" -> ((s, d) =>
+        graft.Tables.load(s, d, "embeddings")
+          .filter(pmod(col("vec_id"), lit(10)) >= 8).count()),
+      "corpus_incremental_curation" -> ((s, d) =>
+        graft.Tables.load(s, d, "documents")
+          .filter(col("doc_id") % 13 =!= 5 &&
+            (col("doc_id") % 11 === 3 || col("doc_id") % 17 === 2)).count()),
+      "agg_incremental_revenue" -> ((s, d) =>
+        graft.Tables.load(s, d, "lineitem")
+          .join(graft.Tables.load(s, d, "orders")
+            .filter(col("o_orderkey") % 10 >= 8),
+            col("l_orderkey") === col("o_orderkey")).count()))
+  }
+
+  val IncrementalBatch: Set[String] = BatchCount.keySet
 
   /** Max allowed growth of per-batch-doc cost from small to 100×. The
     * committed rounds measure ~1.0× (containment) and ~0.05× (labels);
@@ -499,26 +584,30 @@ object ScaleBench100 {
   def perBatchDocMs(timeS: Double, batchDocs: Long): Double =
     if (batchDocs <= 0) -1.0 else timeS * 1000.0 / batchDocs
 
-  /** The incremental ops' gate: per-batch-doc cost growth beyond
+  /** The incremental ops' gate: per-batch-item cost growth beyond
     * [[IncrementalFlatBound]] — applied to completed rows of
     * [[IncrementalBatch]] names regardless of notes; their raw factor
     * is exempt from the threshold gate (it tracks batch growth by
     * contract). Pure so the spec pins it. Inputs: (name, small_s,
-    * big_s) plus the measured batch sizes at each scale.
+    * big_s) plus the PER-OP measured batch sizes at each scale
+    * (r15: each op's denominator is its own slice — see [[BatchCount]]).
     */
   def incrementalFlatViolations(rows: Seq[(String, Double, Double)],
-                                batchSmall: Long,
-                                batchBig: Long): Seq[String] =
+                                batchSmall: Map[String, Long],
+                                batchBig: Map[String, Long]): Seq[String] =
     rows.collect {
-      // a non-positive batch count means the denominator of the contract
-      // could not be measured (empty/misread documents slice) — that is a
-      // VIOLATION for a completed incremental row, not a silent pass: the
-      // -1.0 sentinel perBatchDocMs returns must never grade a row clean
+      // a non-positive or MISSING batch count means the denominator of
+      // the contract could not be measured (empty/misread slice) — that
+      // is a VIOLATION for a completed incremental row, not a silent
+      // pass: the -1.0 sentinel perBatchDocMs returns must never grade
+      // a row clean
       case (name, s, b)
-        if IncrementalBatch(name) && s > 0 && b > 0 &&
-          (batchSmall <= 0 || batchBig <= 0 ||
-            perBatchDocMs(b, batchBig) >
-              IncrementalFlatBound * perBatchDocMs(s, batchSmall)) => name
+        if IncrementalBatch(name) && s > 0 && b > 0 && {
+          val bs = batchSmall.getOrElse(name, -1L)
+          val bb = batchBig.getOrElse(name, -1L)
+          bs <= 0 || bb <= 0 ||
+            perBatchDocMs(b, bb) > IncrementalFlatBound * perBatchDocMs(s, bs)
+        } => name
     }
 
   /** The frontier: every 10× row ≥ ~3× (candidate-growth suspects), the
@@ -535,6 +624,7 @@ object ScaleBench100 {
   val Panel: Seq[String] = Seq(
     "cdc_merge_apply_bucketed", "corpus_pack_shards", "cdc_merge_apply",
     "text_bpe_merges",
+    "agg_incremental_revenue", "dedup_incremental", "sim_ivf_incremental",
     "corpus_incremental_curation", "sim_ivfpq_topk", "sim_knn_join",
     "dedup_char_jaccard_clusters_lsh", "dedup_containment_report_lsh",
     "dedup_clusters_incremental", "dedup_char_lsh_skewed", "dedup_edit_pairs",
@@ -571,6 +661,22 @@ object ScaleBench100 {
     }),
     "cdc_merge_apply_bucketed" -> ((s, d) => {
       graft.operators.Relational.cdcBucketedLayout(s, d, 32)
+      ()
+    }),
+    "dedup_incremental" -> ((s, d) => {
+      graft.operators.Dedup.fingerprintIndex(s, d)
+      ()
+    }),
+    "sim_ivf_incremental" -> ((s, d) => {
+      graft.operators.Similarity.ivfCentroidsTable(s, d, 16, 2)
+      graft.operators.Similarity.ivfSliceIndex(s, d, 16, 2)
+      ()
+    }),
+    "agg_incremental_revenue" -> ((s, d) => {
+      // the call path itself ensures the persisted old-slice partials;
+      // running it once untimed builds them (a daily pipeline's amortized
+      // state), so the timed pass measures batch-fold + tiny merge
+      graft.operators.Relational.revenueByStatusIncremental(s, d).count()
       ()
     }))
 
@@ -661,13 +767,16 @@ object ScaleBench100 {
 
     lazy val factsSmall = facts(spark, smallDir)
     lazy val factsBig = facts(spark, bigDir)
-    // the daily-batch slice both *_incremental ops maintain against —
-    // the denominator of their machine-checkable ∝-batch contract
-    def batchDocs(dir: String): Long =
-      spark.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") % 10 >= 8).count()
-    lazy val batchSmall = batchDocs(smallDir)
-    lazy val batchBig = batchDocs(bigDir)
+    // per-op daily-batch denominators (the machine-checkable ∝-batch
+    // contract), measured once per (op, dir) and cached: writeArtifact
+    // runs after every query, and these counts are stable within a run
+    val batchCache = scala.collection.mutable.Map.empty[(String, String), Long]
+    def batchOf(name: String, dir: String): Long =
+      batchCache.getOrElseUpdate((name, dir),
+        try BatchCount(name)(spark, dir)
+        catch { case e: Throwable =>
+          System.err.println(s"[scale100] batch count $name @ $dir failed: ${e.getMessage}")
+          -1L })
 
     def writeArtifact(): Unit = {
       val rows = done.values.toSeq
@@ -675,8 +784,9 @@ object ScaleBench100 {
       val timeboxed = rows.filter(r => r.big == -2.0 && r.cap > 0.0)
       val diskCapped = rows.filter(r => r.big == -3.0 && r.cap > 0.0)
       val crashed = rows.filter(r => r.cap == 0.0 && r.factor < 0).map(_.name)
-      val needBatch = rows.exists(r => IncrementalBatch(r.name))
-      val (bS, bB) = if (needBatch) (batchSmall, batchBig) else (0L, 0L)
+      val incNames = rows.map(_.name).filter(IncrementalBatch)
+      val bS = incNames.map(n => n -> batchOf(n, smallDir)).toMap
+      val bB = incNames.map(n => n -> batchOf(n, bigDir)).toMap
       val violations = (completed.collect {
         case r if r.factor > GateThreshold && !IncrementalBatch(r.name) &&
           !ScaleBench.notes.contains(r.name) => r.name
@@ -695,10 +805,11 @@ object ScaleBench100 {
         // this case: it must render plain (and sit in failed_at_scale), not
         // as a measured row with negative per-batch-doc fields
         case Row100(n, s, b, f, _) if IncrementalBatch(n) && f >= 0 =>
-          val pbS = math.rint(perBatchDocMs(s, bS) * 1000) / 1000
-          val pbB = math.rint(perBatchDocMs(b, bB) * 1000) / 1000
+          val (nS, nB) = (bS.getOrElse(n, -1L), bB.getOrElse(n, -1L))
+          val pbS = math.rint(perBatchDocMs(s, nS) * 1000) / 1000
+          val pbB = math.rint(perBatchDocMs(b, nB) * 1000) / 1000
           val flat = if (pbS > 0) math.rint(pbB / pbS * 100) / 100 else -1.0
-          s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100},"per_batch_doc_ms_small":$pbS,"per_batch_doc_ms_big":$pbB,"per_batch_doc_flat_x":$flat}"""
+          s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100},"batch_small":$nS,"batch_big":$nB,"per_batch_doc_ms_small":$pbS,"per_batch_doc_ms_big":$pbB,"per_batch_doc_flat_x":$flat}"""
         case Row100(n, s, b, f, _) =>
           s""""$n":{"small_s":${math.rint(s * 1000) / 1000},"big_s":${math.rint(b * 1000) / 1000},"scale_x":${math.rint(f * 100) / 100}}"""
       }.mkString("{", ",", "}")
@@ -709,8 +820,7 @@ object ScaleBench100 {
            |"gate_threshold_x":$GateThreshold,"warm_passes":1,
            |"big_pass":"single (codegen warmed by the small passes; identical plan shape)",
            |"cap_rule":"max(120, 130*small_s) seconds; a capped row is a measured >=cap/small factor, noted or it violates",
-           |"incremental_rule":"*_incremental rows are graded on per_batch_doc_flat_x <= $IncrementalFlatBound (cost ∝ batch, notes-independent); their raw factor tracks batch growth by contract and is exempt from the $GateThreshold x gate",
-           |"batch_docs_small":${if (needBatch) bS else -1},"batch_docs_big":${if (needBatch) bB else -1},
+           |"incremental_rule":"*_incremental rows are graded on per_batch_doc_flat_x <= $IncrementalFlatBound (cost ∝ batch, notes-independent; per-op denominators in each row's batch_small/batch_big — the slice the op actually processes); their raw factor tracks batch growth by contract and is exempt from the $GateThreshold x gate",
            |"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
            |"gate_violations":${arr(violations)},
            |"failed_at_scale":${arr(crashed)},

@@ -121,31 +121,35 @@ class ScaleGateSpec extends AnyFunSuite {
     // batch doc — a corpus-proportional term hiding in the batch, flagged
     // REGARDLESS of its notes entry (the raw-factor allowlist must not
     // excuse a broken ∝-batch contract).
-    val flat = Seq(("dedup_containment_incremental", 4.0, 416.0)) // 104x
-    assert(ScaleBench100.incrementalFlatViolations(flat, 1000L, 100000L).isEmpty)
-    assert(ScaleBench100.incrementalFlatViolations(flat, 1000L, 10000L) ==
-      Seq("dedup_containment_incremental"))
+    val n = "dedup_containment_incremental"
+    def bm(v: Long) = Map(n -> v)
+    val flat = Seq((n, 4.0, 416.0)) // 104x
+    assert(ScaleBench100.incrementalFlatViolations(flat, bm(1000L), bm(100000L)).isEmpty)
+    assert(ScaleBench100.incrementalFlatViolations(flat, bm(1000L), bm(10000L)) == Seq(n))
     // non-incremental names never reach this gate
     assert(ScaleBench100.incrementalFlatViolations(
-      Seq(("dedup_containment_report", 4.0, 416.0)), 1000L, 10000L).isEmpty)
+      Seq(("dedup_containment_report", 4.0, 416.0)), bm(1000L), bm(10000L)).isEmpty)
     // boundary: exactly the bound passes, epsilon above fails
     val b = ScaleBench100.IncrementalFlatBound
+    val ci = "dedup_clusters_incremental"
     assert(ScaleBench100.incrementalFlatViolations(
-      Seq(("dedup_clusters_incremental", 1.0, b * 100)), 1000L, 100000L).isEmpty)
+      Seq((ci, 1.0, b * 100)), Map(ci -> 1000L), Map(ci -> 100000L)).isEmpty)
     assert(ScaleBench100.incrementalFlatViolations(
-      Seq(("dedup_clusters_incremental", 1.0, b * 100 + 1)), 1000L, 100000L)
-      == Seq("dedup_clusters_incremental"))
+      Seq((ci, 1.0, b * 100 + 1)), Map(ci -> 1000L), Map(ci -> 100000L)) == Seq(ci))
     // the unit itself: 416 s over 100k batch docs = 4.16 ms/doc
     assert(math.abs(ScaleBench100.perBatchDocMs(416.0, 100000L) - 4.16) < 1e-9)
     // r13 advisory: an UNMEASURABLE denominator (empty/misread batch
-    // slice → count <= 0) is a violation for a completed incremental
-    // row, never a silent clean grade off perBatchDocMs' -1 sentinel
-    assert(ScaleBench100.incrementalFlatViolations(flat, 0L, 100000L) ==
-      Seq("dedup_containment_incremental"))
-    assert(ScaleBench100.incrementalFlatViolations(flat, 1000L, 0L) ==
-      Seq("dedup_containment_incremental"))
-    assert(ScaleBench100.incrementalFlatViolations(flat, -1L, -1L) ==
-      Seq("dedup_containment_incremental"))
+    // slice → count <= 0, or a missing per-op entry) is a violation for
+    // a completed incremental row, never a silent clean grade off
+    // perBatchDocMs' -1 sentinel
+    assert(ScaleBench100.incrementalFlatViolations(flat, bm(0L), bm(100000L)) == Seq(n))
+    assert(ScaleBench100.incrementalFlatViolations(flat, bm(1000L), bm(0L)) == Seq(n))
+    assert(ScaleBench100.incrementalFlatViolations(flat, bm(-1L), bm(-1L)) == Seq(n))
+    assert(ScaleBench100.incrementalFlatViolations(flat, Map.empty, Map.empty) == Seq(n))
+    // r15: denominators are PER-OP — one op's healthy batch must never
+    // stand in for another's missing one
+    assert(ScaleBench100.incrementalFlatViolations(
+      flat, Map(ci -> 1000L), Map(ci -> 100000L)) == Seq(n))
   }
 
   test("every incremental-contract name is on the 100x panel and a registered query") {
@@ -155,6 +159,71 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(off.isEmpty, s"incremental-contract names not on the 100x panel: $off")
     val unregistered = ScaleBench100.IncrementalBatch.filterNot(SparkEntry.queries.contains)
     assert(unregistered.isEmpty, s"not registered queries: $unregistered")
+  }
+
+  test("the incremental contract is EXHAUSTIVE: every *_incremental registered query is flatness-gated") {
+    // r14 verdict directive: any op claiming "∝ batch, not corpus" in its
+    // name must carry the machine-checked contract — registering a new
+    // *_incremental query without a BatchCount denominator fails here,
+    // not in a prose review
+    val claimed = SparkEntry.queries.keySet.filter(_.contains("incremental"))
+    val ungated = claimed -- ScaleBench100.IncrementalBatch
+    assert(ungated.isEmpty,
+      s"*_incremental queries without a per-op batch denominator: $ungated")
+    // and the map carries no stale names for queries that no longer exist
+    val stale = ScaleBench100.BatchCount.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"BatchCount names not in the registry: $stale")
+  }
+
+  test("adjudicated rows are graded against their expectation band, not the binary notes allowlist") {
+    // r14 verdict directive: join_revenue_by_status brushed the 12x
+    // threshold three rounds (10.2/11.6/11.85x) with the adjudication in
+    // prose. The band now rides the gate: inside it any reading passes;
+    // past it the row violates EVEN THOUGH the name has a notes entry.
+    val a = ScaleBench.adjudications("join_revenue_by_status")
+    assert(ScaleBench.notes.contains("join_revenue_by_status"),
+      "the adjudicated row keeps its notes narrative")
+    assert(a.atScaleTwin.exists(SparkEntry.queries.contains),
+      s"at-scale twin must be a registered query: ${a.atScaleTwin}")
+    assert(a.bandX > ScaleBench.GateThreshold,
+      "an adjudication below the global threshold would be pointless")
+    assert(ScaleBench.gateViolations(
+      Seq(("join_revenue_by_status", a.bandX - 0.1))).isEmpty)
+    assert(ScaleBench.gateViolations(
+      Seq(("join_revenue_by_status", a.bandX))).isEmpty)
+    assert(ScaleBench.gateViolations(
+      Seq(("join_revenue_by_status", a.bandX + 0.1))) ==
+      Seq("join_revenue_by_status"),
+      "a reading past the documented band must violate despite the notes entry")
+    // non-adjudicated rows keep the old rule
+    assert(ScaleBench.gateViolations(Seq(("dedup_edit_pairs", a.bandX + 10))).isEmpty)
+  }
+
+  test("committed BENCH_SCALE.json (if present) carries the expectation fields on adjudicated rows") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    if (f.exists()) {
+      val json = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      import org.json4s._
+      implicit val fmts: Formats = DefaultFormats
+      val parsed = org.json4s.jackson.JsonMethods.parse(json)
+      ScaleBench.adjudications.foreach { case (name, a) =>
+        val row = (parsed \ "queries") \ name
+        if (row != JNothing) {
+          assert((row \ "expected").extractOpt[String].contains(a.expected),
+            s"$name row lacks its 'expected' annotation")
+          assert((row \ "expected_band_x").extractOpt[Double].contains(a.bandX),
+            s"$name row lacks its expectation band")
+          a.atScaleTwin.foreach { t =>
+            assert((row \ "at_scale_twin").extractOpt[String].contains(t),
+              s"$name row lacks its at-scale twin")
+          }
+          (row \ "scale_x").extractOpt[Double].foreach { x =>
+            assert(x <= a.bandX,
+              s"$name measured ${x}x — past its documented ${a.bandX}x expectation band")
+          }
+        }
+      }
+    }
   }
 
   test("committed BENCH_SCALE100.json (if present) carries the per-batch-doc fields for incremental rows") {

@@ -23,6 +23,7 @@ export SPARK_DRIVER_MEM="${SPARK_GRAFT_SCALE100_MEM:-48g}"
 # Must match ScaleBench100.Panel (cheapest-first).
 PANEL="cdc_merge_apply_bucketed corpus_pack_shards cdc_merge_apply
 text_bpe_merges
+agg_incremental_revenue dedup_incremental sim_ivf_incremental
 corpus_incremental_curation sim_ivfpq_topk sim_knn_join
 dedup_char_jaccard_clusters_lsh dedup_containment_report_lsh
 dedup_clusters_incremental dedup_char_lsh_skewed dedup_edit_pairs
