@@ -78,6 +78,34 @@ object Bench {
       case None => orchestrate()
     }
 
+  /** Pure anchor selection (spec-pinned): the first queue entry — the
+    * queue is slowest-first, so the most expensive — whose isolated
+    * child fits the remaining anchor sub-budget AND leaves room for the
+    * always-run drain child. Scanning (rather than testing only the
+    * head) is the r14 advisory: an unaffordable head must not abandon
+    * affordable singles further down.
+    */
+  private[graft] def pickAnchor(queue: Seq[String],
+                                estSingle: String => Double,
+                                anchorSpent: Double, anchorBudget: Double,
+                                remaining: Double,
+                                estDrain: Double): Option[String] =
+    queue.find(nm => anchorSpent + estSingle(nm) <= anchorBudget &&
+      remaining > estDrain + estSingle(nm))
+
+  /** Pure Phase-W selection (spec-pinned): the most expensive queue
+    * entry whose isolated child still leaves FULL warm coverage
+    * affordable — everything else grouped plus the drain child. Same
+    * scan-down rule as [[pickAnchor]].
+    */
+  private[graft] def pickSingle(queue: Seq[String],
+                                estSingle: String => Double,
+                                estGroupedRest: Seq[String] => Double,
+                                remaining: Double,
+                                estDrain: Double): Option[String] =
+    queue.find(nm => remaining > estDrain + estSingle(nm) +
+      estGroupedRest(queue.filterNot(_ == nm)))
+
   // ------------------------------------------------------------ orchestrator
 
   private def orchestrate(): Unit = {
@@ -244,8 +272,8 @@ object Bench {
     var anchorSpent = 0.0
     var anchorCount = 0
     while (!fullMode && {
-      queue.find(nm => anchorSpent + estSingle(nm) <= anchorBudget &&
-        remaining() > estDrain + estSingle(nm)) match {
+      pickAnchor(queue, estSingle, anchorSpent, anchorBudget,
+        remaining(), estDrain) match {
         case Some(nm) =>
           anchorSpent += runSingle(nm)
           anchorCount += 1
@@ -261,8 +289,8 @@ object Bench {
     var scanning = true
     while (queue.nonEmpty && (fullMode || scanning)) {
       if (fullMode) runSingle(queue.head)
-      else queue.find(nm => remaining() > estDrain + estSingle(nm) +
-          estGrouped(queue.filterNot(_ == nm), groupPasses)) match {
+      else pickSingle(queue, estSingle,
+          rest => estGrouped(rest, groupPasses), remaining(), estDrain) match {
         case Some(nm) => runSingle(nm)
         case None => scanning = false
       }

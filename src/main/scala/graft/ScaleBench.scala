@@ -584,6 +584,24 @@ object ScaleBench100 {
   def perBatchDocMs(timeS: Double, batchDocs: Long): Double =
     if (batchDocs <= 0) -1.0 else timeS * 1000.0 / batchDocs
 
+  /** Big-pass cap for a panel row, pure so the spec pins it:
+    * incremental-contract rows cap at the FLATNESS bound — their
+    * expected raw factor IS ~batch growth (∼100× here), so the
+    * raw-factor cap (130×small) would leave a compliant op 30%
+    * headroom; [[IncrementalFlatBound]] × small × measured-batch-growth
+    * is the largest time consistent with the ∝-batch contract, and
+    * hitting THIS cap means per-item cost definitively blew the bound
+    * (the unnoted timebox lands in gate_violations). Everything else
+    * keeps the gate-derived [[capSeconds]]. A non-positive growth
+    * (unmeasurable batch) falls back to the replication factor — the
+    * contract's nominal growth — rather than an uncapped or zero cap.
+    */
+  def capForRow(name: String, smallS: Double, batchGrowth: Double): Double =
+    if (IncrementalBatch(name)) {
+      val g = if (batchGrowth > 0) batchGrowth else Factor.toDouble
+      math.max(120.0, IncrementalFlatBound * smallS * g)
+    } else capSeconds(smallS)
+
   /** The incremental ops' gate: per-batch-item cost growth beyond
     * [[IncrementalFlatBound]] — applied to completed rows of
     * [[IncrementalBatch]] names regardless of notes; their raw factor
@@ -841,18 +859,13 @@ object ScaleBench100 {
       timedSmall(name) // cold (codegen) discarded; warms the big pass's plan too
       val s = timedSmall(name)
       val row = if (s < 0) Row100(name, s, -1.0, -1.0, 0.0) else {
-        // incremental-contract rows cap at the FLATNESS bound, not the
-        // raw-factor gate: their expected raw factor IS ~batch growth
-        // (∼100× here), so 130×small would leave a compliant op 30%
-        // headroom. FlatBound × small × measured-batch-growth is the
-        // largest time consistent with the ∝-batch contract — hitting
-        // THIS cap means per-item cost definitively blew the bound, and
-        // the unnoted timebox lands in gate_violations.
-        val cap = if (IncrementalBatch(name)) {
-          val (bs, bb) = (batchOf(name, smallDir), batchOf(name, bigDir))
-          val growth = if (bs > 0 && bb > 0) bb.toDouble / bs else Factor.toDouble
-          math.max(120.0, IncrementalFlatBound * s * growth)
-        } else capSeconds(s)
+        val growth =
+          if (!IncrementalBatch(name)) -1.0
+          else {
+            val (bs, bb) = (batchOf(name, smallDir), batchOf(name, bigDir))
+            if (bs > 0 && bb > 0) bb.toDouble / bs else -1.0
+          }
+        val cap = capForRow(name, s, growth)
         Prewarm.get(name).foreach { f =>
           System.err.println(s"[scale100] $name: untimed big-dir prewarm (persisted state)")
           f(spark, bigDir)

@@ -161,6 +161,24 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(unregistered.isEmpty, s"not registered queries: $unregistered")
   }
 
+  test("incremental-contract rows cap at the flatness bound, not the raw-factor cap") {
+    // a compliant ∝-batch op's raw factor IS ~batch growth (~100x), so
+    // the 130x-small cap would leave it 30% headroom; the contract cap
+    // is FlatBound x small x measured growth — hitting it means the
+    // per-item cost definitively blew the bound
+    val b = ScaleBench100.IncrementalFlatBound
+    assert(ScaleBench100.capForRow("dedup_containment_incremental", 4.0, 100.0)
+      == b * 4.0 * 100.0)
+    // unmeasurable growth falls back to the nominal replication factor
+    assert(ScaleBench100.capForRow("dedup_containment_incremental", 4.0, -1.0)
+      == b * 4.0 * ScaleBench100.Factor)
+    // the 120 s floor still holds for sub-second smalls
+    assert(ScaleBench100.capForRow("dedup_incremental", 0.1, 100.0) == 120.0)
+    // everything else keeps the gate-derived cap
+    assert(ScaleBench100.capForRow("dedup_containment_report", 4.0, 100.0)
+      == ScaleBench100.capSeconds(4.0))
+  }
+
   test("the incremental contract is EXHAUSTIVE: every *_incremental registered query is flatness-gated") {
     // r14 verdict directive: any op claiming "∝ batch, not corpus" in its
     // name must carry the machine-checked contract — registering a new
