@@ -635,7 +635,9 @@ object ScaleBench100 {
     * trained in-query), corpus assembly (two-phase prefix sum,
     * incremental curation), text (BPE merge loop), CDC — plus the
     * round-11 bounded-output forms (containment report, char-jaccard
-    * clusters, incremental label maintenance). Ordered cheapest-first
+    * clusters, incremental label maintenance), plus (round 15) every
+    * remaining `*_incremental` contract op so the flatness gate covers
+    * the whole family. Ordered cheapest-first
     * (by expected big-pass time) so an interrupted probe banks the most
     * coverage per minute.
     */
