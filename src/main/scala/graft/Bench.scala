@@ -43,8 +43,15 @@ import org.apache.spark.sql.SparkSession
   *      measured megamorphic-saturation onset) with budget-chosen warm
   *      passes (3 → 2 → 1);
   *   3. then drain-only: queries never covered by a warm child take
-  *      their number from the drain child's sequential cold pass,
-  *      flagged per-query in `warm_srcs`.
+  *      their number from the drain child's SECOND sequential pass
+  *      (shared-JVM warm — round 16: r15 reported 27 queries from the
+  *      drain child's cold pass, so those headline values were 1.5-3×
+  *      their warm minima and round-over-round comparisons on them were
+  *      noise by construction; one extra sequential pass costs ~1× the
+  *      warm sum against the 1200 s budget and gives every query warm
+  *      semantics), flagged per-query in `warm_srcs` as `drain_warm`;
+  *      `drain_cold` remains only as the last-resort fill for a query
+  *      whose warm pass failed.
   *
   *   The drain child always runs (its drain total is the compact line's
   *   "value") under a hard timeout inside the remaining budget; the
@@ -65,8 +72,9 @@ import org.apache.spark.sql.SparkSession
   * ≡ i (mod K), optionally narrowed by the SPARK_GRAFT_BENCH_ONLY name
   * list (how grouped children get their chunk). SPARK_GRAFT_BENCH_PHASE
   * picks the protocol: "warm" (cold + warm passes, no drain), "drain"
-  * (cold + drain, no warm passes), "full" (all phases — the default,
-  * for direct local invocations).
+  * (cold + ONE shared-JVM warm pass + drain — the warm pass is what the
+  * fallthrough tier reports), "full" (all phases — the default, for
+  * direct local invocations).
   */
 object Bench {
 
@@ -84,14 +92,24 @@ object Bench {
     * always-run drain child. Scanning (rather than testing only the
     * head) is the r14 advisory: an unaffordable head must not abandon
     * affordable singles further down.
+    *
+    * `worstSingle` is the child's hard kill bound (the orchestrator's
+    * per-child timeout) — the r15 advisory: Phase A accumulates ACTUAL
+    * child durations into anchorSpent, so a single whose real runtime
+    * far exceeds its estimate could overshoot the sub-budget before the
+    * next iteration's check. Bounding each pick by its timeout caps the
+    * worst-case anchor spend at 2× the sub-budget and keeps the drain
+    * child affordable even if the pick runs to its kill bound.
     */
   private[graft] def pickAnchor(queue: Seq[String],
                                 estSingle: String => Double,
+                                worstSingle: String => Double,
                                 anchorSpent: Double, anchorBudget: Double,
                                 remaining: Double,
                                 estDrain: Double): Option[String] =
     queue.find(nm => anchorSpent + estSingle(nm) <= anchorBudget &&
-      remaining > estDrain + estSingle(nm))
+      anchorSpent + worstSingle(nm) <= 2.0 * anchorBudget &&
+      remaining > estDrain + worstSingle(nm))
 
   /** Pure Phase-W selection (spec-pinned): the most expensive queue
     * entry whose isolated child still leaves FULL warm coverage
@@ -169,8 +187,11 @@ object Bench {
     def est(name: String): Double = math.max(0.1, priorEst.getOrElse(name, 1.0))
     val sumEstAll = names.map(est).sum
     // drain child: startup/warmup + sequential cold pass (~1.8× warm) +
+    // ONE shared-JVM warm pass (~1× warm sum — round 16: the fallthrough
+    // tier's numbers come from this pass, never the cold one) +
     // pool-6 drain (~0.5× warm sum, floor 60 s) + quiesce
-    def estDrain: Double = 30 + 1.8 * sumEstAll + math.max(60, 0.5 * sumEstAll) + 25
+    def estDrain: Double =
+      30 + (1.8 + 1.0) * sumEstAll + math.max(60, 0.5 * sumEstAll) + 25
     var childOverhead = 25.0 // startup + warmup + calib; adapted from observed
 
     // children run SEQUENTIALLY — concurrent children would contend for
@@ -225,6 +246,9 @@ object Bench {
       else Seq(3, 2, 1).find(p =>
         estGrouped(names, p) + estDrain < budgetS * 0.9).getOrElse(1)
     def estSingle(name: String): Double = childOverhead + (1.8 + 3) * est(name)
+    // the single child's hard kill bound — what pickAnchor's worst-case
+    // guard charges a pick (the r15 advisory's overshoot bound)
+    def worstSingle(name: String): Double = math.max(120, 4 * estSingle(name))
 
     // ---- PHASE A + W: per-query isolated children
     val singlePasses = if (fullMode) "6" else "3"
@@ -247,7 +271,7 @@ object Bench {
             "SPARK_GRAFT_BENCH_EXTRAS" -> extras),
         s"$tmp/single_$i.json", s"$tmp/single_$i.log",
         s"warm ${singleDetails.size + 1}/$n $name",
-        timeoutS = if (fullMode) 14400 else math.max(120, 4 * estSingle(name)))
+        timeoutS = if (fullMode) 14400 else worstSingle(name))
         .foreach { j => singleDetails :+= (name -> j) }
       val dur = (System.nanoTime() - c0) / 1e9
       singleObs :+= math.max(5.0, dur - (1.8 + 3) * est(name))
@@ -272,7 +296,7 @@ object Bench {
     var anchorSpent = 0.0
     var anchorCount = 0
     while (!fullMode && {
-      pickAnchor(queue, estSingle, anchorSpent, anchorBudget,
+      pickAnchor(queue, estSingle, worstSingle, anchorSpent, anchorBudget,
         remaining(), estDrain) match {
         case Some(nm) =>
           anchorSpent += runSingle(nm)
@@ -320,7 +344,7 @@ object Bench {
       }
       val uncovered = chunks.flatten
       if (uncovered.nonEmpty) degradedNotes :+=
-        s"${uncovered.size} queries fell through to the drain child's cold pass"
+        s"${uncovered.size} queries fell through to the drain child's shared-JVM warm pass"
       queue = uncovered
     }
 
@@ -337,12 +361,19 @@ object Bench {
     val warmGroup = groupDetails.map(mapOf(_, "queries_warm"))
       .foldLeft(Map.empty[String, Double])(_ ++ _)
     val drainCold = drainDetail.map(mapOf(_, "queries_cold")).getOrElse(Map.empty)
-    // merged per-query map, best-protocol-wins; drain-cold only fills holes
-    val warm = (drainCold ++ warmGroup ++ warmSingle).toSeq.sortBy(_._1)
+    // round 16: the drain child's second sequential pass gives every
+    // fallthrough query WARM shared-JVM semantics — its cold pass only
+    // ever fills a hole left by a query that failed the warm pass
+    val drainWarm = drainDetail.map(mapOf(_, "queries_warm"))
+      .getOrElse(Map.empty).filter(_._2 >= 0)
+    // merged per-query map, best-protocol-wins; drain tiers only fill holes
+    val warm = (drainCold ++ drainWarm ++ warmGroup ++ warmSingle).toSeq.sortBy(_._1)
     val warmSrcs = Map(
       "single" -> warmSingle.size,
       "group" -> (warmGroup.keySet -- warmSingle.keySet).size,
-      "drain_cold" -> (drainCold.keySet -- warmGroup.keySet -- warmSingle.keySet).size)
+      "drain_warm" -> (drainWarm.keySet -- warmGroup.keySet -- warmSingle.keySet).size,
+      "drain_cold" -> (drainCold.keySet -- drainWarm.keySet -- warmGroup.keySet
+        -- warmSingle.keySet).size)
     val cold = (singleDetails.map(s => mapOf(s._2, "queries_cold"))
       .foldLeft(Map.empty[String, Double])(_ ++ _) ++ Map.empty).toSeq.sortBy(_._1)
     val drain = drainDetail.map(mapOf(_, "queries_drain")).getOrElse(Map.empty)
@@ -382,7 +413,7 @@ object Bench {
     val srcsJson = warmSrcs.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"sf":"$sfDir","protocol":"$protocol","budget_s":${if (fullMode) -1 else budgetS},"anchor_singles":$anchorCount,"anchor_budget_s":${if (fullMode) 0 else math.rint(anchorBudget)},"isolation":"${warmSrcs("single")} isolated (${anchorCount} anchor-reserved) + ${warmSrcs("group")} grouped(<=13, $groupPasses passes) + ${warmSrcs("drain_cold")} drain-cold, sequential children","drain_total":$drainTotal,"seq_total":$seqTotal,
+      s"""{"sf":"$sfDir","protocol":"$protocol","budget_s":${if (fullMode) -1 else budgetS},"anchor_singles":$anchorCount,"anchor_budget_s":${if (fullMode) 0 else math.rint(anchorBudget)},"isolation":"${warmSrcs("single")} isolated (${anchorCount} anchor-reserved) + ${warmSrcs("group")} grouped(<=13, $groupPasses passes) + ${warmSrcs("drain_warm")} drain-warm + ${warmSrcs("drain_cold")} drain-cold, sequential children","drain_total":$drainTotal,"seq_total":$seqTotal,
          |"protocol_degraded":$degradedJson,"warm_srcs":$srcsJson,
          |"calib_jvm_best_s":$calibJvmBest,"calib_spark_best_s":$calibSparkBest,
          |"queries_warm":${jsonMap(warm)},
@@ -435,7 +466,7 @@ object Bench {
     def ms(v: Double) = math.rint(v * 100) / 100
     val calib = s""""calib_jvm_s":${ms(calibJvmBest)},"calib_spark_s":${ms(calibSparkBest)}"""
     val shared = s""""seq_total":${ms(seqTotal)},"n_queries":${warm.size},"protocol":"$protocol","protocol_degraded":$degradedJson,"warm_srcs":$srcsJson,"load_avg":${ms(loadStart)},$calib,"sf":"$sfDir""""
-    val headline = s"""{"metric":"total","value":${ms(headlineValue)},"unit":"sec","queries":${jsonMap(warm, ms)},"headline":"warm min per query (srcs in warm_srcs: fresh-JVM isolated, grouped <=13/JVM, or drain-child cold); seq_total = sum of warm minima; value = pool-6 concurrent drain of the full registry in one shared JVM (detail in $detailFile)",$shared}"""
+    val headline = s"""{"metric":"total","value":${ms(headlineValue)},"unit":"sec","queries":${jsonMap(warm, ms)},"headline":"warm min per query (srcs in warm_srcs: fresh-JVM isolated, grouped <=13/JVM, or the drain child's shared-JVM warm pass; drain-cold only fills warm-pass failures); seq_total = sum of warm minima; value = pool-6 concurrent drain of the full registry in one shared JVM (detail in $detailFile)",$shared}"""
     val slowest = warm.sortBy(-_._2).take(25).sortBy(_._1)
     val compact = s"""{"metric":"total","value":${ms(headlineValue)},"unit":"sec","queries":${jsonMap(slowest, ms)},"queries_note":"${slowest.size} slowest of ${warm.size}; full map in $detailFile",$shared}"""
     if (fullMode)
@@ -593,6 +624,15 @@ object Bench {
         val bestCs = passes.map(_._1.cs).min
         passes.count(p => !contended(p._1, bestCj, bestCs)) < 2
       }) { extras += 1; runPass(s"warm_extra_$extras") }
+    } else if (doDrain) {
+      // drain-phase pass 2 (round 16): ONE sequential warm pass so the
+      // budgeted protocol's fallthrough tier reports shared-JVM WARM
+      // numbers instead of cold-pass ones (r15 shipped 27 cold values in
+      // the headline map — 1.5-3× their warm minima, round-over-round
+      // noise by construction). Shared-JVM warm is not fresh-JVM warm
+      // (the megamorphic tax applies), but it strips codegen compilation
+      // and cold-IO, the two biggest cold-pass terms.
+      runPass("drain_warm")
     }
     val warmPasses = passes.map(p => (p._2, p._3))
     val seq = named.indices.map { i =>

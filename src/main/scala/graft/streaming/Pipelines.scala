@@ -403,6 +403,25 @@ object Pipelines {
         round(col("p.v"), 4).as("containment"), col(eventTimeCol))
   }
 
+  /** Source-compatibility overload for pre-round-15 callers that passed
+    * the avoid-list as a plain `Seq[String]` (the parameter is
+    * `Option[Seq[String]]` since the derived-default change): delegates
+    * `grams` → `Some(grams)`, so a caller that passed `Nil` keeps the
+    * DOCUMENTED zero-model behavior (pure gram-hash probe order) instead
+    * of silently inheriting the derived avoid-list — the r15 advisory's
+    * default-flip hazard. New callers: pass `None` for the derived
+    * default, `Some(Nil)` to opt out, `Some(grams)` for a custom list.
+    */
+  @deprecated("pass Option[Seq[String]]: None = derived avoid-list, " +
+    "Some(Nil) = zero-model gram-hash order, Some(grams) = custom", "round 16")
+  def streamingContainmentFlags(docs: DataFrame, posting: DataFrame,
+                                probeIdx: DataFrame, shingleIdx: DataFrame,
+                                eventTimeCol: String, delay: String,
+                                n: Int, threshold: Double,
+                                hotGrams: Seq[String]): DataFrame =
+    streamingContainmentFlags(docs, posting, probeIdx, shingleIdx,
+      eventTimeCol, delay, n, threshold, Some(hotGrams))
+
   /** The hot-gram avoid-list [[streamingContainmentFlags]] derives when
     * the caller passes none: the df model aggregated from the persisted
     * posting index, ranked by [[graft.operators.Dedup.hottestGrams]]

@@ -23,12 +23,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchPlannerSpec extends AnyFunSuite {
 
   // slowest-first queue with per-query isolated-child estimates, the
-  // shape orchestrateBody builds (overhead folded into est here)
+  // shape orchestrateBody builds (overhead folded into est here); worst
+  // is the child's kill bound — the orchestrator passes its timeout
+  // (max(120, 4×est)), modeled here as a plain multiple so the tests
+  // stay arithmetic-readable
   private val queue = Seq("slow", "mid", "cheap")
   private val est = Map("slow" -> 100.0, "mid" -> 40.0, "cheap" -> 10.0)
+  private val worst: String => Double = n => 1.2 * est(n)
 
   test("anchor phase picks the slowest query that fits the sub-budget") {
-    assert(Bench.pickAnchor(queue, est, anchorSpent = 0.0,
+    assert(Bench.pickAnchor(queue, est, worst, anchorSpent = 0.0,
       anchorBudget = 240.0, remaining = 1200.0, estDrain = 400.0)
       .contains("slow"))
   }
@@ -36,24 +40,49 @@ class BenchPlannerSpec extends AnyFunSuite {
   test("anchor scan-down: a head past the sub-budget yields the next affordable query, not phase exit") {
     // head alone exceeds the sub-budget — r14's failure shape; the fix
     // runs 'mid' instead of admitting zero anchors
-    assert(Bench.pickAnchor(queue, est, anchorSpent = 0.0,
+    assert(Bench.pickAnchor(queue, est, worst, anchorSpent = 0.0,
       anchorBudget = 60.0, remaining = 1200.0, estDrain = 400.0)
       .contains("mid"))
     // spent budget narrows the fit the same way
-    assert(Bench.pickAnchor(queue, est, anchorSpent = 220.0,
+    assert(Bench.pickAnchor(queue, est, worst, anchorSpent = 220.0,
       anchorBudget = 240.0, remaining = 1200.0, estDrain = 400.0)
       .contains("cheap"))
   }
 
   test("anchors never eat the drain child's room") {
     // every query fits the sub-budget, but only 'cheap' leaves the
-    // always-run drain child affordable
-    assert(Bench.pickAnchor(queue, est, anchorSpent = 0.0,
+    // always-run drain child affordable EVEN AT ITS KILL BOUND (the
+    // drain guard charges worst, not est — r15 advisory)
+    assert(Bench.pickAnchor(queue, est, worst, anchorSpent = 0.0,
       anchorBudget = 240.0, remaining = 415.0, estDrain = 400.0)
       .contains("cheap"))
     // nothing fits → the phase ends (None), it never overdraws
-    assert(Bench.pickAnchor(queue, est, anchorSpent = 235.0,
+    assert(Bench.pickAnchor(queue, est, worst, anchorSpent = 235.0,
       anchorBudget = 240.0, remaining = 405.0, estDrain = 400.0).isEmpty)
+  }
+
+  test("overshoot bound: a pick whose KILL BOUND would blow 2x the sub-budget is skipped (r15 advisory)") {
+    // anchorSpent accumulates ACTUAL durations, so the only hard cap on
+    // a single pick's real cost is its child timeout; the planner must
+    // charge that worst case against 2x the sub-budget. Here 'slow'
+    // fits on estimate (100 <= 240) but its timeout-modeled worst case
+    // (5x est = 500) exceeds 2x240 = 480 → 'mid' (worst 200) runs.
+    val timeoutish: String => Double = n => 5.0 * est(n)
+    assert(Bench.pickAnchor(queue, est, timeoutish, anchorSpent = 0.0,
+      anchorBudget = 240.0, remaining = 1200.0, estDrain = 400.0)
+      .contains("mid"))
+    // spent budget tightens the worst-case cap the same way: at
+    // spent=300, 'mid' (300+200 > 480) is out, 'cheap' (300+50) fits —
+    // but the estimate gate must ALSO hold (300+10 > 240 fails): the
+    // two guards compose to None, never an overdraw
+    assert(Bench.pickAnchor(queue, est, timeoutish, anchorSpent = 300.0,
+      anchorBudget = 240.0, remaining = 1200.0, estDrain = 400.0).isEmpty)
+    // the drain reserve is also charged at the kill bound: 'slow' fits
+    // both budget gates at worst=1.2x but remaining only covers drain +
+    // its worst case for 'cheap'
+    assert(Bench.pickAnchor(queue, est, worst, anchorSpent = 0.0,
+      anchorBudget = 240.0, remaining = 413.0, estDrain = 400.0)
+      .contains("cheap"))
   }
 
   test("phase-W selection reserves full grouped coverage for the rest of the queue") {
