@@ -164,6 +164,8 @@ object ScaleBench {
     "mm_video_frames" -> "decode-bound mapPartitions; flat per-row",
     "dedup_edit_pairs" ->
       "the skewed fixture's near-identical tier grows linearly, so the CORRECT output clique grows quadratically (12.5M pairs at 10x vs 125k) - ~15x wall for ~100x output is sublinear per emitted pair; the native bounded_levenshtein (prefix/suffix strip + Ukkonen band) keeps each verify near-constant",
+    "dedup_edit_pairs_recall_floor" ->
+      "the recall-floor form of dedup_edit_pairs (maxRowsPerBand=4): the cap DELIBERATELY holds the char-LSH gate at the 4-slot band width past RebandAt, where the uncapped schedule widens to 8 at the 10x dir (~600k docs) - per-pair band-collision probability stays ~s^4 instead of narrowing to ~s^8, so recall holds AT the pinned rp=4 curve (63% near-threshold, CharLshWidthRecallSpec) at any corpus size and the factor measures the candidate-volume-for-recall trade cappedRowsPerBand's cost model promises; output is the same quadratically-growing exact clique as the base row, plus the purchased candidate compute (the delta vs dedup_edit_pairs' row IS the price of the recall floor)",
     "dedup_containment" ->
       "round 8 measured the 1-match SSJoin prefix at 57x on this hot-vocabulary corpus (no doc has a rare gram: 22M candidates, 1.4e9-row verify), then widened it to the pigeonhole gate - >= m+1 matches of the rarest 2m+1 probe grams before any verify - cutting candidates 256x and the verify 1750x; remaining factor tracks the quadratically-growing true output (505 pairs from duplicate families)",
     "sketch_corpus_overlap" ->
@@ -513,9 +515,19 @@ object ScaleBench100 {
 
   /** A timeboxed row is a measured ">cap/small at 100×" finding; like
     * any over-threshold factor it needs a [[ScaleBench.notes]]
-    * justification or it is a gate violation. Pure so the spec pins it. */
+    * justification or it is a gate violation — EXCEPT an
+    * [[IncrementalBatch]] name, whose cap IS the flatness bound
+    * ([[capForRow]]: FlatBound × small × batch growth): hitting that cap
+    * means the ∝-batch contract was definitively blown, and the flatness
+    * contract is notes-INDEPENDENT by design — so a capped incremental
+    * row is ALWAYS a violation, notes or not (r15 advisory: three
+    * incremental names carry notes entries for their raw-factor shape,
+    * and letting those excuse a flatness-cap timebox made the gate
+    * unsound exactly in its worst case — a hard breach would have been
+    * silently excused while a mild breach on a completed row was
+    * flagged). Pure so the spec pins it. */
   def timeboxViolations(capped: Seq[String]): Seq[String] =
-    capped.filterNot(ScaleBench.notes.contains)
+    capped.filter(n => IncrementalBatch(n) || !ScaleBench.notes.contains(n))
 
   /** Queries whose cost contract is "∝ the DAILY BATCH (or changeset),
     * not the corpus": each maintains persisted state against a batch

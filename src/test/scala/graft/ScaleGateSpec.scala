@@ -65,6 +65,25 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(ScaleBench100.timeboxViolations(Seq("totally_new_op")) == Seq("totally_new_op"))
   }
 
+  test("a capped incremental row is ALWAYS a timebox violation — notes never excuse it") {
+    // r15 advisory: an incremental op's cap IS its flatness bound
+    // (capForRow), so hitting it means the ∝-batch contract was blown —
+    // and the flatness contract is notes-independent by design. Three
+    // IncrementalBatch names carry notes entries for their raw-factor
+    // shape; before this rule a hard flatness breach on those became a
+    // silently-excused timeboxed row that never reached
+    // incrementalFlatViolations (which needs a completed big pass).
+    val noted = ScaleBench100.IncrementalBatch.filter(ScaleBench.notes.contains)
+    assert(noted.nonEmpty, "fixture rot: no incremental name is noted anymore")
+    noted.foreach { n =>
+      assert(ScaleBench100.timeboxViolations(Seq(n)) == Seq(n),
+        s"notes entry excused a flatness-cap timebox on $n")
+    }
+    // every contract op violates when capped, noted or not
+    val all = ScaleBench100.IncrementalBatch.toSeq.sorted
+    assert(ScaleBench100.timeboxViolations(all) == all)
+  }
+
   test("the 100x cap is gate-derived: always past the threshold, floored for tiny queries") {
     // cap/small >= 130 > GateThreshold for any small time above the floor
     assert(ScaleBench100.capSeconds(2.0) == 260.0)
