@@ -1186,17 +1186,46 @@ object OracleSqlGen {
   def charLshClustersSql(n: Int, threshold: Double): String =
     componentsOverPairsSql(charLshPairsSql(n, threshold))
 
-  /** Mirrors Dedup.containmentPairsLsh: banded minhash candidates
-    * (unordered, the same bands/cand CTEs as the other word-LSH
-    * oracles) + exact count-based containment verify, emitted in both
-    * directions from one intersection count.
+  /** The asymmetric containment tier's band-key expressions: the same
+    * 16 minhash slots retiled Dedup.AsymBands × Dedup.AsymRowsPerBand
+    * (see [[bandKeysSql]] for the symmetric tiling).
+    */
+  private def asymBandKeysSql: String =
+    (0 until Dedup.AsymBands).map { b =>
+      val rows = (0 until Dedup.AsymRowsPerBand)
+        .map(r => s"s${b * Dedup.AsymRowsPerBand + r}").mkString(", ")
+      s"concat_ws(':', $b, $rows)"
+    }.mkString(", ")
+
+  /** Mirrors Dedup.containmentPairsLsh: the symmetric 4×4 banded
+    * self-join UNION the asymmetric size-stratified tier (8×2 bands;
+    * containers publish keys tagged with their own gram-size stratum
+    * `length(bin(sz)) − 1`, contained candidates probe strata
+    * s+1 .. s+MaxStratumDistance — integer semantics identical to the
+    * Spark side's), then the exact count-based containment verify,
+    * emitted in both directions from one intersection count.
     */
   def containmentPairsLshSql(n: Int, threshold: Double): String =
     s"""${sigCteOver(wordShCte(n))},
         bands AS (SELECT doc_id, unnest([$bandKeysSql]) AS bk FROM sig
                   WHERE len(shingles) > 0),
-        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-          FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+        abands AS (SELECT doc_id, unnest([$asymBandKeysSql]) AS abk,
+                   length(bin(len(shingles))) - 1 AS st FROM sig
+                   WHERE len(shingles) > 0),
+        aprobe AS (SELECT doc_id, abk || '@' || CAST(ts AS VARCHAR) AS k
+          FROM (SELECT doc_id, abk,
+                unnest([${(1 to Dedup.MaxStratumDistance)
+                  .map(d => s"st + $d").mkString(", ")}]) AS ts
+                FROM abands)),
+        acont AS (SELECT doc_id, abk || '@' || CAST(st AS VARCHAR) AS k
+                  FROM abands),
+        cand AS (SELECT DISTINCT a, b FROM (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+          UNION ALL
+          SELECT least(p.doc_id, c.doc_id) AS a,
+                 greatest(p.doc_id, c.doc_id) AS b
+          FROM aprobe p JOIN acont c ON p.k = c.k)),
         posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         szs AS (SELECT doc_id, len(shingles) AS sz FROM sh),
         iv AS (SELECT cand.a, cand.b, za.sz AS sza, zb.sz AS szb,

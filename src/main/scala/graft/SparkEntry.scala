@@ -188,6 +188,16 @@ object SparkEntry {
     // candidates verify out
     "dedup_edit_pairs" -> q((s, d) =>
       Dedup.editDistancePairs(Dedup.skewedDocs(Tables.load(s, d, "documents")), 5, 0.8, 2)),
+    // the RECALL-FLOOR form (round 16): maxRowsPerBand = 4 pins the
+    // char-LSH gate at the 4-slot width past RebandAt, holding the
+    // pinned rp=4 near-threshold recall at any corpus size and paying
+    // candidate volume instead (cappedRowsPerBand's cost model — the
+    // measured 10x row quantifies the trade). Gate-invariant at oracle
+    // scales (the auto schedule already resolves to 4 there), so the
+    // oracle is the SAME exact-verify relation as dedup_edit_pairs
+    "dedup_edit_pairs_recall_floor" -> q((s, d) =>
+      Dedup.editDistancePairs(Dedup.skewedDocs(Tables.load(s, d, "documents")), 5, 0.8, 2,
+        maxRowsPerBand = 4)),
     // substring-level dedup (Lee et al. 2021): maximal corpus-duplicated
     // 30-char runs per document, merged gaps-and-islands style
     "dedup_substring_spans" -> q((s, d) => Dedup.dupSpans(Tables.load(s, d, "documents"), 30)),
@@ -766,6 +776,9 @@ object SparkEntry {
     "dedup_char_lsh" -> OracleSqlGen.charLshPairsSql(5, 0.8),
     "dedup_char_lsh_skewed" -> OracleSqlGen.charLshPairsSkewedSql(5, 0.8),
     "dedup_edit_pairs" -> OracleSqlGen.editPairsSkewedSql(5, 0.8, 2),
+    // gate-invariant at oracle scale: the recall-floor cap only binds
+    // past RebandAt, so the oracle is the same exact-verify relation
+    "dedup_edit_pairs_recall_floor" -> OracleSqlGen.editPairsSkewedSql(5, 0.8, 2),
     "dedup_containment" -> OracleSqlGen.containmentPairsSql(3, 0.9),
     "dedup_containment_report" -> OracleSqlGen.containmentReportDirSql(3, 0.9),
     "dedup_containment_report_lsh" -> OracleSqlGen.containmentReportLshSql(3, 0.9),
