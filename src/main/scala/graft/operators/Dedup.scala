@@ -1346,33 +1346,44 @@ object Dedup {
       maxStratumDistance: Int = MaxStratumDistance): DataFrame = {
     // signature + gram-set size computed once; one exchange feeds the
     // symmetric self-join's two sides and the asymmetric tier's probe
-    // and container sides (ReusedExchange)
+    // and container sides (ReusedExchange). The empty-doc guard lives
+    // INSIDE each generator expression (null key → dropped by the
+    // equi-joins), NEVER as a Filter node: predicate pushdown would
+    // substitute the whole shingling pipeline into the scan's data
+    // filter and re-evaluate it per branch — the measured-13× trap
+    // [[charLshPairsWith]] documents (re-measured here in round 16:
+    // a `.filter(sz > 0)` on this relation put tokenize+shingle+distinct
+    // into BOTH sym-side FileScans and quadrupled the registered
+    // report's sf0.1 time).
     val sigd = docs
       .withColumn("__tk", tokens(normalizeText(col("text"))))
       .withColumn("__sh", shinglesFromTokens(col("__tk"), n))
       .withColumn("__hs", transform(col("__sh"),
         s => pmod(DetHash.base60(s), lit(DetHash.P))))
-      .select(col("doc_id"),
-        graft.functions.MinHashSlots.column(
-          col("__hs"), minhashAs, minhashBs, DetHash.P).as("sig"),
-        size(col("__sh")).as("sz"))
-      .filter(col("sz") > 0)
+      .withColumn("sig", graft.functions.MinHashSlots.column(
+        col("__hs"), minhashAs, minhashBs, DetHash.P))
+      .withColumn("sz", size(col("__sh")))
+      .select(col("doc_id"), col("sig"), col("sz"))
       .repartition(col("doc_id"))
     val banded = sigd.select(col("doc_id"),
-      explode(bandKeys(col("sig"))).as("bk"))
+      explode_outer(when(col("sz") > 0, bandKeys(col("sig")))).as("bk"))
     val symCand = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     (if (maxStratumDistance <= 0) symCand else {
       val asymBanded = sigd.select(col("doc_id"),
-        explode(bandKeysWith(col("sig"), AsymBands, AsymRowsPerBand)).as("abk"),
+        explode_outer(when(col("sz") > 0,
+          bandKeysWith(col("sig"), AsymBands, AsymRowsPerBand))).as("abk"),
         sizeStratum(col("sz")).as("st"))
+      // concat (not concat_ws): a null band key — the empty-doc guard —
+      // must propagate to a null join key, never degrade to a bare
+      // stratum string
       val containers = asymBanded.select(col("doc_id").as("cb"),
-        concat_ws("@", col("abk"), col("st").cast("string")).as("k"))
+        concat(col("abk"), lit("@"), col("st").cast("string")).as("k"))
       val probes = asymBanded
         .select(col("doc_id").as("ca"), explode(array(
           (1 to maxStratumDistance).map(d =>
-            concat_ws("@", col("abk"), (col("st") + d).cast("string"))): _*)).as("k"))
+            concat(col("abk"), lit("@"), (col("st") + d).cast("string"))): _*)).as("k"))
       // strata differ ⇒ ca ≠ cb; normalized unordered so the one verify
       // and the distinct-union with the symmetric tier stay unchanged
       val asymCand = probes.join(containers, Seq("k"))
