@@ -38,3 +38,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Round 16 (r15 verdict #6): the suite is the round's inner loop and ran
+// ~11 min wall in ONE forked JVM (suites sequential, streaming suites
+// dominating). Shard it into G forked JVMs run CONCURRENTLY:
+// round-robin over the sorted suite names spreads the adjacent-named
+// streaming heavyweights across groups. Safe to parallelize across
+// PROCESSES because each group JVM builds its own SparkSession
+// (local[4], in-memory catalog) and every persisted-table path is keyed
+// by the owning JVM's applicationId (Tables.persistedTableRoot) — no
+// cross-process shared state. 4 groups × local[4] × 8g heap fits the
+// 32-core / 128 GiB box with room to spare. SPARK_GRAFT_TEST_GROUPS=1
+// restores the single-JVM run (timing-sensitive local iteration).
+Test / testGrouping := {
+  val groups = sys.env.getOrElse("SPARK_GRAFT_TEST_GROUPS", "4").toInt.max(1)
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val opts = (Test / javaOptions).value.toVector
+  tests.zipWithIndex.groupBy(_._2 % groups).toSeq.sortBy(_._1).map {
+    case (i, ts) =>
+      Tests.Group(s"g$i", ts.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.limitAll(math.max(4, java.lang.Runtime.getRuntime.availableProcessors())))

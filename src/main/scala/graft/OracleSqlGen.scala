@@ -1201,31 +1201,47 @@ object OracleSqlGen {
     * self-join UNION the asymmetric size-stratified tier (8×2 bands;
     * containers publish keys tagged with their own gram-size stratum
     * `length(bin(sz)) − 1`, contained candidates probe strata
-    * s+1 .. s+MaxStratumDistance — integer semantics identical to the
-    * Spark side's), then the exact count-based containment verify,
+    * s+1 .. s+MaxStratumDistance, survivors gated by the INTEGER
+    * containment-estimate inequality 2·m·(sza+szb) ≥ sza·(16+m) over
+    * the m agreeing minhash slots — all integer semantics identical to
+    * the Spark side's), then the exact count-based containment verify,
     * emitted in both directions from one intersection count.
     */
-  def containmentPairsLshSql(n: Int, threshold: Double): String =
+  def containmentPairsLshSql(n: Int, threshold: Double): String = {
+    val aMatches = (0 until Dedup.NumHashes)
+      .map(i => s"CASE WHEN p.a$i = c.b$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val aSlots = (0 until Dedup.NumHashes).map(i => s"s$i AS a$i").mkString(", ")
+    val bSlots = (0 until Dedup.NumHashes).map(i => s"s$i AS b$i").mkString(", ")
     s"""${sigCteOver(wordShCte(n))},
         bands AS (SELECT doc_id, unnest([$bandKeysSql]) AS bk FROM sig
                   WHERE len(shingles) > 0),
-        abands AS (SELECT doc_id, unnest([$asymBandKeysSql]) AS abk,
+        abands AS (SELECT doc_id, ${(0 until Dedup.NumHashes)
+                     .map("s" + _).mkString(", ")},
+                   len(shingles) AS asz,
+                   unnest([$asymBandKeysSql]) AS abk,
                    length(bin(len(shingles))) - 1 AS st FROM sig
                    WHERE len(shingles) > 0),
-        aprobe AS (SELECT doc_id, abk || '@' || CAST(ts AS VARCHAR) AS k
-          FROM (SELECT doc_id, abk,
+        aprobe AS (SELECT doc_id, $aSlots, asz AS sza,
+                   abk || '@' || CAST(ts AS VARCHAR) AS k
+          FROM (SELECT doc_id, ${(0 until Dedup.NumHashes)
+                  .map("s" + _).mkString(", ")}, asz, abk,
                 unnest([${(1 to Dedup.MaxStratumDistance)
                   .map(d => s"st + $d").mkString(", ")}]) AS ts
                 FROM abands)),
-        acont AS (SELECT doc_id, abk || '@' || CAST(st AS VARCHAR) AS k
+        acont AS (SELECT doc_id, $bSlots, asz AS szb,
+                  abk || '@' || CAST(st AS VARCHAR) AS k
                   FROM abands),
+        acand AS (SELECT p.doc_id AS pa, c.doc_id AS cb,
+                  p.sza AS sza, c.szb AS szb, ($aMatches) AS m
+                  FROM aprobe p JOIN acont c ON p.k = c.k),
         cand AS (SELECT DISTINCT a, b FROM (
           SELECT x.doc_id AS a, y.doc_id AS b
           FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
           UNION ALL
-          SELECT least(p.doc_id, c.doc_id) AS a,
-                 greatest(p.doc_id, c.doc_id) AS b
-          FROM aprobe p JOIN acont c ON p.k = c.k)),
+          SELECT least(pa, cb) AS a, greatest(pa, cb) AS b
+          FROM acand
+          WHERE 2 * m * (sza + szb) >= sza * (${Dedup.NumHashes} + m))),
         posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         szs AS (SELECT doc_id, len(shingles) AS sz FROM sh),
         iv AS (SELECT cand.a, cand.b, za.sz AS sza, zb.sz AS szb,
@@ -1241,6 +1257,7 @@ object OracleSqlGen {
         SELECT b AS a, a AS b,
           round(inter::DOUBLE / szb::DOUBLE, 4) AS containment
         FROM iv WHERE inter::DOUBLE / szb::DOUBLE >= $threshold"""
+  }
 
   /** Mirrors Dedup.containmentReportLsh: the containmentReportDirSql
     * aggregation over the UNCOLLAPSED gated relation — the green row

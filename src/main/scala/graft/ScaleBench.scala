@@ -154,7 +154,7 @@ object ScaleBench {
     "dedup_containment_incremental" ->
       "persisted-state EXACT containment maintenance: the timed pass ranks the batch's grams against the persisted df model, pigeonhole-probes the g-bucketed posting/probe indexes in both directions, exact-verifies one intersection count per candidate, and full-outer-merges into yesterday's persisted report. Cost tracks BATCH-involved candidate volume - on the hot-vocabulary fixture that term is quadratic-ish in the batch (the same adversarial shape that disk-caps the full pair relation), but the corpus-sized old-old relation is never recomputed and the corpus is never re-shingled; the registered 20% batch is a worst-case daily increment. Untimed prewarm builds yesterday's report container-SLICED (containmentReportSliced: S sequential jobs, each holding 1/S of the candidate shuffle - the build path for the state the full recompute cannot materialize on one box at 100x)",
     "dedup_containment_report" ->
-      "bounded-output form of dedup_containment: output-quadratic duplicate-family growth is defused (2.2x at 10x vs the pair form's 5.9x). The binding resource at 100x is CANDIDATE volume, not output: the word-shuffle replication leaves ~500k unique texts (only 1-3-word docs collapse as exact duplicates), and exact directed containment over them is pigeonhole-gated but still candidate-proportional on a hot-vocabulary corpus. Round 12's one-plan build exhausted the box's ~65 GB shuffle space at 731s (disk_capped >=84.5x); round 13 routes the registered query through the container-SLICED build (containmentReportAuto: 8 sequential jobs, each holding 1/8 of the candidate shuffle, value-identical), which removed the disk bound (peak spill observed well under capacity) - the verdict is now a pure compute timebox (>=130x): the candidate/verify work itself exceeds what 32 cores clear inside the cap, and a cluster completes it by running the slice jobs across nodes. The at-scale gates for this family stay the LSH twin (dedup_containment_report_lsh, 8.3x) and the persisted-index incremental path (flat per-batch-doc cost)",
+      "bounded-output form of dedup_containment: output-quadratic duplicate-family growth is defused (2.2x at 10x vs the pair form's 5.9x). The binding resource at 100x is CANDIDATE volume, not output: the word-shuffle replication leaves ~500k unique texts (only 1-3-word docs collapse as exact duplicates), and exact directed containment over them is pigeonhole-gated but still candidate-proportional on a hot-vocabulary corpus. Round 12's one-plan build exhausted the box's ~65 GB shuffle space at 731s (disk_capped >=84.5x); round 13 routes the registered query through the container-SLICED build (containmentReportAuto: 8 sequential jobs, each holding 1/8 of the candidate shuffle, value-identical), which removed the disk bound (peak spill observed well under capacity) - the verdict is now a pure compute timebox (>=130x): the candidate/verify work itself exceeds what 32 cores clear inside the cap, and a cluster completes it by running the slice jobs across nodes. The at-scale gates for this family stay the LSH twin (dedup_containment_report_lsh - 32.3x completing at 100x since round 16's asymmetric tier bought mid-ratio recall the r15 8.3x gate did not have; the factor is purchased recall work, held off the disk by the pre-distinct integer estimate gate) and the persisted-index incremental path (flat per-batch-doc cost)",
     "dedup_char_jaccard_clusters" ->
       "bounded-output twin over the char-gram jaccard relation: label output is linear and exact-dup families collapse, but this family's 100x limit is CANDIDATE volume, not output - the fixed ~6.8k 7-gram vocabulary over ~500k unique word-shuffled texts makes the rep-level PPJoin candidate shuffle itself quadratic-ish. Round 14 routed the edge relation through charJaccardPairsAuto's staged disjoint build-side slices (closure over the value-identical union), which removed the single-box DISK bound (r13: disk_capped >=50.4x at 388s) - the row is now a pure compute timebox (>=130x at the 882s cap), the same verdict as dedup_char_jaccard_pairs: quadratic-ish candidate work a cluster divides across nodes by spreading the slice jobs. At 10x (where one plan fits) the twin grades 3.96x; duplicate-family-driven corpora (the shape the twins target) collapse before the join",
     "sim_knn_join" ->
@@ -165,7 +165,7 @@ object ScaleBench {
     "dedup_edit_pairs" ->
       "the skewed fixture's near-identical tier grows linearly, so the CORRECT output clique grows quadratically (12.5M pairs at 10x vs 125k) - ~15x wall for ~100x output is sublinear per emitted pair; the native bounded_levenshtein (prefix/suffix strip + Ukkonen band) keeps each verify near-constant",
     "dedup_edit_pairs_recall_floor" ->
-      "the recall-floor form of dedup_edit_pairs (maxRowsPerBand=4): the cap DELIBERATELY holds the char-LSH gate at the 4-slot band width past RebandAt, where the uncapped schedule widens to 8 at the 10x dir (~600k docs) - per-pair band-collision probability stays ~s^4 instead of narrowing to ~s^8, so recall holds AT the pinned rp=4 curve (63% near-threshold, CharLshWidthRecallSpec) at any corpus size and the factor measures the candidate-volume-for-recall trade cappedRowsPerBand's cost model promises; output is the same quadratically-growing exact clique as the base row, plus the purchased candidate compute (the delta vs dedup_edit_pairs' row IS the price of the recall floor)",
+      "the recall-floor form of dedup_edit_pairs (maxRowsPerBand=4): the cap DELIBERATELY holds the char-LSH gate at the 4-slot band width past RebandAt, where the uncapped schedule widens to 8 at the 10x dir (~500k docs) - per-pair band-collision probability stays ~s^4 instead of narrowing to ~s^8, so recall holds AT the pinned rp=4 curve (63% near-threshold, CharLshWidthRecallSpec) at any corpus size and the factor measures the candidate-volume-for-recall trade cappedRowsPerBand's cost model promises. MEASURED (round 16, two independent 10x runs): base 11.83/16.13s vs floor 12.09/16.64s big-pass - the floor costs ~2-3% here because the skewed fixture's quadratic OUTPUT clique (identical in both forms) dominates; the wider-gate savings only touch the non-clique background, so the recall floor is nearly free at this corpus shape and the trade's real price appears only on background-dominated corpora",
     "dedup_containment" ->
       "round 8 measured the 1-match SSJoin prefix at 57x on this hot-vocabulary corpus (no doc has a rare gram: 22M candidates, 1.4e9-row verify), then widened it to the pigeonhole gate - >= m+1 matches of the rarest 2m+1 probe grams before any verify - cutting candidates 256x and the verify 1750x; remaining factor tracks the quadratically-growing true output (505 pairs from duplicate families)",
     "sketch_corpus_overlap" ->

@@ -1371,22 +1371,47 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     (if (maxStratumDistance <= 0) symCand else {
-      val asymBanded = sigd.select(col("doc_id"),
+      val asymBanded = sigd.select(col("doc_id"), col("sig"), col("sz"),
         explode_outer(when(col("sz") > 0,
           bandKeysWith(col("sig"), AsymBands, AsymRowsPerBand))).as("abk"),
         sizeStratum(col("sz")).as("st"))
       // concat (not concat_ws): a null band key — the empty-doc guard —
       // must propagate to a null join key, never degrade to a bare
-      // stratum string
+      // stratum string. Signature and gram count RIDE each band row
+      // (the [[charLshPairsWith]] discipline), so the estimate gate
+      // below runs on the join's output stream BEFORE any pair row is
+      // shuffled — the narrow 2-row buckets' noise collisions cost 16
+      // slot comparisons each, never a distinct-exchange row or a
+      // posting expansion (round 16: without this gate the 100× fixture
+      // timeboxed the twin — j² per-band admission over cross-stratum
+      // pairs is quadratic-ish in the corpus; with it the survivors are
+      // containment-consistent pairs only).
       val containers = asymBanded.select(col("doc_id").as("cb"),
+        col("sig").as("sigb"), col("sz").cast("long").as("szb"),
         concat(col("abk"), lit("@"), col("st").cast("string")).as("k"))
       val probes = asymBanded
-        .select(col("doc_id").as("ca"), explode(array(
-          (1 to maxStratumDistance).map(d =>
-            concat(col("abk"), lit("@"), (col("st") + d).cast("string"))): _*)).as("k"))
+        .select(col("doc_id").as("ca"), col("sig").as("siga"),
+          col("sz").cast("long").as("sza"), explode(array(
+            (1 to maxStratumDistance).map(d =>
+              concat(col("abk"), lit("@"), (col("st") + d).cast("string"))): _*)).as("k"))
+      // INTEGER-EXACT containment-estimate gate: with m of NumHashes
+      // minhash slots agreeing, est-jaccard = m/16 and the containment
+      // implied by it at the pair's true sizes (probe stratum < container
+      // stratum ⇒ sza < szb) is estC = (m/16)(sza+szb) / (sza(1+m/16)).
+      // Require estC ≥ 1/2 — cross-multiplied to pure integers so both
+      // engines agree exactly: 2·m·(sza+szb) ≥ sza·(16+m). A true
+      // containment pair (C ≥ 0.9) passes with ≥96% probability at
+      // ratios ≤ 3 (binomial over 16 slots), while background pairs
+      // (j ≈ 0.05) are cut ~99% at adjacent strata — the measured curve
+      // in ContainmentLshRecallSpec carries the net effect.
+      val m = aggregate(zip_with(col("siga"), col("sigb"),
+        (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, b) => a + b)
       // strata differ ⇒ ca ≠ cb; normalized unordered so the one verify
       // and the distinct-union with the symmetric tier stay unchanged
       val asymCand = probes.join(containers, Seq("k"))
+        .select(col("ca"), col("cb"), col("sza"), col("szb"), m.as("m"))
+        .filter(lit(2L) * col("m") * (col("sza") + col("szb")) >=
+          col("sza") * (lit(NumHashes.toLong) + col("m")))
         .select(least(col("ca"), col("cb")).as("a"),
           greatest(col("ca"), col("cb")).as("b"))
       symCand.union(asymCand)
