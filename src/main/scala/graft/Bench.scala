@@ -47,9 +47,12 @@ import org.apache.spark.sql.SparkSession
   *      (shared-JVM warm — round 16: r15 reported 27 queries from the
   *      drain child's cold pass, so those headline values were 1.5-3×
   *      their warm minima and round-over-round comparisons on them were
-  *      noise by construction; one extra sequential pass costs ~1× the
-  *      warm sum against the 1200 s budget and gives every query warm
-  *      semantics), flagged per-query in `warm_srcs` as `drain_warm`;
+  *      noise by construction; the pass is RESTRICTED to the
+  *      fallthrough set — by construction the cheap tail — so its cost
+  *      tracks the degradation that produced it and the planner's
+  *      drain reserve stays at the r15 level: charging a full-registry
+  *      warm pass up front displaced two grouped chunks in the first
+  *      dry run), flagged per-query in `warm_srcs` as `drain_warm`;
   *      `drain_cold` remains only as the last-resort fill for a query
   *      whose warm pass failed.
   *
@@ -187,11 +190,16 @@ object Bench {
     def est(name: String): Double = math.max(0.1, priorEst.getOrElse(name, 1.0))
     val sumEstAll = names.map(est).sum
     // drain child: startup/warmup + sequential cold pass (~1.8× warm) +
-    // ONE shared-JVM warm pass (~1× warm sum — round 16: the fallthrough
-    // tier's numbers come from this pass, never the cold one) +
-    // pool-6 drain (~0.5× warm sum, floor 60 s) + quiesce
-    def estDrain: Double =
-      30 + (1.8 + 1.0) * sumEstAll + math.max(60, 0.5 * sumEstAll) + 25
+    // pool-6 drain (~0.5× warm sum, floor 60 s) + quiesce. The round-16
+    // shared-JVM warm pass over the FALLTHROUGH tier is deliberately NOT
+    // charged here: in the planned state every query is covered by a
+    // warm child (the fallthrough set is empty), and when budget
+    // degradation produces one it is the cheap tail by construction
+    // (slowest-first queue) — charging a full-registry warm pass up
+    // front displaced two grouped chunks in the first dry run (52
+    // grouped vs r15's 130) for a pass that mostly re-times already-
+    // covered queries.
+    def estDrain: Double = 30 + 1.8 * sumEstAll + math.max(60, 0.5 * sumEstAll) + 25
     var childOverhead = 25.0 // startup + warmup + calib; adapted from observed
 
     // children run SEQUENTIALLY — concurrent children would contend for
@@ -215,22 +223,41 @@ object Bench {
       val proc = pb.start()
       val finished = proc.waitFor(
         math.max(30, timeoutS).toLong, java.util.concurrent.TimeUnit.SECONDS)
+      def readDetail(): Option[org.json4s.JValue] =
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(detailPath)))
+          None
+        else try Some(org.json4s.jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(detailPath)), "UTF-8")))
+        catch { case _: Throwable => None }
+      // children write their detail PROGRESSIVELY (after every pass,
+      // rename-atomic), so a killed or crashed child still contributes
+      // every measurement it completed — a budgeted run salvages the
+      // partial file instead of losing the whole child (r16: one drain
+      // timeout cost 68 queries' numbers before this)
       if (!finished) {
         proc.destroyForcibly(); proc.waitFor()
         degradedNotes :+= s"child '$what' exceeded ${timeoutS.toInt}s and was killed"
         if (fullMode) throw new IllegalStateException(
           s"bench child $what timed out; log: $logPath")
-        None
-      } else if (proc.exitValue() != 0 || !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(detailPath))) {
+        val d = readDetail()
+        if (d.isDefined) degradedNotes :+=
+          s"salvaged '$what' partial detail (progressive writes)"
+        d
+      } else if (proc.exitValue() != 0) {
         degradedNotes :+= s"child '$what' failed rc=${proc.exitValue()}"
         if (fullMode) throw new IllegalStateException(
           s"bench child $what failed (rc=${proc.exitValue()}); log: $logPath")
-        None
+        val d = readDetail()
+        if (d.isDefined) degradedNotes :+=
+          s"salvaged '$what' partial detail (progressive writes)"
+        d
       } else {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(detailPath)), "UTF-8")
-        Some(org.json4s.jackson.JsonMethods.parse(txt))
+        val d = readDetail()
+        if (d.isEmpty) degradedNotes :+= s"child '$what' left no detail file"
+        if (d.isEmpty && fullMode) throw new IllegalStateException(
+          s"bench child $what wrote no detail; log: $logPath")
+        d
       }
     }
 
@@ -348,12 +375,20 @@ object Bench {
       queue = uncovered
     }
 
-    // ---- PHASE D: the shared drain JVM (always attempted — "value")
+    // ---- PHASE D: the shared drain JVM (always attempted — "value").
+    // The child's sequential warm pass (pass 2, between cold and drain)
+    // is restricted to the UNCOVERED fallthrough set so its cost tracks
+    // the degradation that produced it, not the registry; an empty list
+    // means "no warm pass", absent means "warm everything" (full-mode
+    // direct child invocations).
+    val drainTimeout = if (fullMode) 14400.0 else math.max(120, remaining() - 15)
     val drainDetail = runChild(
       Map("SPARK_GRAFT_BENCH_SHARD" -> "0/1",
-          "SPARK_GRAFT_BENCH_PHASE" -> "drain"),
+          "SPARK_GRAFT_BENCH_PHASE" -> "drain",
+          "SPARK_GRAFT_BENCH_WARM_ONLY" -> queue.mkString(","),
+          "SPARK_GRAFT_BENCH_CHILD_BUDGET_S" -> drainTimeout.toInt.toString),
       s"$tmp/drain.json", s"$tmp/drain.log", "drain full-registry",
-      timeoutS = if (fullMode) 14400 else math.max(120, remaining() - 15))
+      timeoutS = drainTimeout)
 
     val allDetails = singleDetails.map(_._2) ++ groupDetails ++ drainDetail
     val warmSingle = singleDetails.map(s => mapOf(s._2, "queries_warm"))
@@ -586,11 +621,19 @@ object Bench {
     def contended(m: PassMeta, bestCj: Double, bestCs: Double): Boolean =
       m.load > loadGate || m.cj > bestCj * 1.5 || m.cs > bestCs * 1.5
     var passes = Vector.empty[(PassMeta, Seq[(String, Double)], Double)]
-    def runPass(label: String): Unit = {
+    def runPass(label: String,
+                subset: Option[Set[String]] = None,
+                keepGoing: () => Boolean = () => true): Unit = {
       val q = quiesce()
       val m = meta(label, q)
       val s0 = System.nanoTime()
-      val run = named.map { case (name, fn) => name -> timed(name, fn) }
+      // outside the subset (or past the budget gate): -1 (the
+      // failed-query sentinel) so the pass rows stay index-aligned with
+      // `named` and the warm-min fold simply skips them
+      val run = named.map { case (name, fn) =>
+        name -> (if (subset.forall(_.contains(name)) && keepGoing())
+          timed(name, fn) else -1.0)
+      }
       passes :+= ((m, run, (System.nanoTime() - s0) / 1e9))
     }
     // A fresh single-query JVM is still JIT-compiling ITS OWN hot paths
@@ -609,12 +652,73 @@ object Bench {
       val ts = passes.map(_._2(i)._2).filter(_ >= 0)
       if (ts.isEmpty) Double.MaxValue else ts.min
     }.sum
+    // PROGRESSIVE DETAIL WRITES (round 16): the detail file is rewritten
+    // after the cold pass, after every warm pass, and after the drain —
+    // a child killed at its wall timeout leaves its latest completed
+    // measurements on disk instead of a hole, and the orchestrator
+    // salvages whatever is there (the r16 second dry run lost 68
+    // queries' numbers AND the drain value to one timeout; with
+    // progressive writes the same kill costs only the unfinished pass).
+    def jsonMap(m: Seq[(String, Double)]) = m
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def metaJson(m: PassMeta) =
+      s""""load_pre":${m.load},"quiesce_wait_s":${m.quiesceS},"calib_jvm_s":${m.cj},"calib_spark_s":${m.cs},"gc_total_ms":${m.gc},"heap_used_mb":${m.heap}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    def writeDetail(drain: Seq[(String, Double)], drainTotal: Double,
+                    drainQuiesce: Double): Unit = {
+      val warmPasses = passes.map(p => (p._2, p._3))
+      val seq = named.indices.map { i =>
+        val ts = warmPasses.map(_._1(i)._2).filter(_ >= 0)
+        named(i)._1 -> (if (ts.isEmpty) -1.0 else ts.min)
+      }
+      val seqTotal =
+        if (warmPasses.isEmpty) 0.0 else warmPasses.map(_._2).min
+      val calibBest =
+        if (passes.isEmpty) (coldMeta.cj, coldMeta.cs)
+        else ((passes.map(_._1.cj) :+ coldMeta.cj).min,
+              (passes.map(_._1.cs) :+ coldMeta.cs).min)
+      val warmRuns = passes
+        .map { case (m, run, total) =>
+          s""""${m.label}":{"total":$total,${metaJson(m)},"queries":${jsonMap(run)}}""" }
+        .mkString(",")
+      val extraPasses = (passes.size - 3).max(0)
+      val detail =
+        s"""{"sf":"$sfDir","shard":"$shardIdx/$shardCount","phase":"$phase","drain_total":$drainTotal,"seq_total":$seqTotal,
+           |"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"drain_quiesce_s":$drainQuiesce,
+           |"load_gate":$loadGate,"extra_passes":$extraPasses,"quiesce_target":$quiesceTarget,
+           |"calib_jvm_best_s":${calibBest._1},"calib_spark_best_s":${calibBest._2},
+           |"cold_meta":{${metaJson(coldMeta)}},
+           |"queries_warm":${jsonMap(seq)},
+           |${if (warmRuns.nonEmpty) warmRuns + "," else ""}
+           |"queries_cold":${jsonMap(cold)},
+           |"queries_drain":${jsonMap(drain)}}""".stripMargin
+      // write-then-rename so a kill mid-write never leaves a torn file
+      val p = java.nio.file.Paths.get(detailPath)
+      val tmp = java.nio.file.Paths.get(detailPath + ".tmp")
+      java.nio.file.Files.write(tmp, detail.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeDetail(Seq.empty, 0.0, 0.0) // cold numbers are salvageable now
+
+    // the child's own wall budget (the orchestrator passes its kill
+    // timeout): phases self-truncate at 90% so the LAST completed
+    // measurement set is always on disk before the kill would land
+    val childBudgetS = sys.env.get("SPARK_GRAFT_BENCH_CHILD_BUDGET_S")
+      .map(_.toDouble)
+    def childElapsed: Double =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
+    def budgetLeft: Boolean = childBudgetS.forall(b => childElapsed < 0.9 * b)
+
     if (doWarm) {
-      (1 to math.min(3, warmPassTarget)).foreach(i => runPass(s"warm_$i"))
+      (1 to math.min(3, warmPassTarget)).foreach { i =>
+        runPass(s"warm_$i"); writeDetail(Seq.empty, 0.0, 0.0)
+      }
       var i = math.min(3, warmPassTarget)
       while (i < warmPassTarget && {
         val before = bestWarm
         runPass(s"warm_${i + 1}")
+        writeDetail(Seq.empty, 0.0, 0.0)
         i += 1
         bestWarm < before * 0.98
       }) ()
@@ -623,31 +727,15 @@ object Bench {
         val bestCj = passes.map(_._1.cj).min
         val bestCs = passes.map(_._1.cs).min
         passes.count(p => !contended(p._1, bestCj, bestCs)) < 2
-      }) { extras += 1; runPass(s"warm_extra_$extras") }
-    } else if (doDrain) {
-      // drain-phase pass 2 (round 16): ONE sequential warm pass so the
-      // budgeted protocol's fallthrough tier reports shared-JVM WARM
-      // numbers instead of cold-pass ones (r15 shipped 27 cold values in
-      // the headline map — 1.5-3× their warm minima, round-over-round
-      // noise by construction). Shared-JVM warm is not fresh-JVM warm
-      // (the megamorphic tax applies), but it strips codegen compilation
-      // and cold-IO, the two biggest cold-pass terms.
-      runPass("drain_warm")
+      }) { extras += 1; runPass(s"warm_extra_$extras")
+           writeDetail(Seq.empty, 0.0, 0.0) }
     }
-    val warmPasses = passes.map(p => (p._2, p._3))
-    val seq = named.indices.map { i =>
-      val ts = warmPasses.map(_._1(i)._2).filter(_ >= 0)
-      named(i)._1 -> (if (ts.isEmpty) -1.0 else ts.min)
-    }
-    val seqTotal =
-      if (warmPasses.isEmpty) 0.0 else warmPasses.map(_._2).min
-    val calibBest =
-      if (passes.isEmpty) (coldMeta.cj, coldMeta.cs)
-      else ((passes.map(_._1.cj) :+ coldMeta.cj).min,
-            (passes.map(_._1.cs) :+ coldMeta.cs).min)
 
     // concurrent drain (plans/codegen warm from the cold pass, so this
-    // measures scheduling + execution throughput, not compilation)
+    // measures scheduling + execution throughput, not compilation). Runs
+    // BEFORE the drain-phase warm pass: the drain total is the headline
+    // "value", so it gets the budget priority and the warm tail takes
+    // the leftover.
     val (drain, drainTotal, drainQuiesce) =
       if (!doDrain) (Seq.empty[(String, Double)], 0.0, 0.0)
       else {
@@ -665,35 +753,35 @@ object Bench {
         pool.shutdown()
         (d, total, dq)
       }
+    if (doDrain) writeDetail(drain, drainTotal, drainQuiesce)
 
-    def jsonMap(m: Seq[(String, Double)]) = m
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    if (doDrain && !doWarm) {
+      // drain-phase pass 2 (round 16): ONE sequential warm pass so the
+      // budgeted protocol's fallthrough tier reports shared-JVM WARM
+      // numbers instead of cold-pass ones (r15 shipped 27 cold values in
+      // the headline map — 1.5-3× their warm minima, round-over-round
+      // noise by construction). Shared-JVM warm is not fresh-JVM warm
+      // (the megamorphic tax applies), but it strips codegen compilation
+      // and cold-IO, the two biggest cold-pass terms. The orchestrator
+      // narrows the pass to the actual fallthrough set via
+      // SPARK_GRAFT_BENCH_WARM_ONLY ("" = none — planned full coverage;
+      // absent = warm everything, for direct child invocations), and the
+      // pass self-truncates at 90% of the child budget — a truncated
+      // query keeps its drain-cold fill instead of costing the child
+      // its life.
+      val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_WARM_ONLY")
+        .map(_.split(",").filter(_.nonEmpty).toSet)
+      if (warmOnly.forall(_.nonEmpty) && budgetLeft) {
+        runPass("drain_warm", warmOnly, () => budgetLeft)
+        writeDetail(drain, drainTotal, drainQuiesce)
+      }
+    }
 
-    val loadEnd = loadAvg
-    def metaJson(m: PassMeta) =
-      s""""load_pre":${m.load},"quiesce_wait_s":${m.quiesceS},"calib_jvm_s":${m.cj},"calib_spark_s":${m.cs},"gc_total_ms":${m.gc},"heap_used_mb":${m.heap}"""
-    val warmRuns = passes
-      .map { case (m, run, total) =>
-        s""""${m.label}":{"total":$total,${metaJson(m)},"queries":${jsonMap(run)}}""" }
-      .mkString(",")
-    val extraPasses = (passes.size - 3).max(0)
-    val detail =
-      s"""{"sf":"$sfDir","shard":"$shardIdx/$shardCount","phase":"$phase","drain_total":$drainTotal,"seq_total":$seqTotal,
-         |"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"drain_quiesce_s":$drainQuiesce,
-         |"load_gate":$loadGate,"extra_passes":$extraPasses,"quiesce_target":$quiesceTarget,
-         |"calib_jvm_best_s":${calibBest._1},"calib_spark_best_s":${calibBest._2},
-         |"cold_meta":{${metaJson(coldMeta)}},
-         |"queries_warm":${jsonMap(seq)},
-         |${if (warmRuns.nonEmpty) warmRuns + "," else ""}
-         |"queries_cold":${jsonMap(cold)},
-         |"queries_drain":${jsonMap(drain)}}""".stripMargin
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    if (!doDrain) writeDetail(Seq.empty, 0.0, 0.0)
     try {
       spark.sparkContext.setLogLevel("OFF")
       spark.stop()
     } catch { case _: Throwable => () }
-    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      detail.getBytes("UTF-8"))
     ()
   }
 }
