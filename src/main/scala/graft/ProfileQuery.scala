@@ -48,10 +48,25 @@ object ProfileQuery {
 
     @volatile var jobs = 0
     @volatile var stages = 0
+    val stageLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var logStages = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
+        if (logStages) {
+          val i = s.stageInfo
+          val dur = (for (a <- i.completionTime; b <- i.submissionTime)
+            yield a - b).getOrElse(-1L)
+          val m = i.taskMetrics
+          stageLog.add(f"  stage=${i.stageId} dur=${dur}ms tasks=${i.numTasks}" +
+            f" exec=${m.executorRunTime}ms cpu=${m.executorCpuTime / 1000000}ms" +
+            f" shufReadRec=${m.shuffleReadMetrics.recordsRead}" +
+            f" shufWriteRec=${m.shuffleWriteMetrics.recordsWritten}" +
+            f" name=${i.name.takeWhile(_ != '\n').take(60)}")
+        }
+      }
     })
 
     val names =
@@ -62,6 +77,9 @@ object ProfileQuery {
       var lastDf: org.apache.spark.sql.DataFrame = null
       val rows = (1 to reps).map { rep =>
         jobs = 0; stages = 0
+        // log stage-level detail for the LAST rep (covers the eager
+        // construction jobs of loop-bearing operators too)
+        if (rep == reps) { logStages = true; stageLog.clear() }
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
@@ -78,18 +96,27 @@ object ProfileQuery {
         ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
       }
       val (bc, be) = (rows.map(_._1).min, rows.map(_._2).min)
+      // one extra rep executed via collect() on the frame's OWN
+      // QueryExecution: count() plans a separate aggregate on top, so
+      // only this rep yields the AQE-final plan and real shuffle metrics
+      val t3 = System.nanoTime()
       val st =
         try {
-          val s = PlanMetrics.shuffleStats(lastDf)
-          f"shuffles=${s.exchanges} shufRecords=${s.recordsWritten} shufMB=${s.bytesWritten / 1e6}%.1f"
+          val (n, s) = PlanMetrics.measure(lastDf)
+          f"collectExec=${(System.nanoTime() - t3) / 1e9}%.3f rows=$n " +
+            f"shuffles=${s.exchanges} shufRecords=${s.recordsWritten} shufMB=${s.bytesWritten / 1e6}%.1f"
         } catch { case e: Throwable => s"shuffles=? (${e.getMessage})" }
+      logStages = false
       println(f"[profile-best] $name construct=$bc%.3f exec=$be%.3f total=${bc + be}%.3f $st")
+      Thread.sleep(300) // let the listener bus drain before printing stages
+      stageLog.forEach(l => println(s"[stage] $name$l"))
       planDir.foreach { d =>
         val p = java.nio.file.Paths.get(d)
         java.nio.file.Files.createDirectories(p)
-        // the EXECUTED plan string (AQE final) — same discipline as PlanDump
-        val txt = lastDf.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        // the EXECUTED plan (AQE final, reused stages annotated) — the
+        // collect above ran THIS QueryExecution, so toString shows the
+        // adaptively executed tree, same discipline as PlanDump
+        val txt = lastDf.queryExecution.executedPlan.toString
         java.nio.file.Files.writeString(p.resolve(s"$name.txt"), txt)
       }
     }

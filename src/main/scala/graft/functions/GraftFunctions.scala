@@ -81,10 +81,12 @@ object GraftFunctions {
   // ---------------------------------------------------------------------
 
   /** Whitespace tokenization; empty string → empty array (split of "" yields
-    * [""], which we filter out).
+    * [""], which we filter out). Round 16: native [[WsTokens]] expression —
+    * value-exact for every input (java `\s` is the six ASCII whitespace
+    * bytes, which no multi-byte UTF-8 sequence contains), one byte scan
+    * instead of a regex split plus a filter pass.
     */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+  def tokens(text: Column): Column = TextNorm.tokensColumn(text)
 
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -126,10 +128,12 @@ object GraftFunctions {
     * The single `+`-quantified replacement already collapses whitespace
     * (adjacent spaces cannot survive it), so no second pass is needed —
     * this is the hottest expression in the dedup/fingerprint paths.
+    * Round 16: native [[NormalizeText]] expression — a fused ASCII scan
+    * with the exact original `trim(regexp_replace(lower(…)))` pipeline as
+    * the non-ASCII fallback (TextNormEquivalenceSpec pins equality).
     * Must stay in lockstep with OracleSqlGen.norm.
     */
-  def normalizeText(text: Column): Column =
-    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+  def normalizeText(text: Column): Column = TextNorm.normalizeColumn(text)
 
   /** Document fingerprint: md5 of the normalized text. md5 exists in both
     * Spark and DuckDB, so this is oracle-checkable (unlike Murmur3 `hash`).

@@ -219,9 +219,12 @@ object CorpusOps {
   def kmvOverlap(docs: DataFrame, n: Int = 8, evalRate: Double = 0.05,
                  k: Int = 256, salt: String = "split"): DataFrame = {
     import graft.functions.DetHash
+    // two-step token materialization (shinglesFromTokens' scaladoc):
+    // the inline form re-ran tokenization per shingle inside the lambda
     val grams = docs
       .select((hexCell(col("doc_id"), salt) < lit(hexThreshold(evalRate))).as("is_eval"),
-        explode(shinglesFromTokens(tokens(normalizeText(col("text"))), n)).as("gram"))
+        tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("is_eval"), explode(shinglesFromTokens(col("tk"), n)).as("gram"))
     val membership = grams
       .groupBy(DetHash.base60(col("gram")).as("h"))
       .agg(max(col("is_eval")).as("in_eval"), max(!col("is_eval")).as("in_train"))

@@ -1073,16 +1073,26 @@ object Dedup {
   private[graft] def containmentPairsSliced(
       docs: DataFrame, n: Int, threshold: Double,
       containerSlice: Option[(Int, Int)]): DataFrame = {
-    // repartition at operator entry: four consumers (df model, probe
+    // repartition at operator entry: five consumers (df model, probe
     // ranking, both verify posting sides) read ONE ReusedExchange of the
-    // shingled grams instead of re-tokenizing the corpus four times —
+    // shingled grams instead of re-tokenizing the corpus five times —
     // the same single-evaluation discipline as embeddingNearDupPairs
     // (measured ~2× on the sf1 probe); the (doc_id) partitioning also
-    // feeds the ranking windows directly
+    // feeds the ranking windows directly. Round-16 fixes, both measured
+    // on the executed plan:
+    //  - explicit isnotnull(doc_id) BELOW the exchange: the probe/verify
+    //    consumers infer it from their join constraints, the df-model
+    //    consumer does not — the asymmetry made the subtrees
+    //    non-canonical and the corpus was shingled TWICE (doc_id is a
+    //    non-null key, so the df model is value-unchanged);
+    //  - the two-step token materialization shinglesFromTokens'
+    //    scaladoc prescribes: the inline form re-ran tokenization per
+    //    shingle inside the transform lambda.
     val grams = docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), tokens(normalizeText(col("text"))).as("tk"))
       .select(col("doc_id"),
-        explode_outer(shinglesFromTokens(tokens(normalizeText(col("text"))), n))
-          .as("g"))
+        explode_outer(shinglesFromTokens(col("tk"), n)).as("g"))
       .repartition(col("doc_id"))
     val gramsB = containerSlice.fold(grams) { case (s, of) =>
       grams.filter(pmod(col("doc_id"), lit(of)) === s)
@@ -1231,7 +1241,18 @@ object Dedup {
   private def containmentReportExt(docs: DataFrame, n: Int)
       (extOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val norm = docs.select(col("doc_id"), normalizeText(col("text")).as("text"))
-    val (reps, members0) = collapseByValue(norm)
+    val (reps0, members0) = collapseByValue(norm)
+    // Fan the checkpointed collapse out before handing it to the pair
+    // chain: at oracle scales AQE coalesces the collapse aggregate into
+    // ONE partition, a checkpoint scan erases partitioning metadata, and
+    // the chain's shingle Generates then run in a single task (round-16
+    // profiling: two 260k-row shingle stages at 1 task × 6.6 s each). At
+    // production scale the checkpoint keeps AQE's advisory-size
+    // partition count and this is a no-op — the same probe-then-spread
+    // discipline as Tables.fanOut. The probe is safe here ONLY because
+    // reps0 is checkpoint-backed (Project over LogicalRDD, no exchanges:
+    // .rdd builds the plan without executing anything).
+    val reps = fanOutCheckpointed(reps0)
     val members = members0.localCheckpoint(true) // 2 narrow consumers
     // one members pass: family size + second-smallest id (the internal
     // top container when x IS the representative) in a single agg;
@@ -2105,13 +2126,14 @@ object Dedup {
     * step of a training-data pipeline, where pairwise output alone can't
     * dedup transitive groups (a~b, b~c ⇒ one survivor for {a,b,c}).
     *
-    * Algorithm: iterative min-label propagation over the symmetrized edge
-    * list until fixpoint — each round, every node takes the min of its
-    * own label and its neighbours'. Converges in O(component diameter)
-    * rounds; near-dup components are tiny and shallow in practice, so the
-    * driver-side loop runs 2-4 rounds. Each round is ONE job and one
-    * shuffle of (node, label) pairs — the standard large-scale
-    * connected-components formulation on DataFrames; the convergence test
+    * Algorithm: the shared pointer-jumping min-label loop
+    * ([[componentLabels]]) — each round, every edge-touched node takes
+    * `min(L(v), L(L(v)), min over neighbours' L(u))`, all three terms
+    * from ONE join + one aggregation (round 16: jump and self terms ride
+    * the edge relation as extra rows); isolated nodes join back once at
+    * the end. Converges in O(log component diameter) rounds; near-dup
+    * components are tiny and shallow in practice, so the driver-side
+    * loop runs 2-4 rounds. The convergence test
     * rides the SAME job as an `observe()` metric (a CollectMetrics
     * accumulator over the changed-label count), not a second join+count
     * over the round's output. Deterministic (min over ids), so
@@ -2125,54 +2147,21 @@ object Dedup {
     * boundaries to reliable storage instead (HDFS/S3), which survives
     * node loss at the cost of one distributed write per round.
     *
-    * Bounds, stated plainly: the driver loop is O(diameter) SEQUENTIAL
-    * jobs — each round blocks on its checkpoint action before the next
-    * can plan. Fine for near-dup graphs (shallow components); on an
-    * adversarial long-chain component the wall-clock is diameter ×
-    * per-round latency, and the remedy is an algorithmic switch (pointer
-    * doubling / large-star-small-star, O(log d) rounds), not tuning this
-    * loop. With `checkpointDir` set, the round output is persisted before
+    * Bounds, stated plainly: the driver loop is O(log diameter)
+    * SEQUENTIAL jobs — each round blocks on its checkpoint action before
+    * the next can plan (the [[chainedDocs]] fixture exercises the
+    * adversarial long-chain case; `dedup_clusters_chain` measures it).
+    * With `checkpointDir` set, the round output is persisted before
     * `checkpoint(true)` so the eager action and the reliable write job
     * share ONE plan execution — without the cache the plan runs twice and
     * the `changed` observe() metric double-counts. With the cache the
     * metric is exact; the loop still only consumes its sign.
     */
   def clusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-               checkpointDir: Option[String] = None): DataFrame = {
-    val spark = docs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) {
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try df.checkpoint(true) finally df.unpersist(false)
-      } else df.localCheckpoint(true)
-    val edges = minhashLshPairs(docs, n, threshold).select(col("a"), col("b"))
-    val sym = save( // edges reused every round: compute LSH once
-      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
-    var labels = save(docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
-    var changed = 1L
-    var round = 0
-    while (changed > 0) {
-      round += 1
-      val neighborMin = sym
-        .join(labels, sym("b") === labels("doc_id"))
-        .groupBy(sym("a").as("doc_id"))
-        .agg(min(col("cluster_id")).as("n_min"))
-      val metric = s"clusters_round_$round"
-      val observed = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("n_min"), col("cluster_id")) < col("cluster_id"))
-            .cast("long").as("chg"))
-        .observe(metric, sum(col("chg")).as("changed"))
-      val next = save(observed) // the checkpoint job fills the metric
-      changed = Option(observed.queryExecution.observedMetrics(metric).get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels = next
-    }
-    labels.select(col("doc_id"), col("cluster_id"))
-  }
+               checkpointDir: Option[String] = None): DataFrame =
+    componentLabels(docs.select(col("doc_id")),
+      minhashLshPairs(docs, n, threshold).select(col("a"), col("b")),
+      "clusters", checkpointDir)._1
 
   /** Chain stress fixture: EVEN doc_ids become sliding windows over a
     * synthetic token stream — chain doc c (= doc_id/2) holds tokens
@@ -2209,12 +2198,12 @@ object Dedup {
     * [[chainedDocs]] fixture at 5 000 docs that is ~12 sequential jobs
     * instead of ~600. Same fixpoint as [[clusters]] (the jump term
     * only shortcuts toward an already-reachable label, never off the
-    * component), same min-label output, same recursive-CTE oracle; the
-    * price is one extra (node,label) hash join per round, which is why
-    * the plain variant remains the default for shallow near-dup graphs.
-    * Convergence rides the checkpoint job as an `observe()` metric,
-    * exactly like [[clusters]] (cached before reliable checkpoint so the
-    * metric accumulates once).
+    * component), same min-label output, same recursive-CTE oracle.
+    * Round 16: the jump term costs a union branch instead of a join
+    * ([[componentLabels]]), so [[clusters]] now uses the same loop and
+    * this alias remains for the chain-fixture query and its rounds spec.
+    * Convergence rides the checkpoint job as an `observe()` metric
+    * (cached before reliable checkpoint so the metric accumulates once).
     */
   def clustersPointerJump(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                           checkpointDir: Option[String] = None): DataFrame =
@@ -2249,36 +2238,59 @@ object Dedup {
     val edges = edges0.select(col("a"), col("b"))
     val sym = save(
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
-    var labels = save(nodes.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    // Round-16 loop restructure, two changes measured on ProfileQuery's
+    // stage listener (the loop was ~45-105 construction jobs on the
+    // cluster-family queries — the dominant cost at oracle scale):
+    //
+    //  1. EDGE-ENDPOINT RESTRICTION: the iterated label table holds only
+    //     nodes that touch an edge; isolated nodes (label = own id by
+    //     definition) join back once at the end. Every round now
+    //     shuffles the dup-graph node set, not the corpus — at 100 TB
+    //     the label table during iteration is |dup graph| ≪ |corpus|.
+    //  2. FUSED ROUND (one join + one aggregation): the neighbour-min
+    //     join, the L(L(v)) jump join and the old-label left join
+    //     collapse into a single lookup by encoding them as edge rows —
+    //     per round the joined edge set is sym ∪ (v → L(v)) [the jump]
+    //     ∪ (v → v) [carries the node's own label, tagged `self`], so
+    //       min(lb)                 = min(L(v), L(L(v)), min_N L(u))
+    //       max(when(self, lb))    = L(v)   (exactly one self row)
+    //     reproduce the previous update rule and change flag verbatim —
+    //     same fixpoint, same per-round labels, same round count.
+    //
+    // The jump term is now free (one extra union branch instead of a
+    // join), so the plain-propagation variant is gone: every consumer
+    // gets the O(log diameter) bound.
+    val endpoints = sym.select(col("a").as("doc_id")).distinct()
+    var labels = save(endpoints.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var changed = 1L
     var round = 0
     while (changed > 0) {
       round += 1
-      val neighborMin = sym
-        .join(labels, sym("b") === labels("doc_id"))
-        .groupBy(sym("a").as("doc_id"))
-        .agg(min(col("cluster_id")).as("n_min"))
-      val jump = labels
-        .select(col("doc_id").as("jd"), col("cluster_id").as("j_min"))
       val metric = s"${metricPrefix}_round_$round"
-      val observed = labels
-        .join(jump, labels("cluster_id") === jump("jd"), "left")
-        .select(col("doc_id"), col("cluster_id"),
-          coalesce(col("j_min"), col("cluster_id")).as("j_min"))
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), col("j_min"),
-            coalesce(col("n_min"), col("cluster_id"))).as("next_id"),
-          (least(col("j_min"), coalesce(col("n_min"), col("cluster_id")))
-            < col("cluster_id")).cast("long").as("chg"))
-        .select(col("doc_id"), col("next_id").as("cluster_id"), col("chg"))
+      val all = sym.select(col("a"), col("b"), lit(false).as("self"))
+        .unionByName(labels.select(col("doc_id").as("a"),
+          col("cluster_id").as("b"), lit(false).as("self")))
+        .unionByName(labels.select(col("doc_id").as("a"),
+          col("doc_id").as("b"), lit(true).as("self")))
+      val observed = all
+        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("lb")),
+          Seq("b"))
+        .groupBy(col("a"))
+        .agg(min(col("lb")).as("next_id"),
+          max(when(col("self"), col("lb"))).as("cur"))
+        .select(col("a").as("doc_id"), col("next_id").as("cluster_id"),
+          (col("next_id") < col("cur")).cast("long").as("chg"))
         .observe(metric, sum(col("chg")).as("changed"))
       val next = save(observed)
       changed = Option(observed.queryExecution.observedMetrics(metric).get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next
     }
-    (labels.select(col("doc_id"), col("cluster_id")), round)
+    val out = nodes.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    (out, round)
   }
 
   // -------------------------------------------------------------------
@@ -2474,6 +2486,22 @@ object Dedup {
       .select(col("rep").as("a"), col("doc_id").as("b"))
     componentLabels(docs.select(col("doc_id")),
       repPairs.union(memberEdges), "edit_cc")._1
+  }
+
+  /** Probe-then-spread for a CHECKPOINT-BACKED frame feeding a
+    * CPU-heavy chain (round 16): at oracle scales AQE coalesces the
+    * collapse aggregate into one partition and a checkpoint scan erases
+    * partitioning metadata, so every downstream shingle/gram Generate
+    * runs in a single task (profiled: 1 task × 6.6 s on the containment
+    * report). At production scale the checkpoint keeps AQE's
+    * advisory-size partition count and this is a no-op — Tables.fanOut's
+    * discipline. The `.rdd` probe is safe ONLY on exchange-free plans
+    * (Project/Filter over LogicalRDD); an AQE plan with exchanges would
+    * EXECUTE them at probe time.
+    */
+  private def fanOutCheckpointed(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /** EXACT-DUPLICATE COLLAPSE keyed by value hashes — the shared first

@@ -257,10 +257,16 @@ object Similarity {
     * NO job.
     */
   private[graft] def corpusRows(emb: DataFrame): (Long, Boolean) = {
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, Project, Repartition, RepartitionByExpression}
     def rows(p: LogicalPlan): Option[BigInt] =
       p.stats.rowCount.orElse(p match {
         case pr: Project => rows(pr.child) // 1:1 on rows by definition
+        // row-preserving exchanges (collapseByValue's checkpoint fan-out
+        // plants one above the stats-bearing scan — round 16): without
+        // the descent every size-dispatch probe pays a real count() job
+        case rp: Repartition => rows(rp.child)
+        case rp: RepartitionByExpression => rows(rp.child)
         case _ => None
       })
     rows(emb.queryExecution.optimizedPlan) match {
@@ -412,9 +418,17 @@ object Similarity {
           array_sort(collect_list(struct(col("dim"),
             (col("sq").cast("double") / (col("n") * lit(QuantScale)).cast("double")).as("m")))),
           _.getField("m")).as("c_emb"))
+      // eager checkpoint of the K-row centroid table per round (round
+      // 16): each round consumes `cents` TWICE (the broadcast assignment
+      // row and the empty-cluster fallback join), so left lazy the
+      // training subtree doubled per iteration and the final consumers
+      // re-embedded the whole chain — sim_ivfpq_topk's executed plan
+      // carried 35 copies of the posexplode training stage. K rows, so
+      // the checkpoint is one trivial job; values are unchanged.
       cents = cents.as("prev").join(means.as("upd"), Seq("c_id"), "left")
         .select(col("c_id"),
           coalesce(col("upd.c_emb"), col("prev.c_emb")).as("c_emb"))
+        .localCheckpoint(true)
     }
     centsRow(cents)
   }
@@ -802,9 +816,12 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("dim"),
           (col("sq").cast("double") / (col("n") * lit(QuantScale)).cast("double")).as("mn")))),
           _.getField("mn")).as("c_emb"))
+      // same per-round checkpoint as [[ivfCentroids]]: m·ks rows, two
+      // consumers per round — prevents the doubling-per-iteration plan
       books = books.as("prev").join(means.as("upd"), Seq("m", "c_id"), "left")
         .select(col("m"), col("c_id"),
           coalesce(col("upd.c_emb"), col("prev.c_emb")).as("c_emb"))
+        .localCheckpoint(true)
     }
     books.agg(sort_array(collect_list(struct(
       col("m"), col("c_id"), col("c_emb")))).as("books"))

@@ -869,9 +869,15 @@ object TextAnalysis {
     * the final rounded ratio.
     */
   def novelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    // two-step token materialization (shinglesFromTokens' scaladoc):
+    // the single-expression wordShingles re-ran tokenization per shingle
     val occ = docs
       .select(col("doc_id"),
-        explode(wordShingles(col("text"), n)).as("sh"))
+        graft.functions.GraftFunctions.tokens(
+          graft.functions.GraftFunctions.normalizeText(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.shinglesFromTokens(col("tk"), n))
+          .as("sh"))
       .select(col("doc_id"),
         graft.functions.DetHash.base60(col("sh")).as("g"))
     val perGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))

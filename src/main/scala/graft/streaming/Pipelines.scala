@@ -284,8 +284,9 @@ object Pipelines {
     import graft.operators.Dedup
     import graft.functions.GraftFunctions.{normalizeText, shinglesFromTokens, tokens}
     val probes = Dedup.withBandedSignature(
-        docs.withColumn("__ns",
-          shinglesFromTokens(tokens(normalizeText(col("text"))), n)), n)
+        docs.withColumn("__tk", tokens(normalizeText(col("text"))))
+          .withColumn("__ns", shinglesFromTokens(col("__tk"), n))
+          .drop("__tk"), n)
       .select(col("doc_id"), col(eventTimeCol), col("__ns").as("ns"),
         size(col("__ns")).cast("long").as("nsz"), col("bk"))
     val verified = probes
@@ -498,8 +499,9 @@ object Pipelines {
     // watermark would stall append emission until a matching doc arrives)
     docs
       .withWatermark(eventTimeCol, delay)
-      .withColumn("__ns",
-        shinglesFromTokens(tokens(normalizeText(col("text"))), n))
+      .withColumn("__tk", tokens(normalizeText(col("text"))))
+      .withColumn("__ns", shinglesFromTokens(col("__tk"), n))
+      .drop("__tk")
       .select(col("doc_id").as("a"), col(eventTimeCol), col("__ns").as("ns"),
         size(col("__ns")).cast("long").as("sza"))
       .filter(col("sza") > 0)
