@@ -411,6 +411,11 @@ object Bench {
         -- warmSingle.keySet).size)
     val cold = (singleDetails.map(s => mapOf(s._2, "queries_cold"))
       .foldLeft(Map.empty[String, Double])(_ ++ _) ++ Map.empty).toSeq.sortBy(_._1)
+    // round 17: merged noop-sink map for the pure-projection set (child
+    // `queries_noop`) — detail artifacts only, headline untouched
+    val noop = (singleDetails.map(s => mapOf(s._2, "queries_noop")) ++
+      groupDetails.map(mapOf(_, "queries_noop")))
+      .foldLeft(Map.empty[String, Double])(_ ++ _).toSeq.sortBy(_._1)
     val drain = drainDetail.map(mapOf(_, "queries_drain")).getOrElse(Map.empty)
       .toSeq.sortBy(_._1)
     val seqTotal = warm.map(_._2).filter(_ >= 0).sum
@@ -452,6 +457,7 @@ object Bench {
          |"protocol_degraded":$degradedJson,"warm_srcs":$srcsJson,
          |"calib_jvm_best_s":$calibJvmBest,"calib_spark_best_s":$calibSparkBest,
          |"queries_warm":${jsonMap(warm)},
+         |"queries_noop":${jsonMap(noop)},
          |"queries_cold":${jsonMap(cold)},
          |"queries_drain":${jsonMap(drain)},
          |"singles":{$singlesJson},"groups":{$groupsJson},
@@ -514,6 +520,28 @@ object Bench {
   }
 
   // ------------------------------------------------------------ child
+
+  /** True iff `df`'s optimized plan is a pure projection pipeline —
+    * only Project/Filter/Union over leaves. For exactly these plans the
+    * bench's `count()` action lets Catalyst prune the projected
+    * expressions, so the count-based seconds under-measure the real
+    * compute (guide §1.4; measured 3-5× on dedup_minhash_sigs /
+    * text_bpe_token_counts in round 16). Aggregates, joins, generators
+    * and windows — the rest of the registry — are count-exact.
+    */
+  private[graft] def countPrunable(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project,
+      RepartitionOperation, Sort, Union}
+    df.queryExecution.optimizedPlan.find {
+      // row-count-preserving nodes count() sees straight through:
+      // column pruning strips projected expressions below them, and
+      // EliminateSorts drops a sort under the count aggregate outright
+      case _: Project | _: Filter | _: Union | _: RepartitionOperation |
+           _: Sort => false
+      case leaf if leaf.children.isEmpty => false
+      case _ => true
+    }.isEmpty
+  }
 
   private def runShard(shardIdx: Int, shardCount: Int, phase: String): Unit = {
     val doWarm = phase != "drain"
@@ -664,6 +692,12 @@ object Bench {
     def metaJson(m: PassMeta) =
       s""""load_pre":${m.load},"quiesce_wait_s":${m.quiesceS},"calib_jvm_s":${m.cj},"calib_spark_s":${m.cs},"gc_total_ms":${m.gc},"heap_used_mb":${m.heap}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    // round 17 (verdict #4): noop-sink seconds for the count-prunable
+    // (pure-projection) queries, measured by warm children AFTER their
+    // count-based passes and reported ALONGSIDE them — the count-based
+    // series stays the 16-round-comparable headline methodology; this
+    // closes its known under-measurement gap without forking the series.
+    var noopTimes = Seq.empty[(String, Double)]
     def writeDetail(drain: Seq[(String, Double)], drainTotal: Double,
                     drainQuiesce: Double): Unit = {
       val warmPasses = passes.map(p => (p._2, p._3))
@@ -689,6 +723,7 @@ object Bench {
            |"calib_jvm_best_s":${calibBest._1},"calib_spark_best_s":${calibBest._2},
            |"cold_meta":{${metaJson(coldMeta)}},
            |"queries_warm":${jsonMap(seq)},
+           |"queries_noop":${jsonMap(noopTimes)},
            |${if (warmRuns.nonEmpty) warmRuns + "," else ""}
            |"queries_cold":${jsonMap(cold)},
            |"queries_drain":${jsonMap(drain)}}""".stripMargin
@@ -729,6 +764,24 @@ object Bench {
         passes.count(p => !contended(p._1, bestCj, bestCs)) < 2
       }) { extras += 1; runPass(s"warm_extra_$extras")
            writeDetail(Seq.empty, 0.0, 0.0) }
+      // noop-sink pass for pure projections (see noopTimes above): one
+      // warm execution per prunable query, fn + noop save so the number
+      // is action-for-action comparable with timed()'s fn + count. The
+      // prunability probe builds the frame once untimed (plan analysis
+      // only for lazy queries; loop-bearing constructions are re-run
+      // inside the timed window exactly as timed() re-runs them).
+      noopTimes = named.flatMap { case (name, fn) =>
+        if (!budgetLeft) None
+        else try {
+          if (!countPrunable(fn(spark, sfDir))) None
+          else {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          }
+        } catch { case _: Throwable => None }
+      }
+      if (noopTimes.nonEmpty) writeDetail(Seq.empty, 0.0, 0.0)
     }
 
     // concurrent drain (plans/codegen warm from the cold pass, so this

@@ -134,18 +134,66 @@ object TextNorm {
   private def isWs(c: Byte): Boolean =
     c == 0x20 || (c >= 0x09 && c <= 0x0d)
 
+  /** Structural UTF-8 validity over a byte slice that contains at least
+    * one byte >= 0x80 (callers skip the scan for pure-ASCII input).
+    * Overlong/surrogate/out-of-range checks included — the same byte
+    * sequences `new String(bytes, UTF_8)` would replace with U+FFFD.
+    */
+  private def isValidUtf8(b: Array[Byte], len: Int): Boolean = {
+    var i = 0
+    while (i < len) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation byte or overlong C0/C1
+      else if (c < 0xe0) { // 2-byte
+        if (i + 1 >= len || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) { // 3-byte
+        if (i + 2 >= len) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xe0) 0xa0 else 0x80 // no overlong
+        val hi = if (c == 0xed) 0x9f else 0xbf // no surrogates
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80) return false
+        i += 3
+      } else if (c < 0xf5) { // 4-byte
+        if (i + 3 >= len) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xf0) 0x90 else 0x80 // no overlong
+        val hi = if (c == 0xf4) 0x8f else 0xbf // <= U+10FFFF
+        if (c1 < lo || c1 > hi || (b(i + 1) & 0xc0) != 0x80 ||
+          (b(i + 2) & 0xc0) != 0x80 || (b(i + 3) & 0xc0) != 0x80) return false
+        i += 4
+      } else return false // F5..FF never valid
+    }
+    true
+  }
+
   def tokens(s: UTF8String): ArrayData = {
     val b = s.getBytes
     val len = b.length
     var n = 0
     var i = 0
     var inTok = false
+    var hasHigh = false
     while (i < len) { // count runs first: exact-sized output array
+      if (b(i) < 0) hasHigh = true
       val ws = isWs(b(i))
       if (!ws && !inTok) n += 1
       inTok = !ws
       i += 1
     }
+    // MALFORMED-UTF-8 fallback (round 17, ADVICE r16): the original
+    // split(text, "\\s+") round-trips through java.lang.String, which
+    // replaces every invalid byte sequence with U+FFFD before the split
+    // re-encodes its tokens — so for invalid input the byte-run tokens
+    // would differ from the regex split's. Re-encoding via toString
+    // applies the identical replacement; byte-run tokenization of VALID
+    // UTF-8 equals the regex split (the `\s` bytes argument above), so
+    // recursing on the replaced (always-valid) bytes is value-exact for
+    // every input. Valid non-ASCII pays one structural scan, nothing
+    // else; pure ASCII skips even that.
+    if (hasHigh && !isValidUtf8(b, len))
+      return tokens(UTF8String.fromString(s.toString))
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n)
     var k = 0

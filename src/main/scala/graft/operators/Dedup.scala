@@ -380,18 +380,33 @@ object Dedup {
     val bandIdx = lshBandIndex(spark, dir, n).filter(col("doc_id") % 10 < 8)
     val oldSh = shingleIndex(spark, dir, n).filter(col("doc_id") % 10 < 8)
       .select(col("doc_id").as("old_id"), col("shingles").as("os"))
+    // round 17: ONE tokenize+shingle pass over the batch, pinned eagerly.
+    // The batch text pipeline (normalize + tokens + shingles + minhash)
+    // previously re-ran inside each of its three heavy consumers — the
+    // new-new LSH pair relation, the band-key probe, and the verify's
+    // shingle side (≈4 evaluations in the r16 stage profile, the
+    // dominant CPU of every incremental-maintenance query). The batch is
+    // the daily increment (≪ corpus by this op's contract), so pinning
+    // its (doc_id, shingles) rows is bounded executor storage; values
+    // are unchanged (same shingle chain, oracle re-proves).
+    val batchSh = shingled(batch, n).localCheckpoint(true)
     // new-new: the exact LSH pair relation within the batch
-    val nn = minhashLshPairs(batch, n, threshold).select(col("a"), col("b"))
+    val nn = lshPairsOver(batchSh, threshold).select(col("a"), col("b"))
     // new-old: batch band keys probe the persisted index (index side
     // pre-bucketed on bk — no exchange), then the candidate pairs verify
     // by exact jaccard against the persisted shingle index (index side
     // pre-bucketed on doc_id). Wire cost: bands × batch probe rows plus
-    // candidate-sized (id, id) and per-candidate gram arrays.
-    val cand = withBandedSignature(batch, n)
-      .select(col("doc_id").as("new_id"), col("bk"))
+    // candidate-sized (id, id) and per-candidate gram arrays. The band
+    // keys come from the SAME pinned shingles — the identical
+    // hs → MinHashSlots → bandKeys chain (and empty-shingle guard) as
+    // withBandedSignature, so the probe relation is value-unchanged.
+    val cand = signaturesOver(batchSh)
+      .select(col("doc_id").as("new_id"),
+        explode_outer(when(size(col("shingles")) > 0, bandKeys(col("sig"))))
+          .as("bk"))
       .join(bandIdx.select(col("bk"), col("doc_id").as("old_id")), Seq("bk"))
       .select(col("new_id"), col("old_id")).distinct()
-    val newSh = shingled(batch, n)
+    val newSh = batchSh
       .select(col("doc_id").as("new_id"), col("shingles").as("ns"))
     val no = cand.join(newSh, Seq("new_id")).join(oldSh, Seq("old_id"))
       .select(col("new_id"), col("old_id"),
@@ -1088,6 +1103,13 @@ object Dedup {
     //  - the two-step token materialization shinglesFromTokens'
     //    scaladoc prescribes: the inline form re-ran tokenization per
     //    shingle inside the transform lambda.
+    // OPERATOR CONTRACT (ADVICE r16): doc_id is a non-null key — the
+    // corpus schema's primary key, asserted nowhere weaker than here.
+    // The filter is a value-no-op under that contract (it exists only
+    // to keep the five consumer subtrees canonical for exchange reuse);
+    // if a caller ever fed null doc_ids, those rows would previously
+    // have flowed into the df model via explode_outer and now would
+    // not — the oracle-checked corpus has none.
     val grams = docs
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), tokens(normalizeText(col("text"))).as("tk"))
@@ -1637,9 +1659,19 @@ object Dedup {
           col("hs"), minhashAs, minhashBs, DetHash.P).as("sig"))
 
   private def lshPairsOver(sh: DataFrame, threshold: Double): DataFrame = {
+    // ONE shingle pass (round 17, same discipline as [[jaccardPairsOver]]):
+    // the (doc_id, shingles) frame is repartitioned by doc_id so its four
+    // consumers — the banded-signature subtree, the per-doc sizes, and
+    // both posting sides of the count-based verify — read one
+    // ReusedExchange of the shingle arrays instead of re-tokenizing the
+    // corpus per consumer (4 evaluations in the r16 plan). isnotnull
+    // below the exchange keeps the subtrees canonical (non-null key);
+    // the sizes/pa consumers then ride the (doc_id) distribution into
+    // their joins with no further exchange.
+    val shP = sh.filter(col("doc_id").isNotNull).repartition(col("doc_id"))
     // explode_outer for the same InferFiltersFromGenerate reason as in
     // jaccardPairs — band-key arrays are always exactly Bands elements
-    val bands = signaturesOver(sh)
+    val bands = signaturesOver(shP)
       .select(col("doc_id"), explode_outer(bandKeys(col("sig"))).as("bk"))
     val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -1655,10 +1687,10 @@ object Dedup {
     // width on long docs). Zero-overlap or empty-set candidates simply
     // produce no posting matches — identical output for any threshold>0
     // (their exact jaccard is 0).
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
-    val pa = sh.select(col("doc_id").as("a"),
+    val sizes = shP.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val pa = shP.select(col("doc_id").as("a"),
       explode_outer(col("shingles")).as("g"))
-    val pb = sh.select(col("doc_id").as("b"),
+    val pb = shP.select(col("doc_id").as("b"),
       explode_outer(col("shingles")).as("g"))
     cand
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
@@ -1962,7 +1994,26 @@ object Dedup {
     */
   private def jaccardPairsOver(sh: DataFrame, threshold: Double,
                                buildSlice: Option[(Int, Int)] = None): DataFrame = {
-    val grams = sh.select(col("doc_id"), explode_outer(col("shingles")).as("g"))
+    // ONE gram pass (round 17, the containmentPairsSliced discipline):
+    // the exploded gram relation is repartitioned by doc_id at operator
+    // entry so its four consumers — the df model, the ranked prefix, the
+    // verify's bitmap-or-array build, and the bitmap dictionary — read a
+    // single ReusedExchange instead of re-running normalize + gram-hash
+    // per consumer (the r16 executed plan carried FOUR char_gram_hashes
+    // sites: two separate scans split by column-pruning asymmetry plus
+    // two recomputations above the fan-out exchanges — ~13 s of the
+    // ~16 s executor CPU on dedup_char_jaccard_pairs at sf0.1 was that
+    // redundancy). The explicit isnotnull(doc_id) below the exchange
+    // keeps every consumer subtree canonical (doc_id is a non-null key;
+    // join-inferred constraints would otherwise split the exchange —
+    // the r16 containment trap). Null grams from empty-shingle docs
+    // (explode_outer) still flow to the df model exactly as before; the
+    // (doc_id, g) rows are 16 bytes, so the exchange ships the posting
+    // relation once — the same rows the candidate join already shuffles.
+    val grams = sh
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode_outer(col("shingles")).as("g"))
+      .repartition(col("doc_id"))
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // Per-doc (df, gram)-order RANK + set size as two windows over ONE
     // (doc_id) exchange — NO per-document arrays anywhere. The previous
@@ -2221,7 +2272,12 @@ object Dedup {
     * pair-emitting dedup chain ([[semanticPairs]], [[editDistancePairs]],
     * ...) can emit BOUNDED per-doc cluster labels instead of its
     * quadratically-growing pair list. `nodes` is one `doc_id` per
-    * element; `edges` is any (a, b) subset of the near-dup relation.
+    * element; `edges` is any (a, b) subset of the near-dup relation
+    * whose ENDPOINTS ARE A SUBSET OF `nodes` (round-16 seeds labels from
+    * edge endpoints, so an edge referencing an id outside `nodes` would
+    * propagate that id as a min-label candidate instead of being
+    * dropped by a labels join — every current caller passes edges over
+    * its own node set; keep it that way).
     * Output: (doc_id, cluster_id = min doc_id of the component), the
     * same fixpoint/oracle contract as [[clusters]].
     */
@@ -2262,28 +2318,66 @@ object Dedup {
     // gets the O(log diameter) bound.
     val endpoints = sym.select(col("a").as("doc_id")).distinct()
     var labels = save(endpoints.select(col("doc_id"), col("doc_id").as("cluster_id")))
-    var changed = 1L
-    var round = 0
-    while (changed > 0) {
-      round += 1
-      val metric = s"${metricPrefix}_round_$round"
+    // one fused round: min(L(v), L(L(v)), min_N L(u)) + the change flag
+    // from ONE join + one aggregation (round 16)
+    def step(lbl: DataFrame): DataFrame = {
       val all = sym.select(col("a"), col("b"), lit(false).as("self"))
-        .unionByName(labels.select(col("doc_id").as("a"),
+        .unionByName(lbl.select(col("doc_id").as("a"),
           col("cluster_id").as("b"), lit(false).as("self")))
-        .unionByName(labels.select(col("doc_id").as("a"),
+        .unionByName(lbl.select(col("doc_id").as("a"),
           col("doc_id").as("b"), lit(true).as("self")))
-      val observed = all
-        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("lb")),
+      all
+        .join(lbl.select(col("doc_id").as("b"), col("cluster_id").as("lb")),
           Seq("b"))
         .groupBy(col("a"))
         .agg(min(col("lb")).as("next_id"),
           max(when(col("self"), col("lb"))).as("cur"))
         .select(col("a").as("doc_id"), col("next_id").as("cluster_id"),
           (col("next_id") < col("cur")).cast("long").as("chg"))
-        .observe(metric, sum(col("chg")).as("changed"))
+    }
+    // Round-17: TWO rounds per driver iteration (verdict item #5). The
+    // loop's cost at oracle scale is the SEQUENTIAL driver round-trips —
+    // each round's checkpoint action blocks planning of the next — so
+    // the iteration applies step() twice in ONE plan and checkpoints
+    // once. The intermediate labels L1 are consumed three times by the
+    // second step (jump rows, self rows, join side); the explicit
+    // isnotnull(doc_id) keeps those three subtrees canonical below L1's
+    // aggregation exchange (join-inferred constraints push through the
+    // group key and would otherwise split it — the r16 reuse trap), so
+    // AQE computes L1 once and the copies re-read its shuffle. Labels
+    // and fixpoint are unchanged: the composed update is exactly two
+    // applications of the r16 rule, and the loop exits on the same
+    // "round with no change" condition — if round 2i's flags are all
+    // zero, L(2i) = L(2i-1) is the r16 fixpoint verbatim.
+    //
+    // Metrics: the top-level metric (the second step's change count) is
+    // exact — one CollectMetrics above the checkpointed plan, cached
+    // before a reliable checkpoint exactly as before. The INNER metric
+    // rides the three L1 copies, so its sum can accumulate up to 3×;
+    // only its SIGN is consumed (did round 2i-1 change anything), which
+    // copies preserve. `round` reproduces the r16 count exactly: the
+    // plain loop executed changed-rounds-plus-one-confirming-round, so
+    // the last iteration contributes 2 when its first half still
+    // changed labels and 1 when both halves were already quiet.
+    var changed = 1L
+    var round = 0
+    var it = 0
+    while (changed > 0) {
+      it += 1
+      val mA = s"${metricPrefix}_it${it}_a"
+      val mB = s"${metricPrefix}_it${it}_b"
+      val mid = step(labels)
+        .observe(mA, sum(col("chg")).as("changed"))
+        .select(col("doc_id"), col("cluster_id"))
+        .filter(col("doc_id").isNotNull)
+      val observed = step(mid).observe(mB, sum(col("chg")).as("changed"))
       val next = save(observed)
-      changed = Option(observed.queryExecution.observedMetrics(metric).get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      def metricOf(name: String): Long =
+        Option(observed.queryExecution.observedMetrics(name).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val cA = metricOf(mA)
+      changed = metricOf(mB)
+      round += (if (changed > 0 || cA > 0) 2 else 1)
       labels = next
     }
     val out = nodes.select(col("doc_id"))
@@ -2500,8 +2594,32 @@ object Dedup {
     * EXECUTE them at probe time.
     */
   private def fanOutCheckpointed(df: DataFrame): DataFrame = {
+    // round 17 (verdict #7): the exchange-free precondition is now an
+    // ASSERTION, not a comment — if a future caller hands this a frame
+    // whose plan still contains exchanges/aggregations, the probe would
+    // silently EXECUTE them at construction time; fail loudly instead.
+    require(probeSafePlan(df),
+      "fanOutCheckpointed requires a checkpoint-backed (exchange-free) " +
+        "plan; the .rdd partition probe would execute this frame's " +
+        s"exchanges: ${df.queryExecution.optimizedPlan.nodeName}")
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** True iff `df`'s optimized plan is safe to probe with `.rdd` —
+    * nothing but row-preserving nodes over materialized leaves (the
+    * shapes a localCheckpoint/checkpoint scan produces). Anything else
+    * (an exchange, an aggregate, a join) would execute at probe time.
+    */
+  private[graft] def probeSafePlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: LFilter | _: SubqueryAlias | _: LocalRelation => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case leaf if leaf.children.isEmpty => false
+      case _ => false
+    }
+    df.queryExecution.optimizedPlan.find(p => !ok(p)).isEmpty
   }
 
   /** EXACT-DUPLICATE COLLAPSE keyed by value hashes — the shared first

@@ -388,8 +388,34 @@ object Similarity {
     * (c_id, dim) shuffle of integer partial sums — map-side combined,
     * K·dims groups, corpus-size-independent exchange width.
     */
+  /** Per-round trainer-state checkpoint (round 17, verdict #6 + the r16
+    * advisory): truncates the Lloyd/PQ round's lineage exactly as the
+    * r16 localCheckpoint did, but (a) honors `checkpointDir` — when set,
+    * the K-row round table persists + reliably checkpoints (HDFS/S3)
+    * instead of pinning lineage-truncated state to executor storage, the
+    * same discipline as [[graft.operators.Dedup]]'s componentLabels.save
+    * (the persist makes the eager checkpoint and any same-round reuse
+    * share one execution) — and (b) unpersists the PREVIOUS round's
+    * checkpoint backing once the new round has materialized, so
+    * block-manager entries no longer accumulate linearly with training
+    * rounds. Values are untouched — this is pure lineage/storage
+    * management.
+    */
+  private def roundCheckpoint(df: DataFrame, checkpointDir: Option[String],
+                              prev: Option[DataFrame]): DataFrame = {
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    val out =
+      if (checkpointDir.isDefined) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(true) finally df.unpersist(false)
+      } else df.localCheckpoint(true)
+    prev.foreach(org.apache.spark.sql.GraftShim.unpersistCheckpointBacking)
+    out
+  }
+
   def ivfCentroids(emb: DataFrame, numCentroids: Int = 16,
-                   iters: Int = 2, sampleMod: Int = 1): DataFrame = {
+                   iters: Int = 2, sampleMod: Int = 1,
+                   checkpointDir: Option[String] = None): DataFrame = {
     // sampleMod > 1: train on the deterministic `vec_id % sampleMod == 0`
     // slice — the scale path once integer coordinate sums would near the
     // 2⁶³ bound (n ≳ 2³³ rows: quantized coords are < 2²¹, so a full-corpus
@@ -402,6 +428,7 @@ object Similarity {
     var cents = emb.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("c_id"),
         col("embedding").cast("array<double>").as("c_emb"))
+    var prevRound: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val assigned = train.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(centsRow(cents)))
@@ -425,10 +452,12 @@ object Similarity {
       // re-embedded the whole chain — sim_ivfpq_topk's executed plan
       // carried 35 copies of the posexplode training stage. K rows, so
       // the checkpoint is one trivial job; values are unchanged.
-      cents = cents.as("prev").join(means.as("upd"), Seq("c_id"), "left")
-        .select(col("c_id"),
-          coalesce(col("upd.c_emb"), col("prev.c_emb")).as("c_emb"))
-        .localCheckpoint(true)
+      cents = roundCheckpoint(
+        cents.as("prev").join(means.as("upd"), Seq("c_id"), "left")
+          .select(col("c_id"),
+            coalesce(col("upd.c_emb"), col("prev.c_emb")).as("c_emb")),
+        checkpointDir, prevRound)
+      prevRound = Some(cents)
     }
     centsRow(cents)
   }
@@ -789,7 +818,8 @@ object Similarity {
     * combined, corpus-size-independent width, same as the IVF trainer.
     */
   def pqCodebooks(emb: DataFrame, m: Int = 8, ks: Int = 16,
-                  iters: Int = 2, dims: Int = 64): DataFrame = {
+                  iters: Int = 2, dims: Int = 64,
+                  checkpointDir: Option[String] = None): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val sub = dims / m
     val subs = emb.select(col("vec_id"), posexplode(
@@ -799,6 +829,7 @@ object Similarity {
       .select(col("vec_id"), col("pos").as("m"), col("col").as("s_emb"))
     var books = subs.filter(col("vec_id") < ks)
       .select(col("m"), col("vec_id").as("c_id"), col("s_emb").as("c_emb"))
+    var prevRound: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val row = books.agg(sort_array(collect_list(struct(
         col("m"), col("c_id"), col("c_emb")))).as("books"))
@@ -818,10 +849,12 @@ object Similarity {
           _.getField("mn")).as("c_emb"))
       // same per-round checkpoint as [[ivfCentroids]]: m·ks rows, two
       // consumers per round — prevents the doubling-per-iteration plan
-      books = books.as("prev").join(means.as("upd"), Seq("m", "c_id"), "left")
-        .select(col("m"), col("c_id"),
-          coalesce(col("upd.c_emb"), col("prev.c_emb")).as("c_emb"))
-        .localCheckpoint(true)
+      books = roundCheckpoint(
+        books.as("prev").join(means.as("upd"), Seq("m", "c_id"), "left")
+          .select(col("m"), col("c_id"),
+            coalesce(col("upd.c_emb"), col("prev.c_emb")).as("c_emb")),
+        checkpointDir, prevRound)
+      prevRound = Some(books)
     }
     books.agg(sort_array(collect_list(struct(
       col("m"), col("c_id"), col("c_emb")))).as("books"))

@@ -12,6 +12,23 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Unpersist the cached RDD backing a checkpoint-produced frame (the
+    * `LogicalRDD` a `localCheckpoint(true)` returns). Iterative trainers
+    * checkpoint per round; without this the superseded round's blocks
+    * accumulate in the block manager for the session's lifetime
+    * (round-17, ADVICE r16). Safe ONLY once nothing will read the frame
+    * again — a locally-checkpointed RDD has no recompute path. No-op
+    * for frames whose backing RDD holds no storage (e.g. reliable
+    * checkpoints, whose data lives in the checkpoint dir).
+    */
+  def unpersistCheckpointBacking(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { rdd =>
+      if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        rdd.unpersist(blocking = false)
+    }
+
   /** Post-hoc SQL function registration on a live session (the config-time
     * path is `spark.sql.extensions=graft.GraftExtensions`).
     */

@@ -77,4 +77,37 @@ class TextNormEquivalenceSpec extends SparkSpec {
     assert(r(0).isNullAt(0) && r(0).isNullAt(1))
     assert(r(1).getString(0) == "a b")
   }
+
+  test("malformed UTF-8 takes the replacement-character split semantics") {
+    // round 17 (ADVICE r16): the original split(text, "\\s+") round-trips
+    // through java.lang.String, replacing invalid byte sequences with
+    // U+FFFD before re-encoding its tokens. WsTokens now detects invalid
+    // UTF-8 (structural scan, only on non-ASCII input) and recurses on
+    // the identically-replaced bytes — these cases can't ride a
+    // DataFrame (Java strings are always valid), so they pin the
+    // function directly against new String(bytes, UTF_8).split.
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cases: Seq[Array[Byte]] = Seq(
+      Array(0xff.toByte),
+      Array('a'.toByte, 0xc3.toByte), // truncated 2-byte tail
+      Array('a'.toByte, 0xc3.toByte, ' '.toByte, 'b'.toByte),
+      Array(0x80.toByte, 'x'.toByte), // bare continuation byte
+      Array(0xe0.toByte, 0x80.toByte, 0x80.toByte), // overlong 3-byte
+      Array(0xed.toByte, 0xa0.toByte, 0x80.toByte), // UTF-8-encoded surrogate
+      Array(0xf4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte), // > U+10FFFF
+      Array(0xc0.toByte, 0xaf.toByte), // overlong 2-byte
+      Array('h'.toByte, 'i'.toByte, 0xf0.toByte, ' '.toByte, 'y'.toByte),
+      // and a VALID non-ASCII neighbour: must NOT take the fallback path
+      "café  au\tlait".getBytes("UTF-8"))
+    cases.foreach { b =>
+      val got = TextNorm.tokens(UTF8String.fromBytes(b))
+        .asInstanceOf[GenericArrayData].array.toSeq
+        .map(_.asInstanceOf[UTF8String].toString)
+      val want = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      assert(got == want,
+        s"token mismatch for bytes ${b.toSeq}: got $got want $want")
+    }
+  }
 }
