@@ -2335,49 +2335,27 @@ object Dedup {
         .select(col("a").as("doc_id"), col("next_id").as("cluster_id"),
           (col("next_id") < col("cur")).cast("long").as("chg"))
     }
-    // Round-17: TWO rounds per driver iteration (verdict item #5). The
-    // loop's cost at oracle scale is the SEQUENTIAL driver round-trips —
-    // each round's checkpoint action blocks planning of the next — so
-    // the iteration applies step() twice in ONE plan and checkpoints
-    // once. The intermediate labels L1 are consumed three times by the
-    // second step (jump rows, self rows, join side); the explicit
-    // isnotnull(doc_id) keeps those three subtrees canonical below L1's
-    // aggregation exchange (join-inferred constraints push through the
-    // group key and would otherwise split it — the r16 reuse trap), so
-    // AQE computes L1 once and the copies re-read its shuffle. Labels
-    // and fixpoint are unchanged: the composed update is exactly two
-    // applications of the r16 rule, and the loop exits on the same
-    // "round with no change" condition — if round 2i's flags are all
-    // zero, L(2i) = L(2i-1) is the r16 fixpoint verbatim.
-    //
-    // Metrics: the top-level metric (the second step's change count) is
-    // exact — one CollectMetrics above the checkpointed plan, cached
-    // before a reliable checkpoint exactly as before. The INNER metric
-    // rides the three L1 copies, so its sum can accumulate up to 3×;
-    // only its SIGN is consumed (did round 2i-1 change anything), which
-    // copies preserve. `round` reproduces the r16 count exactly: the
-    // plain loop executed changed-rounds-plus-one-confirming-round, so
-    // the last iteration contributes 2 when its first half still
-    // changed labels and 1 when both halves were already quiet.
+    // Round-17 REJECTED after a back-to-back A/B (verdict item #5,
+    // documented in OPTIMIZATION_r17.md): fusing TWO rounds per driver
+    // iteration (step(step(labels)) in one plan, intermediate labels'
+    // three consumers kept canonical so AQE computes them once) did cut
+    // jobs 65 → 50 on dedup_clusters_chain — but WALL went 2.65 → 3.89 s
+    // (chain), 3.26 → 4.22 s (semantic_clusters), 2.38 → 3.04 s
+    // (edit_clusters) in the same A/B session with flat sentinels: the
+    // doubled per-plan Catalyst/AQE/codegen cost exceeds the saved
+    // checkpoint barrier at any SF where the loop is driver-bound, and
+    // at 100 TB (compute-bound rounds) the barrier is amortized anyway.
+    // The r16 one-round-per-iteration loop stays.
     var changed = 1L
     var round = 0
-    var it = 0
     while (changed > 0) {
-      it += 1
-      val mA = s"${metricPrefix}_it${it}_a"
-      val mB = s"${metricPrefix}_it${it}_b"
-      val mid = step(labels)
-        .observe(mA, sum(col("chg")).as("changed"))
-        .select(col("doc_id"), col("cluster_id"))
-        .filter(col("doc_id").isNotNull)
-      val observed = step(mid).observe(mB, sum(col("chg")).as("changed"))
+      round += 1
+      val metric = s"${metricPrefix}_round_$round"
+      val observed = step(labels)
+        .observe(metric, sum(col("chg")).as("changed"))
       val next = save(observed)
-      def metricOf(name: String): Long =
-        Option(observed.queryExecution.observedMetrics(name).get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-      val cA = metricOf(mA)
-      changed = metricOf(mB)
-      round += (if (changed > 0 || cA > 0) 2 else 1)
+      changed = Option(observed.queryExecution.observedMetrics(metric).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next
     }
     val out = nodes.select(col("doc_id"))
