@@ -2122,7 +2122,19 @@ object Dedup {
     //    wire-proportional to the CANDIDATES, not their posting volume.
     val inter =
       if (vocabSize(df) <= BitmapVocabCap) {
-        val dict = df.select(col("g"),
+        // the explicit isnotnull(g) makes the dictionary's gram subtree
+        // CANONICAL with every other consumer's (round 17): the posting
+        // and ranked consumers all carry a join-inferred isnotnull(g)
+        // that pushes below the shared doc_id exchange, but the
+        // row_number window here blocks that inference, so without the
+        // filter the dictionary re-computed the whole gram pass on its
+        // own exchange (seen in the executed plan). Value-exact: the
+        // null gram (empty-shingle docs) never matches the equi-join
+        // that consumes `bid`, and dropping it from the dictionary only
+        // shifts every real gram's bit position down by one uniformly —
+        // bit positions are query-internal, so AND-counts are unchanged
+        // (width still comes from vocabSize, an upper bound).
+        val dict = df.filter(col("g").isNotNull).select(col("g"),
           (row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("g"))) - 1).as("bid"))
         val width = vocabSize(df).toInt
@@ -2135,7 +2147,9 @@ object Dedup {
           .select(col("a"), col("b"), col("sza"), col("szb"),
             graft.functions.BitSetOps.bitAndCount(col("bma"), col("bmb")).as("inter"))
       } else {
-        val arrays = grams.groupBy(col("doc_id"))
+        // same canonicalization filter as the dictionary above;
+        // collect_list skips nulls, so this is value-identical
+        val arrays = grams.filter(col("g").isNotNull).groupBy(col("doc_id"))
           .agg(collect_list(col("g")).as("gs"))
         candSized
           .join(arrays.select(col("doc_id").as("a"), col("gs").as("ga")), "a")
@@ -2292,8 +2306,18 @@ object Dedup {
         try df.checkpoint(true) finally df.unpersist(false)
       } else df.localCheckpoint(true)
     val edges = edges0.select(col("a"), col("b"))
-    val sym = save(
-      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+    // Round 17: materialize the DIRECTED edge relation once, then take
+    // the symmetric view as a union of two scans of the checkpoint. The
+    // previous `save(edges ∪ edges.swapped)` embedded the whole
+    // pair-emitting chain in BOTH union branches, and AQE's stage reuse
+    // does not reliably dedup across the swapped branches — the
+    // executed plan of dedup_char_jaccard_clusters showed the 1.27M-row
+    // candidate exchange WRITTEN TWICE and the prefix subtree evaluated
+    // per branch. One checkpoint runs the chain exactly once; the
+    // per-round consumers read a trivial union of checkpoint scans
+    // (same relation, same duplicates-tolerant min aggregation).
+    val e0 = save(edges)
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
     // Round-16 loop restructure, two changes measured on ProfileQuery's
     // stage listener (the loop was ~45-105 construction jobs on the
     // cluster-family queries — the dominant cost at oracle scale):
